@@ -1,13 +1,533 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{SchemaConform, Tables}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.ops.{Dedup, Relational}
+import org.apache.spark.sql.types._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query is written so its result is *bit-deterministic* across
+  * engines and partitionings (decimal-exact sums cast back to double,
+  * sequential double folds for vector math, integer arithmetic for
+  * ratios), which is what makes the DuckDB hash-compare oracle viable.
+  */
 object SparkEntry {
+
+  /** Exact, order-insensitive money sum: fold in decimal (exact,
+    * associative), surface as double. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = Tables.table(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------------
+  // Query catalog. Keys line up with SURVEY.md §2 operator ids (in comments).
+  // ---------------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1-adjacent full-scan aggregate (TPC-H Q1 shape): partial+final agg.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // P5-style pushed-down scan: filter + projection reach the parquet reader.
+    "q02_filtered_scan" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Join + agg + top-k (TPC-H Q3 shape); dims broadcast, tiebreak exact.
+    "q03_top_revenue_orders" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1996-07-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Semi-join existence test (TPC-H Q4 shape).
+    "q04_priority_count" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val bigLines = t(s, dir, "lineitem").filter(col("l_quantity") > 45).select(col("l_orderkey"))
+      ord.join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Multi-join star query (TPC-H Q5 shape); small dims broadcast so the
+    // only wide shuffles are the two fact-fact joins.
+    "q05_region_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Single-row filtered aggregate (TPC-H Q6 shape).
+    "q06_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.04 && col("l_discount") <= 0.06 && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // J1 — anti-join set difference (okta-sync/main.py:1002-1005).
+    "q07_customers_no_orders" -> ((s, dir) => {
+      Relational.exceptIds(t(s, dir, "customer"), t(s, dir, "orders").select(col("o_custkey").as("c_custkey")), "c_custkey")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Semi-join + group count.
+    "q08_segment_buyers" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_buyers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // J2 — union-dedup of id lists (okta-sync/main.py:992-1001).
+    "q09_union_distinct_ids" -> ((s, dir) => {
+      val a = t(s, dir, "orders").filter(col("o_totalprice") > 100000).select(col("o_custkey").as("id"))
+      val b = t(s, dir, "customer").filter(col("c_acctbal") > 5000).select(col("c_custkey").as("id"))
+      Relational.unionDistinct(a, b).orderBy(col("id"))
+    }),
+
+    // A4 — keyed dedup keep-latest via row_number window
+    // (okta-sync/main.py:628-671). ts is compared at microsecond
+    // precision (Spark timestamp), tiebroken by event_id.
+    "q10_latest_event_per_user" -> ((s, dir) => {
+      Relational.keepLatest(t(s, dir, "events"), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A2 — group-count threshold / HAVING (okta-sync/main.py:674-717).
+    "q11_active_users" -> ((s, dir) => {
+      Relational.countOverThreshold(t(s, dir, "events"), "user_id", 70)
+        .withColumnRenamed("n", "n_events")
+        .orderBy(col("user_id"))
+    }),
+
+    // A1 — max watermark per key (woo-sync/main.py:26-42).
+    "q12_watermark" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(max(col("ts")).as("watermark"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // O1 — top-k by sort (woo-sync watermark top-1 generalised).
+    "q13_top_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // P2 — EAV/JSON key extraction (woo-sync/main.py:608-641).
+    "q14_eav_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("k_mod"))
+    }),
+
+    // P3 — schema conformance: cast + add-missing-null + drop-extra +
+    // reorder (okta-sync/main.py:544-584).
+    "q15_conform_schema" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_phone", StringType)))
+      SchemaConform.conformToSchema(t(s, dir, "customer"), schema).orderBy(col("c_custkey"))
+    }),
+
+    // P7 — event routing predicates (dbt-webhook/main.py:298-319).
+    "q16_route_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("route",
+          when(col("event_type") === "error", "retry")
+            .when(col("event_type").isin("purchase", "signup"), "completed")
+            .otherwise("ignore"))
+        .groupBy(col("route"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("route"))
+    }),
+
+    // P9 — regex classification predicate (dbt-classify/classifier.py:26-47).
+    "q17_regex_classify" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("is_transient", col("text").rlike("(merge|window|stream)"))
+        .groupBy(col("lang"), col("is_transient")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("is_transient"))
+    }),
+
+    // A3/A5-style multi-aggregate profile.
+    "q18_lineitem_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // P4-style typed date extraction + aggregate.
+    "q19_orders_by_year" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"),
+          (dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+        .orderBy(col("order_year"))
+    }),
+
+    // T8-adjacent event-time bucketing (batch form of the streaming agg).
+    "q20_hourly_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // --- training-data pipeline layer -------------------------------------
+
+    // Token counting (whitespace protocol).
+    "q21_token_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), TF.tokenCount(col("text")).cast("int").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring — integer signals + cross-multiplied ratio gate.
+    "q22_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.tokenCount(col("text")).cast("int").as("n_tokens"),
+          TF.stopwordCount(col("text")).cast("int").as("n_stopwords"),
+          TF.punctCount(col("text")).cast("int").as("n_punct"),
+          TF.isQuality(col("text")).as("is_quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID by marker-word argmax.
+    "q23_lang_guess" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.langGuess(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprinting (normalised md5 — engine-stable).
+    "q24_fingerprints" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact dedup via hash-groupBy on the fingerprint.
+    "q25_exact_dedup" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fingerprint"))
+    }),
+
+    // N-gram Jaccard near-dup pairs via inverted shingle index.
+    "q26_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, thresholdNum = 6, thresholdDen = 10, maxDf = 1000)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash + LSH banding near-dups (no SQL oracle: hash-family
+    // specific; covered by MinHashSpec against planted near-dups).
+    "q27_minhash_neardups" -> ((s, dir) => {
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dups via the hamming block trick (no SQL oracle;
+    // covered by SimHashSpec).
+    "q28_simhash_neardups" -> ((s, dir) => {
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Brute-force exact cosine top-k (ANN baseline).
+    "q29_knn_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VF.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF approximate top-k (scale path; recall checked in AnnSpec).
+    "q30_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = VF.centroidsByLabel(emb, "label", "embedding")
+      VF.ivfTopK(emb.filter(col("vec_id") < 10), emb, centroids, "vec_id", "embedding",
+        k = 5, nprobe = 3)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Vector norms — sequential double fold, bit-stable.
+    "q31_vector_norms" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          round(VF.l2Norm(col("embedding")), 6).as("l2_norm"))
+        .orderBy(col("vec_id"))
+    }))
+
+  // ---------------------------------------------------------------------------
+  // DuckDB oracle SQL — same column names, same deterministic arithmetic.
+  // ---------------------------------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filtered_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q03_top_revenue_orders" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q04_priority_count" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q05_region_revenue" ->
+      """SELECT r_name, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q06_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_lines FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount >= 0.04 AND l_discount <= 0.06 AND l_quantity < 24""",
+
+    "q07_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "q08_segment_buyers" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_buyers FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q09_union_distinct_ids" ->
+      """SELECT DISTINCT id FROM (
+           SELECT o_custkey AS id FROM orders WHERE o_totalprice > 100000
+           UNION ALL
+           SELECT c_custkey AS id FROM customer WHERE c_acctbal > 5000)
+         ORDER BY id""",
+
+    "q10_latest_event_per_user" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT user_id, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id""",
+
+    "q11_active_users" ->
+      """SELECT user_id, COUNT(*) AS n_events FROM events
+         GROUP BY user_id HAVING COUNT(*) > 70 ORDER BY user_id""",
+
+    "q12_watermark" ->
+      """SELECT event_type, MAX(CAST(ts AS TIMESTAMP)) AS watermark, COUNT(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q13_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q14_eav_extract" ->
+      """SELECT k % 10 AS k_mod, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
+         FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+         GROUP BY k_mod ORDER BY k_mod""",
+
+    "q15_conform_schema" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal,
+         CAST(NULL AS VARCHAR) AS c_phone FROM customer ORDER BY c_custkey""",
+
+    "q16_route_events" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 'retry'
+                     WHEN event_type IN ('purchase','signup') THEN 'completed'
+                     ELSE 'ignore' END AS route,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM events GROUP BY route ORDER BY route""",
+
+    "q17_regex_classify" ->
+      """SELECT lang, regexp_matches(text, '(merge|window|stream)') AS is_transient,
+                COUNT(*) AS n
+         FROM documents GROUP BY lang, is_transient ORDER BY lang, is_transient""",
+
+    "q18_lineitem_stats" ->
+      """SELECT l_returnflag, COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS n_orders,
+                MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q19_orders_by_year" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, COUNT(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price
+         FROM orders GROUP BY order_year ORDER BY order_year""",
+
+    "q20_hourly_events" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM events GROUP BY hour, event_type ORDER BY hour, event_type""",
+
+    "q21_token_counts" ->
+      """SELECT doc_id, n_chars,
+                CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q22_text_quality" ->
+      """SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+          CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|on|for)\b')) AS INTEGER) AS n_stopwords,
+          CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER) AS n_punct,
+          (len(regexp_extract_all(text, '\S+')) >= 10 AND
+           len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|on|for)\b')) * 50
+             >= len(regexp_extract_all(text, '\S+'))) AS is_quality
+         FROM documents ORDER BY doc_id""",
+
+    "q23_lang_guess" ->
+      """WITH s AS (SELECT doc_id,
+           len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) AS c_en,
+           len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS c_de,
+           len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS c_fr,
+           len(regexp_extract_all(lower(text), '\b(el|los|que|de|y)\b')) AS c_es
+         FROM documents)
+         SELECT doc_id,
+           CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                WHEN c_de > 0 AND c_de > c_en AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+                WHEN c_fr > 0 AND c_fr > c_en AND c_fr > c_de AND c_fr >= c_es THEN 'fr'
+                WHEN c_es > 0 AND c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es'
+                ELSE 'und' END AS lang_guess
+         FROM s ORDER BY doc_id""",
+
+    "q24_fingerprints" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+
+    "q25_exact_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+                MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+         FROM documents GROUP BY fingerprint ORDER BY fingerprint""",
+
+    "q26_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         idx AS (SELECT shingle, doc_id FROM sh
+                 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                   FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b, n_common, sa.sz AS size_a, sb.sz AS size_b
+         FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         WHERE n_common * 10 >= (sa.sz + sb.sz - n_common) * 6
+         ORDER BY id_a, id_b""",
+
+    "q29_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(qv, c.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             AS sim
+           FROM q, embeddings c WHERE c.vec_id <> query_id),
+         ranked AS (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+                round(sim, 6) AS cosine_sim
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q31_vector_norms" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+         round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+         FROM embeddings ORDER BY vec_id""")
 }

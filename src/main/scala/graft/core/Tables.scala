@@ -1,0 +1,56 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * All readers take the scale-factor directory so the same query text
+  * runs at sf0.001 (smoke), sf0.01 (oracle) and sf0.1 (bench). Parquet
+  * scans go through the DataSource V2 path, so Catalyst pushes filters
+  * and prunes columns into the scan for free.
+  */
+object Tables {
+  /** Session tuning applied before any read. Runtime-settable confs only.
+    *
+    *  - icu.caseMappings: Spark 4 routes `lower()` under UTF8_BINARY
+    *    through ICU whose lazy static init costs ~100 s of CPU in this
+    *    JVM (observed via jstack: CollationAwareUTF8String.<clinit>
+    *    looping UCharacter.toTitleCase). The JVM case mapping is
+    *    identical for ASCII corpora and matches DuckDB's lower().
+    *  - nanosAsLong: events.ts is a nanosecond parquet timestamp, which
+    *    TimestampType (µs) cannot hold — Spark 4 otherwise rejects the
+    *    column (PARQUET_TYPE_ILLEGAL).
+    */
+  def tune(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    tune(spark)
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  /** The events table carries a nanosecond-precision parquet timestamp,
+    * which Spark's TimestampType (microseconds) cannot hold — Spark 4
+    * rejects the column outright (PARQUET_TYPE_ILLEGAL). Read nanos as
+    * Long (legacy conf) and floor-divide to microseconds, matching what
+    * `CAST(ts_ns AS TIMESTAMP)` does in engines with native ns support.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    tune(spark)
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis function library for the training-data pipeline layer
+  * (BASELINE.json north star): token counting, quality signals,
+  * language guessing, fingerprinting. All built from codegen'd
+  * `org.apache.spark.sql.functions` so they stay inside whole-stage
+  * codegen — no UDFs in the hot path.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens as an array column ("\S+" runs). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** Token count; counting-only plans never materialise the array. */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** Count of non-overlapping regex matches. */
+  def matchCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
+  /** A small default stopword list (English function words). */
+  val Stopwords: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it", "on", "for")
+
+  def stopwordCount(text: Column): Column =
+    matchCount(lower(text), "\\b(" + Stopwords.mkString("|") + ")\\b")
+
+  def punctCount(text: Column): Column = matchCount(text, "[.,;:!?]")
+
+  /** Heuristic quality gate in pure integer arithmetic: docs with >=
+    * minTokens tokens and at least one stopword per stopRatioDen tokens
+    * pass — ratio thresholds cross-multiplied so no float compare. */
+  def isQuality(text: Column, minTokens: Int = 10, stopRatioDen: Int = 50): Column =
+    (tokenCount(text) >= minTokens) && (stopwordCount(text) * stopRatioDen >= tokenCount(text))
+
+  /** Exact-duplicate fingerprint: md5 of the whitespace-normalised,
+    * lower-cased text. md5 is bytes-defined, hence stable across
+    * engines and cluster sizes — the exact-dedup key at any scale. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Per-language marker words for the language-guess heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is", "of", "to"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "que", "de", "y"))
+
+  /** Language guess by marker-word counting — a stopword heuristic in
+    * the spirit of public langid tools. Scores each language by marker
+    * occurrences, argmax with first-listed-wins tiebreak, "und"
+    * (undetermined) when nothing matches. Pure integer + case/when. */
+  def langGuess(text: Column): Column = {
+    val lowered = lower(text)
+    val scores: Seq[(String, Column)] = LangMarkers.map { case (lang, words) =>
+      lang -> matchCount(lowered, "\\b(" + words.mkString("|") + ")\\b")
+    }
+    val idx = LangMarkers.map(_._1).zipWithIndex.toMap
+    scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+      val beatsAll = scores.filter(_._1 != lang).foldLeft(score > 0) { case (c, (other, s2)) =>
+        c && (if (idx(lang) < idx(other)) score >= s2 else score > s2)
+      }
+      when(beatsAll, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Rolling polynomial hash over the token stream (document
+    * fingerprinting à la Rabin-Karp): h = (h*31 + hash(token)) mod
+    * 2^31-1, kept inside the safe Long range so the fold is exact under
+    * ANSI mode (no wraparound). `aggregate` over the token array — a
+    * sequential deterministic fold, no UDF. */
+  def rollingHash(text: Column): Column = {
+    val M = lit(2147483647L) // 2^31 - 1
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), M), M))
+  }
+
+  /** Word n-gram shingles of the token array (for Jaccard / MinHash). */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    val idxs = sequence(lit(0), size(ts) - n)
+    when(size(ts) >= n,
+      transform(idxs, i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+}

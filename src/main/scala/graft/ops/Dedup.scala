@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Document-deduplication operators for the training-data pipeline
+  * layer: exact (hash-groupBy), n-gram Jaccard via an inverted shingle
+  * index, MinHash + LSH banding, and SimHash. All are expressed as
+  * shuffle-conscious DataFrame plans:
+  *
+  *  - exact dedup = one hash aggregate on a 128-bit fingerprint;
+  *  - Jaccard / MinHash / SimHash candidate generation avoids the
+  *    O(n²) cross product by joining on shingle / band / rotation keys,
+  *    which is the standard inverted-index trick that keeps near-dedup
+  *    tractable at 100 TB (pairs are only generated inside buckets).
+  */
+object Dedup {
+
+  /** Exact dedup: group by content fingerprint, keep the smallest id as
+    * canonical. Returns (fingerprint, canonical_id, dup_count). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(TextFunctions.fingerprint(col(textCol)).as("fingerprint"), col(idCol).as("id"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word-n-gram shingle set per doc, exploded to an inverted
+    * index (shingle -> doc). `maxDf` drops shingles appearing in more
+    * than that many documents — stop-shingles generate quadratic pair
+    * blowup while carrying no discriminative signal (same reasoning as
+    * common-token filtering in public MinHash/LSH implementations). */
+  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, maxDf: Long): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("id"), explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("shingle"))
+    if (maxDf <= 0) perDoc
+    else {
+      val rare = perDoc.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("shingle"))
+      perDoc.join(rare, Seq("shingle"))
+    }
+  }
+
+  /** Near-duplicate pairs by n-gram Jaccard similarity >= threshold
+    * (threshold as a rational num/den so the comparison is exact integer
+    * arithmetic). Jaccard is computed on the *unfiltered* shingle-set
+    * sizes; the df cap only limits which shingles may *witness* a pair.
+    * Returns (id_a, id_b, n_common, size_a, size_b) with id_a < id_b.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                   thresholdNum: Int, thresholdDen: Int, maxDf: Long = 1000): DataFrame = {
+    val sizes = docs.select(col(idCol).as("id"),
+      size(array_distinct(TextFunctions.shingles(col(textCol), n))).cast("long").as("sz"))
+    val idx = shingleIndex(docs, idCol, textCol, n, maxDf)
+    val a = idx.select(col("shingle"), col("id").as("id_a"))
+    val b = idx.select(col("shingle"), col("id").as("id_b"))
+    val common = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), Seq("id_b"))
+      // n_common/(size_a+size_b-n_common) >= num/den, cross-multiplied:
+      .filter(col("n_common") * thresholdDen >= (col("size_a") + col("size_b") - col("n_common")) * thresholdNum)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("size_a"), col("size_b"))
+  }
+
+  /** MinHash signatures as k aggregate columns: explode the doc's
+    * distinct shingles once, hash each (shingle, seed_i) with xxhash64,
+    * and take per-doc minima with k parallel `min` aggregates. The
+    * heavy hashing happens exactly once per (doc, shingle) row and the
+    * minima partial-aggregate map-side — one shuffle of k-column rows.
+    * (A naive array-fold formulation gets its signature expression
+    * inlined by Catalyst into every LSH band key — k × bands
+    * recomputation; this shape avoids that by construction.) */
+  private def minhashSigColumns(docs: DataFrame, idCol: String, textCol: String,
+                                n: Int, k: Int): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("sh"))
+    val hashed = exploded.select(
+      (col("id") +: (0 until k).map(i => xxhash64(col("sh"), lit(i)).as(s"h$i"))): _*)
+    val aggs = (0 until k).map(i => min(col(s"h$i")).as(s"m$i"))
+    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the k-wide signature into bands of `rowsPerBand`
+    * and key each band by its murmur3 hash; docs sharing any band key
+    * become candidate pairs. Returns candidate pairs with their exact
+    * signature agreement fraction (matching minhashes / k) — a
+    * consistent estimator of Jaccard similarity. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    val sigs = minhashSigColumns(docs, idCol, textCol, n, k)
+    val nBands = k / rowsPerBand
+    val sigArr = array((0 until k).map(i => col(s"m$i")): _*)
+    val bandKeys = array((0 until nBands).map { b =>
+      hash(((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")) :+ lit(b)): _*)
+    }: _*)
+    val banded = sigs.select(col("id"), sigArr.as("sig"), posexplode(bandKeys).as(Seq("band", "band_key")))
+
+    val l = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "band_key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("sig_agreement",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)).cast("double") / k)
+      .select(col("id_a"), col("id_b"), col("sig_agreement"))
+  }
+
+  /** Near-dup pairs = LSH candidates whose signature agreement (a
+    * consistent estimator of Jaccard) clears the threshold. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, n: Int = 3, k: Int = 64, rowsPerBand: Int = 4): DataFrame =
+    minhashCandidates(docs, idCol, textCol, n, k, rowsPerBand)
+      .filter(col("sig_agreement") >= threshold)
+
+  /** 64-bit SimHash over token xxhash64 values: for each bit, sum +1/-1
+    * across tokens and keep the sign. Expressed as posexplode(token
+    * hashes) → per-(doc, bit) integer sums → bit reassembly; everything
+    * is integer arithmetic in native functions, partial-aggregated
+    * map-side. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokenHashes = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    // 64 parallel ±1 sums (one per bit), partial-aggregated map-side —
+    // a single shuffle of 64-column rows, no per-bit row explosion.
+    val bitAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val summed = tokenHashes.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
+    // distinct powers of two sum to the exact bit pattern (no overflow:
+    // bit 63's contribution is Long.MinValue, the rest are positive)
+    val assembled = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    summed.select(col("id"), assembled.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates with Hamming distance <= maxHamming,
+    * found by the rotation/block trick: split the 64-bit hash into
+    * (maxHamming+1) blocks — two hashes within distance d must agree on
+    * at least one block (pigeonhole), so an equi-join per block finds
+    * all candidates without a cross product. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val blockBits = 64 / nBlocks
+    val hashed = simhash(docs, idCol, textCol)
+    val blocked = hashed.select(col("id"), col("simhash"),
+      posexplode(array((0 until nBlocks).map { blk =>
+        shiftrightunsigned(col("simhash"), blk * blockBits)
+          .bitwiseAND(lit((1L << blockBits) - 1))
+      }: _*)).as(Seq("blk", "blk_key")))
+    val l = blocked.select(col("blk"), col("blk_key"), col("id").as("id_a"), col("simhash").as("h_a"))
+    val r = blocked.select(col("blk"), col("blk_key"), col("id").as("id_b"), col("simhash").as("h_b"))
+    l.join(r, Seq("blk", "blk_key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

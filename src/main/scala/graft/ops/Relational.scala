@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's relational operator core, re-expressed as composable
+  * DataFrame transforms. Each maps to a SURVEY.md §2 row; all of them
+  * compile to stock Catalyst plans (hash aggregate / window / anti
+  * join) that scale by partitioning — no driver-side iteration.
+  */
+object Relational {
+
+  /** A4 — keyed dedup keep-latest: `row_number() over (partition by keys
+    * order by <orderCols desc>)` keep rn=1
+    * (reference: okta-sync/main.py:628-671, DEDUP_CONFIG :24-30).
+    *
+    * Scale note: one hash shuffle on the key columns; skewed keys are
+    * handled by AQE. The rank column is dropped so downstream plans can
+    * prune it.
+    */
+  def keepLatest(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** A1 — max-watermark read: latest `sync_timestamp`-style value,
+    * optionally per partition column (reference: woo-sync/main.py:26-42).
+    * A full scan collapses to a partial+final max — no wide shuffle.
+    */
+  def maxWatermark(df: DataFrame, tsCol: String, keyCols: Seq[String] = Nil): DataFrame =
+    if (keyCols.isEmpty) df.agg(max(col(tsCol)).as("watermark"))
+    else df.groupBy(keyCols.map(col): _*).agg(max(col(tsCol)).as("watermark"))
+
+  /** A2 — group-count threshold (HAVING): ids of groups whose member
+    * count exceeds a cap ("everyone" exclusion, threshold 800 000;
+    * reference: okta-sync/main.py:674-717). Map-side partial count
+    * then a final filter — the canonical scalable HAVING.
+    */
+  def countOverThreshold(df: DataFrame, keyCol: String, threshold: Long): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n")).filter(col("n") > threshold)
+
+  /** J1 — set difference as a left-anti join
+    * (reference: okta-sync/main.py:1002-1005 `set(all) - set(everyone)`).
+    */
+  def exceptIds(all: DataFrame, excluded: DataFrame, idCol: String): DataFrame =
+    all.join(excluded, Seq(idCol), "left_anti")
+
+  /** J2 — union-dedup of id lists
+    * (reference: okta-sync/main.py:992-1001). `unionByName` tolerates
+    * ragged inputs the way `pd.concat` does.
+    */
+  def unionDistinct(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true).distinct()
+
+  /** Empty-input truncation guard: never overwrite a target from an
+    * empty batch (reference: okta-sync/main.py:947-951 `wrote_any`).
+    * Kept driver-side because it gates a destructive write.
+    */
+  def nonEmpty(df: DataFrame): Boolean = !df.isEmpty
+}
