@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(Tuple1(text)).toDF("text")
+
+  test("tokenCount counts \\S+ runs") {
+    val out = one("  the quick  brown\tfox \n jumps ").select(TextFunctions.tokenCount($"text")).head().getInt(0)
+    assert(out == 5)
+  }
+
+  test("stopwordCount is word-bounded (no substring hits)") {
+    // "theory" must not count as "the"; "is" inside "island" must not count
+    val out = one("theory island the is on").select(TextFunctions.stopwordCount($"text")).head().getInt(0)
+    assert(out == 3)
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val df = Seq(("a", "The  Quick Fox"), ("b", "the quick fox"), ("c", "the quick foxes"))
+      .toDF("id", "text")
+    val fps = df.select($"id", TextFunctions.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fps("a") == fps("b"))
+    assert(fps("a") != fps("c"))
+  }
+
+  test("langGuess picks marker-dominant language, und when nothing matches") {
+    val df = Seq(
+      (1, "the cat and the dog is happy"),
+      (2, "der hund und die katze ist nicht da"),
+      (3, "le chat et les chiens des villes"),
+      (4, "el gato y los perros que corren"),
+      (5, "xyzzy plugh qwerty")).toDF("id", "text")
+    val out = df.select($"id", TextFunctions.langGuess($"text").as("g"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "en"); assert(out(2) == "de")
+    assert(out(3) == "fr"); assert(out(4) == "es"); assert(out(5) == "und")
+  }
+
+  test("shingles produces n-grams in order; short docs give empty array") {
+    val out = one("a b c d").select(TextFunctions.shingles($"text", 3).as("s"))
+      .head().getSeq[String](0)
+    assert(out == Seq("a b c", "b c d"))
+    val short = one("a b").select(TextFunctions.shingles($"text", 3).as("s")).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("rollingHash is deterministic and order-sensitive") {
+    val h = (t: String) => one(t).select(TextFunctions.rollingHash($"text")).head().getLong(0)
+    assert(h("a b c") == h("a b c"))
+    assert(h("a b c") != h("c b a"))
+    assert(h("a b c") >= 0 && h("a b c") < 2147483647L)
+  }
+
+  test("isQuality gates on token count and stopword ratio") {
+    val good = "the cat sat on the mat and it was a good day for everyone involved"
+    val short = "tiny doc"
+    val noStops = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda " * 10
+    val df = Seq((1, good), (2, short), (3, noStops)).toDF("id", "text")
+    val out = df.select($"id", TextFunctions.isQuality($"text").as("q"))
+      .collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    assert(out(1)); assert(!out(2)); assert(!out(3))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class VectorFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cosine of hand-computed vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(3.0f, 4.0f)))
+      .toDF("x", "y", "z")
+    val r = df.select(
+      VectorFunctions.cosine($"x", $"y").as("xy"),
+      VectorFunctions.cosine($"x", $"z").as("xz"),
+      VectorFunctions.l2Norm($"z").as("nz")).head()
+    assert(r.getDouble(0) == 0.0)
+    assert(math.abs(r.getDouble(1) - 0.6) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 5.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k nearest, excludes self, deterministic tiebreak") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = VectorFunctions.bruteForceTopK(emb.filter($"vec_id" < 3), emb, "vec_id", "embedding", 5)
+    val rows = out.collect()
+    assert(rows.length == 15)
+    assert(!rows.exists(r => r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
+    // ranks are 1..5 per query, sims non-increasing within query
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      val sims = sorted.map(_.getAs[Double]("cosine_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF recall vs brute force at nprobe high enough") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = VectorFunctions.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val cents = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
+    val nCent = cents.count().toInt
+    val approx = VectorFunctions.ivfTopK(queries, emb, cents, "vec_id", "embedding", 5, nprobe = nCent)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // probing ALL centroids must recover exact results
+    assert(approx == exact)
+    val approx2 = VectorFunctions.ivfTopK(queries, emb, cents, "vec_id", "embedding", 5, nprobe = math.max(1, nCent / 2))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx2 & exact).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall") // random labels -> coarse bound
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+  private val nearDup = base.replace("lazy", "sleepy") // one token differs
+  private val unrelated = "completely different content about spark catalyst optimizer rules and physical plans " * 5
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, base) // 4 = exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("keepLatest keeps one row per composite key, latest first-order column") {
+    val df = Seq(
+      ("g1", "u1", 3L, "old"), ("g1", "u1", 5L, "new"),
+      ("g1", "u2", 1L, "only"), ("g2", "u1", 2L, "other")
+    ).toDF("group_id", "id", "lastUpdated", "tag")
+    val out = Relational.keepLatest(df, Seq("group_id", "id"),
+      Seq(col("lastUpdated").desc))
+    assert(out.count() == 3)
+    assert(out.filter($"group_id" === "g1" && $"id" === "u1").head().getAs[String]("tag") == "new")
+  }
+
+  test("exactGroups collapses exact duplicates to min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() == 3) // base(x2), nearDup, unrelated
+    val dup = g.filter($"dup_count" === 2).head()
+    assert(dup.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("jaccardPairs finds near-dup pair and not the unrelated one") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      thresholdNum = 6, thresholdDen = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // near dup above threshold
+    assert(pairs.contains((1L, 4L))) // exact dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never pairs
+  }
+
+  test("minhash candidates include planted near-dups with high agreement") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cands((1L, 4L)) == 1.0) // identical text -> identical signature
+    assert(cands.getOrElse((1L, 2L), 0.0) > 0.5) // near dup agrees on most minhashes
+    assert(!cands.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash agreement approximates true jaccard") {
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0, 1)
+      .filter($"id_a" === 1 && $"id_b" === 2).head()
+    val trueJ = jac.getAs[Long]("n_common").toDouble /
+      (jac.getAs[Long]("size_a") + jac.getAs[Long]("size_b") - jac.getAs[Long]("n_common"))
+    val est = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .filter($"id_a" === 1 && $"id_b" === 2).head().getAs[Double]("sig_agreement")
+    assert(math.abs(est - trueJ) < 0.25, s"est=$est true=$trueJ")
+  }
+
+  test("simhash: identical docs get identical hash; near-dups land within small hamming") {
+    val h = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(4L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(2L)) < java.lang.Long.bitCount(h(1L) ^ h(3L)))
+  }
+
+  test("simhashNearDups block trick finds all pairs within maxHamming (pigeonhole-complete)") {
+    val out = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact dup pair must always be present (hamming 0)
+    assert(out.contains((1L, 4L)))
+    // cross-check completeness against brute force over the 4 docs
+    val h = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- h.keys; b <- h.keys if a < b
+      if java.lang.Long.bitCount(h(a) ^ h(b)) <= 8
+    } yield (a, b)).toSet
+    assert(out == brute)
+  }
+}

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("maxWatermark returns latest value overall and per key") {
+    val df = Seq(("s1", 10L), ("s1", 30L), ("s2", 20L)).toDF("store", "sync_ts")
+    assert(Relational.maxWatermark(df, "sync_ts").head().getLong(0) == 30L)
+    val per = Relational.maxWatermark(df, "sync_ts", Seq("store"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per == Map("s1" -> 30L, "s2" -> 20L))
+  }
+
+  test("countOverThreshold implements the everyone-exclusion HAVING") {
+    val df = (1 to 100).map(i => ("big", i)).toDF("group_id", "m")
+      .union(Seq(("small", 1)).toDF("group_id", "m"))
+    val out = Relational.countOverThreshold(df, "group_id", 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("big" -> 100L))
+  }
+
+  test("exceptIds = set difference; unionDistinct tolerates ragged columns") {
+    val all = Seq("a", "b", "c", "d").toDF("id")
+    val excl = Seq("b", "d", "zz").toDF("id")
+    val diff = Relational.exceptIds(all, excl, "id").as[String].collect().toSet
+    assert(diff == Set("a", "c"))
+
+    val x = Seq(("a", 1)).toDF("id", "extra")
+    val y = Seq("a", "b").toDF("id")
+    val u = Relational.unionDistinct(x, y)
+    assert(u.columns.toSet == Set("id", "extra"))
+    assert(u.count() == 3) // (a,1), (a,null), (b,null)
+  }
+
+  test("nonEmpty guard") {
+    assert(Relational.nonEmpty(Seq(1).toDF("x")))
+    assert(!Relational.nonEmpty(Seq.empty[Int].toDF("x")))
+  }
+}
