@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.events.Router
+
+/** Structured Streaming form of the reference's event plane
+  * (SURVEY.md §2.9): push-not-poll webhook events flow through a
+  * topic (file dir / Kafka), get parsed + routed distributed, deduped
+  * under at-least-once delivery, and drive a delayed single-retry
+  * state machine.
+  */
+object EventStream {
+
+  /** T1 — read the raw webhook topic as a stream of (body, ts) and
+    * route it. File-dir source locally; the same plan runs on Kafka by
+    * swapping `format`. */
+  def routedStream(spark: SparkSession, topicDir: String): DataFrame = {
+    val raw = spark.readStream
+      .schema("body STRING, event_ts TIMESTAMP")
+      .json(topicDir)
+    Router.route(Router.parse(raw))
+  }
+
+  /** T2 — at-least-once delivery + dedup: duplicate deliveries of the
+    * same run are expected; keep the first within the watermark
+    * (docs/ARCHITECTURE.md:93-96). State is bounded by the watermark —
+    * safe at any event rate. */
+  def dedupDeliveries(routed: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    routed
+      .withWatermark("event_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("run_id")
+
+  /** T8 — windowed event-time aggregation (the streaming form of the
+    * hourly batch rollup): counts per route per tumbling window. */
+  def windowedRouteCounts(routed: DataFrame, window_ : String = "5 minutes",
+                          watermarkDelay: String = "10 minutes"): DataFrame =
+    routed
+      .withWatermark("event_ts", watermarkDelay)
+      .groupBy(window(col("event_ts"), window_), col("route"))
+      .agg(count(lit(1)).as("n"))
+
+  // --- T3: delayed retry with supersede + loop guard ------------------------
+
+  final case class FailureEvent(job_id: String, run_id: String, event_ts: java.sql.Timestamp)
+  final case class RetryState(runId: String, firedAt: Long)
+  final case class RetryAction(job_id: String, run_id: String, action: String)
+
+  /** Keyed state machine: on a failure event for a job, arm a timer
+    * (the reference waits 300 s, docs/ARCHITECTURE.md:93); newer runs
+    * for the same job supersede the armed one; when the timer fires,
+    * emit a single classify-and-maybe-retry action. The loop guard
+    * (already-retried cause) lives in the classifier, as in the
+    * reference — the stream only guarantees at-most-one armed retry
+    * per job. */
+  def retryArbiter(delayMs: Long)(
+      jobId: String,
+      events: Iterator[FailureEvent],
+      state: GroupState[RetryState]): Iterator[RetryAction] = {
+    if (state.hasTimedOut) {
+      val armed = state.getOption
+      state.remove()
+      armed.map(s => RetryAction(jobId, s.runId, "classify_and_retry")).iterator
+    } else {
+      // latest run supersedes any armed retry for this job
+      val latest = events.toSeq.maxByOption(_.event_ts.getTime)
+      latest.foreach { e =>
+        state.update(RetryState(e.run_id, System.currentTimeMillis()))
+        state.setTimeoutDuration(delayMs)
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Wire the arbiter onto a stream of parsed failure events. */
+  def delayedRetries(spark: SparkSession, failures: DataFrame, delayMs: Long): DataFrame = {
+    import spark.implicits._
+    failures.as[FailureEvent]
+      .groupByKey(_.job_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        retryArbiter(delayMs))
+      .toDF()
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import graft.streaming.EventStream._
+import org.apache.spark.sql.streaming.TestGroupState
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class EventStreamSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def writeTopic(dir: String, rows: Seq[(String, String)]): Unit = {
+    val lines = rows.map { case (body, ts) =>
+      val esc = body.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"body":"$esc","event_ts":"$ts"}"""
+    }
+    Files.write(java.nio.file.Paths.get(dir, s"batch-${System.nanoTime()}.json"),
+      lines.mkString("\n").getBytes)
+  }
+
+  private def webhook(runId: String, code: Int, status: String) =
+    s"""{"eventType":"job.run.completed","accountId":"a","data":{"jobId":"84393","runId":"$runId","runStatus":"$status","runStatusCode":$code}}"""
+
+  test("file-topic stream routes and dedups at-least-once deliveries") {
+    val topic = Files.createTempDirectory("graft-topic").toString
+    writeTopic(topic, Seq(
+      (webhook("r1", 20, "Error"), "2026-01-01 00:00:00"),
+      (webhook("r1", 20, "Error"), "2026-01-01 00:00:30"), // duplicate delivery
+      (webhook("r2", 10, "Success"), "2026-01-01 00:01:00")))
+
+    val routed = dedupDeliveries(routedStream(spark, topic))
+    val q = routed.writeStream.format("memory").queryName("routed_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("routed_out")
+        .select("run_id", "route").as[(String, String)].collect().toSet
+      assert(rows == Set(("r1", "retry"), ("r2", "completed")))
+    } finally q.stop()
+  }
+
+  test("windowed route counts aggregate by event time") {
+    val topic = Files.createTempDirectory("graft-topic2").toString
+    writeTopic(topic, Seq(
+      (webhook("r1", 20, "Error"), "2026-01-01 00:00:10"),
+      (webhook("r2", 20, "Error"), "2026-01-01 00:01:10"),
+      (webhook("r3", 10, "Success"), "2026-01-01 00:20:00"),
+      // late watermark-advancing event so the first windows close
+      (webhook("r4", 10, "Success"), "2026-01-01 01:00:00")))
+    val agg = windowedRouteCounts(routedStream(spark, topic))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("win_out").selectExpr("route", "n").as[(String, Long)].collect()
+      assert(rows.contains(("retry", 2L))) // both failures fall in the same 5-min window
+    } finally q.stop()
+  }
+
+  test("retryArbiter arms on failure, supersedes with newer run, fires on timeout") {
+    import org.apache.spark.api.java.Optional
+    // arm
+    val s1 = TestGroupState.create[RetryState](Optional.empty[RetryState], org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout, 1000L, Optional.empty[java.lang.Long].asInstanceOf[Optional[Long]], hasTimedOut = false)
+    val out1 = retryArbiter(300000L)("84393",
+      Iterator(
+        FailureEvent("84393", "r-old", Timestamp.valueOf("2026-01-01 00:00:00")),
+        FailureEvent("84393", "r-new", Timestamp.valueOf("2026-01-01 00:05:00"))),
+      s1).toSeq
+    assert(out1.isEmpty)
+    assert(s1.get.runId == "r-new") // newest run supersedes
+
+    // timer fires -> exactly one classify action, state cleared
+    val s2 = TestGroupState.create[RetryState](Optional.of(RetryState("r-new", 0L)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout, 1000L, Optional.empty[java.lang.Long].asInstanceOf[Optional[Long]], hasTimedOut = true)
+    val out2 = retryArbiter(300000L)("84393", Iterator.empty, s2).toSeq
+    assert(out2 == Seq(RetryAction("84393", "r-new", "classify_and_retry")))
+    assert(!s2.exists)
+  }
+}
