@@ -284,7 +284,8 @@ object SparkEntry {
     // MinHash + LSH banding near-dups (no SQL oracle: hash-family
     // specific; covered by MinHashSpec against planted near-dups).
     "q27_minhash_neardups" -> ((s, dir) => {
-      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, k = 32)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

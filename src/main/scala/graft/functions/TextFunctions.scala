@@ -78,12 +78,19 @@ object TextFunctions {
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), M), M))
   }
 
-  /** Word n-gram shingles of the token array (for Jaccard / MinHash). */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    val idxs = sequence(lit(0), size(ts) - n)
+  /** Word n-gram shingles from an ALREADY-MATERIALISED token array
+    * column. The token array must be its own projected column, not an
+    * inline `tokens(text)` expression: higher-order-function lambdas
+    * evaluate interpreted with no subexpression sharing, so an inline
+    * tokenizer would re-run the regex once per shingle index (measured
+    * as the dominant cost of the dedup family). */
+  def shinglesFromTokens(ts: Column, n: Int): Column =
     when(size(ts) >= n,
-      transform(idxs, i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+      transform(sequence(lit(0), size(ts) - n), i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word n-gram shingles of the text (convenience form — prefer
+    * projecting `tokens` first and using shinglesFromTokens in hot
+    * paths; see that method's note). */
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 }

@@ -17,6 +17,18 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Small single-file inputs plan as one partition, serialising the
+    * expensive tokenise/shingle stage onto one core (higher-order
+    * functions evaluate interpreted — no whole-stage codegen). Spread
+    * the input across the cluster first; on a real multi-split source
+    * this is a no-op. The exchange this inserts is also reused by the
+    * self-join branches (ReusedExchange) instead of recomputing the
+    * text pipeline per side. */
+  private def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup: group by content fingerprint, keep the smallest id as
     * canonical. Returns (fingerprint, canonical_id, dup_count). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -31,8 +43,20 @@ object Dedup {
     * common-token filtering in public MinHash/LSH implementations). */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, maxDf: Long): DataFrame = {
+    // shingles join/aggregate as 64-bit hashes: long keys shuffle and
+    // compare far cheaper than strings; collision odds over distinct
+    // shingles are ~|shingles|²/2⁶⁴ — immaterial for counting.
     val perDoc = docs
-      .select(col(idCol).as("id"), explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("shingle"))
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(array_distinct(TextFunctions.shinglesFromTokens(col("__toks"), n))).as("__s"))
+      .select(col("id"), xxhash64(col("__s")).as("shingle"))
+      // Pin the index behind a shuffle hash-partitioned on the join key:
+      // the tokenise/shingle map stage runs ONCE and its shuffle output
+      // is shared by every consumer (df-filter, both self-join sides) —
+      // without this, each consumer stage re-runs the text pipeline.
+      // The partitioning also feeds the self-join and the df aggregate
+      // with no further exchange.
+      .repartition(col("shingle"))
     if (maxDf <= 0) perDoc
     else {
       val rare = perDoc.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -47,10 +71,13 @@ object Dedup {
     * sizes; the df cap only limits which shingles may *witness* a pair.
     * Returns (id_a, id_b, n_common, size_a, size_b) with id_a < id_b.
     */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+  def jaccardPairs(docs0: DataFrame, idCol: String, textCol: String, n: Int,
                    thresholdNum: Int, thresholdDen: Int, maxDf: Long = 1000): DataFrame = {
-    val sizes = docs.select(col(idCol).as("id"),
-      size(array_distinct(TextFunctions.shingles(col(textCol), n))).cast("long").as("sz"))
+    val docs = ensureParallelism(docs0)
+    val sizes = docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        size(array_distinct(TextFunctions.shinglesFromTokens(col("__toks"), n))).cast("long").as("sz"))
     val idx = shingleIndex(docs, idCol, textCol, n, maxDf)
     val a = idx.select(col("shingle"), col("id").as("id_a"))
     val b = idx.select(col("shingle"), col("id").as("id_b"))
@@ -72,11 +99,13 @@ object Dedup {
     * (A naive array-fold formulation gets its signature expression
     * inlined by Catalyst into every LSH band key — k × bands
     * recomputation; this shape avoids that by construction.) */
-  private def minhashSigColumns(docs: DataFrame, idCol: String, textCol: String,
+  private def minhashSigColumns(docs0: DataFrame, idCol: String, textCol: String,
                                 n: Int, k: Int): DataFrame = {
+    val docs = ensureParallelism(docs0)
     val exploded = docs
-      .select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("sh"))
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(array_distinct(TextFunctions.shinglesFromTokens(col("__toks"), n))).as("sh"))
     val hashed = exploded.select(
       (col("id") +: (0 until k).map(i => xxhash64(col("sh"), lit(i)).as(s"h$i"))): _*)
     val aggs = (0 until k).map(i => min(col(s"h$i")).as(s"m$i"))
@@ -97,6 +126,9 @@ object Dedup {
       hash(((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")) :+ lit(b)): _*)
     }: _*)
     val banded = sigs.select(col("id"), sigArr.as("sig"), posexplode(bandKeys).as(Seq("band", "band_key")))
+      // one shuffle on the self-join key: signature/banding computed
+      // once, shared by both join sides (see shingleIndex note)
+      .repartition(col("band"), col("band_key"))
 
     val l = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -119,7 +151,8 @@ object Dedup {
     * hashes) → per-(doc, bit) integer sums → bit reassembly; everything
     * is integer arithmetic in native functions, partial-aggregated
     * map-side. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = ensureParallelism(docs0)
     val tokenHashes = docs.select(col(idCol).as("id"),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("h"))
@@ -151,6 +184,7 @@ object Dedup {
         shiftrightunsigned(col("simhash"), blk * blockBits)
           .bitwiseAND(lit((1L << blockBits) - 1))
       }: _*)).as(Seq("blk", "blk_key")))
+      .repartition(col("blk"), col("blk_key"))
     val l = blocked.select(col("blk"), col("blk_key"), col("id").as("id_a"), col("simhash").as("h_a"))
     val r = blocked.select(col("blk"), col("blk_key"), col("id").as("id_b"), col("simhash").as("h_b"))
     l.join(r, Seq("blk", "blk_key")).filter(col("id_a") < col("id_b"))
