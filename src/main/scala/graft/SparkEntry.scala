@@ -320,6 +320,62 @@ object SparkEntry {
         .select(col("vec_id"), size(col("embedding")).as("dim"),
           round(VF.l2Norm(col("embedding")), 6).as("l2_norm"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Generator/UDTF surface (SURVEY.md §2.10): ordinal token explode.
+    "q32_explode_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok")))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // Scalar function floor (SURVEY.md §2.8): base64/case/trim/substring/
+    // replace/length — all codegen'd builtins.
+    "q33_scalar_floor" -> ((s, dir) => {
+      val snip = substring(col("text"), 1, 20)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        base64(snip.cast("binary")).as("b64"),
+        upper(snip).as("up"),
+        trim(snip).as("trimmed"),
+        length(col("text")).as("len_chars"),
+        regexp_replace(snip, "the", "XX").as("replaced"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sessionization: lag + cumulative break-sum per user (analytic
+    // windows beyond the reference's row_number — engine completeness).
+    // Exact µs arithmetic so the oracle agrees at boundaries.
+    "q34_sessionize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .groupBy(col("user_id")).agg(sum(col("brk")).as("n_sessions"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Rollup aggregation (subtotals + grand total in one pass).
+    "q35_rollup_balance" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    // Multimodal decode path (stub codec; Spark-side plumbing real —
+    // no SQL oracle: covered by MultimodalSpec).
+    "q36_multimodal_decode" -> ((s, dir) => {
+      val assets = graft.ops.Multimodal.assetsFromBinary(
+        t(s, dir, "documents"), "doc_id", "text", "image", "fake")
+      graft.ops.Multimodal.decodeAndFeaturize(s, assets).toDF()
+        .select(col("asset_id"), col("ok"), col("out_width"), col("out_height"))
+        .orderBy(col("asset_id"))
     }))
 
   // ---------------------------------------------------------------------------
@@ -530,5 +586,39 @@ object SparkEntry {
     "q31_vector_norms" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
          round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
-         FROM embeddings ORDER BY vec_id""")
+         FROM embeddings ORDER BY vec_id""",
+
+    "q32_explode_tokens" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents)
+         SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ws[i] AS tok
+         FROM t, UNNEST(range(1, len(ws) + 1)) AS r(i)
+         ORDER BY doc_id, pos""",
+
+    "q33_scalar_floor" ->
+      """SELECT doc_id,
+                base64(encode(substring(text, 1, 20))) AS b64,
+                upper(substring(text, 1, 20)) AS up,
+                trim(substring(text, 1, 20)) AS trimmed,
+                CAST(length(text) AS INTEGER) AS len_chars,
+                regexp_replace(substring(text, 1, 20), 'the', 'XX', 'g') AS replaced
+         FROM documents ORDER BY doc_id""",
+
+    "q34_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         g AS (SELECT user_id,
+                 CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                        OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+               FROM e)
+         SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions
+         FROM g GROUP BY user_id ORDER BY user_id""",
+
+    "q35_rollup_balance" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")
 }
