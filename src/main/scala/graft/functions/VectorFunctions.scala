@@ -24,6 +24,25 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Codegen'd cosine for array<float> columns via the native
+    * FloatVecDot expression (same fold order — bit-identical to the
+    * HOF form, minus the interpreted-lambda overhead). Requires
+    * VecExpressions.register on the session. */
+  def cosineNative(a: Column, b: Column): Column = {
+    import VecExpressions.vecDot
+    vecDot(a, b) / (sqrt(vecDot(a, a)) * sqrt(vecDot(b, b)))
+  }
+
+  /** Pick the native path when the column is array<float>. */
+  private def cosineFor(df: org.apache.spark.sql.DataFrame, vecCol: String)(a: Column, b: Column): Column = {
+    val isFloat = df.schema.find(_.name == vecCol).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _)) => true
+      case _ => false
+    }
+    if (isFloat) { VecExpressions.register(df.sparkSession); cosineNative(a, b) }
+    else cosine(a, b)
+  }
+
   /** Brute-force exact top-k cosine neighbours of each query vector.
     *
     * Plan shape: broadcast the (small) query set, nested-loop join
@@ -41,7 +60,7 @@ object VectorFunctions {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine_sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine_sim", cosineFor(corpus, vecCol)(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -82,7 +101,7 @@ object VectorFunctions {
 
     val scored = taggedCorpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine_sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine_sim", cosineFor(corpus, vecCol)(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -54,6 +54,35 @@ object OktaRefresh {
       SchemaConform.conformToSchema(raw, schema),
       keys, Seq(col("lastUpdated").desc_nulls_last, col("created").desc_nulls_last))
 
+  /** Membership fan-out sync (SURVEY.md §3.2 step 2,
+    * okta-sync/main.py:958-1095): ids to fetch = all entity ids minus
+    * the "everyone" exclusion list (existing ∪ newly-over-threshold,
+    * J2/A2/J1), then a lateral per-id child fetch tagging rows with the
+    * parent id (S3/J3). Returns (members dataframe, updated exclusion
+    * id list). */
+  def syncGroupMembers(spark: SparkSession,
+                       allGroupIds: DataFrame,          // one column: id
+                       knownEveryoneIds: DataFrame,     // one column: id
+                       memberCounts: DataFrame,         // columns: id, n_members
+                       everyoneThreshold: Long,
+                       transport: RestPager.Transport,
+                       urlFor: String => String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.broadcast
+    val newlyHuge = memberCounts.filter(col("n_members") > everyoneThreshold).select(col("id"))
+    val everyone = Relational.unionDistinct(knownEveryoneIds, newlyHuge)
+    val toFetch = Relational.exceptIds(allGroupIds, everyone, "id").orderBy(col("id"))
+
+    // driver-side fan-out at this scale (page counts ≪ rows; see
+    // RestPager scale note); each child page is tagged with its parent.
+    val ids = toFetch.collect().map(_.getString(0)).toSeq
+    val tagged = RestPager.lateral(transport, ids, urlFor, limit = 1000).toSeq
+    val members = tagged.groupBy(_._1).map { case (gid, pages) =>
+      RestPager.toDf(spark, pages.map(_._2)).withColumn("group_id", lit(gid))
+    }.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(spark.emptyDataFrame)
+    (members, everyone)
+  }
+
   /** Full refresh: active pages + deprovisioned pages -> conform ->
     * union -> dedup -> swap into `root/users`. Returns false when the
     * empty-input guard refused the publish. */

@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 form of the paginated REST scan — the 100 TB path for
+  * SURVEY.md §2 S1: instead of a driver-side page loop, the driver
+  * plans ONE InputPartition PER PAGE RANGE and executors fetch pages in
+  * parallel, each with its own transport/HTTP client. Catalyst pushes
+  * supported filters down (SupportsPushDownFilters) and they travel to
+  * the API as query parameters — the `modified_after` watermark
+  * predicate of the reference (woo-sync/main.py:1154-1157) becomes a
+  * pushed filter instead of hand-built request strings.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.RestDataSource")
+  *     .schema("id LONG, status STRING, modified STRING")
+  *     .option("url", "http://api/orders")
+  *     .option("transport", "<registry key>")   // real impl: http config
+  *     .option("perPage", "100")
+  *     .option("pagesPerPartition", "4")
+  *     .load()
+  *     .filter($"modified" >= "2026-01-01")     // -> ?modified_after=...
+  * }}}
+  *
+  * JSON decoding covers the scalar types the reference's schemas use
+  * (string / long / double / boolean / timestamp); nested objects are
+  * retained as JSON strings, matching the okta schema files' treatment
+  * of `profile`/`credentials`/`_links`.
+  */
+class RestDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new UnsupportedOperationException(
+      "rest source requires a user schema (reference schemas are explicit)")
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new RestTable(schema, properties.asScala.toMap)
+}
+
+object RestDataSource {
+  /** JVM-local transport registry. Tests (and local fixtures) register
+    * a Transport under a key; a production deployment would instead
+    * build an HTTP client per partition from connection options — the
+    * registry exists because live sockets don't serialize. */
+  val transports = new java.util.concurrent.ConcurrentHashMap[String, RestPager.Transport]()
+  def register(key: String, t: RestPager.Transport): Unit = transports.put(key, t)
+
+  /** Pushed-filter -> query-param mapping: the watermark predicate
+    * (>= / > on the configured watermark column) and simple equality
+    * filters become API parameters. Everything else stays in Spark. */
+  def filterToParam(f: Filter, watermarkCol: String): Option[(String, String)] = f match {
+    case GreaterThanOrEqual(c, v) if c == watermarkCol => Some("modified_after" -> v.toString)
+    case GreaterThan(c, v) if c == watermarkCol => Some("modified_after" -> v.toString)
+    case EqualTo(c, v) => Some(c -> v.toString)
+    case _ => None
+  }
+}
+
+private class RestTable(schema: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"rest(${props.getOrElse("url", "?")})"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RestScanBuilder(schema, props ++ options.asScala)
+}
+
+private class RestScanBuilder(schema: StructType, props: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters {
+  private val watermarkCol = props.getOrElse("watermarkColumn", "modified")
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rest) = filters.partition(f =>
+      RestDataSource.filterToParam(f, watermarkCol).isDefined)
+    pushed = supported
+    rest // Spark re-applies these above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new RestScan(schema, props, pushed, watermarkCol)
+}
+
+private class RestScan(schema: StructType, props: Map[String, String],
+                       pushed: Array[Filter], watermarkCol: String) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+
+  private def params: Map[String, String] =
+    pushed.flatMap(RestDataSource.filterToParam(_, watermarkCol)).toMap
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val url = props("url")
+    val perPage = props.getOrElse("perPage", "100").toInt
+    val pagesPerPartition = props.getOrElse("pagesPerPartition", "4").toInt
+    val header = props.getOrElse("totalPagesHeader", "X-WP-TotalPages")
+    // planning probe: first page tells us the page count (the same
+    // X-WP-TotalPages protocol the reference reads)
+    val t = RestDataSource.transports.get(props("transport"))
+    val first = t.get(url, params ++ Map("per_page" -> perPage.toString, "page" -> "1"))
+    val totalPages = first.headers.get(header).map(_.toInt).getOrElse(1)
+    (1 to totalPages).grouped(pagesPerPartition).map { pages =>
+      RestInputPartition(url, props("transport"), perPage, pages.head, pages.last, params)
+        .asInstanceOf[InputPartition]
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(schema)
+}
+
+private case class RestInputPartition(url: String, transportKey: String, perPage: Int,
+                                      firstPage: Int, lastPage: Int,
+                                      params: Map[String, String]) extends InputPartition
+
+private class RestReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new RestPartitionReader(schema, partition.asInstanceOf[RestInputPartition])
+}
+
+private class RestPartitionReader(schema: StructType, p: RestInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val transport = RestDataSource.transports.get(p.transportKey)
+  private var page = p.firstPage
+  private var rows: Iterator[JsonNode] = Iterator.empty
+  private var current: JsonNode = _
+
+  override def next(): Boolean = {
+    while (!rows.hasNext && page <= p.lastPage) {
+      val body = RestPager.withRetries(RestPager.RetryPolicy())(
+        transport.get(p.url, p.params ++ Map("per_page" -> p.perPage.toString, "page" -> page.toString)) match {
+          case r if r.status == 429 => throw RestPager.RateLimited(p.url)
+          case r if r.status >= 400 => throw RestPager.HttpError(r.status)
+          case r => r.body
+        })
+      rows = mapper.readTree(body).elements().asScala
+      page += 1
+    }
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
+
+  override def get(): InternalRow = {
+    val values: Array[Any] = schema.fields.map { f =>
+      val node = current.get(f.name)
+      if (node == null || node.isNull) null
+      else f.dataType match {
+        case StringType =>
+          UTF8String.fromString(if (node.isValueNode) node.asText() else node.toString)
+        case LongType => java.lang.Long.valueOf(node.asLong())
+        case IntegerType => java.lang.Integer.valueOf(node.asInt())
+        case DoubleType => java.lang.Double.valueOf(node.asDouble())
+        case BooleanType => java.lang.Boolean.valueOf(node.asBoolean())
+        case TimestampType =>
+          java.lang.Long.valueOf(java.time.Instant.parse(node.asText()).toEpochMilli * 1000L)
+        case other => throw new UnsupportedOperationException(s"type $other")
+      }
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override def close(): Unit = ()
+}
