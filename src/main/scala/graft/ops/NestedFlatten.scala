@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, StringType, StructType}
 
 /** Nested-JSON flattening + EAV lookup operators, shaped on the
   * reference's order pipeline (SURVEY.md §2 P1/P2/P4):
@@ -49,34 +49,57 @@ object NestedFlatten {
     * try_cast never throws under ANSI mode. */
   def money(c: Column): Column = coalesce(c.try_cast(Money), lit(0).cast(Money))
 
+  /** Resolve a dotted path against the schema; None when absent. */
+  private def pathType(schema: StructType, path: String): Option[DataType] =
+    path.split('.').foldLeft(Option(schema: DataType)) {
+      case (Some(st: StructType), name) => st.fields.find(_.name == name).map(_.dataType)
+      case _ => None
+    }
+
+  /** Nested path column that degrades to a typed null when the path is
+    * absent from this batch — API pages are ragged (the reference's
+    * .get() chains default to None); a batch where every order lacks a
+    * subtree must still conform. */
+  private def optPath(df: DataFrame, path: String): Column =
+    if (pathType(df.schema, path).isDefined) col(path) else lit(null).cast(StringType)
+
+  /** First discount amount, tolerating both the absent-path case and
+    * json inference collapsing an all-empty array to array<string>. */
+  private def firstDiscountAmount(df: DataFrame): Column =
+    pathType(df.schema, "cru_data.discounts") match {
+      case Some(ArrayType(et: StructType, _)) if et.fieldNames.contains("amount") =>
+        try_element_at(col("cru_data.discounts"), lit(1)).getField("amount")
+      case _ => lit(null).cast(StringType)
+    }
+
   /** Flatten an order document to the reference's scalar projection
     * shape: nested paths, EAV lookups, typed money/dates. Input is the
     * result of spark.read.json on order bodies. */
   def flattenOrders(orders: DataFrame): DataFrame =
     orders.select(
       col("id").cast("long").as("order_id"),
-      col("order_key"),
-      col("status"),
-      col("currency"),
-      coercedTimestamp(col("date_created")).as("date_created"),
-      coercedTimestamp(col("date_modified")).as("date_modified"),
-      coercedTimestamp(col("date_paid")).as("date_paid"),
-      money(col("total")).as("total"),
-      money(col("total_tax")).as("total_tax"),
-      money(col("shipping_total")).as("shipping_total"),
-      col("customer_id").cast("long").as("customer_id"),
-      col("billing.city").as("billing_city"),
-      col("billing.country").as("billing_country"),
-      col("billing.email").as("billing_email"),
-      col("shipping.city").as("shipping_city"),
-      col("shipping.country").as("shipping_country"),
-      col("cru_data.agent.email").as("agent_email"),
-      col("cru_data.ordered_by.email").as("ordered_by_email"),
-      coercedTimestamp(col("cru_data.shipping.date_shipped")).as("date_shipped"),
-      initcap(col("cru_data.customer_role")).as("customer_role"),
+      optPath(orders, "order_key").as("order_key"),
+      optPath(orders, "status").as("status"),
+      optPath(orders, "currency").as("currency"),
+      coercedTimestamp(optPath(orders, "date_created")).as("date_created"),
+      coercedTimestamp(optPath(orders, "date_modified")).as("date_modified"),
+      coercedTimestamp(optPath(orders, "date_paid")).as("date_paid"),
+      money(optPath(orders, "total")).as("total"),
+      money(optPath(orders, "total_tax")).as("total_tax"),
+      money(optPath(orders, "shipping_total")).as("shipping_total"),
+      optPath(orders, "customer_id").cast("long").as("customer_id"),
+      optPath(orders, "billing.city").as("billing_city"),
+      optPath(orders, "billing.country").as("billing_country"),
+      optPath(orders, "billing.email").as("billing_email"),
+      optPath(orders, "shipping.city").as("shipping_city"),
+      optPath(orders, "shipping.country").as("shipping_country"),
+      optPath(orders, "cru_data.agent.email").as("agent_email"),
+      optPath(orders, "cru_data.ordered_by.email").as("ordered_by_email"),
+      coercedTimestamp(optPath(orders, "cru_data.shipping.date_shipped")).as("date_shipped"),
+      initcap(optPath(orders, "cru_data.customer_role")).as("customer_role"),
       eavLast(col("meta_data"), "event_code", lit("")).as("event_code"),
       eavLast(col("meta_data"), "cru_order_origin", lit("WEB")).as("order_origin"),
-      try_element_at(col("cru_data.discounts"), lit(1)).getField("amount").as("discount_amount"))
+      firstDiscountAmount(orders).as("discount_amount"))
 
   /** Explode order line items, carrying the order key — the generator/
     * UDTF surface of the reference (woo-sync/main.py:679-819) realised

@@ -1,0 +1,72 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{NestedFlatten, Relational}
+import graft.sources.RestPager
+
+/** The reference's incremental order sync, end-to-end (SURVEY.md §3.1;
+  * reference: woo-sync/main.py:1262-1334):
+  *
+  *   1. watermark read — max sync_timestamp of the target (A1);
+  *   2. extract — page-number REST scan with the watermark pushed as
+  *      the `modified_after` query param (S1 + P5);
+  *   3. transform — nested flatten + EAV + typed money/dates (P1/P2/P4)
+  *      and line-item explode;
+  *   4. load — append to the target, stamping sync_timestamp (K1, T8:
+  *      re-modified rows append as new versions, resolved by the
+  *      keep-latest view);
+  *   5. completion event (T7).
+  */
+object WooIncremental {
+
+  /** Latest-version view over the versioned append table (T8 + A4). */
+  def latestOrders(appended: DataFrame): DataFrame =
+    Relational.keepLatest(appended, Seq("order_id"), Seq(col("sync_timestamp").desc))
+
+  final case class SyncResult(ordersAppended: Long, itemsAppended: Long, watermark: Option[String])
+
+  def sync(spark: SparkSession,
+           transport: RestPager.Transport,
+           url: String,
+           targetRoot: String,
+           syncTimestamp: String,
+           perPage: Int = 100): SyncResult = {
+    val ordersPath = s"$targetRoot/orders"
+    val itemsPath = s"$targetRoot/order_items"
+
+    // 1. watermark (empty target -> full extract)
+    val watermark: Option[String] =
+      if (new java.io.File(ordersPath).exists()) {
+        val row = Relational.maxWatermark(spark.read.parquet(ordersPath), "sync_timestamp").head()
+        if (row.isNullAt(0)) None else Some(row.getString(0))
+      } else None
+
+    // 2. extract with pushed watermark predicate
+    val params = watermark.map(w => Map("modified_after" -> w)).getOrElse(Map.empty)
+    val pages = RestPager.pageNumber(transport, url, perPage, params).toSeq
+    val raw = RestPager.toDf(spark, pages)
+    if (raw.isEmpty) return SyncResult(0, 0, watermark)
+
+    // 3. transform
+    val orders = NestedFlatten.flattenOrders(raw)
+      .withColumn("sync_timestamp", lit(syncTimestamp))
+    val items = NestedFlatten.explodeLineItems(raw)
+      .withColumn("sync_timestamp", lit(syncTimestamp))
+
+    // 4. versioned append
+    orders.write.mode(SaveMode.Append).parquet(ordersPath)
+    items.write.mode(SaveMode.Append).parquet(itemsPath)
+
+    val n = spark.read.parquet(ordersPath).filter(col("sync_timestamp") === syncTimestamp).count()
+    val m = spark.read.parquet(itemsPath).filter(col("sync_timestamp") === syncTimestamp).count()
+
+    // 5. completion event (T7): append to the control topic dir
+    val done = s"""{"job_id":"84393","sync_timestamp":"$syncTimestamp"}"""
+    val topic = java.nio.file.Paths.get(s"$targetRoot/_events")
+    java.nio.file.Files.createDirectories(topic)
+    java.nio.file.Files.writeString(topic.resolve(s"done-$syncTimestamp.json"), done)
+
+    SyncResult(n, m, watermark)
+  }
+}
