@@ -368,6 +368,15 @@ object SparkEntry {
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
 
+    // A4 with the reference's composite-key config (group_members /
+    // app_users dedup by (parent_id, id); okta-sync/main.py:24-30).
+    "q37_composite_dedup" -> ((s, dir) => {
+      Relational.keepLatest(t(s, dir, "events"), Seq("event_type", "user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+        .select(col("event_type"), col("user_id"), col("event_id"), col("value"))
+        .orderBy(col("event_type"), col("user_id"))
+    }),
+
     // Multimodal decode path (stub codec; Spark-side plumbing real —
     // no SQL oracle: covered by MultimodalSpec).
     "q36_multimodal_decode" -> ((s, dir) => {
@@ -620,5 +629,12 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP(r_name, n_name)
-         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "q37_composite_dedup" ->
+      """SELECT event_type, user_id, event_id, value FROM (
+           SELECT event_type, user_id, event_id, value,
+                  row_number() OVER (PARTITION BY event_type, user_id
+                    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY event_type, user_id""")
 }

@@ -109,6 +109,62 @@ object VectorFunctions {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
   }
 
+  /** DataFrame-native Lloyd's k-means for the IVF coarse quantizer.
+    *
+    * Deterministic init: the k corpus vectors with the smallest
+    * xxhash64(id) (a seeded pseudo-random but reproducible draw). Each
+    * iteration: broadcast the (tiny) centroid model, assign every
+    * vector to its nearest centroid map-side, recompute centroids via
+    * posexplode partial averages, collect the k×dim model back to the
+    * driver — the classic scalable shape (model state driver-side like
+    * MLlib, data never leaves executors except k×dim doubles).
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+
+    def centroidDf(model: Seq[(Int, Seq[Double])]): DataFrame =
+      model.toDF("centroid_id", "centroid_vec")
+
+    // deterministic seed draw
+    var model: Seq[(Int, Seq[Double])] = vecs
+      .orderBy(xxhash64(col("id")))
+      .limit(k).collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble) }.toSeq
+
+    for (_ <- 1 to iters) {
+      val cents = broadcast(centroidDf(model))
+      val assigned = vecs.join(cents)
+        .withColumn("__d", cosine(col("v"), col("centroid_vec")))
+      val w = Window.partitionBy(col("id")).orderBy(col("__d").desc, col("centroid_id").asc)
+      val best = assigned.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      model = best
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+    }
+    centroidDf(model)
+  }
+
+  /** Mean cosine distance of each vector to its assigned centroid —
+    * the convergence metric for kmeansCentroids (1 - mean similarity,
+    * non-increasing under Lloyd's iterations). */
+  def assignmentInertia(corpus: DataFrame, centroids: DataFrame, vecCol: String): Double = {
+    val assigned = corpus.select(col(vecCol).as("v"), monotonically_increasing_id().as("__rid"))
+      .join(broadcast(centroids))
+      .withColumn("__d", cosine(col("v"), col("centroid_vec")))
+    val w = Window.partitionBy(col("__rid")).orderBy(col("__d").desc, col("centroid_id").asc)
+    assigned.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .agg(avg(lit(1.0) - col("__d"))).head().getDouble(0)
+  }
+
   /** Centroids for IVF without an iterative k-means fit: average the
     * vectors of each pre-existing label bucket. Computed via
     * posexplode → per-(label, dimension) partial avg — scales to any

@@ -35,6 +35,24 @@ class VectorFunctionsSpec extends SparkSpecBase {
     }
   }
 
+  test("kmeans centroids: k clusters, inertia non-increasing, IVF-exact at full probe") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val c1 = VectorFunctions.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 1)
+    val c3 = VectorFunctions.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+    assert(c1.count() == 8 && c3.count() == 8)
+    val i1 = VectorFunctions.assignmentInertia(emb, c1, "embedding")
+    val i3 = VectorFunctions.assignmentInertia(emb, c3, "embedding")
+    assert(i3 <= i1 + 1e-9, s"inertia grew: $i1 -> $i3")
+
+    // probing every centroid must reproduce exact search
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = VectorFunctions.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val full = VectorFunctions.ivfTopK(queries, emb, c3, "vec_id", "embedding", 5, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+  }
+
   test("IVF recall vs brute force at nprobe high enough") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter($"vec_id" < 20)
