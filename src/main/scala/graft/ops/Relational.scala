@@ -60,4 +60,22 @@ object Relational {
     * Kept driver-side because it gates a destructive write.
     */
   def nonEmpty(df: DataFrame): Boolean = !df.isEmpty
+
+  /** Salted equi-join for skewed keys: explode the small/duplicable
+    * side `saltFactor` ways and scatter the big side's hot keys across
+    * the salts, so one hot key occupies `saltFactor` reducers instead
+    * of one. AQE's skew-join handles most cases at runtime; explicit
+    * salting remains the tool when a single key exceeds what one task
+    * can hold (the 800 K-member "everyone" groups of the reference are
+    * exactly this shape). Correctness: every (bigRow, smallRow) match
+    * appears exactly once because the big row's salt picks exactly one
+    * replica of the small row. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    saltedBig.join(saltedSmall, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

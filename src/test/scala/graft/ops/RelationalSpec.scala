@@ -39,4 +39,24 @@ class RelationalSpec extends SparkSpecBase {
     assert(Relational.nonEmpty(Seq(1).toDF("x")))
     assert(!Relational.nonEmpty(Seq.empty[Int].toDF("x")))
   }
+
+  test("saltedJoin produces exactly the plain join's result on skewed data") {
+    // one hot key (1000 rows) + tail
+    val big = ((1 to 1000).map(_ => ("hot", 1)) ++ Seq(("a", 2), ("b", 3)))
+      .toDF("k", "v")
+    val small = Seq(("hot", "H"), ("a", "A"), ("z", "Z")).toDF("k", "tag")
+    val expected = big.join(small, Seq("k")).groupBy("k", "tag")
+      .count().collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val salted = Relational.saltedJoin(big, small, Seq("k"), saltFactor = 8)
+      .groupBy("k", "tag").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(salted == expected)
+    // and the hot key's rows actually spread across salts
+    val spread = big.withColumn("__salt",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.monotonically_increasing_id()), lit(8)))
+      .filter($"k" === "hot").select("__salt").distinct().count()
+    assert(spread > 1)
+  }
 }

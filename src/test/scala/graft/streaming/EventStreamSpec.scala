@@ -57,6 +57,40 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("delayedRetries end-to-end: timer fires once per job after the delay") {
+    val topic = Files.createTempDirectory("graft-retry").toString
+    def failure(job: String, run: String, ts: String) =
+      s"""{"job_id":"$job","run_id":"$run","event_ts":"$ts"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(topic, "b1.json"),
+      Seq(failure("84393", "r-1", "2026-01-01 00:00:00"),
+          failure("84393", "r-2", "2026-01-01 00:05:00"),
+          failure("85521", "r-9", "2026-01-01 00:01:00")).mkString("\n").getBytes)
+
+    val failures = spark.readStream
+      .schema("job_id STRING, run_id STRING, event_ts TIMESTAMP")
+      .json(topic)
+    val actions = EventStream.delayedRetries(spark, failures, delayMs = 1200L)
+    val q = actions.writeStream.format("memory").queryName("retry_out")
+      .outputMode("append").start()
+    try {
+      // NOTE: processAllAvailable would never return here — processing-
+      // time timeouts make the stream schedule batches continuously
+      // (shouldRunAnotherBatch is always true). Poll the sink instead.
+      def rows() = spark.table("retry_out")
+        .selectExpr("job_id", "run_id", "action").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val deadline = System.currentTimeMillis() + 30000
+      while (rows().size < 2 && System.currentTimeMillis() < deadline) Thread.sleep(250)
+      val out = rows()
+      // one action per armed job; the superseding run won for 84393
+      assert(out == Set(
+        ("84393", "r-2", "classify_and_retry"),
+        ("85521", "r-9", "classify_and_retry")))
+      Thread.sleep(1500) // timers must not re-fire
+      assert(rows() == out)
+    } finally q.stop()
+  }
+
   test("retryArbiter arms on failure, supersedes with newer run, fires on timeout") {
     import org.apache.spark.api.java.Optional
     // arm
