@@ -74,11 +74,17 @@ object Dedup {
   def jaccardPairs(docs0: DataFrame, idCol: String, textCol: String, n: Int,
                    thresholdNum: Int, thresholdDen: Int, maxDf: Long = 1000): DataFrame = {
     val docs = ensureParallelism(docs0)
-    val sizes = docs
-      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col("id"),
-        size(array_distinct(TextFunctions.shinglesFromTokens(col("__toks"), n))).cast("long").as("sz"))
-    val idx = shingleIndex(docs, idCol, textCol, n, maxDf)
+    val perDoc = shingleIndex(docs, idCol, textCol, n, maxDf = 0) // pinned, unfiltered
+    // set sizes come from the SAME pinned shuffle (count of distinct
+    // shingles per doc) — no second pass over the text
+    val sizes = perDoc.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val idx =
+      if (maxDf <= 0) perDoc
+      else {
+        val rare = perDoc.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("shingle"))
+        perDoc.join(rare, Seq("shingle"))
+      }
     val a = idx.select(col("shingle"), col("id").as("id_a"))
     val b = idx.select(col("shingle"), col("id").as("id_b"))
     val common = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
