@@ -377,6 +377,15 @@ object SparkEntry {
         .orderBy(col("event_type"), col("user_id"))
     }),
 
+    // Embedding-cosine near-dup via random-hyperplane LSH + exact
+    // verify (no SQL oracle: approximate candidate set; recall proven
+    // on planted dups in CosineNearDupSpec). This corpus has no pairs
+    // above 0.9 — an empty result is the correct answer.
+    "q38_cosine_neardups" -> ((s, dir) => {
+      Dedup.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Multimodal decode path (stub codec; Spark-side plumbing real —
     // no SQL oracle: covered by MultimodalSpec).
     "q36_multimodal_decode" -> ((s, dir) => {

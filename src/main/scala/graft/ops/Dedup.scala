@@ -175,6 +175,52 @@ object Dedup {
     summed.select(col("id"), assembled.as("simhash"))
   }
 
+  /** Embedding-cosine near-duplicates via random-hyperplane LSH:
+    * sign(v · h_i) over 64 seeded hyperplanes gives a 64-bit signature
+    * whose Hamming distance estimates the angle (P[bit differs] = θ/π);
+    * the same block join as SimHash finds candidates, then the exact
+    * codegen'd cosine verifies. Recall is probabilistic (raise
+    * maxHamming for more); candidate generation stays inverted-index —
+    * never the O(n²) cross product — so the pattern holds at 100 TB.
+    */
+  def cosineNearDups(vectors: DataFrame, idCol: String, vecCol: String,
+                     minCosine: Double, maxHamming: Int = 12): DataFrame = {
+    import graft.functions.{VecExpressions, VectorFunctions}
+    VecExpressions.register(vectors.sparkSession)
+    val dim = 64 // embedding width of the corpus tables
+    val rnd = new scala.util.Random(42)
+    val planes: Seq[Array[Double]] =
+      Seq.fill(64)(Array.fill(dim)(rnd.nextGaussian()))
+
+    val v = ensureParallelism(vectors).select(col(idCol).as("id"), col(vecCol).as("v"))
+    // signature bit b = sign of the dot product with plane b; the sum of
+    // set bits' powers assembles the long (cf. simhash)
+    val bitCols = planes.zipWithIndex.map { case (p, b) =>
+      val dotP = aggregate(
+        zip_with(col("v"), typedlit(p.toSeq), (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(dotP >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    val signed = v.select(col("id"), col("v"), bitCols.reduce(_ + _).as("sig"))
+
+    val nBlocks = maxHamming + 1
+    val blockBits = 64 / nBlocks
+    val blocked = signed.select(col("id"), col("v"), col("sig"),
+      posexplode(array((0 until nBlocks).map { blk =>
+        shiftrightunsigned(col("sig"), blk * blockBits)
+          .bitwiseAND(lit((1L << blockBits) - 1))
+      }: _*)).as(Seq("blk", "blk_key")))
+      .repartition(col("blk"), col("blk_key"))
+
+    val l = blocked.select(col("blk"), col("blk_key"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = blocked.select(col("blk"), col("blk_key"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("blk", "blk_key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b")).distinct()
+      .withColumn("cosine_sim", VectorFunctions.cosineNative(col("v_a"), col("v_b")))
+      .filter(col("cosine_sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+
   /** SimHash near-dup candidates with Hamming distance <= maxHamming,
     * found by the rotation/block trick: split the 64-bit hash into
     * (maxHamming+1) blocks — two hashes within distance d must agree on
