@@ -377,6 +377,49 @@ object SparkEntry {
         .orderBy(col("event_type"), col("user_id"))
     }),
 
+    // Cross-nation trade volume (TPC-H Q7 shape): two shuffle joins on
+    // the facts, broadcast nations on both legs.
+    "q39_nation_volume" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("ship_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+    }),
+
+    // Returned-item customer revenue, top 20 (TPC-H Q10 shape).
+    "q40_returned_customers" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Promo revenue share (TPC-H Q14 shape): ratio of two exact decimal
+    // sums, divided in double — deterministic on both engines.
+    "q41_promo_share" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) * dsum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0)))
+            / dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("promo_share"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // Embedding-cosine near-dup via random-hyperplane LSH + exact
     // verify (no SQL oracle: approximate candidate set; recall proven
     // on planted dups in CosineNearDupSpec). This corpus has no pairs
@@ -645,5 +688,40 @@ object SparkEntry {
            SELECT event_type, user_id, event_id, value,
                   row_number() OVER (PARTITION BY event_type, user_id
                     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
-           FROM events) WHERE rn = 1 ORDER BY event_type, user_id""")
+           FROM events) WHERE rn = 1 ORDER BY event_type, user_id""",
+
+    "q39_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS volume
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         GROUP BY supp_nation, cust_nation, ship_year
+         ORDER BY supp_nation, cust_nation, ship_year""",
+
+    "q40_returned_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, c_mktsegment
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "q41_promo_share" ->
+      """SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                  THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+                / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                AS promo_share,
+                COUNT(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""")
 }
