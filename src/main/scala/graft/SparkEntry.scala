@@ -420,6 +420,24 @@ object SparkEntry {
           count(lit(1)).as("n_lines"))
     }),
 
+    // As-of (point-in-time) join: latest click at or before each
+    // purchase, per user — the union+running-last composition of the
+    // operator Spark lacks (ops.AsOfJoin), checked against DuckDB's
+    // native ASOF LEFT JOIN.
+    "q42_asof_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      graft.ops.AsOfJoin.asofBackward(purchases, clicks, Seq("user_id"),
+        "ts", "ts", "event_id", Seq("event_id", "value"))
+        .select(col("user_id"), col("event_id"),
+          col("__match").getField("event_id").as("click_event_id"),
+          col("__match").getField("value").as("click_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Embedding-cosine near-dup via random-hyperplane LSH + exact
     // verify (no SQL oracle: approximate candidate set; recall proven
     // on planted dups in CosineNearDupSpec). This corpus has no pairs
@@ -723,5 +741,14 @@ object SparkEntry {
                 COUNT(*) AS n_lines
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""")
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""",
+
+    "q42_asof_attribution" ->
+      """SELECT p.user_id, p.event_id, c.event_id AS click_event_id, c.value AS click_value
+         FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+               WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+                         FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.user_id, p.event_id""")
 }
