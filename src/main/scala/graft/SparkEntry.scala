@@ -438,6 +438,21 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Bucketed range join: all events falling in each type's first
+    // 3-day window — equi-join on time buckets + exact range filter
+    // instead of the O(n·m) nested loop (ops.RangeJoin).
+    "q43_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("p_us", unix_micros(col("ts")))
+      val iv = ev.groupBy(col("event_type").as("win_type"))
+        .agg(min(col("p_us")).as("s_us"))
+        .withColumn("e_us", col("s_us") + lit(3L * 86400L * 1000000L))
+      graft.ops.RangeJoin.pointsInIntervals(
+        ev.select(col("event_id"), col("p_us")), "p_us",
+        iv, "s_us", "e_us", bucketWidthUs = 86400L * 1000000L)
+        .groupBy(col("win_type")).agg(count(lit(1)).as("n_in_window"))
+        .orderBy(col("win_type"))
+    }),
+
     // Embedding-cosine near-dup via random-hyperplane LSH + exact
     // verify (no SQL oracle: approximate candidate set; recall proven
     // on planted dups in CosineNearDupSpec). This corpus has no pairs
@@ -750,5 +765,15 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
                          FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts
-         ORDER BY p.user_id, p.event_id""")
+         ORDER BY p.user_id, p.event_id""",
+
+    "q43_range_join" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+                    FROM events),
+         iv AS (SELECT event_type AS win_type, MIN(p_us) AS s_us,
+                       MIN(p_us) + 259200000000 AS e_us
+                FROM e GROUP BY event_type)
+         SELECT win_type, COUNT(*) AS n_in_window
+         FROM e JOIN iv ON e.p_us >= iv.s_us AND e.p_us < iv.e_us
+         GROUP BY win_type ORDER BY win_type""")
 }
