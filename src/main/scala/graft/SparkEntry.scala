@@ -438,6 +438,15 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Duplicate clusters: connected components over the Jaccard pair
+    // list (min-label propagation), canonical id = min doc id —
+    // oracled against a DuckDB recursive CTE transitive closure.
+    "q44_dup_components" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, thresholdNum = 6, thresholdDen = 10, maxDf = 1000)
+      Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
+    }),
+
     // Bucketed range join: all events falling in each type's first
     // 3-day window — equi-join on time buckets + exact range filter
     // instead of the O(n·m) nested loop (ops.RangeJoin).
@@ -775,5 +784,25 @@ object SparkEntry {
                 FROM e GROUP BY event_type)
          SELECT win_type, COUNT(*) AS n_in_window
          FROM e JOIN iv ON e.p_us >= iv.s_us AND e.p_us < iv.e_us
-         GROUP BY win_type ORDER BY win_type""")
+         GROUP BY win_type ORDER BY win_type""",
+
+    "q44_dup_components" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         idx AS (SELECT shingle, doc_id FROM sh
+                 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                   FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+         good AS (SELECT id_a, id_b FROM pairs
+                  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+                  WHERE n_common * 10 >= (sa.sz + sb.sz - n_common) * 6),
+         bidir AS (SELECT id_a AS s, id_b AS t FROM good
+                   UNION SELECT id_b, id_a FROM good),
+         reach(v, r) AS (SELECT s, s FROM bidir
+                         UNION SELECT b.s, r.r FROM bidir b JOIN reach r ON b.t = r.v)
+         SELECT v AS doc_id, MIN(r) AS component_id FROM reach
+         GROUP BY v ORDER BY doc_id""")
 }

@@ -175,6 +175,38 @@ object Dedup {
     summed.select(col("id"), assembled.as("simhash"))
   }
 
+  /** Connected components over a near-dup pair list — the step that
+    * turns pairwise matches into duplicate CLUSTERS with a canonical id
+    * (min doc id of the component). Iterative min-label propagation:
+    * each round every vertex takes the min label among itself and its
+    * neighbours; converged when no label changes. Rounds are plain
+    * shuffles (join + groupBy min) and the driver only checks a
+    * changed-count per round — the standard scalable shape (a
+    * large-star/small-star variant would cut round count at extreme
+    * diameters; dup clusters are shallow in practice). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
+      .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
+      .distinct()
+    var labels = edges.select(col("s").as("v")).distinct()
+      .withColumn("comp", col("v"))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("v", "t").withColumnRenamed("comp", "ncomp"), Seq("t"))
+        .groupBy(col("s").as("v")).agg(min(col("ncomp")).as("mincomp"))
+      val next = labels.join(viaNeighbors, Seq("v"), "left")
+        .select(col("v"), least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true) // cut lineage: each round is one shuffle, not a growing tree
+      changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("v"))
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("comp").as("component_id"))
+  }
+
   /** Embedding-cosine near-duplicates via random-hyperplane LSH:
     * sign(v · h_i) over 64 seeded hyperplanes gives a 64-bit signature
     * whose Hamming distance estimates the angle (P[bit differs] = θ/π);

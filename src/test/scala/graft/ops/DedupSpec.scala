@@ -80,4 +80,17 @@ class DedupSpec extends SparkSpecBase {
     } yield (a, b)).toSet
     assert(out == brute)
   }
+
+  test("connectedComponents: chains collapse to min-id clusters, singleton pairs intact") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),   // chain -> component 1
+      (10L, 11L),            // isolated pair -> component 10
+      (20L, 22L), (21L, 22L) // star -> component 20
+    ).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
 }
