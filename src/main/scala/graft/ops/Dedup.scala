@@ -185,9 +185,13 @@ object Dedup {
     * large-star/small-star variant would cut round count at extreme
     * diameters; dup clusters are shallow in practice). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once — every propagation round joins
+    // against it, and without the checkpoint each round would re-run
+    // the whole upstream pair-generation pipeline
     val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
       .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
       .distinct()
+      .localCheckpoint(true)
     var labels = edges.select(col("s").as("v")).distinct()
       .withColumn("comp", col("v"))
     var iter = 0
