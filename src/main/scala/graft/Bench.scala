@@ -18,6 +18,9 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      // drop storage leftovers (localCheckpoint blocks of the iterative
+      // operators) so one query's working set never degrades the next
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.err.println(f"[bench] $name%-28s $dt%8.2fs")
       name -> dt
     }.toMap

@@ -314,11 +314,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // Vector norms — sequential double fold, bit-stable.
+    // Vector norms — sequential double fold via the codegen'd native
+    // dot (bit-identical to the HOF fold), stable at any partitioning.
     "q31_vector_norms" -> ((s, dir) => {
+      graft.functions.VecExpressions.register(s)
       t(s, dir, "embeddings")
         .select(col("vec_id"), size(col("embedding")).as("dim"),
-          round(VF.l2Norm(col("embedding")), 6).as("l2_norm"))
+          round(VF.l2NormNative(col("embedding")), 6).as("l2_norm"))
         .orderBy(col("vec_id"))
     }),
 

@@ -40,12 +40,15 @@ object Router {
       .drop("w")
 
   /** Routing rule (dbt-webhook/main.py:298-319): only job.run.completed
-    * events route; status 10/Success -> completed topic, 20/Error ->
-    * retry topic, anything else ignored. */
+    * events route; 20/Error -> retry topic, 10/Success -> completed
+    * topic, anything else ignored. The Error branch is checked FIRST,
+    * matching the reference's clause order (main.py:305-312): a
+    * contradictory payload (runStatusCode=10 with runStatus='Error')
+    * goes to the failure handler. */
   def routeExpr(eventType: Column, statusCode: Column, status: Column): Column =
     when(eventType =!= "job.run.completed" || eventType.isNull, "ignore")
-      .when(statusCode === 10 || status === "Success", "completed")
       .when(statusCode === 20 || status === "Error", "retry")
+      .when(statusCode === 10 || status === "Success", "completed")
       .otherwise("ignore")
 
   def route(parsed: DataFrame): DataFrame =

@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Embedding-similarity primitives over `array<float>` columns.
   *
-  * Dot products / norms are expressed with the higher-order functions
-  * `zip_with` + `aggregate` (codegen'd, no UDF): elements are folded in
-  * array order in double precision, so results are bit-deterministic
-  * regardless of partitioning — safe to oracle-check and safe to use as
-  * sort keys at any cluster size.
+  * Dot products / norms fold elements in array order in double
+  * precision, so results are bit-deterministic regardless of
+  * partitioning — safe to oracle-check and safe to use as sort keys at
+  * any cluster size. Hot paths use the codegen'd `VecDot` expression
+  * (graft.functions.VecExpressions); the HOF forms are kept for generic
+  * element types.
   */
 object VectorFunctions {
 
@@ -24,22 +25,26 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Codegen'd cosine for array<float> columns via the native
-    * FloatVecDot expression (same fold order — bit-identical to the
-    * HOF form, minus the interpreted-lambda overhead). Requires
-    * VecExpressions.register on the session. */
+  /** Codegen'd forms via the native VecDot expression (same fold order —
+    * bit-identical to the HOF forms, minus the interpreted-lambda
+    * overhead). Requires VecExpressions.register on the session. */
+  def dotNative(a: Column, b: Column): Column = VecExpressions.vecDot(a, b)
+
+  def l2NormNative(a: Column): Column = sqrt(VecExpressions.vecDot(a, a))
+
   def cosineNative(a: Column, b: Column): Column = {
     import VecExpressions.vecDot
     vecDot(a, b) / (sqrt(vecDot(a, a)) * sqrt(vecDot(b, b)))
   }
 
-  /** Pick the native path when the column is array<float>. */
+  /** Pick the native path when the column is array<float|double>. */
   private def cosineFor(df: org.apache.spark.sql.DataFrame, vecCol: String)(a: Column, b: Column): Column = {
-    val isFloat = df.schema.find(_.name == vecCol).map(_.dataType) match {
-      case Some(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _)) => true
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val isNum = df.schema.find(_.name == vecCol).map(_.dataType) match {
+      case Some(ArrayType(FloatType, _)) | Some(ArrayType(DoubleType, _)) => true
       case _ => false
     }
-    if (isFloat) { VecExpressions.register(df.sparkSession); cosineNative(a, b) }
+    if (isNum) { VecExpressions.register(df.sparkSession); cosineNative(a, b) }
     else cosine(a, b)
   }
 
@@ -68,40 +73,123 @@ object VectorFunctions {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
   }
 
+  /** A driver-side coarse-quantizer model: (centroid_id, vector). */
+  type CentroidModel = Seq[(Int, Seq[Double])]
+
+  /** Collect a centroid DataFrame (centroid_id, centroid_vec) into a
+    * driver model, sorted by id. k×dim doubles — same driver footprint
+    * as an MLlib KMeansModel. */
+  def collectCentroids(centroids: DataFrame): CentroidModel =
+    centroids.select(col("centroid_id").cast("int"), col("centroid_vec"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Any](1).map {
+        case d: java.lang.Double => d.doubleValue
+        case f: java.lang.Float => f.toDouble
+        case other => other.toString.toDouble
+      }.toSeq)
+      .sortBy(_._1).toSeq
+
+  /** Max centroids to inline as codegen literals; beyond this the
+    * assignment runs as a broadcast join + max_by aggregate instead
+    * (literal argmax over tens of thousands of centroids would blow the
+    * 64KB JVM method limit and fall out of codegen). */
+  private val InlineModelLimit = 1024
+
+  /** Ranking score of vector `vec` against one centroid: the dot product
+    * scaled by the centroid's norm. Equal to cosine(vec, c) * ||vec|| —
+    * a positive per-row constant times the cosine, so argmax/ordering
+    * over centroids is EXACTLY the cosine ordering while skipping the
+    * per-centroid division by ||vec||. */
+  private def centroidScore(vec: Column, cv: Seq[Double]): Column = {
+    val norm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+    VecExpressions.vecDot(vec, typedlit(cv)) / lit(norm)
+  }
+
+  /** Literal-inlined argmax: bucket id of the nearest centroid (by
+    * cosine, ties -> lowest id). Zero joins, zero shuffle, whole-stage
+    * codegen — each corpus row is scored against the inlined model in
+    * one generated loop nest. */
+  private def nearestBucketExpr(vec: Column, model: CentroidModel): Column = {
+    val scored = model.map { case (id, cv) =>
+      struct(centroidScore(vec, cv).as("s"), lit(-id).as("negid"))
+    }
+    greatest(scored: _*).getField("negid") * -1
+  }
+
+  /** Top-`take` centroid ids by cosine (desc, id asc) as an array —
+    * the multi-probe form of nearestBucketExpr. */
+  private def nearestBucketsExpr(vec: Column, model: CentroidModel, take: Int): Column = {
+    val scored = array(model.map { case (id, cv) =>
+      struct(centroidScore(vec, cv).as("s"), lit(-id).as("negid"))
+    }: _*)
+    transform(slice(sort_array(scored, asc = false), 1, take), x => -x.getField("negid"))
+  }
+
+  /** Tag every row of `df` with the bucket (nearest-centroid id) of its
+    * `vec` column. Picks the plan by model size: literal argmax inside
+    * codegen for small models; broadcast join + max_by partial aggregate
+    * for large ones (shuffle volume = one row per input row, never the
+    * input × centroid cross product). */
+  def assignBuckets(df: DataFrame, vec: Column, centroids: DataFrame,
+                    outCol: String): DataFrame = {
+    VecExpressions.register(df.sparkSession)
+    val n = centroids.count()
+    if (n <= InlineModelLimit) {
+      val model = collectCentroids(centroids)
+      df.withColumn(outCol, nearestBucketExpr(vec, model))
+    } else {
+      val cent = broadcast(centroids.select(col("centroid_id"), col("centroid_vec")))
+      val keep = df.columns.map(col)
+      val cnorm = sqrt(VecExpressions.vecDot(col("centroid_vec"), col("centroid_vec")))
+      val score = VecExpressions.vecDot(vec, col("centroid_vec")) / cnorm
+      df.join(cent)
+        .groupBy(keep: _*)
+        .agg(max_by(col("centroid_id"),
+          struct(score.as("s"), (-col("centroid_id")).as("negid"))).as(outCol))
+    }
+  }
+
   /** IVF-style approximate top-k: assign corpus vectors to their nearest
     * centroid (coarse quantizer), then search only the `nprobe` closest
     * centroid buckets of each query.
     *
-    * Scale path: centroid set stays driver-small and broadcast; the
-    * corpus is scanned once to tag `centroid_id` (in practice this is a
+    * Scale path: the centroid model is driver-small (collected like an
+    * MLlib model) and inlined/broadcast; the corpus is scanned once to
+    * tag `centroid_id` with NO shuffle (in production this is a
     * write-time partition key so probes prune file scans); the join
     * `query-probe × bucket` replaces the full cross product — at 100 TB
     * with C centroids and nprobe p the scan cost drops by ~p/C.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val cent = centroids.select(col("centroid_id"), col("centroid_vec"))
+    VecExpressions.register(corpus.sparkSession)
+    val taggedCorpus = assignBuckets(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      col("__cv"), centroids, "bucket")
 
-    def nearestCentroids(df: DataFrame, vec: Column, outCol: String, take: Int): DataFrame = {
-      val withC = df.join(broadcast(cent))
-        .withColumn("__d", cosine(vec, col("centroid_vec")))
-      val w = Window.partitionBy(col("__rowid")).orderBy(col("__d").desc, col("centroid_id").asc)
-      withC.withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= take)
-        .drop("__d", "__cr", "centroid_vec")
-        .withColumnRenamed("centroid_id", outCol)
-    }
-
-    val taggedCorpus = nearestCentroids(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col(idCol).as("__rowid")),
-      col("__cv"), "bucket", 1).drop("__rowid")
-    val probes = nearestCentroids(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col(idCol).as("__rowid")),
-      col("__qv"), "bucket", nprobe).drop("__rowid")
+    // queries are small: probe list inlined when the model allows it,
+    // else the window form over the broadcast join
+    val nCent = centroids.count()
+    val probes =
+      if (nCent <= InlineModelLimit) {
+        val model = collectCentroids(centroids)
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+          .withColumn("bucket",
+            explode(nearestBucketsExpr(col("__qv"), model, nprobe)))
+      } else {
+        val cent = broadcast(centroids.select(col("centroid_id"), col("centroid_vec")))
+        val cnorm = sqrt(VecExpressions.vecDot(col("centroid_vec"), col("centroid_vec")))
+        val score = VecExpressions.vecDot(col("__qv"), col("centroid_vec")) / cnorm
+        val w = Window.partitionBy(col("query_id")).orderBy(col("__s").desc, col("centroid_id").asc)
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+          .join(cent).withColumn("__s", score)
+          .withColumn("__r", row_number().over(w)).filter(col("__r") <= nprobe)
+          .select(col("query_id"), col("__qv"), col("centroid_id").as("bucket"))
+      }
 
     val scored = taggedCorpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine_sim", cosineFor(corpus, vecCol)(col("__qv"), col("__cv")))
+      .withColumn("cosine_sim", cosineNative(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -113,34 +201,32 @@ object VectorFunctions {
     *
     * Deterministic init: the k corpus vectors with the smallest
     * xxhash64(id) (a seeded pseudo-random but reproducible draw). Each
-    * iteration: broadcast the (tiny) centroid model, assign every
-    * vector to its nearest centroid map-side, recompute centroids via
-    * posexplode partial averages, collect the k×dim model back to the
-    * driver — the classic scalable shape (model state driver-side like
-    * MLlib, data never leaves executors except k×dim doubles).
+    * iteration: assign every vector to its nearest centroid map-side
+    * (literal-inlined model — no join, no shuffle on the assignment),
+    * recompute centroids via posexplode partial averages, collect the
+    * k×dim model back to the driver — the classic scalable shape (model
+    * state driver-side like MLlib, data never leaves executors except
+    * k×dim doubles).
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    VecExpressions.register(spark)
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
 
-    def centroidDf(model: Seq[(Int, Seq[Double])]): DataFrame =
+    def centroidDf(model: CentroidModel): DataFrame =
       model.toDF("centroid_id", "centroid_vec")
 
     // deterministic seed draw
-    var model: Seq[(Int, Seq[Double])] = vecs
+    var model: CentroidModel = vecs
       .orderBy(xxhash64(col("id")))
       .limit(k).collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble) }.toSeq
 
     for (_ <- 1 to iters) {
-      val cents = broadcast(centroidDf(model))
-      val assigned = vecs.join(cents)
-        .withColumn("__d", cosine(col("v"), col("centroid_vec")))
-      val w = Window.partitionBy(col("id")).orderBy(col("__d").desc, col("centroid_id").asc)
-      val best = assigned.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-      model = best
+      model = vecs
+        .withColumn("centroid_id", nearestBucketExpr(col("v"), model))
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(avg(col("x").cast("double")).as("m"))
@@ -157,12 +243,14 @@ object VectorFunctions {
     * the convergence metric for kmeansCentroids (1 - mean similarity,
     * non-increasing under Lloyd's iterations). */
   def assignmentInertia(corpus: DataFrame, centroids: DataFrame, vecCol: String): Double = {
-    val assigned = corpus.select(col(vecCol).as("v"), monotonically_increasing_id().as("__rid"))
-      .join(broadcast(centroids))
-      .withColumn("__d", cosine(col("v"), col("centroid_vec")))
-    val w = Window.partitionBy(col("__rid")).orderBy(col("__d").desc, col("centroid_id").asc)
-    assigned.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-      .agg(avg(lit(1.0) - col("__d"))).head().getDouble(0)
+    VecExpressions.register(corpus.sparkSession)
+    val model = collectCentroids(centroids)
+    // true cosine of the best centroid: scaled score back to cosine by
+    // dividing out the row norm (constant across centroids)
+    val best = greatest(model.map { case (id, cv) =>
+      struct(centroidScore(col(vecCol), cv).as("s"), lit(-id).as("negid"))
+    }: _*).getField("s") / l2NormNative(col(vecCol))
+    corpus.agg(avg(lit(1.0) - best)).head().getDouble(0)
   }
 
   /** Centroids for IVF without an iterative k-means fit: average the

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.TextFunctions
 
 /** Document-deduplication operators for the training-data pipeline
@@ -177,14 +178,16 @@ object Dedup {
 
   /** Connected components over a near-dup pair list — the step that
     * turns pairwise matches into duplicate CLUSTERS with a canonical id
-    * (min doc id of the component). Iterative min-label propagation:
-    * each round every vertex takes the min label among itself and its
-    * neighbours; converged when no label changes. Rounds are plain
-    * shuffles (join + groupBy min) and the driver only checks a
-    * changed-count per round — the standard scalable shape (a
-    * large-star/small-star variant would cut round count at extreme
-    * diameters; dup clusters are shallow in practice). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * (min doc id of the component). Min-label propagation with POINTER
+    * JUMPING: each round a vertex takes the min label among itself and
+    * its neighbours, then additionally jumps through the label table
+    * (comp(v) := comp(comp(v))), which doubles the propagation distance
+    * per round — convergence in O(log diameter) rounds instead of
+    * O(diameter), so even a path-shaped component of length 2^40 settles
+    * within the iteration cap. Rounds are plain shuffles (join + groupBy
+    * min); each round's checkpoint replaces the previous one so executor
+    * storage stays O(|V|), not O(|V| * rounds). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // materialize the edge list once — every propagation round joins
     // against it, and without the checkpoint each round would re-run
     // the whole upstream pair-generation pipeline
@@ -195,19 +198,37 @@ object Dedup {
     var labels = edges.select(col("s").as("v")).distinct()
       .withColumn("comp", col("v"))
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    // convergence detector: per-vertex labels are monotonically
+    // non-increasing, so the label sum (exact decimal — no overflow, no
+    // join) is strictly decreasing until the fixpoint
+    var prevSum: java.math.BigDecimal = null
+    while (!converged && iter < maxIter) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("v", "t").withColumnRenamed("comp", "ncomp"), Seq("t"))
         .groupBy(col("s").as("v")).agg(min(col("ncomp")).as("mincomp"))
-      val next = labels.join(viaNeighbors, Seq("v"), "left")
+      val stepped = labels.join(viaNeighbors, Seq("v"), "left")
         .select(col("v"), least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true) // cut lineage: each round is one shuffle, not a growing tree
-      changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("v"))
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
+      // pointer jump: follow the freshly-stepped label one more hop
+      // (comp(comp(v))) — the label table acts as its own shortcut
+      // graph. Both sides of the self-join share the identical subplan,
+      // so the stepped shuffle runs once (ReusedExchange), and only the
+      // jumped result is checkpointed — one materialisation per round.
+      val jumped = stepped.join(
+          stepped.select(col("v").as("comp"), col("comp").as("jcomp")), Seq("comp"), "left")
+        .select(col("v"), least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true) // cut lineage: each round is flat, not a growing tree
+      val s = Option(jumped.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      labels.unpersist(false) // previous round's blocks are dead now
+      labels = jumped
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("v").as("doc_id"), col("comp").as("component_id"))
   }
 
@@ -223,18 +244,20 @@ object Dedup {
                      minCosine: Double, maxHamming: Int = 12): DataFrame = {
     import graft.functions.{VecExpressions, VectorFunctions}
     VecExpressions.register(vectors.sparkSession)
-    val dim = 64 // embedding width of the corpus tables
+    // embedding width comes from the data (one-row probe) — a hardcoded
+    // dim would silently zero every signature on a different corpus
+    // (null-padded zip_with) and degrade candidates to the cross product
+    val dim = vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
     val rnd = new scala.util.Random(42)
-    val planes: Seq[Array[Double]] =
-      Seq.fill(64)(Array.fill(dim)(rnd.nextGaussian()))
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(64)(Seq.fill(dim)(rnd.nextGaussian()))
 
     val v = ensureParallelism(vectors).select(col(idCol).as("id"), col(vecCol).as("v"))
-    // signature bit b = sign of the dot product with plane b; the sum of
+    // signature bit b = sign of the dot product with plane b (codegen'd
+    // native loop; fold order identical to the HOF form); the sum of
     // set bits' powers assembles the long (cf. simhash)
     val bitCols = planes.zipWithIndex.map { case (p, b) =>
-      val dotP = aggregate(
-        zip_with(col("v"), typedlit(p.toSeq), (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, x) => acc + x)
+      val dotP = VecExpressions.vecDot(col("v"), typedlit(p))
       when(dotP >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     val signed = v.select(col("id"), col("v"), bitCols.reduce(_ + _).as("sig"))

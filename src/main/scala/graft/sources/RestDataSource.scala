@@ -85,10 +85,19 @@ private class RestScanBuilder(schema: StructType, props: Map[String, String])
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (supported, rest) = filters.partition(f =>
+    pushed = filters.filter(f =>
       RestDataSource.filterToParam(f, watermarkCol).isDefined)
-    pushed = supported
-    rest // Spark re-applies these above the scan
+    // Only the documented watermark predicate is guaranteed to be
+    // honoured by the API contract (woo-sync/main.py:1154-1157), so only
+    // it is reported as fully handled. EqualTo filters still travel as
+    // query params (a best-effort pushdown) but are RETURNED here so
+    // Spark re-evaluates them above the scan — an API that ignores an
+    // unknown param can then never yield unfiltered results.
+    filters.filterNot(f => f match {
+      case GreaterThanOrEqual(c, _) if c == watermarkCol => true
+      case GreaterThan(c, _) if c == watermarkCol => true
+      case _ => false
+    })
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -166,7 +175,16 @@ private class RestPartitionReader(schema: StructType, p: RestInputPartition)
         case DoubleType => java.lang.Double.valueOf(node.asDouble())
         case BooleanType => java.lang.Boolean.valueOf(node.asBoolean())
         case TimestampType =>
-          java.lang.Long.valueOf(java.time.Instant.parse(node.asText()).toEpochMilli * 1000L)
+          // full microsecond precision (TimestampType is µs, and
+          // toEpochMilli would truncate sub-ms digits); OffsetDateTime
+          // accepts non-Zulu ISO offsets that Instant.parse rejects
+          val inst =
+            try java.time.Instant.parse(node.asText())
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                java.time.OffsetDateTime.parse(node.asText()).toInstant
+            }
+          java.lang.Long.valueOf(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
         case other => throw new UnsupportedOperationException(s"type $other")
       }
     }

@@ -2,8 +2,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val threads = sys.env.getOrElse("PROBE_THREADS", "8")
+    val spark = SparkSession.builder().master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val name = args(0)

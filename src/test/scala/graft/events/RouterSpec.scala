@@ -22,11 +22,15 @@ class RouterSpec extends SparkSpecBase {
       body("job.run.completed", 30, "Cancelled"),
       body("job.run.started", 1, "Running"),
       """{"unparseable": true}""",
-      "not json at all"
+      "not json at all",
+      // contradictory payload: Error string wins over Success code,
+      // because the reference checks the Error branch first
+      // (dbt-webhook/main.py:305-312)
+      body("job.run.completed", 10, "Error")
     ).toDF("body")
     val routed = Router.route(Router.parse(raw))
       .select("route").as[String].collect().toSeq
-    assert(routed == Seq("completed", "retry", "ignore", "ignore", "ignore", "ignore"))
+    assert(routed == Seq("completed", "retry", "ignore", "ignore", "ignore", "ignore", "retry"))
   }
 
   test("parse extracts typed fields; ids arrive as strings") {

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 class VecExpressionsSpec extends SparkSpecBase {
   import spark.implicits._
 
-  test("native vec_dot_f matches the HOF fold bit-for-bit on real embeddings") {
+  test("native vec_dot matches the HOF fold bit-for-bit on real embeddings") {
     VecExpressions.register(spark)
     val emb = Tables.embeddings(spark, sf0001).limit(100)
     val pairs = emb.select($"vec_id".as("a_id"), $"embedding".as("a"))
@@ -20,14 +20,26 @@ class VecExpressionsSpec extends SparkSpecBase {
     assert(diff.count() == 0)
   }
 
-  test("vec_dot_f stays inside whole-stage codegen") {
+  test("vec_dot stays inside whole-stage codegen") {
     VecExpressions.register(spark)
     val emb = Tables.embeddings(spark, sf0001).limit(10)
     val plan = emb.select(VecExpressions.vecDot($"embedding", $"embedding").as("d"))
       .queryExecution.executedPlan.toString
     // the "*(n)" prefix marks a WholeStageCodegen stage containing the
-    // projection with vec_dot_f
-    assert(plan.contains("*(1) Project [vec_dot_f"), plan)
+    // projection with vec_dot
+    assert(plan.contains("*(1) Project [vec_dot"), plan)
+  }
+
+  test("mixed float/double element types (corpus vs centroid model)") {
+    VecExpressions.register(spark)
+    val df = Seq((Array(1.0f, 2.0f), Array(0.5, 0.25))).toDF("f", "d")
+    val out = df.select(
+      VecExpressions.vecDot($"f", $"d").as("fd"),
+      VecExpressions.vecDot($"d", $"f").as("df"),
+      VecExpressions.vecDot($"d", $"d").as("dd")).head()
+    assert(out.getDouble(0) == 1.0)
+    assert(out.getDouble(1) == 1.0)
+    assert(out.getDouble(2) == 0.3125)
   }
 
   test("null and ragged inputs") {

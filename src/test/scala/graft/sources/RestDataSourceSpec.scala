@@ -58,6 +58,26 @@ class RestDataSourceSpec extends SparkSpecBase {
     assert(plan.contains("RestScan") || plan.contains("BatchScan"))
   }
 
+  test("EqualTo filter stays a residual: an API that ignores the param cannot leak rows") {
+    val calls = new ConcurrentLinkedQueue[Map[String, String]]()
+    // transport that IGNORES the status param entirely (returns all rows)
+    RestDataSource.register("fixture-ignoring", fixtureTransport(calls))
+
+    val df = spark.read.format("graft.sources.RestDataSource")
+      .schema("id LONG, status STRING, modified STRING")
+      .option("url", "http://api/orders")
+      .option("transport", "fixture-ignoring")
+      .option("perPage", "2")
+      .load()
+      .filter(col("status") === "missing-status")
+
+    // the fixture returns status "ok" everywhere and ignores ?status=...;
+    // Spark must re-apply the EqualTo above the scan -> zero rows
+    assert(df.count() == 0)
+    // ...but the param still travelled to the API as an optimization
+    assert(calls.asScala.exists(_.get("status").contains("missing-status")))
+  }
+
   test("schema is required (reference schemas are explicit)") {
     intercept[Exception] {
       spark.read.format("graft.sources.RestDataSource")
