@@ -281,16 +281,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // MinHash + LSH banding near-dups (no SQL oracle: hash-family
-    // specific; covered by MinHashSpec against planted near-dups).
+    // MinHash + LSH banding near-dups. The double-hashing family is
+    // md5-derived and engine-portable, so the DuckDB oracle reproduces
+    // the exact signatures, bands, and agreement fractions.
     "q27_minhash_neardups" -> ((s, dir) => {
       Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, k = 32)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dups via the hamming block trick (no SQL oracle;
-    // covered by SimHashSpec).
+    // SimHash near-dups via the hamming block trick. Token hashes are
+    // md5-derived 60-bit values — engine-portable, oracle-checked.
     "q28_simhash_neardups" -> ((s, dir) => {
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
@@ -304,7 +305,9 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // IVF approximate top-k (scale path; recall checked in AnnSpec).
+    // IVF approximate top-k (scale path; recall checked in spec). The
+    // coarse quantizer uses exact integer-sum centroids, so bucket
+    // assignment and probes are bit-reproducible — oracle-checked.
     "q30_ivf_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val centroids = VF.centroidsByLabel(emb, "label", "embedding")
@@ -671,6 +674,87 @@ object SparkEntry {
          FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          WHERE n_common * 10 >= (sa.sz + sb.sz - n_common) * 6
          ORDER BY id_a, id_b""",
+
+    "q27_minhash_neardups" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
+         h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741789 AS h1,
+                 CAST(('0x' || substr(md5(shingle), 16, 15)) AS BIGINT) % 1073741789 AS h2
+               FROM sh),
+         sig AS (SELECT doc_id, i, MIN((h1 + i * h2) % 1073741789) AS m
+                 FROM h, UNNEST(range(32)) AS s(i) GROUP BY doc_id, i),
+         band AS (SELECT doc_id, i // 4 AS band,
+                         string_agg(m::VARCHAR, '_' ORDER BY i) AS band_key
+                  FROM sig GROUP BY doc_id, i // 4),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM band a JOIN band b USING (band, band_key)
+                  WHERE a.doc_id < b.doc_id),
+         agree AS (SELECT c.id_a, c.id_b,
+                          SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 32.0 AS sig_agreement
+                   FROM cand c
+                   JOIN sig sa ON sa.doc_id = c.id_a
+                   JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+                   GROUP BY c.id_a, c.id_b)
+         SELECT id_a, id_b, sig_agreement FROM agree
+         WHERE sig_agreement >= 0.5 ORDER BY id_a, id_b""",
+
+    "q28_simhash_neardups" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents),
+         h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM t),
+         bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                  FROM h, UNNEST(range(60)) AS r(b) GROUP BY doc_id, b),
+         sim AS (SELECT doc_id,
+                        SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS sh
+                 FROM bits GROUP BY doc_id),
+         blk AS (SELECT doc_id, sh, blk, (sh >> (blk * 15)) & 32767 AS blk_key
+                 FROM sim, UNNEST(range(4)) AS r(blk)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS h_a, b.sh AS h_b
+                  FROM blk a JOIN blk b USING (blk, blk_key) WHERE a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS hamming
+         FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3 ORDER BY id_a, id_b""",
+
+    "q30_ivf_ann" ->
+      """WITH cent AS (
+           SELECT label AS centroid_id, list(m ORDER BY pos) AS cv
+           FROM (SELECT label, i AS pos,
+                        CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824) AS DECIMAL(38,0))) AS DOUBLE) AS m
+                 FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS r(i)
+                 GROUP BY label, i) GROUP BY label),
+         cn AS (SELECT centroid_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nrm FROM cent),
+         scored_cent AS (
+           SELECT e.vec_id, e.embedding, c.centroid_id,
+                  list_sum(list_transform(list_zip(e.embedding, c.cv),
+                    x -> CAST(x[1] AS DOUBLE) * x[2])) / c.nrm AS s
+           FROM embeddings e, cn c),
+         bucketed AS (
+           SELECT vec_id, embedding, centroid_id AS bucket FROM scored_cent
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) = 1),
+         probes AS (
+           SELECT vec_id AS query_id, embedding AS qv, centroid_id AS bucket FROM scored_cent
+           WHERE vec_id < 10
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) <= 3),
+         pairs AS (
+           SELECT p.query_id, b.vec_id AS neighbor_id,
+                  list_sum(list_transform(list_zip(p.qv, b.embedding),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(p.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+           FROM probes p JOIN bucketed b USING (bucket)
+           WHERE b.vec_id <> p.query_id),
+         ranked AS (SELECT query_id, neighbor_id, sim,
+                           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+                    FROM pairs)
+         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(sim, 6) AS cosine_sim
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q36_multimodal_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS asset_id,
+                octet_length(encode(text)) > 0 AS ok,
+                CAST(32 AS INTEGER) AS out_width,
+                CAST(32 AS INTEGER) AS out_height
+         FROM documents ORDER BY asset_id""",
 
     "q29_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -253,20 +253,31 @@ object VectorFunctions {
     corpus.agg(avg(lit(1.0) - best)).head().getDouble(0)
   }
 
-  /** Centroids for IVF without an iterative k-means fit: average the
-    * vectors of each pre-existing label bucket. Computed via
-    * posexplode → per-(label, dimension) partial avg — scales to any
+  /** Centroids for IVF without an iterative k-means fit: the mean
+    * direction of each pre-existing label bucket. Computed via
+    * posexplode → per-(label, dimension) partial sums — scales to any
     * corpus size (never collects whole vector lists per group); a
     * k-means refinement would slot in here with the same search path.
+    *
+    * The per-dimension aggregate is an EXACT integer sum of
+    * floor(x * 2^30) quantized elements rather than a float mean:
+    * floating-point summation depends on partition order (every run —
+    * and every engine — would otherwise produce last-bit-different
+    * centroids), while integer sums are associative. Cosine ranking is
+    * invariant to the scale factor, and the 2^-30 quantisation is far
+    * below any embedding's signal. Sums are exact decimals, so no
+    * overflow at any corpus size.
     */
   def centroidsByLabel(corpus: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     corpus
       .select(col(labelCol).as("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col("centroid_id"), col("pos"))
-      .agg(avg(col("v").cast("double")).as("m"))
+      .agg(sum(floor(col("v").cast("double") * lit(1073741824.0))
+        .cast(DecimalType(38, 0))).as("m"))
       .groupBy(col("centroid_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("centroid_vec"))
+        s => s.getField("m").cast("double")).as("centroid_vec"))
   }
 }

@@ -98,14 +98,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("size_a"), col("size_b"))
   }
 
+  /** The MinHash double-hashing family, ENGINE-PORTABLE by design so
+    * oracle SQL can reproduce signatures exactly: two independent 60-bit
+    * values come from md5-hex windows of the shingle (md5 is
+    * bytes-defined everywhere), reduced mod a prime P < 2^30, and seed i
+    * draws g_i = (h1 + i*h2) mod P — the classic Kirsch–Mitzenmacher
+    * construction. One md5 per (doc, shingle) row; the k seeded hashes
+    * are pure integer arithmetic (codegen'd, no further hashing), and
+    * i*h2 < 2^35 never overflows a long in either engine. */
+  private val MinhashP = 1073741789L // largest prime < 2^30
+
   /** MinHash signatures as k aggregate columns: explode the doc's
-    * distinct shingles once, hash each (shingle, seed_i) with xxhash64,
-    * and take per-doc minima with k parallel `min` aggregates. The
-    * heavy hashing happens exactly once per (doc, shingle) row and the
-    * minima partial-aggregate map-side — one shuffle of k-column rows.
-    * (A naive array-fold formulation gets its signature expression
-    * inlined by Catalyst into every LSH band key — k × bands
-    * recomputation; this shape avoids that by construction.) */
+    * distinct shingles once, md5 it once, derive the k seeded hashes
+    * arithmetically, and take per-doc minima with k parallel `min`
+    * aggregates. The heavy hashing happens exactly once per
+    * (doc, shingle) row and the minima partial-aggregate map-side — one
+    * shuffle of k-column rows. (A naive array-fold formulation gets its
+    * signature expression inlined by Catalyst into every LSH band key —
+    * k × bands recomputation; this shape avoids that by construction.) */
   private def minhashSigColumns(docs0: DataFrame, idCol: String, textCol: String,
                                 n: Int, k: Int): DataFrame = {
     val docs = ensureParallelism(docs0)
@@ -113,24 +123,32 @@ object Dedup {
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col("id"),
         explode(array_distinct(TextFunctions.shinglesFromTokens(col("__toks"), n))).as("sh"))
-    val hashed = exploded.select(
-      (col("id") +: (0 until k).map(i => xxhash64(col("sh"), lit(i)).as(s"h$i"))): _*)
+    val hashed = exploded
+      .select(col("id"), md5(col("sh")).as("__md5"))
+      .select(col("id"),
+        (conv(substring(col("__md5"), 1, 15), 16, 10).cast("long") % MinhashP).as("h1"),
+        (conv(substring(col("__md5"), 16, 15), 16, 10).cast("long") % MinhashP).as("h2"))
+      .select((col("id") +: (0 until k).map(i =>
+        ((col("h1") + lit(i.toLong) * col("h2")) % MinhashP).as(s"h$i"))): _*)
     val aggs = (0 until k).map(i => min(col(s"h$i")).as(s"m$i"))
     hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: split the k-wide signature into bands of `rowsPerBand`
-    * and key each band by its murmur3 hash; docs sharing any band key
-    * become candidate pairs. Returns candidate pairs with their exact
-    * signature agreement fraction (matching minhashes / k) — a
-    * consistent estimator of Jaccard similarity. */
+    * and key each band by the joined component string (portable across
+    * engines, unlike an engine-specific hash — and collision-free, so
+    * the candidate set is exactly "some band fully agrees"); docs
+    * sharing any band key become candidate pairs. Returns candidate
+    * pairs with their exact signature agreement fraction (matching
+    * minhashes / k) — a consistent estimator of Jaccard similarity. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 64, rowsPerBand: Int = 4): DataFrame = {
     val sigs = minhashSigColumns(docs, idCol, textCol, n, k)
     val nBands = k / rowsPerBand
     val sigArr = array((0 until k).map(i => col(s"m$i")): _*)
     val bandKeys = array((0 until nBands).map { b =>
-      hash(((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")) :+ lit(b)): _*)
+      concat_ws("_",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
     }: _*)
     val banded = sigs.select(col("id"), sigArr.as("sig"), posexplode(bandKeys).as(Seq("band", "band_key")))
       // one shuffle on the self-join key: signature/banding computed
@@ -153,8 +171,15 @@ object Dedup {
     minhashCandidates(docs, idCol, textCol, n, k, rowsPerBand)
       .filter(col("sig_agreement") >= threshold)
 
-  /** 64-bit SimHash over token xxhash64 values: for each bit, sum +1/-1
-    * across tokens and keep the sign. Expressed as posexplode(token
+  /** Bit width of the SimHash signature. 60 rather than 64 because the
+    * per-token hash is the first 15 md5-hex chars parsed as an integer —
+    * bytes-defined and hence reproducible in ANY engine (the DuckDB
+    * oracle recomputes identical signatures), where an xxhash64 variant
+    * would be Spark-only. */
+  val SimhashBits = 60
+
+  /** SimHash over portable 60-bit token hashes: for each bit, sum +1/-1
+    * across tokens and keep the sign. Expressed as explode(token
     * hashes) → per-(doc, bit) integer sums → bit reassembly; everything
     * is integer arithmetic in native functions, partial-aggregated
     * map-side. */
@@ -162,16 +187,16 @@ object Dedup {
     val docs = ensureParallelism(docs0)
     val tokenHashes = docs.select(col(idCol).as("id"),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    // 64 parallel ±1 sums (one per bit), partial-aggregated map-side —
-    // a single shuffle of 64-column rows, no per-bit row explosion.
-    val bitAggs = (0 until 64).map { b =>
+      .select(col("id"), conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    // parallel ±1 sums (one per bit), partial-aggregated map-side —
+    // a single shuffle of SimhashBits-column rows, no per-bit explosion.
+    val bitAggs = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
     val summed = tokenHashes.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
-    // distinct powers of two sum to the exact bit pattern (no overflow:
-    // bit 63's contribution is Long.MinValue, the rest are positive)
-    val assembled = (0 until 64).map(b =>
+    // distinct powers of two sum to the exact bit pattern (all positive:
+    // the top nibble of a 60-bit value is never the sign bit)
+    val assembled = (0 until SimhashBits).map(b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     summed.select(col("id"), assembled.as("simhash"))
   }
@@ -288,7 +313,7 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
-    val blockBits = 64 / nBlocks
+    val blockBits = SimhashBits / nBlocks
     val hashed = simhash(docs, idCol, textCol)
     val blocked = hashed.select(col("id"), col("simhash"),
       posexplode(array((0 until nBlocks).map { blk =>
