@@ -477,13 +477,52 @@ object SparkEntry {
     }),
 
     // Multimodal decode path (stub codec; Spark-side plumbing real —
-    // no SQL oracle: covered by MultimodalSpec).
+    // the oracle checks the contract columns, the feature math is
+    // covered by MultimodalSpec).
     "q36_multimodal_decode" -> ((s, dir) => {
       val assets = graft.ops.Multimodal.assetsFromBinary(
         t(s, dir, "documents"), "doc_id", "text", "image", "fake")
       graft.ops.Multimodal.decodeAndFeaturize(s, assets).toDF()
         .select(col("asset_id"), col("ok"), col("out_width"), col("out_height"))
         .orderBy(col("asset_id"))
+    }),
+
+    // BPE-ish regex pre-tokenization (training-data token accounting):
+    // the pattern is Java-regex/RE2 portable, so counts oracle-match.
+    "q45_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.bpeTokenCount(col("text")).cast("int").as("n_bpe"),
+          size(array_distinct(TF.bpeTokens(col("text")))).as("n_distinct_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact interpolated percentiles per group (engine completeness —
+    // the dbt-delegated layer's profiling queries need them).
+    "q46_value_percentiles" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.25D)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(value, 0.75D)"), 6).as("p75"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Set intersection (SURVEY §2.7 notes the reference never needs it;
+    // the engine exposes it for the delegated SQL layer).
+    "q47_intersect_ids" -> ((s, dir) => {
+      val a = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("id"))
+      val b = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("id"))
+      a.intersect(b).orderBy(col("id"))
+    }),
+
+    // Cube aggregation (all grouping-set combinations in one pass).
+    "q48_cube_volume" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(year(col("o_orderdate")).as("order_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("order_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }))
 
   // ---------------------------------------------------------------------------
@@ -755,6 +794,33 @@ object SparkEntry {
                 CAST(32 AS INTEGER) AS out_width,
                 CAST(32 AS INTEGER) AS out_height
          FROM documents ORDER BY asset_id""",
+
+    "q45_bpe_tokens" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+')) AS INTEGER) AS n_bpe,
+                CAST(len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'))) AS INTEGER) AS n_distinct_bpe
+         FROM documents ORDER BY doc_id""",
+
+    "q46_value_percentiles" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.25), 6) AS p25,
+                round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.75), 6) AS p75
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q47_intersect_ids" ->
+      """SELECT o_custkey AS id FROM orders WHERE o_totalprice > 100000
+         INTERSECT
+         SELECT c_custkey AS id FROM customer WHERE c_acctbal > 5000
+         ORDER BY id""",
+
+    "q48_cube_volume" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, o_orderpriority,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM orders
+         GROUP BY CUBE(order_year, o_orderpriority)
+         ORDER BY order_year NULLS FIRST, o_orderpriority NULLS FIRST""",
 
     "q29_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

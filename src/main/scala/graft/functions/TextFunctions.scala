@@ -67,6 +67,22 @@ object TextFunctions {
     }
   }
 
+  /** BPE-ish pre-tokenizer pattern (the GPT-2-family shape): common
+    * English contraction suffixes, then space-prefixed letter runs,
+    * digit runs, punctuation/symbol runs, and whitespace runs. Restricted
+    * to constructs shared by Java regex and RE2 (no lookaround, no
+    * backreferences) so the exact same split reproduces in any engine. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+
+  /** BPE-ish tokens (subword-style pre-tokens; a trained merge table
+    * would apply downstream). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** BPE-ish token count; counting-only plans never build the array. */
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
+
   /** Rolling polynomial hash over the token stream (document
     * fingerprinting à la Rabin-Karp): h = (h*31 + hash(token)) mod
     * 2^31-1, kept inside the safe Long range so the fold is exact under

@@ -89,6 +89,21 @@ object VectorFunctions {
       }.toSeq)
       .sortBy(_._1).toSeq
 
+  /** One-job probe: collect the model if it fits the inline limit, else
+    * None (the caller takes the broadcast-join path). Runs the centroid
+    * pipeline exactly once either way — limit+1 short-circuits the
+    * collect for oversized models without a separate count. */
+  private def tryCollectModel(centroids: DataFrame): Option[CentroidModel] = {
+    val sample = centroids.select(col("centroid_id").cast("int"), col("centroid_vec"))
+      .limit(InlineModelLimit + 1).collect()
+    if (sample.length > InlineModelLimit) None
+    else Some(sample.map(r => r.getInt(0) -> r.getSeq[Any](1).map {
+      case d: java.lang.Double => d.doubleValue
+      case f: java.lang.Float => f.toDouble
+      case other => other.toString.toDouble
+    }.toSeq).sortBy(_._1).toSeq)
+  }
+
   /** Max centroids to inline as codegen literals; beyond this the
     * assignment runs as a broadcast join + max_by aggregate instead
     * (literal argmax over tens of thousands of centroids would blow the
@@ -133,19 +148,18 @@ object VectorFunctions {
   def assignBuckets(df: DataFrame, vec: Column, centroids: DataFrame,
                     outCol: String): DataFrame = {
     VecExpressions.register(df.sparkSession)
-    val n = centroids.count()
-    if (n <= InlineModelLimit) {
-      val model = collectCentroids(centroids)
-      df.withColumn(outCol, nearestBucketExpr(vec, model))
-    } else {
-      val cent = broadcast(centroids.select(col("centroid_id"), col("centroid_vec")))
-      val keep = df.columns.map(col)
-      val cnorm = sqrt(VecExpressions.vecDot(col("centroid_vec"), col("centroid_vec")))
-      val score = VecExpressions.vecDot(vec, col("centroid_vec")) / cnorm
-      df.join(cent)
-        .groupBy(keep: _*)
-        .agg(max_by(col("centroid_id"),
-          struct(score.as("s"), (-col("centroid_id")).as("negid"))).as(outCol))
+    tryCollectModel(centroids) match {
+      case Some(model) =>
+        df.withColumn(outCol, nearestBucketExpr(vec, model))
+      case None =>
+        val cent = broadcast(centroids.select(col("centroid_id"), col("centroid_vec")))
+        val keep = df.columns.map(col)
+        val cnorm = sqrt(VecExpressions.vecDot(col("centroid_vec"), col("centroid_vec")))
+        val score = VecExpressions.vecDot(vec, col("centroid_vec")) / cnorm
+        df.join(cent)
+          .groupBy(keep: _*)
+          .agg(max_by(col("centroid_id"),
+            struct(score.as("s"), (-col("centroid_id")).as("negid"))).as(outCol))
     }
   }
 
@@ -163,29 +177,35 @@ object VectorFunctions {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     VecExpressions.register(corpus.sparkSession)
-    val taggedCorpus = assignBuckets(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-      col("__cv"), centroids, "bucket")
-
-    // queries are small: probe list inlined when the model allows it,
-    // else the window form over the broadcast join
-    val nCent = centroids.count()
-    val probes =
-      if (nCent <= InlineModelLimit) {
-        val model = collectCentroids(centroids)
-        queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-          .withColumn("bucket",
-            explode(nearestBucketsExpr(col("__qv"), model, nprobe)))
-      } else {
+    // run the centroid pipeline exactly once; small models inline into
+    // codegen for both corpus tagging and query probes
+    val modelOpt = tryCollectModel(centroids)
+    val corpusIn = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val queriesIn = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val (taggedCorpus, probes) = modelOpt match {
+      case Some(model) =>
+        (corpusIn.withColumn("bucket", nearestBucketExpr(col("__cv"), model)),
+          queriesIn.withColumn("bucket",
+            explode(nearestBucketsExpr(col("__qv"), model, nprobe))))
+      case None =>
         val cent = broadcast(centroids.select(col("centroid_id"), col("centroid_vec")))
         val cnorm = sqrt(VecExpressions.vecDot(col("centroid_vec"), col("centroid_vec")))
-        val score = VecExpressions.vecDot(col("__qv"), col("centroid_vec")) / cnorm
-        val w = Window.partitionBy(col("query_id")).orderBy(col("__s").desc, col("centroid_id").asc)
-        queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-          .join(cent).withColumn("__s", score)
-          .withColumn("__r", row_number().over(w)).filter(col("__r") <= nprobe)
-          .select(col("query_id"), col("__qv"), col("centroid_id").as("bucket"))
-      }
+        val tagged = {
+          val score = VecExpressions.vecDot(col("__cv"), col("centroid_vec")) / cnorm
+          corpusIn.join(cent)
+            .groupBy(col("neighbor_id"), col("__cv"))
+            .agg(max_by(col("centroid_id"),
+              struct(score.as("s"), (-col("centroid_id")).as("negid"))).as("bucket"))
+        }
+        val prb = {
+          val score = VecExpressions.vecDot(col("__qv"), col("centroid_vec")) / cnorm
+          val w = Window.partitionBy(col("query_id")).orderBy(col("__s").desc, col("centroid_id").asc)
+          queriesIn.join(cent).withColumn("__s", score)
+            .withColumn("__r", row_number().over(w)).filter(col("__r") <= nprobe)
+            .select(col("query_id"), col("__qv"), col("centroid_id").as("bucket"))
+        }
+        (tagged, prb)
+    }
 
     val scored = taggedCorpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -13,6 +13,15 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(out == 5)
   }
 
+  test("bpeTokens splits contractions, letter/digit/punct runs, keeps space prefixes") {
+    val toks = one("We don't have 42 apples, okay?")
+      .select(TextFunctions.bpeTokens($"text")).head().getSeq[String](0)
+    assert(toks == Seq("We", " don", "'t", " have", " 42", " apples", ",", " okay", "?"))
+    val n = one("We don't have 42 apples, okay?")
+      .select(TextFunctions.bpeTokenCount($"text")).head().getInt(0)
+    assert(n == toks.length)
+  }
+
   test("stopwordCount is word-bounded (no substring hits)") {
     // "theory" must not count as "the"; "is" inside "island" must not count
     val out = one("theory island the is on").select(TextFunctions.stopwordCount($"text")).head().getInt(0)
