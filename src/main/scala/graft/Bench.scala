@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // default 100 entries evicts shared plan fragments across ~50
+      // queries; a larger generated-code cache lets later queries reuse
+      // the compiled text/vector pipeline stages of earlier ones
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,9 +22,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // drop storage leftovers (localCheckpoint blocks of the iterative
-      // operators) so one query's working set never degrades the next
+      // Reset session state between queries (outside the timer) so each
+      // measurement reflects the query, not its predecessors' leftovers:
+      // drop storage blocks (localCheckpoints of the iterative
+      // operators), release dead broadcast/shuffle state via the
+      // ContextCleaner (which only acts on GC), and let the JIT queue
+      // drain — without this, heap pressure from dozens of prior plans
+      // inflates later heavy queries 2-3x.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+      System.gc()
       System.err.println(f"[bench] $name%-28s $dt%8.2fs")
       name -> dt
     }.toMap

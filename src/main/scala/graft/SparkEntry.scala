@@ -468,11 +468,14 @@ object SparkEntry {
     }),
 
     // Embedding-cosine near-dup via random-hyperplane LSH + exact
-    // verify (no SQL oracle: approximate candidate set; recall proven
-    // on planted dups in CosineNearDupSpec). This corpus has no pairs
-    // above 0.9 — an empty result is the correct answer.
+    // verify. The hyperplanes are md5-derived Rademacher vectors —
+    // engine-portable like the MinHash/SimHash families — so the
+    // candidate set and the verified pairs are bit-reproducible and
+    // oracle-checked (recall against ground truth is proven separately
+    // on planted dups in CosineNearDupSpec).
     "q38_cosine_neardups" -> ((s, dir) => {
-      Dedup.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.9)
+      Dedup.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.4)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -787,6 +790,37 @@ object SparkEntry {
                     FROM pairs)
          SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(sim, 6) AS cosine_sim
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q38_cosine_neardups" ->
+      """WITH dims AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+         planes AS (
+           SELECT b, list(CASE WHEN CAST(('0x' || substr(md5('plane_' || b || '_' || d), 1, 1)) AS INT) % 2 = 1
+                               THEN 1.0 ELSE -1.0 END ORDER BY d) AS p
+           FROM (SELECT b, d FROM range(60) r(b), dims, range(4096) s(d) WHERE d < dim)
+           GROUP BY b),
+         dots AS (
+           SELECT e.vec_id, p.b,
+                  list_sum(list_transform(list_zip(e.embedding, p.p),
+                    x -> CAST(x[1] AS DOUBLE) * x[2])) AS dp
+           FROM embeddings e, planes p),
+         sig AS (SELECT vec_id,
+                        CAST(SUM(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << b)
+                                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+                 FROM dots GROUP BY vec_id),
+         blk AS (SELECT vec_id, sig, blk, (sig >> (blk * 5)) & 31 AS blk_key
+                 FROM sig, UNNEST(range(12)) r(blk)),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM blk a JOIN blk b USING (blk, blk_key) WHERE a.vec_id < b.vec_id),
+         scored AS (
+           SELECT c.id_a, c.id_b,
+                  list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+           FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a
+                       JOIN embeddings eb ON eb.vec_id = c.id_b)
+         SELECT id_a, id_b, round(sim, 6) AS cosine_sim
+         FROM scored WHERE sim >= 0.4 ORDER BY id_a, id_b""",
 
     "q36_multimodal_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS asset_id,

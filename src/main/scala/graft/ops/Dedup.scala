@@ -242,7 +242,10 @@ object Dedup {
       val jumped = stepped.join(
           stepped.select(col("v").as("comp"), col("comp").as("jcomp")), Seq("comp"), "left")
         .select(col("v"), least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true) // cut lineage: each round is flat, not a growing tree
+        // cut lineage: each round is flat, not a growing tree. LAZY so the
+        // convergence aggregate below is the materializing action — one
+        // job per round (sum + block persist together), not two.
+        .localCheckpoint(false)
       val s = Option(jumped.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
       converged = prevSum != null && s.compareTo(prevSum) == 0
@@ -257,25 +260,47 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("comp").as("component_id"))
   }
 
+  /** Bit width of the random-hyperplane (SRP) signature — 60 to match
+    * [[SimhashBits]]' all-positive-long envelope and divide evenly into
+    * 4/5/6-bit LSH blocks. */
+  val CosineBits = 60
+
+  /** Deterministic Rademacher (±1) hyperplanes derived from md5 — the
+    * sign-random-projection family is valid for ANY symmetric zero-mean
+    * component distribution (Charikar's SRP analysis), so ±1 components
+    * estimate angles exactly as Gaussian ones do, while being
+    * bytes-defined and hence reproducible in any engine: component
+    * (b, d) is the parity of the first hex digit of md5("plane_b_d").
+    * That makes the whole candidate pipeline (signatures, blocks,
+    * candidate set) oracle-checkable, like MinHash/SimHash above. */
+  private[graft] def rademacherPlane(b: Int, dim: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { d =>
+      val hex = md.digest(s"plane_${b}_$d".getBytes("UTF-8"))
+      // first hex digit = high nibble of byte 0
+      if (((hex(0) >> 4) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
   /** Embedding-cosine near-duplicates via random-hyperplane LSH:
-    * sign(v · h_i) over 64 seeded hyperplanes gives a 64-bit signature
-    * whose Hamming distance estimates the angle (P[bit differs] = θ/π);
-    * the same block join as SimHash finds candidates, then the exact
-    * codegen'd cosine verifies. Recall is probabilistic (raise
-    * maxHamming for more); candidate generation stays inverted-index —
-    * never the O(n²) cross product — so the pattern holds at 100 TB.
+    * sign(v · h_b) over [[CosineBits]] deterministic hyperplanes gives a
+    * signature whose Hamming distance estimates the angle (P[bit
+    * differs] = θ/π); the same block join as SimHash finds candidates,
+    * then the exact codegen'd cosine verifies. Recall is probabilistic
+    * (raise maxHamming for more blocks = more candidates); candidate
+    * generation stays inverted-index — never the O(n²) cross product —
+    * so the pattern holds at 100 TB.
     */
   def cosineNearDups(vectors: DataFrame, idCol: String, vecCol: String,
-                     minCosine: Double, maxHamming: Int = 12): DataFrame = {
+                     minCosine: Double, maxHamming: Int = 11): DataFrame = {
     import graft.functions.{VecExpressions, VectorFunctions}
     VecExpressions.register(vectors.sparkSession)
     // embedding width comes from the data (one-row probe) — a hardcoded
     // dim would silently zero every signature on a different corpus
     // (null-padded zip_with) and degrade candidates to the cross product
     val dim = vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
-    val rnd = new scala.util.Random(42)
     val planes: Seq[Seq[Double]] =
-      Seq.fill(64)(Seq.fill(dim)(rnd.nextGaussian()))
+      (0 until CosineBits).map(b => rademacherPlane(b, dim))
 
     val v = ensureParallelism(vectors).select(col(idCol).as("id"), col(vecCol).as("v"))
     // signature bit b = sign of the dot product with plane b (codegen'd
@@ -288,7 +313,7 @@ object Dedup {
     val signed = v.select(col("id"), col("v"), bitCols.reduce(_ + _).as("sig"))
 
     val nBlocks = maxHamming + 1
-    val blockBits = 64 / nBlocks
+    val blockBits = CosineBits / nBlocks
     val blocked = signed.select(col("id"), col("v"), col("sig"),
       posexplode(array((0 until nBlocks).map { blk =>
         shiftrightunsigned(col("sig"), blk * blockBits)
