@@ -520,6 +520,14 @@ object SparkEntry {
       a.intersect(b).orderBy(col("id"))
     }),
 
+    // Gopher-style repetition signals (duplicate-token share and
+    // most-frequent-bigram share) — integer counts, oracle-exact.
+    "q49_repetition_signals" -> ((s, dir) => {
+      graft.ops.TextProfile.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Cube aggregation (all grouping-set combinations in one pass).
     "q48_cube_volume" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -855,6 +863,22 @@ object SparkEntry {
          FROM orders
          GROUP BY CUBE(order_year, o_orderpriority)
          ORDER BY order_year NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q49_repetition_signals" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         tokstats AS (SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_tokens,
+                             CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct_tokens
+                      FROM toks),
+         big AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+                 FROM toks, UNNEST(range(1, len(ws))) AS r(i)),
+         bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg),
+         bgstats AS (SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams
+                     FROM bgc GROUP BY doc_id)
+         SELECT t.doc_id, t.n_tokens, t.n_distinct_tokens,
+                CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                CAST(coalesce(b.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+         FROM tokstats t LEFT JOIN bgstats b USING (doc_id)
+         ORDER BY t.doc_id""",
 
     "q29_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -94,6 +94,31 @@ object TextFunctions {
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), M), M))
   }
 
+  /** PII patterns for training-data scrubbing — restricted to
+    * constructs shared by Java regex and RE2 (no lookaround) so the
+    * same scrub reproduces in any engine. Deliberately high-recall
+    * simple shapes (emails, international-ish phone runs, IPv4),
+    * matching the public C4/Dolma-style cleaning recipes. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+  val Ipv4Pattern: String = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Redact emails, phone numbers, and IPv4 addresses with typed
+    * placeholder tokens. Chained codegen'd regexp_replace — order
+    * matters (emails first, so their digit runs can't half-match the
+    * phone pattern). */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, PhonePattern, "<PHONE>")
+  }
+
+  /** Count of PII matches by type (for scrub audits / doc filtering). */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(EmailPattern)),
+      regexp_count(text, lit(Ipv4Pattern)),
+      regexp_count(text, lit(PhonePattern)))
+
   /** Word n-gram shingles from an ALREADY-MATERIALISED token array
     * column. The token array must be its own projected column, not an
     * inline `tokens(text)` expression: higher-order-function lambdas

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-profiling operators for the training-data pipeline layer:
+  * repetition signals in the style of the Gopher quality filters
+  * (Rae et al. 2021, "Scaling Language Models", Table A1 — fraction of
+  * duplicated n-grams / most-frequent-n-gram share) re-expressed as
+  * shuffle-conscious DataFrame plans.
+  *
+  * All outputs are integer counts so the DuckDB oracle compares exactly;
+  * consumers derive the fractional signals (`top_bigram_n / n_bigrams`
+  * etc.) downstream without any float determinism concerns.
+  */
+object TextProfile {
+
+  /** Per-document repetition signals:
+    *   - n_tokens / n_distinct_tokens   (duplicate-token share)
+    *   - n_bigrams / top_bigram_n       (most-frequent-2-gram share)
+    *
+    * Plan shape: tokenize once, then two branches — a per-doc scalar
+    * projection (sizes + array_distinct, linear per doc) and an
+    * explode → (doc, bigram) count → per-doc max/sum aggregate. Both
+    * aggregates partial-combine map-side; the only wide exchanges are
+    * hash shuffles on (doc, bigram) and doc — no cross product, no
+    * per-doc quadratic work, so the shape holds at 100 TB. Documents
+    * with < 2 tokens report 0 bigrams (left join + coalesce).
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokArr = docs.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("ts"))
+    val tokenStats = tokArr.select(
+      col("id"),
+      size(col("ts")).as("n_tokens"),
+      size(array_distinct(col("ts"))).as("n_distinct_tokens"))
+    val bigramStats = tokArr
+      .select(col("id"), explode(TextFunctions.shinglesFromTokens(col("ts"), 2)).as("bg"))
+      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    tokenStats.join(bigramStats, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), col("n_distinct_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+  }
+}

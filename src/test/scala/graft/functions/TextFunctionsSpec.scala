@@ -37,6 +37,19 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(fps("a") != fps("c"))
   }
 
+  test("scrubPii redacts emails, phones, IPv4 with typed placeholders") {
+    val in = "mail bob.smith+x@example.co.uk or call +1 (555) 123-4567; host 10.0.0.1 ok"
+    val out = one(in).select(TextFunctions.scrubPii($"text")).head().getString(0)
+    assert(out == "mail <EMAIL> or call <PHONE>; host <IP> ok")
+    // counts audit the same patterns
+    val (e, i, p) = TextFunctions.piiCounts($"text")
+    val row = one(in).select(e.as("e"), i.as("i"), p.as("p")).head()
+    assert((row.getInt(0), row.getInt(1), row.getInt(2)) == ((1, 1, 1)))
+    // clean text passes through untouched
+    val clean = "no personal data in this sentence"
+    assert(one(clean).select(TextFunctions.scrubPii($"text")).head().getString(0) == clean)
+  }
+
   test("langGuess picks marker-dominant language, und when nothing matches") {
     val df = Seq(
       (1, "the cat and the dog is happy"),

@@ -1,0 +1,30 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class TextProfileSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("repetitionSignals: token/bigram counts, highly-repetitive doc flagged") {
+    val df = Seq(
+      (1L, "a b a b a b"),          // 6 tokens, 2 distinct; bigrams: "a b"x3, "b a"x2
+      (2L, "all words here differ"), // no repetition: top bigram 1
+      (3L, "one"),                   // single token: zero bigrams
+      (4L, "")                       // empty: zero tokens, zero bigrams
+    ).toDF("doc_id", "text")
+    val out = TextProfile.repetitionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+
+    assert(out(1L) == ((6, 2, 5, 3)))  // n_tokens, n_distinct, n_bigrams, top_bigram_n
+    assert(out(2L) == ((4, 4, 3, 1)))
+    assert(out(3L) == ((1, 1, 0, 0)))
+    assert(out(4L) == ((0, 0, 0, 0)))
+
+    // the Gopher-style signal consumers derive: doc 1 is repetitive
+    // (top bigram 3/5 > half), doc 2 is not
+    assert(out(1L)._4 * 2 > out(1L)._3)
+    assert(out(2L)._4 * 2 < out(2L)._3)
+  }
+}
