@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.VecDot
+
+/** Session-extensions entry point — the deployment-grade way to load the
+  * engine's native expressions on every session of a cluster:
+  *
+  * {{{ spark.sql.extensions=graft.GraftExtensions }}}
+  *
+  * injects `vec_dot` (the codegen'd vector dot product backing the ANN
+  * and cosine-dedup operators) into the function registry at session
+  * build time, so SQL and DataFrame plans can call it with no per-query
+  * registration. `VecExpressions.register` remains as the programmatic
+  * fallback for sessions created without the config (the library calls
+  * it defensively before building vector plans).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String) = new ExpressionInfo(classOf[VecDot].getName, name)
+    def builder(exprs: Seq[Expression]): Expression = VecDot(exprs.head, exprs(1))
+    ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"), builder _))
+  }
+}

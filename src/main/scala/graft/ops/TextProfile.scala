@@ -29,7 +29,13 @@ object TextProfile {
     * with < 2 tokens report 0 bigrams (left join + coalesce).
     */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Pin the tokenised form behind an id-partitioned exchange: the
+    // scan+regex tokenise stage runs ONCE and its shuffle output feeds
+    // both branches (ReusedExchange) — without this each branch re-reads
+    // and re-tokenises the corpus. The id partitioning also feeds the
+    // final join with no further exchange on the scalar branch.
     val tokArr = docs.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("ts"))
+      .repartition(col("id"))
     val tokenStats = tokArr.select(
       col("id"),
       size(col("ts")).as("n_tokens"),
