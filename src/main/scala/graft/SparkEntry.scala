@@ -520,6 +520,20 @@ object SparkEntry {
       a.intersect(b).orderBy(col("id"))
     }),
 
+    // Embedding-cosine near-dup via IVF bucketing (the 100 TB scale
+    // path: bucket sizes ~n/C with C growing with the corpus, vs the
+    // fixed key space of SRP blocks). Centroids are the exact
+    // integer-sum label means (cf. q30), so buckets, candidates, and
+    // verified pairs are bit-reproducible — oracle-checked.
+    "q50_cosine_ivf_neardups" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = VF.centroidsByLabel(emb, "label", "embedding")
+      Dedup.cosineNearDupsIVF(emb, "vec_id", "embedding", centroids,
+        minCosine = 0.4, nprobe = 2)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Gopher-style repetition signals (duplicate-token share and
     // most-frequent-bigram share) — integer counts, oracle-exact.
     "q49_repetition_signals" -> ((s, dir) => {
@@ -758,10 +772,16 @@ object SparkEntry {
          sim AS (SELECT doc_id,
                         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS sh
                  FROM bits GROUP BY doc_id),
-         blk AS (SELECT doc_id, sh, blk, (sh >> (blk * 15)) & 32767 AS blk_key
-                 FROM sim, UNNEST(range(4)) AS r(blk)),
+         combos AS (SELECT row_number() OVER (ORDER BY b1, b2, b3) - 1 AS ck, b1, b2, b3
+                    FROM range(6) r1(b1), range(6) r2(b2), range(6) r3(b3)
+                    WHERE b1 < b2 AND b2 < b3),
+         blk AS (SELECT doc_id, sh, ck,
+                        ((CAST((sh >> (b1 * 10)) & 1023 AS BIGINT) << 20) +
+                         (CAST((sh >> (b2 * 10)) & 1023 AS BIGINT) << 10) +
+                         CAST((sh >> (b3 * 10)) & 1023 AS BIGINT)) AS ck_key
+                 FROM sim, combos),
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS h_a, b.sh AS h_b
-                  FROM blk a JOIN blk b USING (blk, blk_key) WHERE a.doc_id < b.doc_id)
+                  FROM blk a JOIN blk b USING (ck, ck_key) WHERE a.doc_id < b.doc_id)
          SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS hamming
          FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3 ORDER BY id_a, id_b""",
 
@@ -863,6 +883,35 @@ object SparkEntry {
          FROM orders
          GROUP BY CUBE(order_year, o_orderpriority)
          ORDER BY order_year NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q50_cosine_ivf_neardups" ->
+      """WITH cent AS (
+           SELECT label AS centroid_id, list(m ORDER BY pos) AS cv
+           FROM (SELECT label, i AS pos,
+                        CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824) AS DECIMAL(38,0))) AS DOUBLE) AS m
+                 FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS r(i)
+                 GROUP BY label, i) GROUP BY label),
+         cn AS (SELECT centroid_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nrm FROM cent),
+         scored_cent AS (
+           SELECT e.vec_id, c.centroid_id,
+                  list_sum(list_transform(list_zip(e.embedding, c.cv),
+                    x -> CAST(x[1] AS DOUBLE) * x[2])) / c.nrm AS s
+           FROM embeddings e, cn c),
+         probed AS (
+           SELECT vec_id, centroid_id AS bucket FROM scored_cent
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) <= 2),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM probed a JOIN probed b USING (bucket) WHERE a.vec_id < b.vec_id),
+         scored AS (
+           SELECT c.id_a, c.id_b,
+                  list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+           FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a
+                       JOIN embeddings eb ON eb.vec_id = c.id_b)
+         SELECT id_a, id_b, round(sim, 6) AS cosine_sim
+         FROM scored WHERE sim >= 0.4 ORDER BY id_a, id_b""",
 
     "q49_repetition_signals" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),

@@ -163,6 +163,29 @@ object VectorFunctions {
     }
   }
 
+  /** Multi-probe assignment: one row per (input row, probed bucket) for
+    * the `nprobe` nearest centroids — the shared primitive behind IVF
+    * search probes and IVF-bucketed dedup. Same plan split as
+    * assignBuckets: literal argmax in codegen for small models, a
+    * broadcast join + per-row top-nprobe window for large ones. */
+  def assignProbes(df: DataFrame, vec: Column, centroids: DataFrame,
+                   outCol: String, nprobe: Int): DataFrame = {
+    VecExpressions.register(df.sparkSession)
+    tryCollectModel(centroids) match {
+      case Some(model) =>
+        df.withColumn(outCol, explode(nearestBucketsExpr(vec, model, nprobe)))
+      case None =>
+        val cent = broadcast(centroids.select(col("centroid_id"), col("centroid_vec")))
+        val cnorm = sqrt(VecExpressions.vecDot(col("centroid_vec"), col("centroid_vec")))
+        val score = VecExpressions.vecDot(vec, col("centroid_vec")) / cnorm
+        val keep = df.columns.map(col)
+        val w = Window.partitionBy(keep: _*).orderBy(col("__s").desc, col("centroid_id").asc)
+        df.join(cent).withColumn("__s", score)
+          .withColumn("__r", row_number().over(w)).filter(col("__r") <= nprobe)
+          .select(keep :+ col("centroid_id").as(outCol): _*)
+    }
+  }
+
   /** IVF-style approximate top-k: assign corpus vectors to their nearest
     * centroid (coarse quantizer), then search only the `nprobe` closest
     * centroid buckets of each query.

@@ -330,25 +330,95 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
 
+  /** Embedding-cosine near-duplicates via IVF bucketing (the
+    * SemDeDup-style scale path, complementing the SRP-LSH variant
+    * above): every vector probes its `nprobe` nearest centroids,
+    * candidate pairs form only inside centroid buckets, and the exact
+    * codegen'd cosine verifies. A near-dup pair is found whenever the
+    * two vectors share one probed centroid — near-certain for
+    * high-cosine pairs (they sit on the same side of every centroid
+    * boundary except knife-edge cases, which multi-probe covers).
+    *
+    * This is the variant that holds at 100 TB: SRP block keys have a
+    * fixed key space (collision candidates ~ n²/2^bits), while IVF
+    * bucket sizes are ~n/C and C grows with the corpus — C ~ √n keeps
+    * total candidate work ~ n^1.5, the standard IVF regime, and the
+    * centroid model stays driver-small like an MLlib KMeansModel.
+    */
+  def cosineNearDupsIVF(vectors: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, minCosine: Double,
+                        nprobe: Int = 2): DataFrame = {
+    import graft.functions.{VecExpressions, VectorFunctions}
+    VecExpressions.register(vectors.sparkSession)
+    val v = ensureParallelism(vectors).select(col(idCol).as("id"), col(vecCol).as("v"))
+    val probed = VectorFunctions.assignProbes(v, col("v"), centroids, "bucket", nprobe)
+      .repartition(col("bucket"))
+    val l = probed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = probed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b")).distinct()
+      .withColumn("cosine_sim", VectorFunctions.cosineNative(col("v_a"), col("v_b")))
+      .filter(col("cosine_sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+
   /** SimHash near-dup candidates with Hamming distance <= maxHamming,
-    * found by the rotation/block trick: split the 64-bit hash into
-    * (maxHamming+1) blocks — two hashes within distance d must agree on
-    * at least one block (pigeonhole), so an equi-join per block finds
-    * all candidates without a cross product. */
+    * found by the combination-block trick (the Manku/Jain/Sarma WWW'07
+    * construction generalised): split the hash into `nBlocks` blocks;
+    * two hashes within distance d differ in at most d blocks, so they
+    * AGREE on some (nBlocks - d)-combination of blocks (pigeonhole —
+    * the candidate set is exactly complete, no probabilistic recall).
+    * Each doc emits C(nBlocks, nBlocks-d) combination keys and an
+    * equi-join per key finds all candidates without a cross product.
+    *
+    * Key WIDTH is the scale lever: the naive d+1-block split keys on
+    * SimhashBits/(d+1) bits (15 bits for d=3 — 32K buckets, so random
+    * collisions grow ~n²/2¹⁵ and swamp a 10⁸+ doc corpus). With
+    * nBlocks=6, d=3 the key is a 3-block combination = 30 bits: ~10⁹
+    * buckets, keeping bucket-collision candidates negligible at any
+    * realistic corpus size for 5× the explode factor (20 keys vs 4).
+    */
+  /** Auto block count for [[simhashNearDups]]: among divisors of
+    * [[SimhashBits]] with more blocks than allowed diffs, prefer the
+    * cheapest explode factor whose combination key still spans >= 30
+    * bits (collision-safe into the billions of docs); when d is so
+    * large no such split exists, take the widest key with a bounded
+    * (<= 64) explode factor; degenerate cases fall back to d+1 blocks
+    * (the classic one-clean-block split). */
+  private[graft] def autoBlocks(d: Int): Int = {
+    val divisors = (1 to SimhashBits).filter(SimhashBits % _ == 0)
+    def combos(n: Int) = (BigInt(1) to BigInt(d)).foldLeft(BigInt(1)) { (acc, i) =>
+      acc * (n - d + i.toInt) / i
+    } // C(n, n-d) = C(n, d)
+    def keyBits(n: Int) = (n - d) * (SimhashBits / n)
+    val eligible = divisors.filter(_ > d)
+    eligible.filter(n => keyBits(n) >= 30 && combos(n) <= 64).minByOption(combos(_))
+      .orElse(eligible.filter(combos(_) <= 64).maxByOption(keyBits))
+      .getOrElse(d + 1)
+  }
+
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
-    val nBlocks = maxHamming + 1
+                      maxHamming: Int = 3, nBlocksOpt: Int = 0): DataFrame = {
+    val nBlocks = if (nBlocksOpt > 0) nBlocksOpt else autoBlocks(maxHamming)
+    require(nBlocks > maxHamming, s"need more blocks ($nBlocks) than allowed diffs ($maxHamming)")
+    require(SimhashBits % nBlocks == 0, s"$nBlocks blocks must divide $SimhashBits bits")
     val blockBits = SimhashBits / nBlocks
+    val combos = (0 until nBlocks).combinations(nBlocks - maxHamming).toSeq
     val hashed = simhash(docs, idCol, textCol)
+    // combo key = the combo's block values packed into one long (total
+    // bits <= SimhashBits, so it always fits); combo index disambiguates
+    val comboKeys = combos.map { combo =>
+      combo.foldLeft(lit(0L)) { (acc, blk) =>
+        shiftleft(acc, blockBits) +
+          shiftrightunsigned(col("simhash"), blk * blockBits).bitwiseAND(lit((1L << blockBits) - 1))
+      }
+    }
     val blocked = hashed.select(col("id"), col("simhash"),
-      posexplode(array((0 until nBlocks).map { blk =>
-        shiftrightunsigned(col("simhash"), blk * blockBits)
-          .bitwiseAND(lit((1L << blockBits) - 1))
-      }: _*)).as(Seq("blk", "blk_key")))
-      .repartition(col("blk"), col("blk_key"))
-    val l = blocked.select(col("blk"), col("blk_key"), col("id").as("id_a"), col("simhash").as("h_a"))
-    val r = blocked.select(col("blk"), col("blk_key"), col("id").as("id_b"), col("simhash").as("h_b"))
-    l.join(r, Seq("blk", "blk_key")).filter(col("id_a") < col("id_b"))
+      posexplode(array(comboKeys: _*)).as(Seq("ck", "ck_key")))
+      .repartition(col("ck"), col("ck_key"))
+    val l = blocked.select(col("ck"), col("ck_key"), col("id").as("id_a"), col("simhash").as("h_a"))
+    val r = blocked.select(col("ck"), col("ck_key"), col("id").as("id_b"), col("simhash").as("h_b"))
+    l.join(r, Seq("ck", "ck_key")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)

@@ -41,6 +41,21 @@ object EventStream {
       .groupBy(window(col("event_ts"), window_), col("route"))
       .agg(count(lit(1)).as("n"))
 
+  /** Event-time sessionization as a streaming operator — the native
+    * `session_window` form of the batch lag+cumsum query (q34): events
+    * for a key that arrive within `gap` of each other merge into one
+    * session row; watermark bounds state. At scale this is the shape
+    * for clickstream sessionization over billions of events — state
+    * per open session only, merged incrementally, never a full-history
+    * window sort. */
+  def sessionized(events: DataFrame, keyCol: String, tsCol: String,
+                  gap: String = "30 minutes",
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+
   // --- T3: delayed retry with supersede + loop guard ------------------------
 
   final case class FailureEvent(job_id: String, run_id: String, event_ts: java.sql.Timestamp)

@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe for the heavy operator families: runs the
+  * dedup/ANN pipelines on k× perturbed copies of the sf corpus and
+  * reports wall times, so PLANS.md's "linear in corpus size" claims are
+  * measured, not asserted.
+  *
+  * Perturbation keeps the *structure* linear: every token is suffixed
+  * with the copy index (disjoint shingle spaces ⇒ no cross-copy
+  * near-dup pairs ⇒ output size grows k×, like a real corpus), and
+  * embedding copies get a per-copy deterministic element-wise nudge
+  * (keeps vectors distinct while preserving bucket geometry).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.codegen.cache.maxEntries", 1000)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.core.Tables.tune(spark)
+    val dir = if (args.nonEmpty) args.head else "/root/testdata/sf0.1"
+    val ks = Seq(1, 2, 4, 8)
+
+    def copies(base: DataFrame, k: Int, idCol: String, f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until k).map { i =>
+        f(base.withColumn(idCol, col(idCol) + lit(i.toLong * 10000000L)), i)
+      }.reduce(_ unionByName _)
+
+    val docs0 = graft.core.Tables.table(spark, dir, "documents")
+    val emb0 = graft.core.Tables.table(spark, dir, "embeddings")
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    for (k <- ks) {
+      val docs = copies(docs0, k, "doc_id",
+        (d, i) => d.withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1_c" + i)))
+        .localCheckpoint(true) // isolate input materialisation from the measured op
+      // per-copy deterministic sign-flip pattern = an orthogonal
+      // transform: geometry within a copy is preserved, cross-copy
+      // cosines decorrelate (a constant shift would instead pull all
+      // copies toward the same direction and fabricate near-dup pairs)
+      val emb = copies(emb0, k, "vec_id",
+        (d, i) => d.withColumn("embedding",
+          zip_with(col("embedding"),
+            typedlit((0 until 64).map(p =>
+              if ((scala.util.hashing.MurmurHash3.productHash((p, i)) & 1) == 0) 1.0f else -1.0f)),
+            (x, s) => x * s)))
+        .localCheckpoint(true)
+
+      val (tJac, nJac) = time(graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 6, 10, 1000).count())
+      val (tMin, nMin) = time(graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text", 0.5, k = 32).count())
+      val (tSim, nSim) = time(graft.ops.Dedup.simhashNearDups(docs, "doc_id", "text", 3).count())
+      val (tCos, nCos) = time(graft.ops.Dedup.cosineNearDups(emb, "vec_id", "embedding", 0.4).count())
+      val (tCosIvf, nCosIvf) = time {
+        val cents = graft.functions.VectorFunctions.centroidsByLabel(emb, "label", "embedding")
+        graft.ops.Dedup.cosineNearDupsIVF(emb, "vec_id", "embedding", cents, 0.4, nprobe = 2).count()
+      }
+      val (tKnn, nKnn) = time {
+        val cents = graft.functions.VectorFunctions.centroidsByLabel(emb, "label", "embedding")
+        graft.functions.VectorFunctions.ivfTopK(
+          emb.filter(col("vec_id") < 10), emb, cents, "vec_id", "embedding", 5, 3).count()
+      }
+      println(f"[scale] k=$k%-2d docs=${5000L * k}%-6d " +
+        f"jaccard=$tJac%6.2fs($nJac) minhash=$tMin%6.2fs($nMin) " +
+        f"simhash=$tSim%6.2fs($nSim) cosine=$tCos%6.2fs($nCos) " +
+        f"cosivf=$tCosIvf%6.2fs($nCosIvf) ivf=$tKnn%6.2fs($nKnn)")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    spark.stop()
+  }
+}

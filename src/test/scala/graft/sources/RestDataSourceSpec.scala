@@ -78,6 +78,29 @@ class RestDataSourceSpec extends SparkSpecBase {
     assert(calls.asScala.exists(_.get("status").contains("missing-status")))
   }
 
+  test("timestamp decode keeps microsecond precision and accepts ISO offsets") {
+    RestDataSource.register("fixture-ts", new RestPager.Transport {
+      def get(url: String, params: Map[String, String]): RestPager.Response =
+        RestPager.Response(200,
+          """[{"id": 1, "ts": "2026-01-02T03:04:05.123456Z"},
+            | {"id": 2, "ts": "2026-01-02T03:04:05.123456+02:00"},
+            | {"id": 3, "ts": null}]""".stripMargin,
+          headers = Map("X-WP-TotalPages" -> "1"))
+    })
+    val rows = spark.read.format("graft.sources.RestDataSource")
+      .schema("id LONG, ts TIMESTAMP")
+      .option("url", "http://api/runs").option("transport", "fixture-ts")
+      .load()
+      .select(col("id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    val zuluUs = java.time.Instant.parse("2026-01-02T03:04:05.123456Z")
+    assert(rows(1L).contains(zuluUs.getEpochSecond * 1000000L + zuluUs.getNano / 1000L))
+    // +02:00 offset = two hours earlier in UTC, sub-ms digits preserved
+    assert(rows(2L).contains(rows(1L).get - 2L * 3600L * 1000000L))
+    assert(rows(3L).isEmpty)
+  }
+
   test("schema is required (reference schemas are explicit)") {
     intercept[Exception] {
       spark.read.format("graft.sources.RestDataSource")

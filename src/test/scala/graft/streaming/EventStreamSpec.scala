@@ -57,6 +57,32 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("session_window sessionization merges gap-close events, splits gap-far ones") {
+    val topic = Files.createTempDirectory("graft-sess").toString
+    def ev(user: String, ts: String) = s"""{"user_id":"$user","event_ts":"$ts"}"""
+    Files.write(java.nio.file.Paths.get(topic, "b1.json"),
+      Seq(
+        ev("u1", "2026-01-01 00:00:00"), // session 1
+        ev("u1", "2026-01-01 00:10:00"), // within 30-min gap -> same session
+        ev("u1", "2026-01-01 01:30:00"), // > gap after previous -> session 2
+        ev("u2", "2026-01-01 00:05:00"), // u2 single session
+        // watermark-advancing straggler so earlier sessions close
+        ev("u3", "2026-01-01 06:00:00")).mkString("\n").getBytes)
+    val events = spark.readStream
+      .schema("user_id STRING, event_ts TIMESTAMP")
+      .json(topic)
+    val q = EventStream.sessionized(events, "user_id", "event_ts")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .selectExpr("user_id", "n_events").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(rows("u1") == Seq(1L, 2L)) // two sessions: 2 events then 1
+      assert(rows("u2") == Seq(1L))
+    } finally q.stop()
+  }
+
   test("delayedRetries end-to-end: timer fires once per job after the delay") {
     val topic = Files.createTempDirectory("graft-retry").toString
     def failure(job: String, run: String, ts: String) =
