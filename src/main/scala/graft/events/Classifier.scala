@@ -123,8 +123,13 @@ object Classifier {
       .groupBy(col("run_id"))
       .agg(
         sum(when(col("status").isin("fail", "error"), 1).otherwise(0)).as("failed_count"),
+        // null message -> "" like the reference (classifier.py:75
+        // `r.get("message") or ""`): no allowlist match -> NONTRANSIENT.
+        // Without the coalesce, rlike(null) is null and the three-valued
+        // `when` would silently count a null-message error as transient —
+        // breaking the default-deny rule exactly where it matters.
         sum(when(col("status") === "fail" ||
-          (col("status") === "error" && !isTransientCol(col("message"))), 1)
+          (col("status") === "error" && !isTransientCol(coalesce(col("message"), lit("")))), 1)
           .otherwise(0)).as("nontransient_count"))
       .withColumn("is_retryable",
         col("failed_count") > 0 && col("nontransient_count") === 0)

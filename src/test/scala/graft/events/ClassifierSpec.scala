@@ -66,11 +66,14 @@ class ClassifierSpec extends SparkSpecBase {
       ("r2", "error", "m.a", "quota exceeded"),
       ("r2", "fail", "t.x", "connection reset"),
       ("r3", "success", "m.a", ""),
-      ("r4", "error", "m.z", "syntax error at line 3")
+      ("r4", "error", "m.z", "syntax error at line 3"),
+      // null message = unexplained error -> default-deny, like the
+      // reference's `r.get("message") or ""` (classifier.py:75)
+      ("r5", "error", "m.n", null)
     ).toDF("run_id", "status", "unique_id", "message")
     val out = Classifier.classifyRuns(nodes)
       .collect().map(r => r.getAs[String]("run_id") -> r.getAs[String]("reason")).toMap
     assert(out == Map("r1" -> "transient", "r2" -> "nontransient",
-      "r3" -> "no_failures", "r4" -> "nontransient"))
+      "r3" -> "no_failures", "r4" -> "nontransient", "r5" -> "nontransient"))
   }
 }
