@@ -542,6 +542,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Correlated scalar subquery (TPC-H Q2/Q17 shape) through the SQL
+    // surface (SURVEY.md §2 S5): cheapest observed unit price per part —
+    // Catalyst decorrelates the = (SELECT min(...)) into an aggregate +
+    // join; DuckDB plans the same decorrelation, so this also pins the
+    // engines' subquery semantics against each other.
+    "q51_min_price_parts" -> ((s, dir) => {
+      Seq("part", "lineitem").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT p_partkey, p_name,
+           CAST(MIN(l_extendedprice / l_quantity) AS DOUBLE) AS min_unit_price
+           FROM part JOIN lineitem ON l_partkey = p_partkey
+           WHERE l_quantity > 0 AND (l_extendedprice / l_quantity) <= (
+             SELECT MIN(l2.l_extendedprice / l2.l_quantity) FROM lineitem l2
+             WHERE l2.l_partkey = p_partkey AND l2.l_quantity > 0)
+           GROUP BY p_partkey, p_name
+           ORDER BY p_partkey
+           LIMIT 100""")
+    }),
+
+    // Correlated scalar-aggregate subquery (TPC-H Q22 flavour) through
+    // the SQL surface: customers above their own segment's average
+    // balance. Catalyst decorrelates the per-segment average into an
+    // aggregate + join; the threshold is an exact decimal sum divided
+    // in double, so the boundary comparison is bit-identical on both
+    // engines.
+    "q52_above_segment_avg" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT c_mktsegment, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+           FROM customer c1
+           WHERE c_acctbal > (
+             SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+             FROM customer c2 WHERE c2.c_mktsegment = c1.c_mktsegment)
+           GROUP BY c_mktsegment
+           ORDER BY c_mktsegment""")
+    }),
+
     // Cube aggregation (all grouping-set combinations in one pass).
     "q48_cube_volume" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -912,6 +950,27 @@ object SparkEntry {
                        JOIN embeddings eb ON eb.vec_id = c.id_b)
          SELECT id_a, id_b, round(sim, 6) AS cosine_sim
          FROM scored WHERE sim >= 0.4 ORDER BY id_a, id_b""",
+
+    "q51_min_price_parts" ->
+      """SELECT p_partkey, p_name,
+         CAST(MIN(l_extendedprice / l_quantity) AS DOUBLE) AS min_unit_price
+         FROM part JOIN lineitem ON l_partkey = p_partkey
+         WHERE l_quantity > 0 AND (l_extendedprice / l_quantity) <= (
+           SELECT MIN(l2.l_extendedprice / l2.l_quantity) FROM lineitem l2
+           WHERE l2.l_partkey = p_partkey AND l2.l_quantity > 0)
+         GROUP BY p_partkey, p_name
+         ORDER BY p_partkey
+         LIMIT 100""",
+
+    "q52_above_segment_avg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+         FROM customer c1
+         WHERE c_acctbal > (
+           SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           FROM customer c2 WHERE c2.c_mktsegment = c1.c_mktsegment)
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
 
     "q49_repetition_signals" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
