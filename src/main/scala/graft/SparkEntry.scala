@@ -580,6 +580,26 @@ object SparkEntry {
            ORDER BY c_mktsegment""")
     }),
 
+    // Window frames + analytic functions (engine completeness beyond
+    // the reference's lone row_number, SURVEY §2.5): moving sum over a
+    // 3-row frame, rank/dense_rank/ntile/cume_dist, all on one shuffle.
+    // Total ordering (ts, event_id) makes every function deterministic;
+    // the moving sum folds in decimal for exactness.
+    "q53_window_frames" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val w3 = w.rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast(DecimalType(18, 4))).over(w3).cast("double").as("moving_sum3"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Cube aggregation (all grouping-set combinations in one pass).
     "q48_cube_volume" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -950,6 +970,20 @@ object SparkEntry {
                        JOIN embeddings eb ON eb.vec_id = c.id_b)
          SELECT id_a, id_b, round(sim, 6) AS cosine_sim
          FROM scored WHERE sim >= 0.4 ORDER BY id_a, id_b""",
+
+    "q53_window_frames" ->
+      """SELECT user_id, event_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3,
+         CAST(rank() OVER w AS INTEGER) AS rnk,
+         CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+         CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         cume_dist() OVER w AS cd
+         FROM events
+         WHERE user_id < 20
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+         ORDER BY user_id, event_id""",
 
     "q51_min_price_parts" ->
       """SELECT p_partkey, p_name,
