@@ -878,11 +878,12 @@ object SparkEntry {
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "q38_cosine_neardups" ->
-      """WITH dims AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+      """WITH dims AS (SELECT DISTINCT i - 1 AS d
+                       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
          planes AS (
            SELECT b, list(CASE WHEN CAST(('0x' || substr(md5('plane_' || b || '_' || d), 1, 1)) AS INT) % 2 = 1
                                THEN 1.0 ELSE -1.0 END ORDER BY d) AS p
-           FROM (SELECT b, d FROM range(60) r(b), dims, range(4096) s(d) WHERE d < dim)
+           FROM range(60) r(b), dims
            GROUP BY b),
          dots AS (
            SELECT e.vec_id, p.b,

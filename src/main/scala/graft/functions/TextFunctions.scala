@@ -113,11 +113,18 @@ object TextFunctions {
     regexp_replace(noIp, PhonePattern, "<PHONE>")
   }
 
-  /** Count of PII matches by type (for scrub audits / doc filtering). */
-  def piiCounts(text: Column): (Column, Column, Column) =
+  /** Count of PII matches by type (for scrub audits / doc filtering).
+    * Counts on the SAME sequentially-scrubbed forms scrubPii replaces
+    * on, so the tallies equal the placeholder counts it emits — a raw
+    * independent count would double-book text matching two patterns
+    * (e.g. an all-digit email local part re-matching as a phone). */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
     (regexp_count(text, lit(EmailPattern)),
-      regexp_count(text, lit(Ipv4Pattern)),
-      regexp_count(text, lit(PhonePattern)))
+      regexp_count(noEmail, lit(Ipv4Pattern)),
+      regexp_count(noIp, lit(PhonePattern)))
+  }
 
   /** Word n-gram shingles from an ALREADY-MATERIALISED token array
     * column. The token array must be its own projected column, not an

@@ -179,8 +179,13 @@ object VectorFunctions {
         val cnorm = sqrt(VecExpressions.vecDot(col("centroid_vec"), col("centroid_vec")))
         val score = VecExpressions.vecDot(vec, col("centroid_vec")) / cnorm
         val keep = df.columns.map(col)
-        val w = Window.partitionBy(keep: _*).orderBy(col("__s").desc, col("centroid_id").asc)
-        df.join(cent).withColumn("__s", score)
+        // rank within a synthetic per-row id, NOT the row's columns:
+        // duplicate input rows would otherwise share one window
+        // partition (each getting nprobe copies of only the nearest
+        // bucket), and the vector column would become a shuffle key
+        val w = Window.partitionBy(col("__rid")).orderBy(col("__s").desc, col("centroid_id").asc)
+        df.withColumn("__rid", monotonically_increasing_id())
+          .join(cent).withColumn("__s", score)
           .withColumn("__r", row_number().over(w)).filter(col("__r") <= nprobe)
           .select(keep :+ col("centroid_id").as(outCol): _*)
     }

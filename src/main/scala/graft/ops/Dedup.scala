@@ -378,20 +378,21 @@ object Dedup {
     * buckets, keeping bucket-collision candidates negligible at any
     * realistic corpus size for 5× the explode factor (20 keys vs 4).
     */
-  /** Auto block count for [[simhashNearDups]]: among divisors of
-    * [[SimhashBits]] with more blocks than allowed diffs, prefer the
-    * cheapest explode factor whose combination key still spans >= 30
-    * bits (collision-safe into the billions of docs); when d is so
-    * large no such split exists, take the widest key with a bounded
-    * (<= 64) explode factor; degenerate cases fall back to d+1 blocks
-    * (the classic one-clean-block split). */
+  /** Auto block count for [[simhashNearDups]]: among block counts with
+    * more blocks than allowed diffs, prefer the cheapest explode factor
+    * whose combination key still spans >= 30 bits (collision-safe into
+    * the billions of docs); when d is so large no such split exists,
+    * take the widest key with a bounded (<= 64) explode factor;
+    * degenerate cases fall back to d+1 blocks (the classic
+    * one-clean-block split — always valid, since uncovered trailing
+    * bits never break the pigeonhole argument). */
   private[graft] def autoBlocks(d: Int): Int = {
-    val divisors = (1 to SimhashBits).filter(SimhashBits % _ == 0)
-    def combos(n: Int) = (BigInt(1) to BigInt(d)).foldLeft(BigInt(1)) { (acc, i) =>
-      acc * (n - d + i.toInt) / i
+    val candidates = (1 to SimhashBits).filter(n => SimhashBits / n >= 1)
+    def combos(n: Int) = (1 to d).foldLeft(BigInt(1)) { (acc, i) =>
+      acc * (n - d + i) / i
     } // C(n, n-d) = C(n, d)
     def keyBits(n: Int) = (n - d) * (SimhashBits / n)
-    val eligible = divisors.filter(_ > d)
+    val eligible = candidates.filter(_ > d)
     eligible.filter(n => keyBits(n) >= 30 && combos(n) <= 64).minByOption(combos(_))
       .orElse(eligible.filter(combos(_) <= 64).maxByOption(keyBits))
       .getOrElse(d + 1)
@@ -401,7 +402,12 @@ object Dedup {
                       maxHamming: Int = 3, nBlocksOpt: Int = 0): DataFrame = {
     val nBlocks = if (nBlocksOpt > 0) nBlocksOpt else autoBlocks(maxHamming)
     require(nBlocks > maxHamming, s"need more blocks ($nBlocks) than allowed diffs ($maxHamming)")
-    require(SimhashBits % nBlocks == 0, s"$nBlocks blocks must divide $SimhashBits bits")
+    require(nBlocks <= SimhashBits, s"at most $SimhashBits blocks")
+    // integer division: when nBlocks doesn't divide SimhashBits the top
+    // SimhashBits % nBlocks bits stay uncovered — harmless: diffs there
+    // dirty no block, so >= (nBlocks - d) blocks still agree (the
+    // pigeonhole completeness argument only needs covered-bit diffs to
+    // land in <= d blocks)
     val blockBits = SimhashBits / nBlocks
     val combos = (0 until nBlocks).combinations(nBlocks - maxHamming).toSeq
     val hashed = simhash(docs, idCol, textCol)

@@ -32,6 +32,7 @@ object ScaleProbe {
 
     val docs0 = graft.core.Tables.table(spark, dir, "documents")
     val emb0 = graft.core.Tables.table(spark, dir, "embeddings")
+    val embDim = emb0.select(size(col("embedding"))).head().getInt(0)
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
@@ -48,7 +49,7 @@ object ScaleProbe {
       val emb = copies(emb0, k, "vec_id",
         (d, i) => d.withColumn("embedding",
           zip_with(col("embedding"),
-            typedlit((0 until 64).map(p =>
+            typedlit((0 until embDim).map(p =>
               if ((scala.util.hashing.MurmurHash3.productHash((p, i)) & 1) == 0) 1.0f else -1.0f)),
             (x, s) => x * s)))
         .localCheckpoint(true)

@@ -1,30 +1,33 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Exercises the extensions entry point WITHOUT building a session:
+  * applying the class to a SparkSessionExtensions and materialising its
+  * registry must yield a working vec_dot — the same wiring
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * builder.withExtensions) performs at session build. A session-based
+  * variant would have to clear/restore the JVM-global default session,
+  * racing concurrently-running suites that share TestSession. */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  test("GraftExtensions registers vec_dot at session build (withExtensions path)") {
-    // the spark.sql.extensions STATIC conf is only read when the
-    // SparkContext is first created, so in-JVM we exercise the same
-    // class through the public builder.withExtensions hook
-    val base = TestSession.spark // ensure shared context exists first
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try {
-      val s2 = SparkSession.builder()
-        .master("local[4]")
-        .withExtensions(new GraftExtensions)
-        .getOrCreate()
-      val out = s2.sql(
-        """SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
-          |               array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS d""".stripMargin)
-        .head().getDouble(0)
-      assert(out == 11.0)
-    } finally {
-      SparkSession.setDefaultSession(base)
-      SparkSession.setActiveSession(base)
-    }
+  test("GraftExtensions injects vec_dot into the session function registry") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val registry = org.apache.spark.sql.ExtensionsTestShim
+      .registerFunctions(ext, new SimpleFunctionRegistry)
+
+    val builder = registry.lookupFunctionBuilder(FunctionIdentifier("vec_dot"))
+    assert(builder.isDefined, "vec_dot not registered")
+
+    val expr = builder.get(Seq(
+      Literal.create(Seq(1.0f, 2.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      Literal.create(Seq(3.0, 4.0), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    assert(expr.isInstanceOf[graft.functions.VecDot])
+    assert(expr.eval(null) == 11.0)
   }
 }

@@ -48,6 +48,15 @@ class TextFunctionsSpec extends SparkSpecBase {
     // clean text passes through untouched
     val clean = "no personal data in this sentence"
     assert(one(clean).select(TextFunctions.scrubPii($"text")).head().getString(0) == clean)
+
+    // no double-booking: an all-digit email local part is ONE email,
+    // not also a phone (counts audit the sequentially-scrubbed forms)
+    val tricky = "ping 12345678901@example.com now"
+    assert(one(tricky).select(TextFunctions.scrubPii($"text")).head().getString(0)
+      == "ping <EMAIL> now")
+    val (e2, i2, p2) = TextFunctions.piiCounts($"text")
+    val r2 = one(tricky).select(e2.as("e"), i2.as("i"), p2.as("p")).head()
+    assert((r2.getInt(0), r2.getInt(1), r2.getInt(2)) == ((1, 0, 0)))
   }
 
   test("langGuess picks marker-dominant language, und when nothing matches") {

@@ -69,4 +69,23 @@ class VectorFunctionsSpec extends SparkSpecBase {
     val recall = (approx2 & exact).size.toDouble / exact.size
     assert(recall > 0.3, s"recall=$recall") // random labels -> coarse bound
   }
+
+  test("assignProbes large-model branch: duplicate rows each get the top-nprobe buckets") {
+    // >1024 centroids forces the broadcast-join + window branch; axis-
+    // aligned unit centroids make nearest buckets trivially known
+    val centroids = (0 until 1100).map { i =>
+      val v = Array.fill(4)(0.001); v(i % 4) = 1.0
+      (i, v.toSeq)
+    }.toDF("centroid_id", "centroid_vec")
+    // two IDENTICAL rows pointing at axis 0 — each must probe buckets
+    // {0, 4} (the two lowest-id axis-0 centroids), not bucket 0 twice
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val out = VectorFunctions.assignProbes(df, $"v", centroids, "bucket", nprobe = 2)
+      .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(out.length == 4)
+    assert(out.count(_._2 == 0) == 2 && out.count(_._2 == 4) == 2,
+      s"got ${out.mkString(",")}")
+  }
 }

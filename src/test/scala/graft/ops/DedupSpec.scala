@@ -66,6 +66,14 @@ class DedupSpec extends SparkSpecBase {
     assert(java.lang.Long.bitCount(h(1L) ^ h(2L)) < java.lang.Long.bitCount(h(1L) ^ h(3L)))
   }
 
+  test("autoBlocks always yields a valid pigeonhole split, wide keys when possible") {
+    for (d <- 1 to 20) {
+      val n = Dedup.autoBlocks(d)
+      assert(n > d && n <= Dedup.SimhashBits, s"d=$d -> n=$n")
+    }
+    assert(Dedup.autoBlocks(3) == 6)  // the 30-bit-key default q28 relies on
+  }
+
   test("simhashNearDups block trick finds all pairs within maxHamming (pigeonhole-complete)") {
     val out = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -79,6 +87,16 @@ class DedupSpec extends SparkSpecBase {
       if java.lang.Long.bitCount(h(a) ^ h(b)) <= 8
     } yield (a, b)).toSet
     assert(out == brute)
+
+    // non-divisor fallback split (d=6 -> 8 blocks of 7 bits, 4 bits
+    // uncovered) must stay complete too
+    val out6 = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute6 = (for {
+      a <- h.keys; b <- h.keys if a < b
+      if java.lang.Long.bitCount(h(a) ^ h(b)) <= 6
+    } yield (a, b)).toSet
+    assert(out6 == brute6)
   }
 
   test("connectedComponents: chains collapse to min-id clusters, singleton pairs intact") {
