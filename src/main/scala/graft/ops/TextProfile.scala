@@ -32,9 +32,14 @@ object TextProfile {
     // Pin the tokenised form behind an id-partitioned exchange: the
     // scan+regex tokenise stage runs ONCE and its shuffle output feeds
     // both branches (ReusedExchange) — without this each branch re-reads
-    // and re-tokenises the corpus. The id partitioning also feeds the
-    // final join with no further exchange on the scalar branch.
-    val tokArr = docs.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("ts"))
+    // and re-tokenises the corpus. The explicit isNotNull matters: the
+    // bigram branch (inner side of the final left join) gets an inferred
+    // isnotnull(id) pushed below the exchange, and without the same
+    // filter on the scalar branch the two exchange subtrees canonicalise
+    // differently and reuse is lost. Null-id docs carry no usable key
+    // and are dropped (reference ids are non-null).
+    val tokArr = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("ts"))
       .repartition(col("id"))
     val tokenStats = tokArr.select(
       col("id"),
