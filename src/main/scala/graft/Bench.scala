@@ -14,9 +14,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM (session init, parquet reader, codegen/JIT paths) on
-    // the smoke SF so per-query timings measure the queries, not startup.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // Warm the JVM on the smoke SF: run the WHOLE catalog once at
+    // sf0.001 (sub-second per query) so janino compilation and JIT of
+    // every plan's generated code happen before timing — the measured
+    // numbers are then warm-path throughput at the bench SF, not
+    // first-compile latency. Generated code is structure-dependent
+    // only, so the compile cache carries across scale factors.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    System.gc()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
