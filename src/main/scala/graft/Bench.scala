@@ -20,7 +20,12 @@ object Bench {
     // numbers are then warm-path throughput at the bench SF, not
     // first-compile latency. Generated code is structure-dependent
     // only, so the compile cache carries across scale factors.
-    val warmDir = "/root/testdata/sf0.001"
+    // prefer the smoke SF next to the bench dir; fall back to the bench
+    // dir itself so warming never silently no-ops on other layouts
+    val warmDir = {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.getPath else sfDir
+    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

@@ -387,7 +387,7 @@ object Dedup {
     * one-clean-block split — always valid, since uncovered trailing
     * bits never break the pigeonhole argument). */
   private[graft] def autoBlocks(d: Int): Int = {
-    val candidates = (1 to SimhashBits).filter(n => SimhashBits / n >= 1)
+    val candidates = 1 to SimhashBits
     def combos(n: Int) = (1 to d).foldLeft(BigInt(1)) { (acc, i) =>
       acc * (n - d + i) / i
     } // C(n, n-d) = C(n, d)

@@ -27,7 +27,9 @@ class GeoIngestSpec extends SparkSpecBase {
     writeZip(dir, "allCountries.zip", Map("allCountries.txt" -> Seq(
       Seq("1", "Earth", "Earth", "", "0", "0", "L", "AREA", "", "", "", "", "", "", "0", "", "0", "UTC", "2026-01-01").mkString("\t"))))
     write(dir, "deletes.txt", Seq("42\tGone\tduplicate"))
+    // first line is a header the reference's default skip_header_rows=1 drops
     writeZip(dir, "modifications.zip", Map("modifications.txt" -> Seq(
+      (1 to 19).map(i => s"col$i").mkString("\t"),
       Seq("7", "Rome", "Rome", "", "41.9", "12.5", "P", "PPLC", "IT", "", "62", "RM", "", "", "2700000", "21", "20", "Europe/Rome", "2026-02-03").mkString("\t"))))
     write(dir, "alternateNamesDeletes.txt", Seq("9\t7\tRoma"))
     writeZip(dir, "alternateNamesModifications.zip", Map("alternateNamesModifications.txt" -> Seq("11\t7\tit\tRoma")))
@@ -35,13 +37,18 @@ class GeoIngestSpec extends SparkSpecBase {
     writeZip(dir, "alternateNamesV2.zip", Map(
       "README.txt" -> Seq("ignore me"),
       "alternateNamesV2.txt" -> Seq("12\t7\tit\tRoma\t1\t\t\t\t\t")))
-    // countryInfo: 50 comment lines, then data including Namibia whose
-    // "NA" iso code must SURVIVE the NA-token nulling
+    // countryInfo: 50 comment lines, then 18-column data rows including
+    // Namibia whose "NA" iso code must SURVIVE the NA-token nulling
     write(dir, "countryInfo.txt",
       (1 to 50).map(i => s"# comment line $i") ++ Seq(
-        Seq("NA", "NAM", "516", "WA", "Namibia", "824292.0", ".na", "NAD", "Dollar", "264", "3355338", "ZA").mkString("\t"),
-        Seq("IT", "ITA", "380", "IT", "Italy", "301230.0", ".it", "EUR", "Euro", "39", "3175395", "FR").mkString("\t")))
-    write(dir, "timeZones.txt", Seq("IT\tEurope/Rome\t1.0\t2.0\t1.0"))
+        Seq("NA", "NAM", "516", "WA", "Namibia", "Windhoek", "824292.0", "2540905", "AF",
+          ".na", "NAD", "Dollar", "264", "", "", "en,af", "3355338", "ZA").mkString("\t"),
+        Seq("IT", "ITA", "380", "IT", "Italy", "Rome", "301230.0", "60340328", "EU",
+          ".it", "EUR", "Euro", "39", "#####", "^(\\d{5})$", "it", "3175395", "FR").mkString("\t")))
+    // header line dropped by the default skip_header_rows=1 call path
+    write(dir, "timeZones.txt", Seq(
+      "CountryCode\tTimeZoneId\tGMT\tDST\trawOffset",
+      "IT\tEurope/Rome\t1.0\t2.0\t1.0"))
   }
 
   test("config-driven geo refresh: skiprows, Namibia NA, zip regex, append mode, date stamp") {
@@ -55,12 +62,23 @@ class GeoIngestSpec extends SparkSpecBase {
     // all 11 enabled tables published
     assert(counts.keySet == GeoIngest.Tables.filter(_.enabled).map(_.name).toSet)
 
-    // countryInfo: 50-line preamble dropped, Namibia's NA survived
+    // countryInfo: 50-line preamble dropped, Namibia's NA survived,
+    // full 18-column layout lands positionally (a dropped mid-table
+    // column would shift everything after Capital)
     val ci = spark.read.parquet(s"$root/geo_country_info")
     assert(ci.count() == 2)
     val nam = ci.filter(col("country_name") === "Namibia").head()
     assert(nam.getAs[String]("iso_code") == "NA")
     assert(nam.getAs[Long]("iso_numeric_code") == 516L)
+    assert(nam.getAs[String]("Capital") == "Windhoek")
+    assert(nam.getAs[Double]("area_in_square_kilometers") == 824292.0)
+    assert(nam.getAs[Long]("country_geoname_id") == 3355338L)
+    assert(nam.getAs[String]("neighbors") == "ZA")
+
+    // timeZones: the header row was dropped by the skip-1 default path
+    val tz = spark.read.parquet(s"$root/geo_time_zones")
+    assert(tz.count() == 1)
+    assert(tz.head().getAs[String]("country_code") == "IT")
 
     // zip member regex picked the data member, not the README
     val v2 = spark.read.parquet(s"$root/geo_alternate_names_v_2")
@@ -80,5 +98,13 @@ class GeoIngestSpec extends SparkSpecBase {
     val counts2 = GeoIngest.run(spark, f => dir.resolve(f).toString, root, today)
     assert(counts2("geo_all_countries_deleted") == 2)
     assert(counts2("geo_country_info") == 2)
+
+    // empty-truncation guard: a run over empty extracts must NOT wipe
+    // the published overwrite tables (TableSwap.stageAndSwap refuses)
+    val empty = Files.createTempDirectory("geo-empty")
+    fixtures(empty)
+    write(empty, "countryInfo.txt", (1 to 50).map(i => s"# only comments $i"))
+    val counts3 = GeoIngest.run(spark, f => empty.resolve(f).toString, root, today)
+    assert(counts3("geo_country_info") == 2) // previous publish intact
   }
 }
