@@ -220,8 +220,14 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("s").as("v")).distinct()
-      .withColumn("comp", col("v"))
+    // initial labels fuse round 1: starting from identity, the first
+    // round's neighbor-min over identity labels IS min(v, min neighbor)
+    // — computable directly as one aggregate over the edge list, saving
+    // a full join round (the eager checkpoint keeps the loop's per-round
+    // plans identical from iteration one)
+    var labels = edges.groupBy(col("s").as("v"))
+      .agg(least(min(col("s")), min(col("t"))).as("comp")) // min(s)=s per group
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     // convergence detector: per-vertex labels are monotonically
