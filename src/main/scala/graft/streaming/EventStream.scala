@@ -41,6 +41,21 @@ object EventStream {
       .groupBy(window(col("event_ts"), window_), col("route"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact-dedup at ingestion — the streaming twin of the
+    * batch fingerprint dedup (q25): documents whose whitespace/case-
+    * normalised content already arrived within the watermark are
+    * dropped before they ever land. State is one fingerprint per unique
+    * doc inside the watermark window, so memory is bounded at any
+    * ingest rate — the shape for dedup-on-arrival in a training-data
+    * feed. */
+  def dedupDocumentsStream(docs: DataFrame, textCol: String, tsCol: String,
+                           watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Event-time sessionization as a streaming operator — the native
     * `session_window` form of the batch lag+cumsum query (q34): events
     * for a key that arrive within `gap` of each other merge into one

@@ -57,6 +57,28 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming document dedup drops same-fingerprint arrivals within the watermark") {
+    val topic = Files.createTempDirectory("graft-docdedup").toString
+    def doc(id: Long, text: String, ts: String) =
+      s"""{"doc_id":$id,"text":"$text","event_ts":"$ts"}"""
+    Files.write(java.nio.file.Paths.get(topic, "b1.json"),
+      Seq(
+        doc(1, "The  Quick Fox", "2026-01-01 00:00:00"),
+        doc(2, "the quick fox", "2026-01-01 00:01:00"),  // dup (ws/case-insensitive)
+        doc(3, "something else", "2026-01-01 00:02:00"),
+        doc(4, "straggler far ahead", "2026-01-01 02:00:00")).mkString("\n").getBytes)
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING, event_ts TIMESTAMP")
+      .json(topic)
+    val q = EventStream.dedupDocumentsStream(docs, "text", "event_ts")
+      .writeStream.format("memory").queryName("docdedup_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("docdedup_out").selectExpr("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L, 4L)) // doc 2's fingerprint already seen
+    } finally q.stop()
+  }
+
   test("session_window sessionization merges gap-close events, splits gap-far ones") {
     val topic = Files.createTempDirectory("graft-sess").toString
     def ev(user: String, ts: String) = s"""{"user_id":"$user","event_ts":"$ts"}"""
