@@ -31,26 +31,32 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     System.gc()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // best of two timed runs: plans are already warm, so remaining
-      // run-to-run spread is GC/OS jitter — the min is the stable
-      // estimate of the query's actual cost
-      val dt = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      // Reset session state between queries (outside the timer) so each
-      // measurement reflects the query, not its predecessors' leftovers:
-      // drop storage blocks (localCheckpoints of the iterative
-      // operators), release dead broadcast/shuffle state via the
-      // ContextCleaner (which only acts on GC), and let the JIT queue
-      // drain — without this, heap pressure from dozens of prior plans
-      // inflates later heavy queries 2-3x.
+    // Reset session state between timed runs (outside the timers) so
+    // each measurement reflects the query, not leftovers: drop storage
+    // blocks (localCheckpoints of the iterative operators), release
+    // dead broadcast/shuffle state via the ContextCleaner (which only
+    // acts on GC), and let the JIT queue drain — without this, heap
+    // pressure from prior plans inflates later heavy queries 2-3x.
+    def reset(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()
       System.gc()
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // best of two timed runs: plans are already warm, so remaining
+      // run-to-run spread is GC/OS jitter — the min OVER SUCCESSFUL
+      // runs is the stable estimate of the query's actual cost (a
+      // failed run's elapsed-to-failure must never win the min).
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        reset()
+        (ok, dt)
+      }
+      val dt = runs.filter(_._1).map(_._2).minOption.getOrElse(runs.map(_._2).max)
       System.err.println(f"[bench] $name%-28s $dt%8.2fs")
       name -> dt
     }.toMap

@@ -49,12 +49,17 @@ object EventStream {
     * ingest rate — the shape for dedup-on-arrival in a training-data
     * feed. */
   def dedupDocumentsStream(docs: DataFrame, textCol: String, tsCol: String,
-                           watermarkDelay: String = "10 minutes"): DataFrame =
+                           watermarkDelay: String = "10 minutes"): DataFrame = {
+    // collision-proof internal column: never clobber (then drop) a
+    // user column that happens to share the working name
+    val fp = Iterator.from(0).map(i => s"__graft_fp$i")
+      .find(n => !docs.columns.contains(n)).get
     docs
-      .withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withColumn(fp, graft.functions.TextFunctions.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark("__fp")
-      .drop("__fp")
+      .dropDuplicatesWithinWatermark(fp)
+      .drop(fp)
+  }
 
   /** Event-time sessionization as a streaming operator — the native
     * `session_window` form of the batch lag+cumsum query (q34): events

@@ -74,8 +74,21 @@ class EventStreamSpec extends SparkSpecBase {
       .writeStream.format("memory").queryName("docdedup_out").outputMode("append").start()
     try {
       q.processAllAvailable()
-      val ids = spark.table("docdedup_out").selectExpr("doc_id").as[Long].collect().toSet
-      assert(ids == Set(1L, 3L, 4L)) // doc 2's fingerprint already seen
+      def ids() = spark.table("docdedup_out").selectExpr("doc_id").as[Long].collect().toSet
+      assert(ids() == Set(1L, 3L, 4L)) // doc 2's fingerprint already seen
+
+      // watermark after batch 1 = 02:00 - 10min = 01:50, so doc 4's
+      // (02:00) state survives but doc 1's (00:00) was evicted. Batch 2
+      // pins BOTH halves of the contract: a duplicate of live state is
+      // still dropped; a duplicate of evicted state re-emits (bounded
+      // state, not global dedup).
+      Files.write(java.nio.file.Paths.get(topic, "b2.json"),
+        Seq(
+          doc(5, "straggler far ahead", "2026-01-01 02:05:00"), // state alive -> dropped
+          doc(6, "THE QUICK FOX",       "2026-01-01 02:05:30")  // state evicted -> emitted
+        ).mkString("\n").getBytes)
+      q.processAllAvailable()
+      assert(ids() == Set(1L, 3L, 4L, 6L))
     } finally q.stop()
   }
 
