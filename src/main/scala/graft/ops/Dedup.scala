@@ -212,22 +212,30 @@ object Dedup {
     * within the iteration cap. Rounds are plain shuffles (join + groupBy
     * min); each round's checkpoint replaces the previous one so executor
     * storage stays O(|V|), not O(|V| * rounds). */
+  /** Lineage cut for the iterative rounds: RELIABLE checkpoint (HDFS/
+    * object store) when the context has a checkpoint dir — on a real
+    * cluster, localCheckpoint blocks die with their executor and the
+    * truncated lineage makes that loss unrecoverable mid-iteration —
+    * else executor-local blocks (single-node/bench, where loss = JVM
+    * death anyway). */
+  private def cutLineage(df: DataFrame, eager: Boolean): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // materialize the edge list once — every propagation round joins
     // against it, and without the checkpoint each round would re-run
     // the whole upstream pair-generation pipeline
-    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
+    val edges = cutLineage(pairs.select(col("id_a").as("s"), col("id_b").as("t"))
       .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct(), eager = true)
     // initial labels fuse round 1: starting from identity, the first
     // round's neighbor-min over identity labels IS min(v, min neighbor)
     // — computable directly as one aggregate over the edge list, saving
     // a full join round (the eager checkpoint keeps the loop's per-round
     // plans identical from iteration one)
-    var labels = edges.groupBy(col("s").as("v"))
-      .agg(least(min(col("s")), min(col("t"))).as("comp")) // min(s)=s per group
-      .localCheckpoint(true)
+    var labels = cutLineage(edges.groupBy(col("s").as("v"))
+      .agg(least(min(col("s")), min(col("t"))).as("comp")), eager = true) // min(s)=s per group
     var iter = 0
     var converged = false
     // convergence detector: per-vertex labels are monotonically
@@ -245,13 +253,13 @@ object Dedup {
       // graph. Both sides of the self-join share the identical subplan,
       // so the stepped shuffle runs once (ReusedExchange), and only the
       // jumped result is checkpointed — one materialisation per round.
-      val jumped = stepped.join(
+      // cut lineage: each round is flat, not a growing tree. LAZY so the
+      // convergence aggregate below is the materializing action — one
+      // job per round (sum + block persist together), not two.
+      val jumped = cutLineage(stepped.join(
           stepped.select(col("v").as("comp"), col("comp").as("jcomp")), Seq("comp"), "left")
-        .select(col("v"), least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
-        // cut lineage: each round is flat, not a growing tree. LAZY so the
-        // convergence aggregate below is the materializing action — one
-        // job per round (sum + block persist together), not two.
-        .localCheckpoint(false)
+        .select(col("v"), least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp")),
+        eager = false)
       val s = Option(jumped.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
       converged = prevSum != null && s.compareTo(prevSum) == 0

@@ -111,4 +111,18 @@ class DedupSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("connectedComponents takes the reliable-checkpoint path when a dir is configured") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // checkpoint files actually landed in the configured (fault-
+    // tolerant) location — executor loss no longer kills the iteration
+    import scala.jdk.CollectionConverters._
+    val nFiles = java.nio.file.Files.walk(dir).iterator().asScala.count(_.toFile.isFile)
+    assert(nFiles > 0, "no reliable checkpoint files written")
+  }
 }
