@@ -606,6 +606,29 @@ object SparkEntry {
         .cube(year(col("o_orderdate")).as("order_year"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy(col("order_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Deterministic hash-bucketed train/valid/test split (portable md5
+    // buckets — membership stable across runs, engines, partitionings).
+    "q54_hash_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(graft.ops.Sampling.splitLabel(col("doc_id")).as("split"),
+          col("n_chars"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))
+    }),
+
+    // Benchmark decontamination: training docs sharing any 5-gram with
+    // the held-out "benchmark" subset (doc_id % 20 == 0). Broadcast
+    // bench-gram semi-join — no corpus shuffle for the overlap test.
+    "q55_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.contamination(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
     }))
 
   // ---------------------------------------------------------------------------
@@ -942,6 +965,30 @@ object SparkEntry {
          FROM orders
          GROUP BY CUBE(order_year, o_orderpriority)
          ORDER BY order_year NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q54_hash_split" ->
+      """WITH b AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+                           n_chars
+                    FROM documents)
+         SELECT CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'valid'
+                     ELSE 'test' END AS split,
+                COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM b GROUP BY split ORDER BY split""",
+
+    "q55_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+                FROM toks, UNNEST(range(1, len(ws)-3)) AS r(i) WHERE len(ws) >= 5),
+         corp AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+         bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corp GROUP BY doc_id),
+         hits AS (SELECT doc_id, COUNT(*) AS n_hits
+                  FROM corp JOIN bench USING (g) GROUP BY doc_id)
+         SELECT h.doc_id, h.n_hits, s.n_shingles
+         FROM hits h JOIN sizes s USING (doc_id) ORDER BY h.doc_id""",
 
     "q50_cosine_ivf_neardups" ->
       """WITH cent AS (

@@ -25,7 +25,7 @@ object Dedup {
     * this is a no-op. The exchange this inserts is also reused by the
     * self-join branches (ReusedExchange) instead of recomputing the
     * text pipeline per side. */
-  private def ensureParallelism(df: DataFrame): DataFrame = {
+  private[ops] def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

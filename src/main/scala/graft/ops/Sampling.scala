@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and split assignment for the
+  * training-data layer. Training corpora need train/valid/test membership
+  * that is (a) stable across runs and engines — re-deriving the split
+  * from a new snapshot must not move documents between splits — and
+  * (b) a pure per-row map, so it composes with any scan without a
+  * shuffle and survives repartitioning at 100 TB unchanged.
+  *
+  * Both properties come from hashing the document KEY rather than using
+  * positional/random sampling (`rand()` or `TABLESAMPLE` re-deal rows on
+  * every run and every repartition; reference ingestion has the same
+  * stability concern with its keyed dedup, cf. okta-sync/main.py:24-30).
+  * The hash is md5 (bytes-defined in every engine) reduced to a bucket
+  * in [0, buckets), so a DuckDB/BigQuery/Trino pipeline reproduces the
+  * exact same membership — oracle-checked in q54.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) for a key: first 15 md5 hex digits
+    * (60 bits — fits a long with headroom, like the portable hash
+    * families in [[Dedup]]) mod buckets. Uniform for buckets << 2^60. */
+  def hashBucket(key: Column, buckets: Int): Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % buckets
+  }
+
+  /** Train/valid/test label from percentage cut points over 100 hash
+    * buckets: [0, trainPct) -> "train", [trainPct, trainPct+validPct) ->
+    * "valid", rest -> "test". */
+  def splitLabel(key: Column, trainPct: Int = 80, validPct: Int = 10): Column = {
+    require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"invalid split percentages: train=$trainPct valid=$validPct")
+    val b = hashBucket(key, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + validPct, "valid")
+      .otherwise("test")
+  }
+
+  /** Reproducible pct% sample: keep rows whose key hashes below the cut.
+    * A pure narrow filter — pushes into the scan stage, no shuffle, and
+    * the same rows are kept no matter how the input is partitioned. */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    df.filter(hashBucket(col(keyCol), 100) < pct)
+  }
+}
