@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses one bare JSON line from `sbt runMain
+// graft.Bench` stdout; sbt's default LoggedOutput decorates every
+// forked-process line with [info]/[error], which broke that parse
+// (BENCH_r01 "parsed": null). StdoutOutput passes the child's
+// stdout/stderr through untouched.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
