@@ -629,6 +629,28 @@ object SparkEntry {
           docs.filter(col("doc_id") % 20 === 0),
           "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))
+    }),
+
+    // Incremental arrival dedup: survivors of the "new" batch (doc_id %
+    // 10 >= 8) against the already-ingested corpus — batch-local keep-min
+    // then fingerprint anti-join; historical text is hashed, never moved.
+    "q56_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalNew(
+          docs.filter(col("doc_id") % 10 >= 8),
+          docs.filter(col("doc_id") % 10 < 8),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic per-group quota sample (≤15 docs per language by
+    // md5-of-id order) — skew-safe two-phase top-k; engine-portable
+    // selection, so the oracle reproduces the exact member set.
+    "q57_quota_sample" -> ((s, dir) => {
+      graft.ops.Sampling.quotaPerGroup(
+          t(s, dir, "documents").select(col("lang"), col("doc_id")),
+          "lang", "doc_id", k = 15)
+        .orderBy(col("lang"), col("doc_id"))
     }))
 
   // ---------------------------------------------------------------------------
@@ -989,6 +1011,21 @@ object SparkEntry {
                   FROM corp JOIN bench USING (g) GROUP BY doc_id)
          SELECT h.doc_id, h.n_hits, s.n_shingles
          FROM hits h JOIN sizes s USING (doc_id) ORDER BY h.doc_id""",
+
+    "q56_incremental_dedup" ->
+      """WITH fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+                     FROM documents),
+         fresh AS (SELECT f, MIN(doc_id) AS doc_id FROM fp WHERE doc_id % 10 >= 8 GROUP BY f),
+         seen AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 < 8)
+         SELECT doc_id FROM fresh
+         WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.f = fresh.f)
+         ORDER BY doc_id""",
+
+    "q57_quota_sample" ->
+      """SELECT lang, doc_id FROM documents
+         QUALIFY row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 15
+         ORDER BY lang, doc_id""",
 
     "q50_cosine_ivf_neardups" ->
       """WITH cent AS (

@@ -37,6 +37,23 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental arrival dedup: the survivors of a NEW batch against an
+    * already-deduped historical corpus — dedup within the batch (keep
+    * min id per fingerprint), then drop anything whose fingerprint the
+    * corpus has seen. The historical side only ever contributes its
+    * fingerprint column, so at 100 TB the anti-join runs against the
+    * compact fingerprint index (16 bytes/doc), not the corpus text, and
+    * the whole historical text store is never re-read or re-hashed.
+    * Returns (doc_id) of surviving new docs. */
+  def incrementalNew(newDocs: DataFrame, historical: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    val fresh = newDocs.select(
+      TextFunctions.fingerprint(col(textCol)).as("fingerprint"), col(idCol).as("id"))
+      .groupBy(col("fingerprint")).agg(min(col("id")).as("doc_id"))
+    val seen = historical.select(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+    fresh.join(seen, Seq("fingerprint"), "left_anti").select(col("doc_id"))
+  }
+
   /** Distinct word-n-gram shingle set per doc, exploded to an inverted
     * index (shingle -> doc). `maxDf` drops shingles appearing in more
     * than that many documents — stop-shingles generate quadratic pair

@@ -47,4 +47,28 @@ object Sampling {
     require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
     df.filter(hashBucket(col(keyCol), 100) < pct)
   }
+
+  /** Deterministic quota sample: up to `k` rows per group, chosen by
+    * md5-of-key order so the selection is stable across runs, engines,
+    * and partitionings (balanced training mixes: "at most k docs per
+    * language/source").
+    *
+    * Skew-safe two-phase top-k: a `groupBy(group)` window at 100 TB puts
+    * an entire group — possibly most of the corpus — in one partition.
+    * Phase 1 ranks within (group, salt-of-key) cells, capping each cell
+    * at k, so phase 2's per-group partitions hold at most `salts`×k rows
+    * regardless of group skew. Any group-global top-k row is top-k in
+    * its own cell, so the result is identical to the single-window form
+    * (which is what the oracle SQL runs). */
+  def quotaPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                    k: Int, salts: Int = 64): DataFrame = {
+    require(k > 0 && salts > 0, s"k and salts must be positive, got k=$k salts=$salts")
+    import org.apache.spark.sql.expressions.Window
+    val rank = md5(col(keyCol).cast("string"))
+    val w1 = Window.partitionBy(col(groupCol), pmod(xxhash64(col(keyCol)), lit(salts)))
+      .orderBy(rank, col(keyCol))
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(rank, col(keyCol))
+    df.withColumn("__r", row_number().over(w1)).filter(col("__r") <= k).drop("__r")
+      .withColumn("__r", row_number().over(w2)).filter(col("__r") <= k).drop("__r")
+  }
 }

@@ -112,6 +112,19 @@ class DedupSpec extends SparkSpecBase {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("incrementalNew keeps only batch-unique fingerprints unseen in the corpus") {
+    val historical = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta"),      // seen in corpus -> dropped
+      (11L, "epsilon zeta"),    // new -> kept
+      (12L, "epsilon zeta"),    // dup within batch -> collapsed into 11
+      (13L, "  Alpha   BETA ")  // normalises to a seen fingerprint -> dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(batch, historical, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L))
+  }
+
   test("connectedComponents takes the reliable-checkpoint path when a dir is configured") {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)

@@ -43,4 +43,21 @@ class SamplingSpec extends SparkSpecBase {
     assert(s10.subsetOf(s20), "10% sample must be contained in the 20% sample")
     assert(s10.nonEmpty && s20.size > s10.size)
   }
+
+  test("quotaPerGroup matches the single-window reference and caps every group") {
+    val rows = (1L to 500L).map(i => (s"g${i % 3}", i)).toDF("grp", "id")
+    val got = Sampling.quotaPerGroup(rows, "grp", "id", k = 7, salts = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // reference: plain single window, no salting
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(md5(col("id").cast("string")), col("id"))
+    val ref = rows.withColumn("__r", row_number().over(w)).filter(col("__r") <= 7)
+      .select(col("grp"), col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == ref)
+    assert(got.groupBy(_._1).forall(_._2.size == 7))
+    // groups smaller than k keep all members
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("grp", "id")
+    assert(Sampling.quotaPerGroup(tiny, "grp", "id", k = 7).count() == 3)
+  }
 }
