@@ -638,7 +638,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       Dedup.incrementalNew(
           docs.filter(col("doc_id") % 10 >= 8),
-          docs.filter(col("doc_id") % 10 < 8),
+          Dedup.fingerprints(docs.filter(col("doc_id") % 10 < 8), "text"),
           "doc_id", "text")
         .orderBy(col("doc_id"))
     }),

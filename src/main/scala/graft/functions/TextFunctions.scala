@@ -15,6 +15,16 @@ object TextFunctions {
   def tokens(text: Column): Column =
     regexp_extract_all(text, lit("\\S+"), lit(0))
 
+  /** The engine-portable 60-bit hash family shared by minhash/simhash/
+    * sampling: a 15-hex-digit window of md5 parsed as a long. md5 is
+    * bytes-defined in every engine, so any of them reproduces the exact
+    * value (DuckDB: `CAST(('0x' || substr(md5(x), start, 15)) AS
+    * BIGINT)`); 60 bits keeps sign-free headroom in an i64.
+    * `startDigit` (1-based) selects the window, giving independent
+    * hashes from one md5 evaluation. */
+  def md5Long(c: Column, startDigit: Int = 1): Column =
+    conv(substring(md5(c), startDigit, 15), 16, 10).cast("long")
+
   /** Token count; counting-only plans never materialise the array. */
   def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
 

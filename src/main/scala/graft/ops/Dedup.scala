@@ -37,21 +37,28 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("dup_count"))
 
+  /** Content-fingerprint index of a corpus: one 32-hex-char md5 row per
+    * document. Maintain this as its own table so arrival dedup
+    * ([[incrementalNew]]) joins against 16 bytes/doc, not corpus text —
+    * append each accepted batch's fingerprints to it. */
+  def fingerprints(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+
   /** Incremental arrival dedup: the survivors of a NEW batch against an
-    * already-deduped historical corpus — dedup within the batch (keep
-    * min id per fingerprint), then drop anything whose fingerprint the
-    * corpus has seen. The historical side only ever contributes its
-    * fingerprint column, so at 100 TB the anti-join runs against the
-    * compact fingerprint index (16 bytes/doc), not the corpus text, and
-    * the whole historical text store is never re-read or re-hashed.
-    * Returns (doc_id) of surviving new docs. */
-  def incrementalNew(newDocs: DataFrame, historical: DataFrame,
+    * already-deduped corpus — dedup within the batch (keep min id per
+    * fingerprint), then anti-join away anything in `seenFingerprints`
+    * (a (fingerprint) frame, typically the maintained [[fingerprints]]
+    * index table). Only the compact index is read — to keep the
+    * per-batch cost independent of corpus size, pass the stored index,
+    * not `fingerprints(wholeCorpus)` recomputed per batch. Returns
+    * (doc_id) of surviving new docs. */
+  def incrementalNew(newDocs: DataFrame, seenFingerprints: DataFrame,
                      idCol: String, textCol: String): DataFrame = {
     val fresh = newDocs.select(
       TextFunctions.fingerprint(col(textCol)).as("fingerprint"), col(idCol).as("id"))
       .groupBy(col("fingerprint")).agg(min(col("id")).as("doc_id"))
-    val seen = historical.select(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
-    fresh.join(seen, Seq("fingerprint"), "left_anti").select(col("doc_id"))
+    fresh.join(seenFingerprints.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+      .select(col("doc_id"))
   }
 
   /** Distinct word-n-gram shingle set per doc, exploded to an inverted
@@ -204,7 +211,7 @@ object Dedup {
     val docs = ensureParallelism(docs0)
     val tokenHashes = docs.select(col(idCol).as("id"),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .select(col("id"), conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      .select(col("id"), TextFunctions.md5Long(col("tok")).as("h"))
     // parallel ±1 sums (one per bit), partial-aggregated map-side —
     // a single shuffle of SimhashBits-column rows, no per-bit explosion.
     val bitAggs = (0 until SimhashBits).map { b =>
@@ -227,32 +234,54 @@ object Dedup {
     * per round — convergence in O(log diameter) rounds instead of
     * O(diameter), so even a path-shaped component of length 2^40 settles
     * within the iteration cap. Rounds are plain shuffles (join + groupBy
-    * min); each round's checkpoint replaces the previous one so executor
-    * storage stays O(|V|), not O(|V| * rounds). */
-  /** Lineage cut for the iterative rounds: RELIABLE checkpoint (HDFS/
-    * object store) when the context has a checkpoint dir — on a real
-    * cluster, localCheckpoint blocks die with their executor and the
-    * truncated lineage makes that loss unrecoverable mid-iteration —
-    * else executor-local blocks (single-node/bench, where loss = JVM
-    * death anyway). */
-  private def cutLineage(df: DataFrame, eager: Boolean): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
-    else df.localCheckpoint(eager)
-
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    * min); each round's lineage cut replaces the previous one so
+    * storage stays O(|V|), not O(|V| * rounds).
+    *
+    * Lineage cuts: with `checkpointDir` set (or a SparkContext
+    * checkpoint dir configured), each round is written to and re-read
+    * from parquet at a deterministic path in that (HDFS/object-store)
+    * location — fault-tolerant the way executor-local checkpoint blocks
+    * are not, written exactly once (no lineage recomputation the way
+    * `RDD.checkpoint` without a persist recomputes), and the previous
+    * round's files are deleted as soon as the next round lands. The
+    * final round's files back the returned DataFrame and are left for
+    * the caller (delete the `graft-cc-*` subdirectory when done).
+    * Without a directory, rounds cut lineage via `localCheckpoint`:
+    * single-node/bench mode, where executor loss is JVM death anyway,
+    * and the LAZY cut merges block persist and convergence aggregate
+    * into one job per round. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val ckptBase = checkpointDir.orElse(spark.sparkContext.getCheckpointDir)
+      .map(d => s"$d/graft-cc-${java.util.UUID.randomUUID()}")
+    def fs(p: org.apache.hadoop.fs.Path) =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cut(df: DataFrame, name: String, lazyLocal: Boolean): DataFrame = ckptBase match {
+      case Some(base) =>
+        val p = s"$base/$name"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      case None => df.localCheckpoint(!lazyLocal)
+    }
+    def drop(name: String): Unit = ckptBase.foreach { base =>
+      val p = new org.apache.hadoop.fs.Path(s"$base/$name")
+      fs(p).delete(p, true)
+    }
     // materialize the edge list once — every propagation round joins
-    // against it, and without the checkpoint each round would re-run
-    // the whole upstream pair-generation pipeline
-    val edges = cutLineage(pairs.select(col("id_a").as("s"), col("id_b").as("t"))
+    // against it, and without the cut each round would re-run the whole
+    // upstream pair-generation pipeline
+    val edges = cut(pairs.select(col("id_a").as("s"), col("id_b").as("t"))
       .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
-      .distinct(), eager = true)
+      .distinct(), "edges", lazyLocal = false)
     // initial labels fuse round 1: starting from identity, the first
     // round's neighbor-min over identity labels IS min(v, min neighbor)
     // — computable directly as one aggregate over the edge list, saving
-    // a full join round (the eager checkpoint keeps the loop's per-round
+    // a full join round (the materialized cut keeps the loop's per-round
     // plans identical from iteration one)
-    var labels = cutLineage(edges.groupBy(col("s").as("v"))
-      .agg(least(min(col("s")), min(col("t"))).as("comp")), eager = true) // min(s)=s per group
+    var labels = cut(edges.groupBy(col("s").as("v"))
+      .agg(least(min(col("s")), min(col("t"))).as("comp")), // min(s)=s per group
+      "r0", lazyLocal = false)
     var iter = 0
     var converged = false
     // convergence detector: per-vertex labels are monotonically
@@ -269,22 +298,21 @@ object Dedup {
       // (comp(comp(v))) — the label table acts as its own shortcut
       // graph. Both sides of the self-join share the identical subplan,
       // so the stepped shuffle runs once (ReusedExchange), and only the
-      // jumped result is checkpointed — one materialisation per round.
-      // cut lineage: each round is flat, not a growing tree. LAZY so the
-      // convergence aggregate below is the materializing action — one
-      // job per round (sum + block persist together), not two.
-      val jumped = cutLineage(stepped.join(
+      // jumped result is cut — one materialisation per round.
+      val jumped = cut(stepped.join(
           stepped.select(col("v").as("comp"), col("comp").as("jcomp")), Seq("comp"), "left")
         .select(col("v"), least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp")),
-        eager = false)
+        s"r${iter + 1}", lazyLocal = true)
       val s = Option(jumped.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
       converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist(false) // previous round's blocks are dead now
+      labels.unpersist(false) // previous round's local blocks are dead now
+      drop(s"r$iter")         // ... and so are its checkpoint files
       labels = jumped
       iter += 1
     }
+    drop("edges")
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")

@@ -25,7 +25,7 @@ object Sampling {
     * families in [[Dedup]]) mod buckets. Uniform for buckets << 2^60. */
   def hashBucket(key: Column, buckets: Int): Column = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % buckets
+    graft.functions.TextFunctions.md5Long(key.cast("string")) % buckets
   }
 
   /** Train/valid/test label from percentage cut points over 100 hash
@@ -59,16 +59,23 @@ object Sampling {
     * at k, so phase 2's per-group partitions hold at most `salts`×k rows
     * regardless of group skew. Any group-global top-k row is top-k in
     * its own cell, so the result is identical to the single-window form
-    * (which is what the oracle SQL runs). */
+    * (which is what the oracle SQL runs).
+    *
+    * `keyCol` must uniquely identify rows — it is the only tiebreak in
+    * the rank order, so duplicate keys would make the boundary row
+    * run-dependent, forfeiting the stability guarantee. */
   def quotaPerGroup(df: DataFrame, groupCol: String, keyCol: String,
                     k: Int, salts: Int = 64): DataFrame = {
     require(k > 0 && salts > 0, s"k and salts must be positive, got k=$k salts=$salts")
+    val rankCol = "__quota_rank"
+    require(!df.columns.contains(rankCol),
+      s"input already has a $rankCol column; rename it before sampling")
     import org.apache.spark.sql.expressions.Window
     val rank = md5(col(keyCol).cast("string"))
     val w1 = Window.partitionBy(col(groupCol), pmod(xxhash64(col(keyCol)), lit(salts)))
       .orderBy(rank, col(keyCol))
     val w2 = Window.partitionBy(col(groupCol)).orderBy(rank, col(keyCol))
-    df.withColumn("__r", row_number().over(w1)).filter(col("__r") <= k).drop("__r")
-      .withColumn("__r", row_number().over(w2)).filter(col("__r") <= k).drop("__r")
+    df.withColumn(rankCol, row_number().over(w1)).filter(col(rankCol) <= k).drop(rankCol)
+      .withColumn(rankCol, row_number().over(w2)).filter(col(rankCol) <= k).drop(rankCol)
   }
 }

@@ -4,6 +4,11 @@ import org.apache.spark.sql.SparkSession
   * shows only the scan/join/exchange skeleton). */
 object PlanFull {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty || !graft.SparkEntry.queries.contains(args(0))) {
+      System.err.println("usage: PlanFull <queryName> [sfDir]\nqueries:\n  " +
+        graft.SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      sys.exit(2)
+    }
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()

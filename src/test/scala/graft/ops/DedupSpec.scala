@@ -120,22 +120,36 @@ class DedupSpec extends SparkSpecBase {
       (12L, "epsilon zeta"),    // dup within batch -> collapsed into 11
       (13L, "  Alpha   BETA ")  // normalises to a seen fingerprint -> dropped
     ).toDF("doc_id", "text")
-    val out = Dedup.incrementalNew(batch, historical, "doc_id", "text")
+    val out = Dedup.incrementalNew(
+        batch, Dedup.fingerprints(historical, "text"), "doc_id", "text")
       .collect().map(_.getLong(0)).toSet
     assert(out == Set(11L))
   }
 
   test("connectedComponents takes the reliable-checkpoint path when a dir is configured") {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt")
-    spark.sparkContext.setCheckpointDir(dir.toString)
-    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val out = Dedup.connectedComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-    // checkpoint files actually landed in the configured (fault-
-    // tolerant) location — executor loss no longer kills the iteration
-    import scala.jdk.CollectionConverters._
-    val nFiles = java.nio.file.Files.walk(dir).iterator().asScala.count(_.toFile.isFile)
-    assert(nFiles > 0, "no reliable checkpoint files written")
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      val cc = Dedup.connectedComponents(pairs, checkpointDir = Some(dir.toString))
+      val out = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the returned frame is backed by files in the configured (fault-
+      // tolerant) location — executor loss no longer kills the iteration
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      val files = try walk.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toList
+        finally walk.close()
+      assert(files.nonEmpty, "no reliable checkpoint files written")
+      // intermediate rounds and the edge list were cleaned up: only the
+      // final round's label files remain
+      val rounds = files.flatMap("/(r\\d+|edges)/".r.findFirstMatchIn(_).map(_.group(1))).toSet
+      assert(rounds.size == 1 && rounds.head.startsWith("r"),
+        s"expected exactly the final round's files, got dirs $rounds")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      val all = try walk.iterator().asScala.toList finally walk.close()
+      all.sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }
