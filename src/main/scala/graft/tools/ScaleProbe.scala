@@ -67,10 +67,19 @@ object ScaleProbe {
         graft.functions.VectorFunctions.ivfTopK(
           emb.filter(col("vec_id") < 10), emb, cents, "vec_id", "embedding", 5, 3).count()
       }
+      // decontamination: bench side stays FIXED (copy 0's % 20 slice —
+      // same token space as copy 0, so hits stay constant) while the
+      // corpus grows k× — the broadcast-join shape should scale with
+      // the corpus scan alone
+      val (tDec, nDec) = time(graft.ops.Decontaminate.contamination(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") < 10000000L && col("doc_id") % 20 === 0),
+        "doc_id", "text", 5).count())
       println(f"[scale] k=$k%-2d docs=${5000L * k}%-6d " +
         f"jaccard=$tJac%6.2fs($nJac) minhash=$tMin%6.2fs($nMin) " +
         f"simhash=$tSim%6.2fs($nSim) cosine=$tCos%6.2fs($nCos) " +
-        f"cosivf=$tCosIvf%6.2fs($nCosIvf) ivf=$tKnn%6.2fs($nKnn)")
+        f"cosivf=$tCosIvf%6.2fs($nCosIvf) ivf=$tKnn%6.2fs($nKnn) " +
+        f"decon=$tDec%6.2fs($nDec)")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
