@@ -651,6 +651,17 @@ object SparkEntry {
           t(s, dir, "documents").select(col("lang"), col("doc_id")),
           "lang", "doc_id", k = 15)
         .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // End-to-end near-dup corpus dedup: Jaccard pairs -> connected
+    // components -> keep canonical (min id) per cluster -> surviving
+    // corpus rows (the composition a training pipeline actually runs).
+    "q58_dedup_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, thresholdNum = 6, thresholdDen = 10, maxDf = 1000)
+      Dedup.dedupCorpus(docs.select(col("doc_id"), col("lang")), "doc_id", pairs)
+        .orderBy(col("doc_id"))
     }))
 
   // ---------------------------------------------------------------------------
@@ -1241,5 +1252,28 @@ object SparkEntry {
          reach(v, r) AS (SELECT s, s FROM bidir
                          UNION SELECT b.s, r.r FROM bidir b JOIN reach r ON b.t = r.v)
          SELECT v AS doc_id, MIN(r) AS component_id FROM reach
-         GROUP BY v ORDER BY doc_id""")
+         GROUP BY v ORDER BY doc_id""",
+
+    "q58_dedup_corpus" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         idx AS (SELECT shingle, doc_id FROM sh
+                 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                   FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+         good AS (SELECT id_a, id_b FROM pairs
+                  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+                  WHERE n_common * 10 >= (sa.sz + sb.sz - n_common) * 6),
+         bidir AS (SELECT id_a AS s, id_b AS t FROM good
+                   UNION SELECT id_b, id_a FROM good),
+         reach(v, r) AS (SELECT s, s FROM bidir
+                         UNION SELECT b.s, r.r FROM bidir b JOIN reach r ON b.t = r.v),
+         comp AS (SELECT v AS doc_id, MIN(r) AS component_id FROM reach GROUP BY v)
+         SELECT d.doc_id, d.lang FROM documents d
+         WHERE NOT EXISTS (SELECT 1 FROM comp c
+                           WHERE c.doc_id = d.doc_id AND c.component_id <> c.doc_id)
+         ORDER BY d.doc_id""")
 }

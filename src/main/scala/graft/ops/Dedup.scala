@@ -319,6 +319,23 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("comp").as("component_id"))
   }
 
+  /** End-to-end near-dup corpus dedup: given candidate pairs from ANY
+    * of the generators above (Jaccard / MinHash / SimHash / cosine),
+    * cluster them with [[connectedComponents]] and keep one canonical
+    * doc (min id) per cluster, returning the surviving corpus rows.
+    * The drop list is only the non-canonical cluster members — usually
+    * tiny next to the corpus, in which case AQE turns the anti-join
+    * into a broadcast at runtime and the corpus is never shuffled (no
+    * forced hint: a heavily duplicated corpus can have a huge drop
+    * list, where the shuffled anti-join is the correct plan). */
+  def dedupCorpus(docs: DataFrame, idCol: String, pairs: DataFrame,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val drops = connectedComponents(pairs, checkpointDir = checkpointDir)
+      .filter(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Bit width of the random-hyperplane (SRP) signature — 60 to match
     * [[SimhashBits]]' all-positive-long envelope and divide evenly into
     * 4/5/6-bit LSH blocks. */

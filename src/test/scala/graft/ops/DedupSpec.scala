@@ -126,6 +126,15 @@ class DedupSpec extends SparkSpecBase {
     assert(out == Set(11L))
   }
 
+  test("dedupCorpus keeps exactly one canonical doc per near-dup cluster") {
+    // docs 1,2,4 form a near-dup cluster (1 canonical); 3 is unrelated
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, thresholdNum = 6, thresholdDen = 10)
+    val kept = Dedup.dedupCorpus(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("connectedComponents takes the reliable-checkpoint path when a dir is configured") {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt")
     try {
