@@ -653,6 +653,17 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Mixture construction: per-source keep rates over portable hash
+    // buckets — deterministic up/down-sampling that sets training-mix
+    // source weights (pure narrow filter, no shuffle).
+    "q59_mixture_sample" -> ((s, dir) => {
+      graft.ops.Sampling.mixtureSample(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id",
+          Map("src0" -> 80, "src1" -> 50, "src2" -> 25), defaultPct = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // End-to-end near-dup corpus dedup: Jaccard pairs -> connected
     // components -> keep canonical (min id) per cluster -> surviving
     // corpus rows (the composition a training pipeline actually runs).
@@ -1037,6 +1048,12 @@ object SparkEntry {
          QUALIFY row_number() OVER (
            PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 15
          ORDER BY lang, doc_id""",
+
+    "q59_mixture_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 <
+           CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25 ELSE 10 END
+         ORDER BY doc_id""",
 
     "q50_cosine_ivf_neardups" ->
       """WITH cent AS (

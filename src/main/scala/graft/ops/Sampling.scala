@@ -48,6 +48,25 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), 100) < pct)
   }
 
+  /** Mixture construction: per-group keep percentages over the same
+    * portable hash buckets as [[hashSample]] (e.g. books 100%, web 30%)
+    * — the up/down-sampling step that sets a training mix's source
+    * weights. Same properties: pure narrow per-row filter, membership
+    * stable under reruns and repartitioning, and each group's sample
+    * nests inside what a higher rate would keep, so raising a weight
+    * only ADDS documents. The rate lookup is a literal when/otherwise
+    * chain — fine for the dozens-of-sources case; join a rate table
+    * instead if groups number in the thousands. */
+  def mixtureSample(df: DataFrame, groupCol: String, keyCol: String,
+                    pctByGroup: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    require((pctByGroup.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      s"percentages must be in [0,100]: $pctByGroup default=$defaultPct")
+    val rate = pctByGroup.foldLeft(lit(defaultPct)) { case (acc, (g, p)) =>
+      when(col(groupCol) === g, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), 100) < rate)
+  }
+
   /** Deterministic quota sample: up to `k` rows per group, chosen by
     * md5-of-key order so the selection is stable across runs, engines,
     * and partitionings (balanced training mixes: "at most k docs per

@@ -44,6 +44,21 @@ class SamplingSpec extends SparkSpecBase {
     assert(s10.nonEmpty && s20.size > s10.size)
   }
 
+  test("mixtureSample applies per-group rates; raising a rate only adds rows") {
+    val rows = (1L to 900L).map(i => (s"s${i % 3}", i)).toDF("src", "id")
+    val out = Sampling.mixtureSample(rows, "src", "id", Map("s0" -> 100, "s1" -> 30), 0)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("s0", 0) == 300, "100% keeps the whole group")
+    assert(!bySrc.contains("s2"), "0% default drops unlisted groups")
+    val n1 = bySrc.getOrElse("s1", 0)
+    assert(n1 > 45 && n1 < 135, s"30% of 300 within a loose band, got $n1")
+    // monotonic: the 30% sample is a subset of the 60% sample
+    val s60 = Sampling.mixtureSample(rows, "src", "id", Map("s1" -> 60), 0)
+      .collect().map(_.getLong(1)).toSet
+    assert(out.filter(_._1 == "s1").map(_._2).toSet.subsetOf(s60))
+  }
+
   test("quotaPerGroup matches the single-window reference and caps every group") {
     val rows = (1L to 500L).map(i => (s"g${i % 3}", i)).toDF("grp", "id")
     val got = Sampling.quotaPerGroup(rows, "grp", "id", k = 7, salts = 4)
