@@ -288,35 +288,46 @@ object Dedup {
     // non-increasing, so the label sum (exact decimal — no overflow, no
     // join) is strictly decreasing until the fixpoint
     var prevSum: java.math.BigDecimal = null
-    while (!converged && iter < maxIter) {
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("v", "t").withColumnRenamed("comp", "ncomp"), Seq("t"))
-        .groupBy(col("s").as("v")).agg(min(col("ncomp")).as("mincomp"))
-      val stepped = labels.join(viaNeighbors, Seq("v"), "left")
-        .select(col("v"), least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
-      // pointer jump: follow the freshly-stepped label one more hop
-      // (comp(comp(v))) — the label table acts as its own shortcut
-      // graph. Both sides of the self-join share the identical subplan,
-      // so the stepped shuffle runs once (ReusedExchange), and only the
-      // jumped result is cut — one materialisation per round.
-      val jumped = cut(stepped.join(
-          stepped.select(col("v").as("comp"), col("comp").as("jcomp")), Seq("comp"), "left")
-        .select(col("v"), least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp")),
-        s"r${iter + 1}", lazyLocal = true)
-      val s = Option(jumped.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
-      converged = prevSum != null && s.compareTo(prevSum) == 0
-      prevSum = s
-      labels.unpersist(false) // previous round's local blocks are dead now
-      drop(s"r$iter")         // ... and so are its checkpoint files
-      labels = jumped
-      iter += 1
+    try {
+      while (!converged && iter < maxIter) {
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("v", "t").withColumnRenamed("comp", "ncomp"), Seq("t"))
+          .groupBy(col("s").as("v")).agg(min(col("ncomp")).as("mincomp"))
+        val stepped = labels.join(viaNeighbors, Seq("v"), "left")
+          .select(col("v"), least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
+        // pointer jump: follow the freshly-stepped label one more hop
+        // (comp(comp(v))) — the label table acts as its own shortcut
+        // graph. Both sides of the self-join share the identical subplan,
+        // so the stepped shuffle runs once (ReusedExchange), and only the
+        // jumped result is cut — one materialisation per round.
+        val jumped = cut(stepped.join(
+            stepped.select(col("v").as("comp"), col("comp").as("jcomp")), Seq("comp"), "left")
+          .select(col("v"), least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp")),
+          s"r${iter + 1}", lazyLocal = true)
+        val s = Option(jumped.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO)
+        converged = prevSum != null && s.compareTo(prevSum) == 0
+        prevSum = s
+        labels.unpersist(false) // previous round's local blocks are dead now
+        drop(s"r$iter")         // ... and so are its checkpoint files
+        labels = jumped
+        iter += 1
+      }
+      drop("edges")
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds")
+      labels.select(col("v").as("doc_id"), col("comp").as("component_id"))
+    } catch {
+      // on failure nothing of the run is consumable — remove the whole
+      // graft-cc-* scratch area instead of leaving orphaned rounds
+      case e: Throwable =>
+        ckptBase.foreach { base =>
+          val p = new org.apache.hadoop.fs.Path(base)
+          try fs(p).delete(p, true) catch { case _: Exception => () }
+        }
+        throw e
     }
-    drop("edges")
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("v").as("doc_id"), col("comp").as("component_id"))
   }
 
   /** End-to-end near-dup corpus dedup: given candidate pairs from ANY

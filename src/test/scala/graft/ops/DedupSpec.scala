@@ -135,6 +135,23 @@ class DedupSpec extends SparkSpecBase {
     assert(kept == Set(1L, 3L))
   }
 
+  test("connectedComponents removes its checkpoint scratch area on failure") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt-fail")
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+      // maxIter=1 can never observe convergence (needs a comparison round)
+      intercept[IllegalStateException] {
+        Dedup.connectedComponents(pairs, maxIter = 1, checkpointDir = Some(dir.toString))
+      }
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      val leftovers = try walk.iterator().asScala.count(_ != dir) finally walk.close()
+      assert(leftovers == 0, s"expected empty scratch dir after failure, found $leftovers entries")
+    } finally {
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   test("connectedComponents takes the reliable-checkpoint path when a dir is configured") {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt")
     try {
