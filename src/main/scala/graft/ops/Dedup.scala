@@ -253,9 +253,19 @@ object Dedup {
     * sessions). Without either, rounds cut lineage via
     * `localCheckpoint`: single-node/bench mode, where executor loss is
     * JVM death anyway, and the LAZY cut merges block persist and
-    * convergence aggregate into one job per round. */
+    * convergence aggregate into one job per round.
+    *
+    * Small-graph fast path: after the edge list is materialized (its
+    * count is then a free scan), an edge list at or under
+    * `driverMaxEdges` is solved by union-find on the driver — the same
+    * reasoning as a broadcast join threshold: iterating a whole cluster
+    * for a structure that fits in one JVM wastes rounds of scheduling.
+    * 1M edges is 16 MB collected; the distributed rounds only engage
+    * for graphs that genuinely need them (dedup at 100 TB: billions of
+    * pairs). Results are identical on either path. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          driverMaxEdges: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     val ckptBase = checkpointDir.orElse(spark.sparkContext.getCheckpointDir
       .map(d => s"$d/graft-cc-${java.util.UUID.randomUUID()}"))
@@ -286,6 +296,13 @@ object Dedup {
       // neighbor) — computable directly as one aggregate over the edge
       // list, saving a full join round (the materialized cut keeps the
       // loop's per-round plans identical from iteration one)
+      if (edges.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType) &&
+          edges.count() <= driverMaxEdges) {
+        val out = driverComponents(edges)
+        drop("edges")
+        edges.unpersist(false)
+        return out
+      }
       labels = cut(edges.groupBy(col("s").as("v"))
         .agg(least(min(col("s")), min(col("t"))).as("comp")), // min(s)=s per group
         "r0", lazyLocal = false)
@@ -336,6 +353,30 @@ object Dedup {
         }
         throw e
     }
+  }
+
+  /** Exact union-find (path compression, union-by-min so the root IS
+    * the component's min id) over a collected edge list — the
+    * small-graph path of [[connectedComponents]]. */
+  private def driverComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.select(col("s"), col("t")).collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    import spark.implicits._
+    parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      .toDF("doc_id", "component_id")
   }
 
   /** End-to-end near-dup corpus dedup: given candidate pairs from ANY

@@ -126,6 +126,18 @@ class DedupSpec extends SparkSpecBase {
     assert(out == Set(11L))
   }
 
+  test("driver fast path and distributed rounds produce identical components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs) // 12 edges -> driver union-find
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, driverMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
+    assert(fast == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("dedupCorpus keeps exactly one canonical doc per near-dup cluster") {
     // docs 1,2,4 form a near-dup cluster (1 canonical); 3 is unrelated
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
@@ -139,9 +151,11 @@ class DedupSpec extends SparkSpecBase {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt-fail")
     try {
       val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
-      // maxIter=1 can never observe convergence (needs a comparison round)
+      // maxIter=1 can never observe convergence (needs a comparison round);
+      // driverMaxEdges=0 forces the distributed rounds under test
       intercept[IllegalStateException] {
-        Dedup.connectedComponents(pairs, maxIter = 1, checkpointDir = Some(dir.toString))
+        Dedup.connectedComponents(pairs, maxIter = 1,
+          checkpointDir = Some(dir.toString), driverMaxEdges = 0)
       }
       // the caller-owned scratch dir was removed wholesale on failure
       assert(!java.nio.file.Files.exists(dir) ||
@@ -156,7 +170,8 @@ class DedupSpec extends SparkSpecBase {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt")
     try {
       val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-      val cc = Dedup.connectedComponents(pairs, checkpointDir = Some(dir.toString))
+      val cc = Dedup.connectedComponents(pairs,
+        checkpointDir = Some(dir.toString), driverMaxEdges = 0)
       val out = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
       // the returned frame is backed by files in the configured (fault-
