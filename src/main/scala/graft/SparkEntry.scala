@@ -653,6 +653,37 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // TPC-H Q16 shape: distinct-count aggregate behind a NOT IN
+    // (anti-join) supplier exclusion; dims broadcast, one agg shuffle.
+    "q60_supplier_part_counts" -> ((s, dir) => {
+      val negSupp = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35) &&
+            col("p_type") =!= "STANDARD")), col("l_partkey") === col("p_partkey"))
+        .join(negSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"))
+    }),
+
+    // TPC-H Q22 shape through the SQL surface: correlated NOT EXISTS +
+    // uncorrelated scalar subquery — Catalyst decorrelates both to
+    // aggregate + anti/cross joins (no per-row re-execution).
+    "q61_rich_inactive_customers" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+           FROM customer c
+           WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                              FROM customer WHERE c_acctbal > 0)
+             AND NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+           GROUP BY c_nationkey ORDER BY c_nationkey""")
+    }),
+
     // Mixture construction: per-source keep rates over portable hash
     // buckets — deterministic up/down-sampling that sets training-mix
     // source weights (pure narrow filter, no shuffle).
@@ -1054,6 +1085,24 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 <
            CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25 ELSE 10 END
          ORDER BY doc_id""",
+
+    "q60_supplier_part_counts" ->
+      """SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         FROM part JOIN lineitem ON l_partkey = p_partkey
+         WHERE p_size IN (1,5,10,15,20,25,30,35) AND p_type <> 'STANDARD'
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type
+         ORDER BY supplier_cnt DESC, p_brand, p_type""",
+
+    "q61_rich_inactive_customers" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+         FROM customer c
+         WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                            FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
 
     "q50_cosine_ivf_neardups" ->
       """WITH cent AS (
