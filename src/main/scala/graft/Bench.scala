@@ -56,13 +56,16 @@ object Bench {
         reset()
         (ok, dt)
       }
-      val dt = runs.filter(_._1).map(_._2).minOption.getOrElse(runs.map(_._2).max)
-      System.err.println(f"[bench] $name%-28s $dt%8.2fs")
+      // no successful run -> sentinel -1 so downstream round-over-round
+      // comparisons never mistake elapsed-to-failure for a timing
+      val dt = runs.filter(_._1).map(_._2).minOption.getOrElse(-1.0)
+      System.err.println(
+        if (dt >= 0) f"[bench] $name%-28s $dt%8.2fs" else f"[bench] $name%-28s FAILED")
       name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

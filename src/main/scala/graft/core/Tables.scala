@@ -32,9 +32,14 @@ object Tables {
     // exchange — measured 3x on the n-gram queries. Our catalog never
     // explodes a stored array where the inferred filter could prune at
     // the scan, so exclusion is pure win (results are identical either
-    // way: explode drops empty arrays itself).
+    // way: explode drops empty arrays itself). Appended to any
+    // exclusions already configured on the session rather than
+    // clobbering them.
+    val inferRule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val existing = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty[String])
     spark.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      (existing.filterNot(_ == inferRule) :+ inferRule).mkString(","))
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -140,55 +140,68 @@ object VectorFunctions {
     transform(slice(sort_array(scored, asc = false), 1, take), x => -x.getField("negid"))
   }
 
+  /** A driver-collected quantizer, sized to its execution strategy:
+    * Left = small model inlined as codegen literals; Right = large model
+    * shipped as a Spark broadcast VARIABLE and scored in a UDF
+    * (MLlib-model style). Both are pure per-row maps over the input —
+    * no join, no shuffle, no synthetic row ids (deterministic under
+    * stage retry) and no internal/ambiguous column names. Like any
+    * MLlib model the centroid set must fit on the driver; an IVF coarse
+    * quantizer is ~sqrt(corpus) centroids, driver-trivial even at 100 TB. */
+  private type BcModel =
+    org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double], Double)]]
+  private def quantizer(centroids: DataFrame): Either[CentroidModel, BcModel] =
+    tryCollectModel(centroids) match {
+      case Some(m) => Left(m)
+      case None =>
+        val full = collectCentroids(centroids).map { case (id, cv) =>
+          (id, cv.toArray, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
+        }.toArray
+        Right(centroids.sparkSession.sparkContext.broadcast(full))
+    }
+
+  /** Top-`take` centroid ids (cosine desc, id asc) against a broadcast
+    * model — the large-model twin of [[nearestBucketsExpr]]. */
+  private def topBucketsUdf(bc: BcModel, take: Int) =
+    udf { (v: Seq[Double]) =>
+      val x = v.toArray
+      bc.value.map { case (id, cv, n) =>
+        var s = 0.0; var i = 0
+        val len = math.min(cv.length, x.length)
+        while (i < len) { s += cv(i) * x(i); i += 1 }
+        (s / n, id)
+      }.sortBy { case (s, id) => (-s, id) }.take(take).map(_._2)
+    }
+
+  private def probesFor(q: Either[CentroidModel, BcModel], vec: Column, take: Int): Column =
+    q match {
+      case Left(model) => nearestBucketsExpr(vec, model, take)
+      case Right(bc)   => topBucketsUdf(bc, take)(vec.cast("array<double>"))
+    }
+
   /** Tag every row of `df` with the bucket (nearest-centroid id) of its
     * `vec` column. Picks the plan by model size: literal argmax inside
-    * codegen for small models; broadcast join + max_by partial aggregate
-    * for large ones (shuffle volume = one row per input row, never the
-    * input × centroid cross product). */
+    * codegen for small models; a broadcast-variable UDF for large ones
+    * (a literal argmax over tens of thousands of centroids would blow
+    * the 64KB JVM method limit). Either way: a per-row map, no shuffle. */
   def assignBuckets(df: DataFrame, vec: Column, centroids: DataFrame,
                     outCol: String): DataFrame = {
     VecExpressions.register(df.sparkSession)
-    tryCollectModel(centroids) match {
-      case Some(model) =>
-        df.withColumn(outCol, nearestBucketExpr(vec, model))
-      case None =>
-        val cent = broadcast(centroids.select(col("centroid_id"), col("centroid_vec")))
-        val keep = df.columns.map(col)
-        val cnorm = sqrt(VecExpressions.vecDot(col("centroid_vec"), col("centroid_vec")))
-        val score = VecExpressions.vecDot(vec, col("centroid_vec")) / cnorm
-        df.join(cent)
-          .groupBy(keep: _*)
-          .agg(max_by(col("centroid_id"),
-            struct(score.as("s"), (-col("centroid_id")).as("negid"))).as(outCol))
+    quantizer(centroids) match {
+      case Left(model) => df.withColumn(outCol, nearestBucketExpr(vec, model))
+      case q @ Right(_) => df.withColumn(outCol, element_at(probesFor(q, vec, 1), 1))
     }
   }
 
   /** Multi-probe assignment: one row per (input row, probed bucket) for
     * the `nprobe` nearest centroids — the shared primitive behind IVF
     * search probes and IVF-bucketed dedup. Same plan split as
-    * assignBuckets: literal argmax in codegen for small models, a
-    * broadcast join + per-row top-nprobe window for large ones. */
+    * [[assignBuckets]]; duplicate input rows each get their own full
+    * probe set (the assignment is a per-row map, not a keyed window). */
   def assignProbes(df: DataFrame, vec: Column, centroids: DataFrame,
                    outCol: String, nprobe: Int): DataFrame = {
     VecExpressions.register(df.sparkSession)
-    tryCollectModel(centroids) match {
-      case Some(model) =>
-        df.withColumn(outCol, explode(nearestBucketsExpr(vec, model, nprobe)))
-      case None =>
-        val cent = broadcast(centroids.select(col("centroid_id"), col("centroid_vec")))
-        val cnorm = sqrt(VecExpressions.vecDot(col("centroid_vec"), col("centroid_vec")))
-        val score = VecExpressions.vecDot(vec, col("centroid_vec")) / cnorm
-        val keep = df.columns.map(col)
-        // rank within a synthetic per-row id, NOT the row's columns:
-        // duplicate input rows would otherwise share one window
-        // partition (each getting nprobe copies of only the nearest
-        // bucket), and the vector column would become a shuffle key
-        val w = Window.partitionBy(col("__rid")).orderBy(col("__s").desc, col("centroid_id").asc)
-        df.withColumn("__rid", monotonically_increasing_id())
-          .join(cent).withColumn("__s", score)
-          .withColumn("__r", row_number().over(w)).filter(col("__r") <= nprobe)
-          .select(keep :+ col("centroid_id").as(outCol): _*)
-    }
+    df.withColumn(outCol, explode(probesFor(quantizer(centroids), vec, nprobe)))
   }
 
   /** IVF-style approximate top-k: assign corpus vectors to their nearest
@@ -206,34 +219,16 @@ object VectorFunctions {
               idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     VecExpressions.register(corpus.sparkSession)
     // run the centroid pipeline exactly once; small models inline into
-    // codegen for both corpus tagging and query probes
-    val modelOpt = tryCollectModel(centroids)
+    // codegen for both corpus tagging and query probes, large ones ride
+    // one shared broadcast variable
+    val q = quantizer(centroids)
     val corpusIn = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val queriesIn = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val (taggedCorpus, probes) = modelOpt match {
-      case Some(model) =>
-        (corpusIn.withColumn("bucket", nearestBucketExpr(col("__cv"), model)),
-          queriesIn.withColumn("bucket",
-            explode(nearestBucketsExpr(col("__qv"), model, nprobe))))
-      case None =>
-        val cent = broadcast(centroids.select(col("centroid_id"), col("centroid_vec")))
-        val cnorm = sqrt(VecExpressions.vecDot(col("centroid_vec"), col("centroid_vec")))
-        val tagged = {
-          val score = VecExpressions.vecDot(col("__cv"), col("centroid_vec")) / cnorm
-          corpusIn.join(cent)
-            .groupBy(col("neighbor_id"), col("__cv"))
-            .agg(max_by(col("centroid_id"),
-              struct(score.as("s"), (-col("centroid_id")).as("negid"))).as("bucket"))
-        }
-        val prb = {
-          val score = VecExpressions.vecDot(col("__qv"), col("centroid_vec")) / cnorm
-          val w = Window.partitionBy(col("query_id")).orderBy(col("__s").desc, col("centroid_id").asc)
-          queriesIn.join(cent).withColumn("__s", score)
-            .withColumn("__r", row_number().over(w)).filter(col("__r") <= nprobe)
-            .select(col("query_id"), col("__qv"), col("centroid_id").as("bucket"))
-        }
-        (tagged, prb)
+    val taggedCorpus = q match {
+      case Left(model) => corpusIn.withColumn("bucket", nearestBucketExpr(col("__cv"), model))
+      case _ => corpusIn.withColumn("bucket", element_at(probesFor(q, col("__cv"), 1), 1))
     }
+    val probes = queriesIn.withColumn("bucket", explode(probesFor(q, col("__qv"), nprobe)))
 
     val scored = taggedCorpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

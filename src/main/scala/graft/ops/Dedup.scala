@@ -267,19 +267,27 @@ object Dedup {
                           checkpointDir: Option[String] = None,
                           driverMaxEdges: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val ckptBase = checkpointDir.orElse(spark.sparkContext.getCheckpointDir
-      .map(d => s"$d/graft-cc-${java.util.UUID.randomUUID()}"))
+    // baseOwned: we invented the graft-cc-* subdir, so on failure the
+    // whole base is ours to remove; an explicit caller dir might sit
+    // inside shared scratch, so there only paths THIS run wrote go
+    val autoBase = spark.sparkContext.getCheckpointDir
+      .map(d => s"$d/graft-cc-${java.util.UUID.randomUUID()}")
+    val ckptBase = checkpointDir.orElse(autoBase)
+    val baseOwned = checkpointDir.isEmpty
+    val created = scala.collection.mutable.LinkedHashSet.empty[String]
     def fs(p: org.apache.hadoop.fs.Path) =
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def cut(df: DataFrame, name: String, lazyLocal: Boolean): DataFrame = ckptBase match {
       case Some(base) =>
         val p = s"$base/$name"
+        created += name
         df.write.mode("overwrite").parquet(p)
         spark.read.parquet(p)
       case None => df.localCheckpoint(!lazyLocal)
     }
     def drop(name: String): Unit = ckptBase.foreach { base =>
       val p = new org.apache.hadoop.fs.Path(s"$base/$name")
+      created -= name
       fs(p).delete(p, true)
     }
     var edges: DataFrame = null
@@ -343,13 +351,20 @@ object Dedup {
       labels.select(col("v").as("doc_id"), col("comp").as("component_id"))
     } catch {
       // on failure nothing of the run is consumable — free the local
-      // blocks and remove the whole scratch area instead of leaving
-      // orphaned rounds (fatal errors propagate untouched)
+      // blocks and remove exactly what this run wrote: every round file
+      // it created, plus the base dir only when the run invented it
+      // (an explicit caller dir may live inside shared scratch where a
+      // recursive base delete would take unrelated data with it).
+      // Fatal errors propagate untouched.
       case scala.util.control.NonFatal(e) =>
         Seq(edges, labels).filter(_ != null).foreach(df => df.unpersist(false))
         ckptBase.foreach { base =>
-          val p = new org.apache.hadoop.fs.Path(base)
-          try fs(p).delete(p, true) catch { case scala.util.control.NonFatal(_) => () }
+          val victims =
+            if (baseOwned) Seq(new org.apache.hadoop.fs.Path(base))
+            else created.toSeq.map(n => new org.apache.hadoop.fs.Path(s"$base/$n"))
+          victims.foreach { p =>
+            try fs(p).delete(p, true) catch { case scala.util.control.NonFatal(_) => () }
+          }
         }
         throw e
     }

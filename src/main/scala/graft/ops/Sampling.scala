@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * The hash is md5 (bytes-defined in every engine) reduced to a bucket
   * in [0, buckets), so a DuckDB/BigQuery/Trino pipeline reproduces the
   * exact same membership — oracle-checked in q54.
+  *
+  * NULL keys have no stable hash identity, so the whole family treats
+  * them one way: [[hashBucket]] and [[splitLabel]] return NULL, and the
+  * sampling filters ([[hashSample]], [[mixtureSample]]) drop the row
+  * (a NULL predicate never keeps). Assign surrogate keys upstream if
+  * null-keyed rows must participate in a split.
   */
 object Sampling {
 
@@ -30,12 +36,14 @@ object Sampling {
 
   /** Train/valid/test label from percentage cut points over 100 hash
     * buckets: [0, trainPct) -> "train", [trainPct, trainPct+validPct) ->
-    * "valid", rest -> "test". */
+    * "valid", rest -> "test". NULL key -> NULL label (not "test"),
+    * matching the sampling filters' drop-null behavior. */
   def splitLabel(key: Column, trainPct: Int = 80, validPct: Int = 10): Column = {
     require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 100,
       s"invalid split percentages: train=$trainPct valid=$validPct")
     val b = hashBucket(key, 100)
-    when(b < trainPct, "train")
+    when(b.isNull, lit(null).cast("string"))
+      .when(b < trainPct, "train")
       .when(b < trainPct + validPct, "valid")
       .otherwise("test")
   }

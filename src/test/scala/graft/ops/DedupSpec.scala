@@ -166,6 +166,30 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("connectedComponents failure cleanup spares unrelated files in the scratch dir") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt-shared")
+    val bystander = dir.resolve("unrelated.txt")
+    try {
+      java.nio.file.Files.write(bystander, "keep me".getBytes)
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+      intercept[IllegalStateException] {
+        Dedup.connectedComponents(pairs, maxIter = 1,
+          checkpointDir = Some(dir.toString), driverMaxEdges = 0)
+      }
+      // only the run's own round files are deleted; a caller passing a
+      // shared scratch root must not lose unrelated data
+      assert(java.nio.file.Files.exists(bystander),
+        "cleanup deleted a file the run did not create")
+      import scala.jdk.CollectionConverters._
+      val leftovers = java.nio.file.Files.list(dir).iterator().asScala
+        .filterNot(_ == bystander).toSeq
+      assert(leftovers.isEmpty, s"run files survived failure: $leftovers")
+    } finally {
+      java.nio.file.Files.deleteIfExists(bystander)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   test("connectedComponents takes the reliable-checkpoint path when a dir is configured") {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt")
     try {

@@ -36,6 +36,17 @@ class SamplingSpec extends SparkSpecBase {
     assert(mismatch.isEmpty)
   }
 
+  test("null keys are uniform across the family: NULL label, dropped by samplers") {
+    val rows = Seq(Some(1L), Some(2L), None).toDF("id")
+    val labels = rows.select(Sampling.splitLabel(col("id")).as("split"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(labels.count(_.isEmpty) == 1, "null key must get a NULL label, not 'test'")
+    assert(Sampling.hashSample(rows, "id", 100).count() == 2,
+      "100% sample still drops null-keyed rows (no hash identity)")
+    val mixed = Seq((Some(1L), "a"), (None, "a")).toDF("id", "src")
+    assert(Sampling.mixtureSample(mixed, "src", "id", Map("a" -> 100)).count() == 1)
+  }
+
   test("hashSample keeps exactly the sub-pct buckets, so samples nest") {
     val ids = (1L to 1000L).toDF("id")
     val s10 = Sampling.hashSample(ids, "id", 10).collect().map(_.getLong(0)).toSet
