@@ -22,6 +22,13 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = Tables.table(s, dir, name)
 
+  /** Integer cents -> exact "d.dd" money string — fixture values built
+    * this way parse bit-identically in Spark decimal and DuckDB, with no
+    * double->string round trip. */
+  private def centsStr(cents: Column): Column =
+    concat(floor(cents / 100).cast("long").cast("string"), lit("."),
+      lpad((cents % 100).cast("string"), 2, "0"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -704,6 +711,148 @@ object SparkEntry {
         n = 3, thresholdNum = 6, thresholdDen = 10, maxDf = 1000)
       Dedup.dedupCorpus(docs.select(col("doc_id"), col("lang")), "doc_id", pairs)
         .orderBy(col("doc_id"))
+    }),
+
+    // P1/P2 — woo products flatten incl. the 17-key EAV flag map
+    // (woo-sync/main.py:821-974): the fixture derives every meta value
+    // from integer part columns (money as exact "d.dd" strings), runs the
+    // real flattenProducts operator, and the oracle recomputes the
+    // expected row arithmetically — exercising "1"-flag, last-wins
+    // string, last-non-empty int/money and empty->default paths.
+    "q62_product_flags" -> ((s, dir) => {
+      val pk = col("p_partkey")
+      val costCents = (pk * 137 + col("p_size") * 13) % 100000
+      val priceCents = (pk * 211 + 17) % 100000
+      val docs = t(s, dir, "part").select(
+        pk.as("id"),
+        when(pk % 10 === 0, lit(null).cast("string"))
+          .otherwise(lit("2026-05-01 08:30:00")).as("date_created"),
+        lit("2026-06-15 12:00:00").as("date_modified"),
+        concat(lit("Product "), col("p_name")).as("name"),
+        col("p_type").as("short_description"),
+        lit("publish").as("status"),
+        when(pk % 11 === 0, lit("")).otherwise(centsStr(priceCents)).as("price"),
+        centsStr(priceCents + 50).as("regular_price"),
+        lit("").as("msrp_price"),
+        concat(lit("SKU-"), pk.cast("string")).as("sku"),
+        when(pk % 8 === 0, lit(""))
+          .otherwise(concat(col("p_size").cast("string"), lit(".5"))).as("weight"),
+        lit("simple").as("type"),
+        (col("p_size") * 10).cast("string").as("stock_quantity"),
+        when(pk % 2 === 0, lit("1")).otherwise(lit("")).as("backorders_allowed"),
+        array(
+          struct(lit("free_shipping").as("key"),
+            when(pk % 3 === 0, lit("1")).when(pk % 3 === 1, lit("0"))
+              .otherwise(lit("")).as("value")),
+          struct(lit("gift_card").as("key"),
+            when(pk % 2 === 0, lit("1")).otherwise(lit("0")).as("value")),
+          struct(lit("product_inactive").as("key"), lit("").as("value")),
+          // duplicate key: empty first entry must lose to the later one
+          struct(lit("case_qty").as("key"), lit("").as("value")),
+          struct(lit("case_qty").as("key"),
+            when(pk % 4 === 0, lit("")).otherwise(col("p_size").cast("string")).as("value")),
+          // duplicate key: plain strings are last-wins unconditionally
+          struct(lit("brand").as("key"), lit("ignored-first").as("value")),
+          struct(lit("brand").as("key"),
+            when(pk % 7 === 0, concat(col("p_brand"), lit("_v2")))
+              .otherwise(col("p_brand")).as("value")),
+          struct(lit("_alg_wc_cog_cost").as("key"),
+            when(pk % 6 === 0, lit("")).otherwise(centsStr(costCents)).as("value")),
+          struct(lit("product_page_count").as("key"),
+            when(pk % 5 === 0, lit("")).otherwise((col("p_size") * 3).cast("string")).as("value")),
+          struct(lit("total_manuals").as("key"), (pk % 9).cast("string").as("value")),
+          struct(lit("product_language").as("key"),
+            when(pk % 2 === 0, lit("en")).otherwise(lit("fr")).as("value")),
+          struct(lit("next_receipt_date").as("key"), lit("2026-09-01").as("value"))
+        ).as("meta_data"))
+      graft.ops.NestedFlatten.flattenProducts(docs)
+        .select(col("product_id"), col("date_created"), col("name"), col("status"),
+          col("backorders_allowed"), col("exclude_from_all_discounting"),
+          col("free_shipping"), col("gift_card"), col("product_inactive"),
+          col("brand"), col("product_language"),
+          // date surfaces as ts: pandas/pyarrow reads both engines' DATE
+          // differently (date vs datetime64), timestamps identically
+          col("next_receipt_date").cast("timestamp").as("next_receipt_date"),
+          col("case_qty"), col("product_page_count"), col("total_manuals"),
+          col("alg_wc_cog_cost").cast("double").as("alg_wc_cog_cost"),
+          col("price").cast("double").as("price"),
+          col("regular_price").cast("double").as("regular_price"),
+          col("weight").cast("double").as("weight"),
+          col("sku"), col("stock_quantity"))
+        .orderBy(col("product_id"))
+    }),
+
+    // §2.10/P1 — refund line-item explode (woo-sync/main.py:1083-1129):
+    // nested docs built by collecting lineitem rows per order, then
+    // exploded back through the real operator; per-item EAV lookups
+    // (_refunded_item_id, _alg_wc_cog_item_cost incl. the Decimal-try->0
+    // "garbage" path) verified against direct arithmetic on lineitem.
+    "q63_refund_items" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 20 === 0)
+      val items = li.select(
+        col("l_orderkey"),
+        struct(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+          col("l_partkey").as("product_id"),
+          concat(lit("P-"), col("l_partkey").cast("string")).as("name"),
+          centsStr((col("l_partkey") * 31 + col("l_linenumber") * 7) % 10000).as("price"),
+          col("l_linenumber").cast("long").as("quantity"),
+          concat(lit("SKU-"), col("l_partkey").cast("string")).as("sku"),
+          centsStr((col("l_partkey") * 5 + 3) % 1000).as("total_tax"),
+          array(
+            struct(lit("_refunded_item_id").as("key"),
+              (col("l_orderkey") * 100 + col("l_linenumber")).cast("string").as("value")),
+            struct(lit("_alg_wc_cog_item_cost").as("key"),
+              when(col("l_linenumber") % 3 === 0, lit("garbage"))
+                .otherwise(centsStr((col("l_partkey") * 13) % 10000)).as("value"))
+          ).as("meta_data")).as("li"))
+      val docs = items.groupBy(col("l_orderkey"))
+        .agg(collect_list(col("li")).as("line_items"))
+        .select(col("l_orderkey").as("id"),
+          (col("l_orderkey") + 9000000).as("parent_id"),
+          lit("2026-07-01 09:00:00").as("date_created"),
+          col("line_items"))
+      graft.ops.NestedFlatten.flattenRefundItems(docs)
+        .select(col("refund_number"), col("refund_item_id"), col("date_created"),
+          col("order_number"), col("order_item_id"), col("product_id"),
+          col("product_name"), col("product_quantity"), col("product_sku"),
+          col("product_price").cast("double").as("product_price"),
+          col("product_tax").cast("double").as("product_tax"),
+          col("product_cost").cast("double").as("product_cost"),
+          col("product_component_cost").cast("double").as("product_component_cost"))
+        .orderBy(col("refund_number"), col("refund_item_id"))
+    }),
+
+    // P1/P4 — refund header flatten (woo-sync/main.py:1036-1081):
+    // negated total, LAST-shipping-line-wins, cru_data subtotals.
+    "q64_refund_headers" -> ((s, dir) => {
+      val ok = col("o_orderkey")
+      val amtCents = (ok * 97 + 23) % 1000000
+      val shipCents = (ok * 7) % 10000
+      val docs = t(s, dir, "orders").select(
+        ok.as("id"),
+        (ok + 500000).as("parent_id"),
+        lit("2026-07-03 10:15:30").as("date_created"),
+        struct(
+          concat(lit("agent"), (ok % 5).cast("string"), lit("@example.org")).as("agent_email"),
+          lit("Agent Name").as("agent_name"),
+          centsStr(amtCents + 11).as("subtotal"),
+          centsStr((ok * 3) % 1000).as("subtotal_tax")).as("cru_data"),
+        array(
+          // first shipping line must be overwritten by the last one
+          struct(lit("0.00").as("total"), lit("0.00").as("total_tax")),
+          struct(centsStr(shipCents).as("total"),
+            centsStr(shipCents % 100).as("total_tax"))).as("shipping_lines"),
+        centsStr(amtCents).as("amount"))
+      graft.ops.NestedFlatten.flattenRefunds(docs)
+        .select(col("refund_number"), col("agent_email"), col("date_created"),
+          col("order_number"),
+          col("shipping").cast("double").as("shipping"),
+          col("shipping_tax").cast("double").as("shipping_tax"),
+          col("subtotal").cast("double").as("subtotal"),
+          col("subtotal_tax").cast("double").as("subtotal_tax"),
+          col("total").cast("double").as("total"))
+        .orderBy(col("refund_number"))
     }))
 
   // ---------------------------------------------------------------------------
@@ -1341,5 +1490,63 @@ object SparkEntry {
          SELECT d.doc_id, d.lang FROM documents d
          WHERE NOT EXISTS (SELECT 1 FROM comp c
                            WHERE c.doc_id = d.doc_id AND c.component_id <> c.doc_id)
-         ORDER BY d.doc_id""")
+         ORDER BY d.doc_id""",
+
+    "q62_product_flags" ->
+      """SELECT p_partkey AS product_id,
+         CASE WHEN p_partkey % 10 = 0 THEN TIMESTAMP '2026-06-15 12:00:00'
+              ELSE TIMESTAMP '2026-05-01 08:30:00' END AS date_created,
+         'Product ' || p_name AS name,
+         'Publish' AS status,
+         (p_partkey % 2 = 0) AS backorders_allowed,
+         FALSE AS exclude_from_all_discounting,
+         (p_partkey % 3 = 0) AS free_shipping,
+         (p_partkey % 2 = 0) AS gift_card,
+         FALSE AS product_inactive,
+         CASE WHEN p_partkey % 7 = 0 THEN p_brand || '_v2' ELSE p_brand END AS brand,
+         CASE WHEN p_partkey % 2 = 0 THEN 'en' ELSE 'fr' END AS product_language,
+         TIMESTAMP '2026-09-01 00:00:00' AS next_receipt_date,
+         CAST(CASE WHEN p_partkey % 4 = 0 THEN 0 ELSE p_size END AS BIGINT) AS case_qty,
+         CAST(CASE WHEN p_partkey % 5 = 0 THEN 0 ELSE p_size * 3 END AS BIGINT) AS product_page_count,
+         CAST(p_partkey % 9 AS BIGINT) AS total_manuals,
+         CAST(CASE WHEN p_partkey % 6 = 0 THEN 0
+                   ELSE (p_partkey * 137 + p_size * 13) % 100000 END AS DOUBLE) / 100 AS alg_wc_cog_cost,
+         CAST(CASE WHEN p_partkey % 11 = 0 THEN 0
+                   ELSE (p_partkey * 211 + 17) % 100000 END AS DOUBLE) / 100 AS price,
+         CAST(((p_partkey * 211 + 17) % 100000) + 50 AS DOUBLE) / 100 AS regular_price,
+         CAST(CASE WHEN p_partkey % 8 = 0 THEN 0 ELSE p_size + 0.5 END AS DOUBLE) AS weight,
+         'SKU-' || CAST(p_partkey AS VARCHAR) AS sku,
+         CAST(p_size * 10 AS BIGINT) AS stock_quantity
+         FROM part ORDER BY product_id""",
+
+    "q63_refund_items" ->
+      """SELECT l_orderkey AS refund_number,
+         l_orderkey * 10 + l_linenumber AS refund_item_id,
+         TIMESTAMP '2026-07-01 09:00:00' AS date_created,
+         l_orderkey + 9000000 AS order_number,
+         l_orderkey * 100 + l_linenumber AS order_item_id,
+         l_partkey AS product_id,
+         'P-' || CAST(l_partkey AS VARCHAR) AS product_name,
+         CAST(l_linenumber AS BIGINT) AS product_quantity,
+         'SKU-' || CAST(l_partkey AS VARCHAR) AS product_sku,
+         CAST((l_partkey * 31 + l_linenumber * 7) % 10000 AS DOUBLE) / 100 AS product_price,
+         CAST((l_partkey * 5 + 3) % 1000 AS DOUBLE) / 100 AS product_tax,
+         CAST(CASE WHEN l_linenumber % 3 = 0 THEN 0
+                   ELSE (l_partkey * 13) % 10000 END AS DOUBLE) / 100 AS product_cost,
+         CAST(CASE WHEN l_linenumber % 3 = 0 THEN 0
+                   ELSE (l_partkey * 13) % 10000 END AS DOUBLE) / 100 AS product_component_cost
+         FROM lineitem WHERE l_orderkey % 20 = 0
+         ORDER BY refund_number, refund_item_id""",
+
+    "q64_refund_headers" ->
+      """SELECT o_orderkey AS refund_number,
+         'agent' || CAST(o_orderkey % 5 AS VARCHAR) || '@example.org' AS agent_email,
+         TIMESTAMP '2026-07-03 10:15:30' AS date_created,
+         o_orderkey + 500000 AS order_number,
+         CAST((o_orderkey * 7) % 10000 AS DOUBLE) / 100 AS shipping,
+         CAST(((o_orderkey * 7) % 10000) % 100 AS DOUBLE) / 100 AS shipping_tax,
+         CAST(((o_orderkey * 97 + 23) % 1000000) + 11 AS DOUBLE) / 100 AS subtotal,
+         CAST((o_orderkey * 3) % 1000 AS DOUBLE) / 100 AS subtotal_tax,
+         -(CAST((o_orderkey * 97 + 23) % 1000000 AS DOUBLE) / 100) AS total
+         FROM orders ORDER BY refund_number""")
 }

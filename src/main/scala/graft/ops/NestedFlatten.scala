@@ -120,4 +120,136 @@ object NestedFlatten {
 
   /** Refund amounts are negated on load (woo-sync/main.py:1078-1079). */
   def negateMoney(c: Column): Column = -money(c)
+
+  // -------------------------------------------------------------------------
+  // Products + refunds flatten (the 3 remaining woo tables,
+  // woo-sync/main.py:821-1032 products, :1036-1129 refunds/refund items).
+  // -------------------------------------------------------------------------
+
+  /** EAV "1"-flag: the reference's `if y['value'] == "1": flag = 1`
+    * (woo-sync/main.py:846-865, 881-883) — 1 iff ANY entry under `key`
+    * carries the literal string "1"; a later "0" never resets it. */
+  def eavFlag(meta: Column, key: String): Column =
+    coalesce(exists(meta, m => m.getField("key") === key && m.getField("value") === "1"),
+      lit(false))
+
+  /** EAV last NON-EMPTY match with default — the reference's
+    * `if y['value'] != "": x = y['value']` guard (woo-sync/main.py:866-873,
+    * 889-893): every non-empty occurrence overwrites, empty ones don't. */
+  def eavLastNonEmpty(meta: Column, key: String, default: Column): Column =
+    coalesce(
+      try_element_at(filter(meta, m => m.getField("key") === key && m.getField("value") =!= ""),
+        lit(-1)).getField("value"),
+      default)
+
+  /** EAV int with empty-guard and 0 default (case_qty / product_page_count /
+    * total_manuals, woo-sync/main.py:869-875, 891-893). `try_cast` instead
+    * of Python's throwing int() — a malformed value nulls the field rather
+    * than failing the batch (documented deviation, SURVEY §7 risks). */
+  def eavIntNonEmpty(meta: Column, key: String): Column =
+    coalesce(eavLastNonEmpty(meta, key, lit(null)).try_cast("long"), lit(0L))
+
+  /** Woo booleans arrive as true/false, "0"/"1" or "" depending on plugin
+    * version; empty/absent -> false (woo-sync/main.py:907-923). */
+  private def boolish(c: Column): Column =
+    coalesce(c.cast(StringType).try_cast("boolean"), lit(false))
+
+  /** Flatten a product document to the reference's scalar projection
+    * (woo-sync/main.py:821-974, declared schema :352-391): the 17-key
+    * meta_data flag map + typed money/int/date coercions. Env-binding
+    * columns (store_wid/rls_value/sync_timestamp/unix timestamp) are
+    * load-time constants and stay out of the operator, as in
+    * [[flattenOrders]]. */
+  def flattenProducts(products: DataFrame): DataFrame = {
+    val meta = col("meta_data")
+    products.select(
+      col("id").cast("long").as("product_id"),
+      // date_created falls back to date_modified when null (main.py:897-900)
+      coalesce(coercedTimestamp(optPath(products, "date_created")),
+        coercedTimestamp(optPath(products, "date_modified"))).as("date_created"),
+      coercedTimestamp(optPath(products, "date_modified")).as("date_modified"),
+      optPath(products, "name").as("name"),
+      optPath(products, "short_description").as("short_description"),
+      boolish(optPath(products, "backorders_allowed")).as("backorders_allowed"),
+      boolish(optPath(products, "downloadable")).as("downloadable"),
+      boolish(optPath(products, "virtual")).as("virtual"),
+      // -- the six "1"-flags of the meta_data map (main.py:846-865, 881-883)
+      eavFlag(meta, "exclude_from_all_discounting").as("exclude_from_all_discounting"),
+      eavFlag(meta, "free_shipping").as("free_shipping"),
+      eavFlag(meta, "product_inactive").as("product_inactive"),
+      eavFlag(meta, "gift_card").as("gift_card"),
+      eavFlag(meta, "donor_premium").as("donor_premium"),
+      eavFlag(meta, "royalty").as("royalty"),
+      // -- plain last-wins strings (assigned unconditionally, :862-888)
+      eavLast(meta, "next_receipt_date", lit("")).try_cast("date").as("next_receipt_date"),
+      eavLast(meta, "brand", lit("")).as("brand"),
+      eavLast(meta, "product_isbn", lit("")).as("product_isbn"),
+      eavLast(meta, "product_publisher", lit("")).as("product_publisher"),
+      eavLast(meta, "impact", lit("")).as("impact"),
+      eavLast(meta, "product_language", lit("")).as("product_language"),
+      eavLast(meta, "sub_brand", lit("")).as("sub_brand"),
+      initcap(optPath(products, "status")).as("status"),
+      // -- money with non-empty guard, '0.00' default (:866-868, 941-942)
+      money(eavLastNonEmpty(meta, "_alg_wc_cog_cost", lit("0.00"))).as("alg_wc_cog_cost"),
+      money(eavLastNonEmpty(meta, "fl_staff_price_field", lit("0.00"))).as("fl_staff_price_field"),
+      money(optPath(products, "msrp_price")).as("msrp_price"),
+      money(optPath(products, "price")).as("price"),
+      money(optPath(products, "regular_price")).as("regular_price"),
+      optPath(products, "sku").as("sku"),
+      money(optPath(products, "weight")).as("weight"),
+      optPath(products, "type").as("type"),
+      optPath(products, "stock_quantity").try_cast("long").as("stock_quantity"),
+      // -- ints with non-empty guard, 0 default (:869-875, 891-893)
+      eavIntNonEmpty(meta, "case_qty").as("case_qty"),
+      eavIntNonEmpty(meta, "product_page_count").as("product_page_count"),
+      eavIntNonEmpty(meta, "total_manuals").as("total_manuals"))
+  }
+
+  /** Flatten a refund document to the reference's record shape
+    * (woo-sync/main.py:1036-1081, declared schema :499-516): agent from
+    * cru_data, shipping from the LAST shipping_lines entry (the loop
+    * overwrites, :1060-1064), cru_data subtotals, and the amount negated
+    * on load (:1078-1079). */
+  def flattenRefunds(refunds: DataFrame): DataFrame =
+    refunds.select(
+      col("id").cast("long").as("refund_number"),
+      optPath(refunds, "cru_data.agent_email").as("agent_email"),
+      optPath(refunds, "cru_data.agent_name").as("agent_name"),
+      coercedTimestamp(optPath(refunds, "date_created")).as("date_created"),
+      // date_modified is a copy of date_created in the reference (:1057)
+      coercedTimestamp(optPath(refunds, "date_created")).as("date_modified"),
+      col("parent_id").cast("long").as("order_number"),
+      col("parent_id").cast("long").as("parent_id"),
+      money(try_element_at(col("shipping_lines"), lit(-1)).getField("total")).as("shipping"),
+      money(try_element_at(col("shipping_lines"), lit(-1)).getField("total_tax")).as("shipping_tax"),
+      money(optPath(refunds, "cru_data.subtotal")).as("subtotal"),
+      money(optPath(refunds, "cru_data.subtotal_tax")).as("subtotal_tax"),
+      negateMoney(optPath(refunds, "amount")).as("total"))
+
+  /** Explode refund line items (woo-sync/main.py:1083-1129, declared
+    * schema :538-556): per-item EAV lookups `_refunded_item_id` (int,
+    * last-wins, default 0) and `_alg_wc_cog_item_cost` (money, last-wins
+    * INCLUDING empty — no `!= ""` guard in the reference — with the
+    * Decimal-try -> 0 fallback that [[money]] reproduces). */
+  def flattenRefundItems(refunds: DataFrame): DataFrame =
+    refunds.select(
+      col("id").cast("long").as("refund_number"),
+      coercedTimestamp(col("date_created")).as("date_created"),
+      col("parent_id").cast("long").as("order_number"),
+      explode(col("line_items")).as("li"))
+      .select(
+        col("refund_number"),
+        col("li.id").cast("long").as("refund_item_id"),
+        col("date_created"),
+        col("order_number"),
+        coalesce(eavLast(col("li.meta_data"), "_refunded_item_id", lit("0")).try_cast("long"),
+          lit(0L)).as("order_item_id"),
+        money(eavLast(col("li.meta_data"), "_alg_wc_cog_item_cost", lit("0"))).as("product_component_cost"),
+        money(eavLast(col("li.meta_data"), "_alg_wc_cog_item_cost", lit("0"))).as("product_cost"),
+        col("li.product_id").cast("long").as("product_id"),
+        col("li.name").as("product_name"),
+        money(col("li.price")).as("product_price"),
+        col("li.quantity").cast("long").as("product_quantity"),
+        col("li.sku").as("product_sku"),
+        money(col("li.total_tax")).as("product_tax"))
 }

@@ -58,4 +58,103 @@ class NestedFlattenSpec extends SparkSpecBase {
     assert(df.select(NestedFlatten.negateMoney($"amount").as("a"))
       .head().getAs[java.math.BigDecimal]("a").doubleValue() == -12.5)
   }
+
+  /** Product fixture keyed to the reference's flag-map defaults
+    * (woo-sync/main.py:826-893): "1" sets a flag, "0"/"" don't, a flag
+    * once set survives a later "0"; guarded keys take the last NON-empty
+    * value; plain strings take the last value unconditionally. */
+  private val productJson =
+    """{"id": 31, "name": "Widget", "short_description": "w",
+       "date_created": null, "date_modified": "2026-06-02T11:30:00",
+       "status": "publish", "type": "simple",
+       "price": "", "regular_price": "10.00", "msrp_price": "12.00",
+       "sku": "W-1", "weight": "1.5", "stock_quantity": 7,
+       "backorders_allowed": "1", "downloadable": "", "virtual": true,
+       "meta_data": [
+         {"key": "free_shipping", "value": "1"},
+         {"key": "free_shipping", "value": "0"},
+         {"key": "gift_card", "value": "0"},
+         {"key": "royalty", "value": ""},
+         {"key": "case_qty", "value": "6"},
+         {"key": "case_qty", "value": ""},
+         {"key": "product_page_count", "value": "oops"},
+         {"key": "total_manuals", "value": "3"},
+         {"key": "brand", "value": "first"},
+         {"key": "brand", "value": ""},
+         {"key": "_alg_wc_cog_cost", "value": "4.25"},
+         {"key": "_alg_wc_cog_cost", "value": ""},
+         {"key": "next_receipt_date", "value": "2026-09-01"}]}""".replaceAll("\n\\s*", " ")
+
+  test("flattenProducts: 17-key flag map semantics + coercions") {
+    val r = NestedFlatten.flattenProducts(spark.read.json(Seq(productJson).toDS)).head()
+    assert(r.getAs[Boolean]("free_shipping"))                  // "1" then "0": stays set
+    assert(!r.getAs[Boolean]("gift_card"))                     // "0" never sets
+    assert(!r.getAs[Boolean]("royalty"))                       // "" never sets
+    assert(!r.getAs[Boolean]("donor_premium"))                 // absent key -> 0
+    assert(r.getAs[Long]("case_qty") == 6L)                    // last NON-empty wins
+    assert(r.getAs[Long]("product_page_count") == 0L)          // malformed int -> 0 (try_cast deviation)
+    assert(r.getAs[Long]("total_manuals") == 3L)
+    assert(r.getAs[String]("brand") == "")                     // plain string: last wins even if empty
+    assert(r.getAs[String]("impact") == "")                    // absent key -> '' default
+    assert(r.getAs[java.math.BigDecimal]("alg_wc_cog_cost").doubleValue() == 4.25) // empty doesn't overwrite
+    assert(r.getAs[java.sql.Date]("next_receipt_date").toString == "2026-09-01")
+    assert(r.getAs[String]("status") == "Publish")             // str.title()
+    assert(r.getAs[Boolean]("backorders_allowed"))             // "1" -> true
+    assert(!r.getAs[Boolean]("downloadable"))                  // "" -> false default
+    assert(r.getAs[Boolean]("virtual"))
+    assert(r.getAs[java.math.BigDecimal]("price").doubleValue() == 0.0)   // "" -> 0.00
+    assert(r.getAs[java.math.BigDecimal]("weight").doubleValue() == 1.5)
+    // date_created null -> falls back to date_modified (main.py:897-900)
+    assert(r.getAs[java.sql.Timestamp]("date_created") ==
+      r.getAs[java.sql.Timestamp]("date_modified"))
+  }
+
+  /** Refund fixture (woo-sync/main.py:1036-1129): negated amount, LAST
+    * shipping line wins, cru_data subtotals, per-item EAV lookups with
+    * the Decimal-try -> 0 fallback. */
+  private val refundJson =
+    """{"id": 9001, "parent_id": 777, "amount": "25.00",
+       "date_created": "2026-07-01T09:00:00",
+       "cru_data": {"agent_email": "a@x.org", "agent_name": "A",
+                     "subtotal": "20.00", "subtotal_tax": "1.20"},
+       "shipping_lines": [{"total": "9.99", "total_tax": "0.99"},
+                           {"total": "3.80", "total_tax": "0.20"}],
+       "line_items": [
+         {"id": 501, "product_id": 55, "name": "Book", "sku": "BK-1",
+          "price": "9.99", "quantity": 2, "total_tax": "0.40",
+          "meta_data": [{"key": "_refunded_item_id", "value": "81"},
+                         {"key": "_alg_wc_cog_item_cost", "value": "4.10"}]},
+         {"id": 502, "product_id": 56, "name": "Pen", "sku": "PN-9",
+          "price": "1.00", "quantity": 1, "total_tax": "0.00",
+          "meta_data": [{"key": "_alg_wc_cog_item_cost", "value": "garbage"}]}]}"""
+      .replaceAll("\n\\s*", " ")
+
+  private lazy val refunds = spark.read.json(Seq(refundJson).toDS)
+
+  test("flattenRefunds: negated total, last shipping line, cru_data subtotals") {
+    val r = NestedFlatten.flattenRefunds(refunds).head()
+    assert(r.getAs[Long]("refund_number") == 9001L)
+    assert(r.getAs[Long]("order_number") == 777L)
+    assert(r.getAs[java.math.BigDecimal]("total").doubleValue() == -25.0)
+    assert(r.getAs[java.math.BigDecimal]("shipping").doubleValue() == 3.80)   // last line wins
+    assert(r.getAs[java.math.BigDecimal]("shipping_tax").doubleValue() == 0.20)
+    assert(r.getAs[java.math.BigDecimal]("subtotal").doubleValue() == 20.0)
+    assert(r.getAs[String]("agent_email") == "a@x.org")
+    assert(r.getAs[java.sql.Timestamp]("date_modified") ==
+      r.getAs[java.sql.Timestamp]("date_created"))              // copied field
+  }
+
+  test("flattenRefundItems: per-item EAV, garbage cost -> 0, missing id -> 0") {
+    val items = NestedFlatten.flattenRefundItems(refunds).collect()
+    assert(items.length == 2)
+    val book = items.find(_.getAs[Long]("refund_item_id") == 501L).get
+    assert(book.getAs[Long]("order_item_id") == 81L)
+    assert(book.getAs[java.math.BigDecimal]("product_cost").doubleValue() == 4.10)
+    assert(book.getAs[java.math.BigDecimal]("product_component_cost").doubleValue() == 4.10)
+    assert(book.getAs[Long]("refund_number") == 9001L)
+    assert(book.getAs[Long]("order_number") == 777L)
+    val pen = items.find(_.getAs[Long]("refund_item_id") == 502L).get
+    assert(pen.getAs[Long]("order_item_id") == 0L)              // absent meta -> 0
+    assert(pen.getAs[java.math.BigDecimal]("product_cost").doubleValue() == 0.0) // Decimal-try -> 0
+  }
 }
