@@ -24,7 +24,10 @@ object Dedup {
     * the input across the cluster first; on a real multi-split source
     * this is a no-op. The exchange this inserts is also reused by the
     * self-join branches (ReusedExchange) instead of recomputing the
-    * text pipeline per side. */
+    * text pipeline per side. The `df.rdd` probe forces logical->RDD
+    * plan conversion — a PLAN-TIME driver cost only (no job runs), paid
+    * once per operator call, not per row; acceptable at query
+    * granularity. */
   private[ops] def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
@@ -182,10 +185,15 @@ object Dedup {
     val l = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("band", "band_key")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
-      .withColumn("sig_agreement",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)).cast("double") / k)
-      .select(col("id_a"), col("id_b"), col("sig_agreement"))
+      // agreement computed AT THE JOIN SITE: the candidate-dedup shuffle
+      // then carries (id_a, id_b, double) instead of two k-long signature
+      // arrays — ~2k×8 bytes/row less through the distinct. Recompute per
+      // occurrence is cheap (band multiplicity is small at dedup-grade
+      // thresholds) and deterministic, so distinct on the value is exact.
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k).as("sig_agreement"))
+      .distinct()
   }
 
   /** Near-dup pairs = LSH candidates whose signature agreement (a
@@ -277,6 +285,16 @@ object Dedup {
     val created = scala.collection.mutable.LinkedHashSet.empty[String]
     def fs(p: org.apache.hadoop.fs.Path) =
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Enforce the run-owns-the-dir contract instead of trusting it: a
+    // caller who passes a shared scratch root (e.g. the session
+    // checkpoint dir itself) would otherwise have same-named files
+    // (edges, r*) overwritten here and deleted on failure cleanup.
+    checkpointDir.foreach { base =>
+      val p = new org.apache.hadoop.fs.Path(base)
+      val f = fs(p)
+      require(!f.exists(p) || f.listStatus(p).isEmpty,
+        s"checkpointDir must be empty/nonexistent (this run owns it): $base")
+    }
     def cut(df: DataFrame, name: String, lazyLocal: Boolean): DataFrame = ckptBase match {
       case Some(base) =>
         val p = s"$base/$name"
@@ -479,10 +497,16 @@ object Dedup {
     val l = blocked.select(col("blk"), col("blk_key"), col("id").as("id_a"), col("v").as("v_a"))
     val r = blocked.select(col("blk"), col("blk_key"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("blk", "blk_key")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b")).distinct()
-      .withColumn("cosine_sim", VectorFunctions.cosineNative(col("v_a"), col("v_b")))
+      // verify AT THE JOIN SITE, then dedup: the distinct shuffle carries
+      // (id_a, id_b, double) — never the two dim-wide embeddings — and the
+      // threshold filter runs BEFORE the exchange, so only true near-dups
+      // shuffle at all. Cosine recompute per duplicate occurrence is
+      // cheaper than shipping 2×dim×4 bytes per occurrence, and it is
+      // deterministic, so distinct on the value is exact.
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineNative(col("v_a"), col("v_b")).as("cosine_sim"))
       .filter(col("cosine_sim") >= minCosine)
-      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+      .distinct()
   }
 
   /** Embedding-cosine near-duplicates via IVF bucketing (the
@@ -511,10 +535,12 @@ object Dedup {
     val l = probed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val r = probed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b")).distinct()
-      .withColumn("cosine_sim", VectorFunctions.cosineNative(col("v_a"), col("v_b")))
+      // same shape as cosineNearDups: verify + threshold before the
+      // dedup exchange, so the distinct never carries embedding payloads
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineNative(col("v_a"), col("v_b")).as("cosine_sim"))
       .filter(col("cosine_sim") >= minCosine)
-      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+      .distinct()
   }
 
   /** SimHash near-dup candidates with Hamming distance <= maxHamming,

@@ -69,11 +69,16 @@ object Relational {
     * can hold (the 800 K-member "everyone" groups of the reference are
     * exactly this shape). Correctness: every (bigRow, smallRow) match
     * appears exactly once because the big row's salt picks exactly one
-    * replica of the small row. */
+    * replica of the small row. The salt is a content hash of the big
+    * row — any row-id scheme (monotonically_increasing_id) would be
+    * correct too (the salt only selects WHICH replica matches) but can
+    * shift under stage retry, making reruns needlessly hard to reason
+    * about; fully identical rows sharing a salt costs nothing beyond
+    * slightly coarser spreading of exact duplicates. */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor)).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     saltedBig.join(saltedSmall, keys :+ "__salt", joinType).drop("__salt")

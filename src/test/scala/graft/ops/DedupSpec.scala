@@ -166,24 +166,25 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
-  test("connectedComponents failure cleanup spares unrelated files in the scratch dir") {
+  test("connectedComponents refuses a non-empty scratch dir up front, touching nothing") {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt-shared")
     val bystander = dir.resolve("unrelated.txt")
     try {
       java.nio.file.Files.write(bystander, "keep me".getBytes)
       val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
-      intercept[IllegalStateException] {
+      // the run-owns-the-dir contract is ENFORCED, not trusted: a shared
+      // scratch root (which could hold same-named edges/r* files) is
+      // rejected before anything is written or deleted
+      intercept[IllegalArgumentException] {
         Dedup.connectedComponents(pairs, maxIter = 1,
           checkpointDir = Some(dir.toString), driverMaxEdges = 0)
       }
-      // only the run's own round files are deleted; a caller passing a
-      // shared scratch root must not lose unrelated data
       assert(java.nio.file.Files.exists(bystander),
-        "cleanup deleted a file the run did not create")
+        "refusal must not delete pre-existing files")
       import scala.jdk.CollectionConverters._
       val leftovers = java.nio.file.Files.list(dir).iterator().asScala
         .filterNot(_ == bystander).toSeq
-      assert(leftovers.isEmpty, s"run files survived failure: $leftovers")
+      assert(leftovers.isEmpty, s"refusal must not create files: $leftovers")
     } finally {
       java.nio.file.Files.deleteIfExists(bystander)
       java.nio.file.Files.deleteIfExists(dir)
