@@ -152,6 +152,83 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  // --- batch-equivalence gates for the streaming twins -----------------------
+  // The driver's oracle has no stream surface, so the streaming forms are
+  // gated here instead: run each stream over a parquet file topic of the
+  // REAL sf0.001 corpus with Trigger.AvailableNow and assert the result
+  // equals the batch query it twins (q25 / q34), computed on the same rows.
+
+  test("dedupDocumentsStream == batch exact dedup (q25 twin) on the sf0.001 corpus") {
+    import org.apache.spark.sql.functions._
+    val topic = Files.createTempDirectory("graft-docs-topic").toString
+    val docs = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text",
+        lit("2026-01-01 00:00:00").cast("timestamp").as("event_ts"))
+    docs.write.mode("overwrite").parquet(topic)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, event_ts TIMESTAMP")
+      .parquet(topic)
+    val q = EventStream.dedupDocumentsStream(stream, "text", "event_ts")
+      .writeStream.format("memory").queryName("dedup_twin_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+
+    val got = spark.table("dedup_twin_out")
+    val batch = graft.ops.Dedup.exactGroups(docs, "doc_id", "text")
+    // equivalence contract: exactly one survivor per distinct fingerprint
+    // (the streaming op keeps the first ARRIVAL, the batch op the min id —
+    // same groups, so the fingerprint sets and counts must agree exactly)
+    val gotFps = got
+      .select(graft.functions.TextFunctions.fingerprint($"text").as("f"))
+      .as[String].collect().sorted.toSeq
+    val expFps = batch.select($"fingerprint").as[String].collect().sorted.toSeq
+    assert(gotFps.distinct.size == gotFps.size, "streaming emitted a duplicate fingerprint")
+    assert(gotFps == expFps)
+  }
+
+  test("sessionized == batch lag+cumsum sessionization (q34 twin) on sf0.001 events") {
+    import org.apache.spark.sql.functions._
+    val topic = Files.createTempDirectory("graft-events-topic").toString
+    val ev = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select($"user_id", $"ts")
+    // sentinel straggler one day past the corpus: advances the watermark
+    // past every real session's close so append mode flushes them all
+    val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+    val sentinel = Seq((-1L, new Timestamp(maxTs.getTime + 86400L * 1000))).toDF("user_id", "ts")
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(topic)
+
+    val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(topic)
+    val q = EventStream.sessionized(stream, "user_id", "ts")
+      .writeStream.format("memory").queryName("sess_twin_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+
+    // streaming: sessions per user + events per user (sentinel's own
+    // still-open session excluded)
+    val got = spark.table("sess_twin_out").filter($"user_id" =!= -1L)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_ev"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // batch twin — the q34 algorithm (lag + gap-break cumsum), a genuinely
+    // different formulation of the same semantics
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id").orderBy($"ts")
+    val exp = ev
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("brk", when($"prev_us".isNull ||
+        unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1L).otherwise(0L))
+      .groupBy($"user_id")
+      .agg(sum($"brk").as("n_sessions"), count(lit(1)).as("n_ev"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    assert(got.nonEmpty && got == exp)
+  }
+
   test("retryArbiter arms on failure, supersedes with newer run, fires on timeout") {
     import org.apache.spark.api.java.Optional
     // arm
