@@ -15,9 +15,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object TableSwap {
 
   /** Write df to `<root>/_staging/<name>`, then publish to
-    * `<root>/<name>` by rename. Refuses to publish an empty result over
-    * an existing table (empty-truncation guard,
+    * `<root>/<name>` by a two-step same-FS rename through
+    * `<root>/_trash/<name>-<stamp>`. Refuses to publish an empty result
+    * over an existing table (empty-truncation guard,
     * okta-sync/main.py:947-951).
+    *
+    * Why two renames instead of delete-then-rename: a recursive delete
+    * is O(files) and not undoable — a crash mid-delete leaves a
+    * half-table, and after it completes the old data is gone before the
+    * new data is live. Renames are single metadata ops on HDFS-like
+    * stores: the only crash window is between the two renames, it never
+    * exposes partial data (the table is absent, not half-written), the
+    * old table is still intact in _trash, and [[recoverSwap]] restores
+    * it at startup. A failed publish rename rolls the old table back
+    * immediately. The old copy is deleted only after the new one is
+    * live. (True atomicity needs a transactional format — Delta/
+    * Iceberg `CREATE OR REPLACE` — documented deviation, SURVEY §7.)
     */
   def stageAndSwap(spark: SparkSession, df: DataFrame, root: String, name: String): Boolean = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -26,9 +39,44 @@ object TableSwap {
     val fs = target.getFileSystem(hconf)
     if (df.isEmpty && fs.exists(target)) return false
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    if (fs.exists(target)) fs.delete(target, true)
+    // stamp is lexically sortable so recovery can pick the newest copy
+    val trash = new org.apache.hadoop.fs.Path(
+      s"$root/_trash/$name-${"%019d".format(System.currentTimeMillis())}")
+    val hadOld = fs.exists(target)
+    if (hadOld) {
+      fs.mkdirs(trash.getParent)
+      if (!fs.rename(target, trash)) return false
+    }
     fs.mkdirs(target.getParent)
-    fs.rename(staging, target)
+    val published = fs.rename(staging, target)
+    if (published) { if (hadOld) fs.delete(trash, true) }
+    else if (hadOld) fs.rename(trash, target) // roll the old table back
+    published
+  }
+
+  /** Crash-between-renames recovery for [[stageAndSwap]]: if a swap
+    * moved the old table to `_trash` but died before publishing, the
+    * table is missing — restore the NEWEST trashed copy. Call once at
+    * startup before reads. No-op (false) when the table exists; any
+    * trash left behind then is from a swap that died after publishing,
+    * and is swept. Staged data is never auto-published: its write may
+    * itself be the thing that died, so the retried job rewrites it. */
+  def recoverSwap(spark: SparkSession, root: String, name: String): Boolean = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(s"$root/$name")
+    val trashDir = new org.apache.hadoop.fs.Path(s"$root/_trash")
+    val fs = target.getFileSystem(hconf)
+    val copies =
+      if (!fs.exists(trashDir)) Seq.empty
+      else fs.listStatus(trashDir).toSeq
+        .filter(_.getPath.getName.startsWith(s"$name-")).sortBy(_.getPath.getName)
+    if (fs.exists(target)) {
+      copies.foreach(st => fs.delete(st.getPath, true)) // post-publish leftovers
+      false
+    } else copies.lastOption.exists { newest =>
+      copies.init.foreach(st => fs.delete(st.getPath, true))
+      fs.rename(newest.getPath, target)
+    }
   }
 
   /** Truncate-then-append micro-batch sink: first batch overwrites,

@@ -23,6 +23,41 @@ class TableSwapSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$root/t").count() == 2)
   }
 
+  test("stageAndSwap sweeps its trash copy after a successful publish") {
+    val root = Files.createTempDirectory("graft-swap-trash").toString
+    assert(TableSwap.stageAndSwap(spark, Seq(1).toDF("x"), root, "t"))
+    assert(TableSwap.stageAndSwap(spark, Seq(2, 3).toDF("x"), root, "t"))
+    val trash = new java.io.File(s"$root/_trash")
+    assert(!trash.exists() || trash.listFiles().isEmpty,
+      "old copy must be deleted once the new table is live")
+  }
+
+  test("recoverSwap restores the newest trashed copy when a swap died between renames") {
+    val root = Files.createTempDirectory("graft-swap-crash").toString
+    assert(TableSwap.stageAndSwap(spark, Seq(1, 2, 3).toDF("x"), root, "t"))
+    // simulate the crash window: the swap moved the live table to _trash
+    // (step 1) and died before publishing staging (step 2)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_trash"))
+    // an older abandoned copy that recovery must discard, not restore
+    Seq(99).toDF("x").write.parquet(s"$root/_trash/t-0000000000000000001")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/t"),
+      new org.apache.hadoop.fs.Path(s"$root/_trash/t-0000000000000000002")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/t"))) // table is missing
+
+    assert(TableSwap.recoverSwap(spark, root, "t"))
+    assert(spark.read.parquet(s"$root/t").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_trash")).isEmpty,
+      "older abandoned copies must be swept")
+
+    // table present -> recovery is a no-op that only sweeps leftovers
+    Seq(7).toDF("x").write.parquet(s"$root/_trash/t-0000000000000000003")
+    assert(!TableSwap.recoverSwap(spark, root, "t"))
+    assert(spark.read.parquet(s"$root/t").count() == 3)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_trash")).isEmpty)
+  }
+
   test("writeBatch truncate-then-append protocol") {
     val path = Files.createTempDirectory("graft-batch").toString + "/t"
     TableSwap.writeBatch(Seq(1).toDF("x"), path, firstBatch = true)
