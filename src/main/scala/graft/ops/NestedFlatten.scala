@@ -205,6 +205,45 @@ object NestedFlatten {
       eavIntNonEmpty(meta, "total_manuals").as("total_manuals"))
   }
 
+  /** Explode a product's bundled items (woo-sync/main.py:976-993,
+    * declared schema :414-423): absent `bundled_items` -> no rows (the
+    * reference's `if 'bundled_items' in p` guard — explode drops
+    * null/empty arrays itself). */
+  def explodeProductBundles(products: DataFrame): DataFrame =
+    products.select(
+      col("id").cast(Money).as("product_id"),
+      explode(col("bundled_items")).as("bi"))
+      .select(
+        col("product_id"),
+        col("bi.bundled_item_id").cast(Money).as("bundled_item_id"),
+        col("bi.product_id").cast(Money).as("bundled_product_id"),
+        col("bi.quantity_default").cast("long").as("quantity_default"))
+
+  /** Explode a product's categories (woo-sync/main.py:995-1012,
+    * schema :442-451). */
+  def explodeProductCategories(products: DataFrame): DataFrame =
+    products.select(
+      col("id").cast("long").as("product_id"),
+      explode(col("categories")).as("c"))
+      .select(
+        col("product_id"),
+        col("c.id").cast("long").as("category_id"),
+        col("c.name").as("name"),
+        col("c.slug").as("slug"))
+
+  /** Explode a product's attributes, carrying the FIRST option only
+    * (`i['options'][0]`, woo-sync/main.py:1014-1032, schema :470-480). */
+  def explodeProductAttributes(products: DataFrame): DataFrame =
+    products.select(
+      col("id").cast("long").as("product_id"),
+      explode(col("attributes")).as("a"))
+      .select(
+        col("product_id"),
+        col("a.id").cast("long").as("attribute_id"),
+        col("a.name").as("name"),
+        col("a.slug").as("slug"),
+        try_element_at(col("a.options"), lit(1)).as("option"))
+
   /** Flatten a refund document to the reference's record shape
     * (woo-sync/main.py:1036-1081, declared schema :499-516): agent from
     * cru_data, shipping from the LAST shipping_lines entry (the loop

@@ -109,6 +109,46 @@ class NestedFlattenSpec extends SparkSpecBase {
       r.getAs[java.sql.Timestamp]("date_modified"))
   }
 
+  /** Bundle/category/attribute child tables (woo-sync/main.py:976-1032):
+    * absent arrays -> zero rows; attributes carry options[0] only. */
+  private val productWithChildrenJson =
+    """{"id": 31,
+       "bundled_items": [{"bundled_item_id": 7, "product_id": 99, "quantity_default": 2}],
+       "categories": [{"id": 11, "name": "Books", "slug": "books"},
+                       {"id": 12, "name": "Gifts", "slug": "gifts"}],
+       "attributes": [{"id": 5, "name": "Size", "slug": "size",
+                        "options": ["L", "XL"]}]}""".replaceAll("\n\\s*", " ")
+
+  test("product child-table explodes: bundles, categories, attributes(option[0])") {
+    import org.apache.spark.sql.functions.lit
+    val p = spark.read.json(Seq(productWithChildrenJson).toDS)
+    val bundles = NestedFlatten.explodeProductBundles(p).collect()
+    assert(bundles.length == 1)
+    assert(bundles.head.getAs[java.math.BigDecimal]("bundled_product_id").longValue() == 99L)
+    assert(bundles.head.getAs[Long]("quantity_default") == 2L)
+
+    val cats = NestedFlatten.explodeProductCategories(p).collect()
+    assert(cats.map(_.getAs[String]("slug")).sorted.toSeq == Seq("books", "gifts"))
+    assert(cats.forall(_.getAs[Long]("product_id") == 31L))
+
+    val attrs = NestedFlatten.explodeProductAttributes(p).collect()
+    assert(attrs.length == 1)
+    assert(attrs.head.getAs[String]("option") == "L") // first option wins
+
+    // a product without the child arrays yields no child rows (the
+    // reference's `if key in p` guard)
+    val bare = spark.read.json(Seq("""{"id": 32}""").toDS)
+      .withColumn("bundled_items",
+        lit(null).cast("array<struct<bundled_item_id:long,product_id:long,quantity_default:long>>"))
+      .withColumn("categories",
+        lit(null).cast("array<struct<id:long,name:string,slug:string>>"))
+      .withColumn("attributes",
+        lit(null).cast("array<struct<id:long,name:string,slug:string,options:array<string>>>"))
+    assert(NestedFlatten.explodeProductBundles(bare).count() == 0)
+    assert(NestedFlatten.explodeProductCategories(bare).count() == 0)
+    assert(NestedFlatten.explodeProductAttributes(bare).count() == 0)
+  }
+
   /** Refund fixture (woo-sync/main.py:1036-1129): negated amount, LAST
     * shipping line wins, cru_data subtotals, per-item EAV lookups with
     * the Decimal-try -> 0 fallback. */
