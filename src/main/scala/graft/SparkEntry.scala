@@ -713,6 +713,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence packing (training-data prep, beyond ref): concat-and-chunk
+    // assignment of every doc to a fixed-budget training sequence —
+    // shard-local md5 order, one window shuffle, no global sort.
+    "q65_pack_sequences" -> ((s, dir) => {
+      graft.ops.SequencePrep.packAssignments(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", budget = 4096L, shards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Overlapping token-window chunking (retrieval/long-context prep):
+    // pure narrow op, chunk membership a function of the text alone.
+    "q66_chunk_docs" -> ((s, dir) => {
+      graft.ops.SequencePrep.chunkByTokens(
+          t(s, dir, "documents"), "doc_id", "text", maxTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -1548,5 +1566,30 @@ object SparkEntry {
          CAST(((o_orderkey * 97 + 23) % 1000000) + 11 AS DOUBLE) / 100 AS subtotal,
          CAST((o_orderkey * 3) % 1000 AS DOUBLE) / 100 AS subtotal_tax,
          -(CAST((o_orderkey * 97 + 23) % 1000000 AS DOUBLE) / 100) AS total
-         FROM orders ORDER BY refund_number""")
+         FROM orders ORDER BY refund_number""",
+
+    "q65_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+                md5(CAST(doc_id AS VARCHAR)) AS h, n_chars
+              FROM documents),
+         c AS (SELECT doc_id, shard, n_chars,
+                SUM(n_chars) OVER (PARTITION BY shard ORDER BY h, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS e
+               FROM d)
+         SELECT doc_id, shard,
+           (e - n_chars) // 4096 AS seq_id,
+           (e - n_chars) % 4096 AS seq_pos,
+           ((e - n_chars) % 4096) + n_chars > 4096 AS crosses_boundary
+         FROM c ORDER BY doc_id""",
+
+    "q66_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         s AS (SELECT doc_id, ws, i
+               FROM t, UNNEST(range(0, len(ws), 48)) AS r(i)
+               WHERE len(ws) > 0 AND (i = 0 OR i + 16 < len(ws)))
+         SELECT doc_id, i // 48 AS chunk_idx,
+           array_to_string(ws[i+1 : i+64], ' ') AS chunk_text,
+           CAST(LEAST(len(ws) - i, 64) AS BIGINT) AS n_chunk_tokens
+         FROM s ORDER BY doc_id, chunk_idx""")
 }
