@@ -69,16 +69,23 @@ object Relational {
     * can hold (the 800 K-member "everyone" groups of the reference are
     * exactly this shape). Correctness: every (bigRow, smallRow) match
     * appears exactly once because the big row's salt picks exactly one
-    * replica of the small row. The salt is a content hash of the big
-    * row — any row-id scheme (monotonically_increasing_id) would be
-    * correct too (the salt only selects WHICH replica matches) but can
-    * shift under stage retry, making reruns needlessly hard to reason
-    * about; fully identical rows sharing a salt costs nothing beyond
-    * slightly coarser spreading of exact duplicates. */
+    * replica of the small row.
+    *
+    * The salt must vary WITHIN a hot key even when the big side holds
+    * fully identical rows (the classic case: log rows projected to the
+    * join key), so it is seeded by row position, not row content — a
+    * content hash would put every identical replica in one salt bucket
+    * and reintroduce the straggler this operator exists to fix. Row
+    * position can shift under stage retry, but that is immaterial here:
+    * every salt value matches exactly one identical copy of the small
+    * row, so the join OUTPUT is invariant to the particular salt each
+    * row draws — only the (balanced) reducer assignment changes. */
+  private[ops] def bigSideSalt(saltFactor: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int")
+
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor)).cast("int"))
+    val saltedBig = big.withColumn("__salt", bigSideSalt(saltFactor))
     val saltedSmall = small.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     saltedBig.join(saltedSmall, keys :+ "__salt", joinType).drop("__salt")

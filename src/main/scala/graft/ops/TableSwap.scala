@@ -37,11 +37,18 @@ object TableSwap {
     val staging = new org.apache.hadoop.fs.Path(s"$root/_staging/$name")
     val target = new org.apache.hadoop.fs.Path(s"$root/$name")
     val fs = target.getFileSystem(hconf)
+    // self-heal first: if a previous swap died between renames, restore
+    // the old table before the empty-guard / hadOld logic looks at it —
+    // every call site gets crash recovery without wiring recoverSwap
+    recoverSwap(spark, root, name)
     if (df.isEmpty && fs.exists(target)) return false
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    // stamp is lexically sortable so recovery can pick the newest copy
+    // millis stamp (lexically sortable -> newest-copy recovery) plus a
+    // random uniquifier: two swaps in the same tick must NOT share a
+    // trash path — rename into an existing dir would NEST the old table
     val trash = new org.apache.hadoop.fs.Path(
-      s"$root/_trash/$name-${"%019d".format(System.currentTimeMillis())}")
+      s"$root/_trash/$name-${"%019d".format(System.currentTimeMillis())}-" +
+        java.util.UUID.randomUUID().toString.take(8))
     val hadOld = fs.exists(target)
     if (hadOld) {
       fs.mkdirs(trash.getParent)
@@ -54,22 +61,28 @@ object TableSwap {
     published
   }
 
-  /** Crash-between-renames recovery for [[stageAndSwap]]: if a swap
-    * moved the old table to `_trash` but died before publishing, the
-    * table is missing — restore the NEWEST trashed copy. Call once at
-    * startup before reads. No-op (false) when the table exists; any
-    * trash left behind then is from a swap that died after publishing,
-    * and is swept. Staged data is never auto-published: its write may
-    * itself be the thing that died, so the retried job rewrites it. */
+  /** Crash-between-renames recovery for [[stageAndSwap]] (also run
+    * automatically at the start of every swap): if a swap moved the old
+    * table to `_trash` but died before publishing, the table is missing
+    * — restore the NEWEST trashed copy. Callable once at startup before
+    * reads. No-op (false) when the table exists; any trash left behind
+    * then is from a swap that died after publishing, and is swept.
+    * Staged data is never auto-published: its write may itself be the
+    * thing that died, so the retried job rewrites it.
+    *
+    * Trash entries are matched by the EXACT `<name>-<19 digits>-<hex>`
+    * pattern — a prefix match would let table "users" sweep or restore
+    * sibling table "users-archive"'s copies. */
   def recoverSwap(spark: SparkSession, root: String, name: String): Boolean = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(s"$root/$name")
     val trashDir = new org.apache.hadoop.fs.Path(s"$root/_trash")
     val fs = target.getFileSystem(hconf)
+    val stamp = (s"^${java.util.regex.Pattern.quote(name)}-\\d{19}-[0-9a-f]{8}$$").r
     val copies =
       if (!fs.exists(trashDir)) Seq.empty
       else fs.listStatus(trashDir).toSeq
-        .filter(_.getPath.getName.startsWith(s"$name-")).sortBy(_.getPath.getName)
+        .filter(st => stamp.matches(st.getPath.getName)).sortBy(_.getPath.getName)
     if (fs.exists(target)) {
       copies.foreach(st => fs.delete(st.getPath, true)) // post-publish leftovers
       false

@@ -51,11 +51,10 @@ class RelationalSpec extends SparkSpecBase {
       .groupBy("k", "tag").count()
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(salted == expected)
-    // and the hot key's rows actually spread across salts
-    val spread = big.withColumn("__salt",
-      org.apache.spark.sql.functions.pmod(
-        org.apache.spark.sql.functions.xxhash64(
-          org.apache.spark.sql.functions.monotonically_increasing_id()), lit(8)))
+    // and the hot key's rows actually spread across salts — asserted on
+    // the IMPLEMENTATION's salt column, on fully identical hot rows (the
+    // case a content-derived salt would collapse into one bucket)
+    val spread = big.withColumn("__salt", Relational.bigSideSalt(8))
       .filter($"k" === "hot").select("__salt").distinct().count()
     assert(spread > 1)
   }

@@ -41,9 +41,9 @@ class TableSwapSpec extends SparkSpecBase {
       spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_trash"))
     // an older abandoned copy that recovery must discard, not restore
-    Seq(99).toDF("x").write.parquet(s"$root/_trash/t-0000000000000000001")
+    Seq(99).toDF("x").write.parquet(s"$root/_trash/t-0000000000000000001-aaaaaaaa")
     assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/t"),
-      new org.apache.hadoop.fs.Path(s"$root/_trash/t-0000000000000000002")))
+      new org.apache.hadoop.fs.Path(s"$root/_trash/t-0000000000000000002-bbbbbbbb")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/t"))) // table is missing
 
     assert(TableSwap.recoverSwap(spark, root, "t"))
@@ -52,10 +52,50 @@ class TableSwapSpec extends SparkSpecBase {
       "older abandoned copies must be swept")
 
     // table present -> recovery is a no-op that only sweeps leftovers
-    Seq(7).toDF("x").write.parquet(s"$root/_trash/t-0000000000000000003")
+    Seq(7).toDF("x").write.parquet(s"$root/_trash/t-0000000000000000003-cccccccc")
     assert(!TableSwap.recoverSwap(spark, root, "t"))
     assert(spark.read.parquet(s"$root/t").count() == 3)
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_trash")).isEmpty)
+  }
+
+  test("recoverSwap never touches a sibling table whose name extends the recovered one") {
+    val root = Files.createTempDirectory("graft-swap-sibling").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // "users-archive" died between renames; its trash entry is the ONLY copy
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_trash"))
+    Seq(42).toDF("x").write
+      .parquet(s"$root/_trash/users-archive-0000000000000000005-deadbeef")
+    // live sibling "users"
+    assert(TableSwap.stageAndSwap(spark, Seq(1).toDF("x"), root, "users"))
+
+    // recovering/sweeping "users" must not delete users-archive's copy...
+    assert(!TableSwap.recoverSwap(spark, root, "users"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/_trash/users-archive-0000000000000000005-deadbeef")),
+      "prefix match deleted a sibling table's only recovery copy")
+    // ...and recovering "users-archive" restores its own data, not "users"'s
+    assert(TableSwap.recoverSwap(spark, root, "users-archive"))
+    assert(spark.read.parquet(s"$root/users-archive").as[Int].collect().toSeq == Seq(42))
+    assert(spark.read.parquet(s"$root/users").count() == 1)
+  }
+
+  test("swaps heal a crashed predecessor automatically and never collide in _trash") {
+    val root = Files.createTempDirectory("graft-swap-heal").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(TableSwap.stageAndSwap(spark, Seq(1).toDF("x"), root, "t"))
+    // crash window: table parked in trash, target missing
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/t"),
+      new org.apache.hadoop.fs.Path(s"$root/_trash/t-0000000000000000009-dddddddd")))
+    // next swap self-heals (empty-guard sees the RESTORED table and refuses)
+    assert(!TableSwap.stageAndSwap(spark, Seq.empty[Int].toDF("x"), root, "t"))
+    assert(spark.read.parquet(s"$root/t").as[Int].collect().toSeq == Seq(1))
+    // rapid same-tick swaps keep distinct trash paths (no nesting): both
+    // publish and the table always reads clean
+    assert(TableSwap.stageAndSwap(spark, Seq(2).toDF("x"), root, "t"))
+    assert(TableSwap.stageAndSwap(spark, Seq(3).toDF("x"), root, "t"))
+    assert(spark.read.parquet(s"$root/t").as[Int].collect().toSeq == Seq(3))
   }
 
   test("writeBatch truncate-then-append protocol") {
