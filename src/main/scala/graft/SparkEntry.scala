@@ -731,6 +731,30 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // PII scrub (C4/Dolma-style cleaning) on a synthetic-PII fixture:
+    // emails/phones/IPs derived from customer keys, scrubbed by the
+    // real chained-regexp operator; the oracle runs the IDENTICAL
+    // patterns in DuckDB's RE2, pinning cross-engine regex portability
+    // and the order-dependent count semantics (emails scrubbed before
+    // phone counting so digit runs can't double-book).
+    "q67_pii_scrub" -> ((s, dir) => {
+      val ck = col("c_custkey")
+      val text = concat(
+        lit("Contact "), col("c_name"),
+        lit(" at user"), ck.cast("string"), lit("@example.com"),
+        when(ck % 3 === 0,
+          concat(lit(" and backup"), ck.cast("string"), lit("@mail.org")))
+          .otherwise(lit("")),
+        lit(" or call +1 (555) 01"), lpad((ck % 100).cast("string"), 2, "0"), lit("-99"),
+        lit(" from 10.0."), (ck % 256).cast("string"), lit("."),
+        ((ck * 7) % 256).cast("string"), lit(" done"))
+      val (nEmail, nIp, nPhone) = TF.piiCounts(text)
+      t(s, dir, "customer")
+        .select(ck, TF.scrubPii(text).as("scrubbed"),
+          nEmail.as("n_email"), nIp.as("n_ip"), nPhone.as("n_phone"))
+        .orderBy(ck)
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -1591,5 +1615,28 @@ object SparkEntry {
          SELECT doc_id, i // 48 AS chunk_idx,
            array_to_string(ws[i+1 : i+64], ' ') AS chunk_text,
            CAST(LEAST(len(ws) - i, 64) AS BIGINT) AS n_chunk_tokens
-         FROM s ORDER BY doc_id, chunk_idx""")
+         FROM s ORDER BY doc_id, chunk_idx""",
+
+    "q67_pii_scrub" ->
+      """WITH f AS (SELECT c_custkey,
+             'Contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR) || '@example.com' ||
+             CASE WHEN c_custkey % 3 = 0
+                  THEN ' and backup' || CAST(c_custkey AS VARCHAR) || '@mail.org'
+                  ELSE '' END ||
+             ' or call +1 (555) 01' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-99' ||
+             ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+             CAST((c_custkey * 7) % 256 AS VARCHAR) || ' done' AS text
+           FROM customer),
+         s1 AS (SELECT c_custkey, text,
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS ne
+                FROM f),
+         s2 AS (SELECT c_custkey, text, ne,
+                 regexp_replace(ne, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS ni
+                FROM s1)
+         SELECT c_custkey,
+           regexp_replace(ni, '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(ne, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INTEGER) AS n_ip,
+           CAST(len(regexp_extract_all(ni, '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS INTEGER) AS n_phone
+         FROM s2 ORDER BY c_custkey""")
 }
