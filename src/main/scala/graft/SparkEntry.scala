@@ -745,6 +745,11 @@ object SparkEntry {
         when(ck % 3 === 0,
           concat(lit(" and backup"), ck.cast("string"), lit("@mail.org")))
           .otherwise(lit("")),
+        // all-digit local part: matches PhonePattern unless emails are
+        // scrubbed FIRST — this row class is what pins the count order
+        when(ck % 5 === 0,
+          concat(lit(" cc "), lpad(ck.cast("string"), 9, "0"), lit("@example.com")))
+          .otherwise(lit("")),
         lit(" or call +1 (555) 01"), lpad((ck % 100).cast("string"), 2, "0"), lit("-99"),
         lit(" from 10.0."), (ck % 256).cast("string"), lit("."),
         ((ck * 7) % 256).cast("string"), lit(" done"))
@@ -1622,6 +1627,9 @@ object SparkEntry {
              'Contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR) || '@example.com' ||
              CASE WHEN c_custkey % 3 = 0
                   THEN ' and backup' || CAST(c_custkey AS VARCHAR) || '@mail.org'
+                  ELSE '' END ||
+             CASE WHEN c_custkey % 5 = 0
+                  THEN ' cc ' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') || '@example.com'
                   ELSE '' END ||
              ' or call +1 (555) 01' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-99' ||
              ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||

@@ -73,19 +73,31 @@ object Relational {
     *
     * The salt must vary WITHIN a hot key even when the big side holds
     * fully identical rows (the classic case: log rows projected to the
-    * join key), so it is seeded by row position, not row content — a
-    * content hash would put every identical replica in one salt bucket
-    * and reintroduce the straggler this operator exists to fix. Row
-    * position can shift under stage retry, but that is immaterial here:
-    * every salt value matches exactly one identical copy of the small
-    * row, so the join OUTPUT is invariant to the particular salt each
-    * row draws — only the (balanced) reducer assignment changes. */
-  private[ops] def bigSideSalt(saltFactor: Int): Column =
-    pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int")
+    * join key), yet stay DETERMINISTIC under stage retry: an
+    * order-seeded salt (monotonically_increasing_id) can re-draw
+    * different salts when a lost-executor retry recomputes a shuffled
+    * upstream whose fetch order changed, duplicating matches consumed
+    * by already-finished reducers and dropping others (the
+    * round-robin-repartition hazard class). So the salt hashes row
+    * content PLUS the input partition id — independent of row order,
+    * stable under same-partition recomputation, and identical replicas
+    * spread because a hot key large enough to matter spans many input
+    * partitions (split size bounds what one partition holds; replicas
+    * inside ONE partition sharing a salt just keeps that partition's
+    * rows together, the granularity a task already processes).
+    * MapType columns are excluded from the hash (xxhash64 rejects
+    * them); they only cost spreading when every other column ties. */
+  private[ops] def bigSideSalt(big: DataFrame, saltFactor: Int): Column = {
+    val hashable = big.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toSeq
+    pmod(xxhash64((hashable :+ spark_partition_id().cast("long")): _*),
+      lit(saltFactor)).cast("int")
+  }
 
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
-    val saltedBig = big.withColumn("__salt", bigSideSalt(saltFactor))
+    val saltedBig = big.withColumn("__salt", bigSideSalt(big, saltFactor))
     val saltedSmall = small.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     saltedBig.join(saltedSmall, keys :+ "__salt", joinType).drop("__salt")

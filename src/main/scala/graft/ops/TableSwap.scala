@@ -31,7 +31,14 @@ object TableSwap {
     * immediately. The old copy is deleted only after the new one is
     * live. (True atomicity needs a transactional format — Delta/
     * Iceberg `CREATE OR REPLACE` — documented deviation, SURVEY §7.)
-    */
+    *
+    * SINGLE WRITER per table, as in the reference (one scheduled sync
+    * at a time): two concurrent swaps of one table can interleave
+    * rename/heal steps in ways no rename protocol on a plain FS can
+    * order. The publish still refuses to rename onto an existing
+    * target (which would NEST the directory on HDFS semantics), so a
+    * violated contract degrades to a failed publish + rollback, not a
+    * corrupted table. */
   def stageAndSwap(spark: SparkSession, df: DataFrame, root: String, name: String): Boolean = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val staging = new org.apache.hadoop.fs.Path(s"$root/_staging/$name")
@@ -55,7 +62,10 @@ object TableSwap {
       if (!fs.rename(target, trash)) return false
     }
     fs.mkdirs(target.getParent)
-    val published = fs.rename(staging, target)
+    // never rename onto an existing target: a concurrent healer/writer
+    // that re-created it would make this rename NEST staging inside the
+    // live dir; refusing degrades a contract violation to rollback
+    val published = !fs.exists(target) && fs.rename(staging, target)
     if (published) { if (hadOld) fs.delete(trash, true) }
     else if (hadOld) fs.rename(trash, target) // roll the old table back
     published
@@ -71,14 +81,15 @@ object TableSwap {
     * thing that died, so the retried job rewrites it.
     *
     * Trash entries are matched by the EXACT `<name>-<19 digits>-<hex>`
-    * pattern — a prefix match would let table "users" sweep or restore
-    * sibling table "users-archive"'s copies. */
+    * pattern (the hex uniquifier optional, accepting entries written
+    * before it existed) — a prefix match would let table "users" sweep
+    * or restore sibling table "users-archive"'s copies. */
   def recoverSwap(spark: SparkSession, root: String, name: String): Boolean = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(s"$root/$name")
     val trashDir = new org.apache.hadoop.fs.Path(s"$root/_trash")
     val fs = target.getFileSystem(hconf)
-    val stamp = (s"^${java.util.regex.Pattern.quote(name)}-\\d{19}-[0-9a-f]{8}$$").r
+    val stamp = (s"^${java.util.regex.Pattern.quote(name)}-\\d{19}(-[0-9a-f]{8})?$$").r
     val copies =
       if (!fs.exists(trashDir)) Seq.empty
       else fs.listStatus(trashDir).toSeq

@@ -52,9 +52,12 @@ class RelationalSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(salted == expected)
     // and the hot key's rows actually spread across salts — asserted on
-    // the IMPLEMENTATION's salt column, on fully identical hot rows (the
-    // case a content-derived salt would collapse into one bucket)
-    val spread = big.withColumn("__salt", Relational.bigSideSalt(8))
+    // the IMPLEMENTATION's salt column, on fully identical hot rows
+    // spanning multiple input partitions (the production shape: a hot
+    // key big enough to matter spans many splits; the partition-id
+    // component is what spreads identical replicas)
+    val bigMulti = big.repartition(8)
+    val spread = bigMulti.withColumn("__salt", Relational.bigSideSalt(bigMulti, 8))
       .filter($"k" === "hot").select("__salt").distinct().count()
     assert(spread > 1)
   }

@@ -80,6 +80,17 @@ class TableSwapSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$root/users").count() == 1)
   }
 
+  test("recoverSwap also restores pre-uniquifier trash entries (old stamp format)") {
+    val root = Files.createTempDirectory("graft-swap-oldfmt").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_trash"))
+    // entry written by the previous release: <name>-<19 digits>, no hex
+    Seq(5, 6).toDF("x").write.parquet(s"$root/_trash/t-0000000000000000004")
+    assert(TableSwap.recoverSwap(spark, root, "t"))
+    assert(spark.read.parquet(s"$root/t").as[Int].collect().sorted.toSeq == Seq(5, 6))
+  }
+
   test("swaps heal a crashed predecessor automatically and never collide in _trash") {
     val root = Files.createTempDirectory("graft-swap-heal").toString
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
