@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.VecDot
+import graft.functions.{NormalizeNfc, VecDot}
 
 /** Session-extensions entry point — the deployment-grade way to load the
   * engine's native expressions on every session of a cluster:
@@ -22,5 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def info(name: String) = new ExpressionInfo(classOf[VecDot].getName, name)
     def builder(exprs: Seq[Expression]): Expression = VecDot(exprs.head, exprs(1))
     ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"), builder _))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NormalizeNfc].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NormalizeNfc(exprs.head)))
   }
 }

@@ -760,6 +760,28 @@ object SparkEntry {
         .orderBy(ck)
     }),
 
+    // Unicode NFC normalization (corpus canonicalization before
+    // tokenize/fingerprint) through the custom codegen'd Catalyst
+    // expression; fixture mixes decomposed e+U+0301 sequences (built
+    // from base64 bytes so both engines see identical raw bytes) with
+    // already-normalized ASCII, oracled against DuckDB's nfc_normalize.
+    "q68_nfc_normalize" -> ((s, dir) => {
+      graft.functions.TextExpressions.register(s)
+      val ck = col("c_custkey")
+      val decomposedE = decode(unbase64(lit("ZcyB")), "UTF-8") // 'e' + U+0301
+      val text = concat(lit("caf"),
+        when(ck % 2 === 0, decomposedE).otherwise(lit("e")),
+        lit(" #"), ck.cast("string"))
+      val norm = graft.functions.TextExpressions.nfcNormalize(text)
+      t(s, dir, "customer")
+        .select(ck,
+          norm.as("normalized"),
+          length(text).as("len_raw"),
+          length(norm).as("len_nfc"),
+          (norm =!= text).as("changed"))
+        .orderBy(ck)
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -1646,5 +1668,19 @@ object SparkEntry {
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
            CAST(len(regexp_extract_all(ne, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INTEGER) AS n_ip,
            CAST(len(regexp_extract_all(ni, '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS INTEGER) AS n_phone
-         FROM s2 ORDER BY c_custkey""")
+         FROM s2 ORDER BY c_custkey""",
+
+    "q68_nfc_normalize" ->
+      """WITH f AS (SELECT c_custkey,
+             'caf' || CASE WHEN c_custkey % 2 = 0
+                           THEN decode(from_base64('ZcyB'))
+                           ELSE 'e' END ||
+             ' #' || CAST(c_custkey AS VARCHAR) AS text
+           FROM customer)
+         SELECT c_custkey,
+           nfc_normalize(text) AS normalized,
+           CAST(length(text) AS INTEGER) AS len_raw,
+           CAST(length(nfc_normalize(text)) AS INTEGER) AS len_nfc,
+           nfc_normalize(text) <> text AS changed
+         FROM f ORDER BY c_custkey""")
 }

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization as a native Catalyst expression — the
+  * canonicalization step of public corpus-cleaning recipes (C4/Dolma
+  * normalize before tokenizing/fingerprinting, so "é" composed and
+  * "e"+U+0301 decomposed dedup identically). Spark has no built-in
+  * normalizer; a Scala UDF would box and serialize per row, while this
+  * expression stays inside whole-stage codegen — the SQL-function
+  * preference order of SURVEY §2.10 applied at the Expression tier.
+  *
+  * NFC (not NFKC) deliberately: canonical composition is
+  * round-trippable and engine-standard (DuckDB's `nfc_normalize`
+  * oracle-checks it), while compatibility folding is lossy and
+  * corpus-policy-specific.
+  *
+  * Cost note: the fast path `Normalizer.isNormalized` check makes the
+  * common (already-NFC ASCII) case a scan without allocation.
+  */
+case class NormalizeNfc(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize needs a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeNfc.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeNfc.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NormalizeNfc {
+  /** Static kernel shared by eval and generated code. */
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+object TextExpressions {
+  /** Register `nfc_normalize` for call_function access (same pattern as
+    * [[VecExpressions.register]]). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NormalizeNfc(exprs.head), "built-in")
+
+  def nfcNormalize(c: Column): Column = call_function("nfc_normalize", c)
+}
