@@ -205,6 +205,15 @@ object NestedFlatten {
       eavIntNonEmpty(meta, "total_manuals").as("total_manuals"))
   }
 
+  /** Array column that degrades to a typed null (explode -> zero rows)
+    * when ABSENT from the batch schema — a page where no product had
+    * the key at all leaves the column out of the inferred schema
+    * entirely (the page-level form of the reference's `if key in p`
+    * guard). */
+  private def optArray(df: DataFrame, name: String, elemSchema: String): Column =
+    if (df.columns.contains(name)) col(name)
+    else lit(null).cast(s"array<struct<$elemSchema>>")
+
   /** Explode a product's bundled items (woo-sync/main.py:976-993,
     * declared schema :414-423): absent `bundled_items` -> no rows (the
     * reference's `if 'bundled_items' in p` guard — explode drops
@@ -212,7 +221,8 @@ object NestedFlatten {
   def explodeProductBundles(products: DataFrame): DataFrame =
     products.select(
       col("id").cast(Money).as("product_id"),
-      explode(col("bundled_items")).as("bi"))
+      explode(optArray(products, "bundled_items",
+        "bundled_item_id:long,product_id:long,quantity_default:long")).as("bi"))
       .select(
         col("product_id"),
         col("bi.bundled_item_id").cast(Money).as("bundled_item_id"),
@@ -224,7 +234,7 @@ object NestedFlatten {
   def explodeProductCategories(products: DataFrame): DataFrame =
     products.select(
       col("id").cast("long").as("product_id"),
-      explode(col("categories")).as("c"))
+      explode(optArray(products, "categories", "id:long,name:string,slug:string")).as("c"))
       .select(
         col("product_id"),
         col("c.id").cast("long").as("category_id"),
@@ -236,7 +246,8 @@ object NestedFlatten {
   def explodeProductAttributes(products: DataFrame): DataFrame =
     products.select(
       col("id").cast("long").as("product_id"),
-      explode(col("attributes")).as("a"))
+      explode(optArray(products, "attributes",
+        "id:long,name:string,slug:string,options:array<string>")).as("a"))
       .select(
         col("product_id"),
         col("a.id").cast("long").as("attribute_id"),
@@ -259,8 +270,10 @@ object NestedFlatten {
       coercedTimestamp(optPath(refunds, "date_created")).as("date_modified"),
       col("parent_id").cast("long").as("order_number"),
       col("parent_id").cast("long").as("parent_id"),
-      money(try_element_at(col("shipping_lines"), lit(-1)).getField("total")).as("shipping"),
-      money(try_element_at(col("shipping_lines"), lit(-1)).getField("total_tax")).as("shipping_tax"),
+      money(try_element_at(optArray(refunds, "shipping_lines", "total:string,total_tax:string"),
+        lit(-1)).getField("total")).as("shipping"),
+      money(try_element_at(optArray(refunds, "shipping_lines", "total:string,total_tax:string"),
+        lit(-1)).getField("total_tax")).as("shipping_tax"),
       money(optPath(refunds, "cru_data.subtotal")).as("subtotal"),
       money(optPath(refunds, "cru_data.subtotal_tax")).as("subtotal_tax"),
       negateMoney(optPath(refunds, "amount")).as("total"))
@@ -275,7 +288,9 @@ object NestedFlatten {
       col("id").cast("long").as("refund_number"),
       coercedTimestamp(col("date_created")).as("date_created"),
       col("parent_id").cast("long").as("order_number"),
-      explode(col("line_items")).as("li"))
+      explode(optArray(refunds, "line_items",
+        "id:long,product_id:long,name:string,price:string,quantity:long,sku:string," +
+          "total_tax:string,meta_data:array<struct<key:string,value:string>>")).as("li"))
       .select(
         col("refund_number"),
         col("li.id").cast("long").as("refund_item_id"),

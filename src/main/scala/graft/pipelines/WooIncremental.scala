@@ -69,4 +69,53 @@ object WooIncremental {
 
     SyncResult(n, m, watermark)
   }
+
+  final case class ProductSyncResult(products: Long, bundles: Long,
+                                     categories: Long, attributes: Long)
+
+  /** Latest-version product view (same keep-latest resolution as orders). */
+  def latestProducts(appended: DataFrame): DataFrame =
+    Relational.keepLatest(appended, Seq("product_id"), Seq(col("sync_timestamp").desc))
+
+  /** Products + the 3 child tables, one extract — the reference's
+    * `get_products_and_bundles` (woo-sync/main.py:1173-1222): a FULL
+    * page-number scan (no watermark param, :1197), each page's rows
+    * flattened through the 17-key flag map and child-array explodes,
+    * versioned-append like orders. */
+  def syncProducts(spark: SparkSession, transport: RestPager.Transport, url: String,
+                   targetRoot: String, syncTimestamp: String,
+                   perPage: Int = 100): ProductSyncResult = {
+    val raw = RestPager.toDf(spark, RestPager.pageNumber(transport, url, perPage).toSeq)
+    if (raw.isEmpty) return ProductSyncResult(0, 0, 0, 0)
+    def land(df: DataFrame, name: String): Long = {
+      val stamped = df.withColumn("sync_timestamp", lit(syncTimestamp))
+      stamped.write.mode(SaveMode.Append).parquet(s"$targetRoot/$name")
+      stamped.count()
+    }
+    ProductSyncResult(
+      land(NestedFlatten.flattenProducts(raw), "products"),
+      land(NestedFlatten.explodeProductBundles(raw), "product_bundles"),
+      land(NestedFlatten.explodeProductCategories(raw), "product_categories"),
+      land(NestedFlatten.explodeProductAttributes(raw), "product_attributes"))
+  }
+
+  final case class RefundSyncResult(refunds: Long, items: Long)
+
+  /** Refund headers + exploded refund line items, one extract — the
+    * reference's `get_refunds_and_items` (woo-sync/main.py:1223-1261;
+    * full scan like products). */
+  def syncRefunds(spark: SparkSession, transport: RestPager.Transport, url: String,
+                  targetRoot: String, syncTimestamp: String,
+                  perPage: Int = 100): RefundSyncResult = {
+    val raw = RestPager.toDf(spark, RestPager.pageNumber(transport, url, perPage).toSeq)
+    if (raw.isEmpty) return RefundSyncResult(0, 0)
+    def land(df: DataFrame, name: String): Long = {
+      val stamped = df.withColumn("sync_timestamp", lit(syncTimestamp))
+      stamped.write.mode(SaveMode.Append).parquet(s"$targetRoot/$name")
+      stamped.count()
+    }
+    RefundSyncResult(
+      land(NestedFlatten.flattenRefunds(raw), "refunds"),
+      land(NestedFlatten.flattenRefundItems(raw), "refund_items"))
+  }
 }

@@ -70,4 +70,70 @@ class WooIncrementalSpec extends SparkSpecBase {
     // completion events emitted per sync (T7)
     assert(new java.io.File(s"$root/_events").list().length == 2)
   }
+
+  /** Static one-page transport for the full-scan product/refund syncs. */
+  private class FullApi(body: String) extends RestPager.Transport {
+    def get(url: String, params: Map[String, String]): RestPager.Response =
+      RestPager.Response(200, body, headers = Map("X-WP-TotalPages" -> "1"))
+  }
+
+  test("product sync lands all four tables; ragged pages without child arrays land zero child rows") {
+    val root = Files.createTempDirectory("graft-woo-prod").toString
+    val withChildren =
+      """{"id": 1, "name": "Bundle", "short_description": "b", "status": "publish",
+          "type": "bundle", "price": "30.00", "regular_price": "30.00", "sku": "B-1",
+          "weight": "", "stock_quantity": 5,
+          "date_created": "2026-06-01T00:00:00", "date_modified": "2026-06-01T00:00:00",
+          "meta_data": [{"key": "gift_card", "value": "1"},
+                         {"key": "case_qty", "value": "6"}],
+          "bundled_items": [{"bundled_item_id": 7, "product_id": 9, "quantity_default": 1}],
+          "categories": [{"id": 4, "name": "Kits", "slug": "kits"}],
+          "attributes": [{"id": 2, "name": "Color", "slug": "color", "options": ["Red"]}]}"""
+        .replaceAll("\n\\s*", " ")
+    val r1 = WooIncremental.syncProducts(spark, new FullApi(s"[$withChildren]"),
+      "http://api/products", root, "2026-06-02T00:00:00")
+    assert(r1 == WooIncremental.ProductSyncResult(1, 1, 1, 1))
+    val p = spark.read.parquet(s"$root/products").head()
+    assert(p.getAs[Boolean]("gift_card") && p.getAs[Long]("case_qty") == 6L)
+
+    // second sync: a page whose ONLY product has no child arrays at all
+    // (columns absent from the inferred schema, not just empty)
+    val bare =
+      """{"id": 1, "name": "Bundle v2", "short_description": "b", "status": "draft",
+          "type": "bundle", "price": "35.00", "regular_price": "35.00", "sku": "B-1",
+          "weight": "", "stock_quantity": 3,
+          "date_created": "2026-06-01T00:00:00", "date_modified": "2026-06-03T00:00:00",
+          "meta_data": [{"key": "gift_card", "value": "1"}]}""".replaceAll("\n\\s*", " ")
+    val r2 = WooIncremental.syncProducts(spark, new FullApi(s"[$bare]"),
+      "http://api/products", root, "2026-06-04T00:00:00")
+    assert(r2 == WooIncremental.ProductSyncResult(1, 0, 0, 0))
+
+    // versioned append + latest view resolves to the re-synced product
+    val latest = WooIncremental.latestProducts(spark.read.parquet(s"$root/products"))
+    assert(latest.count() == 1)
+    assert(latest.head().getAs[String]("status") == "Draft") // str.title()
+    assert(spark.read.parquet(s"$root/product_bundles").count() == 1) // v1's child rows remain
+  }
+
+  test("refund sync lands headers and exploded items with negated totals") {
+    val root = Files.createTempDirectory("graft-woo-ref").toString
+    val refund =
+      """{"id": 9001, "parent_id": 777, "amount": "25.00",
+          "date_created": "2026-07-01T09:00:00",
+          "cru_data": {"agent_email": "a@x", "agent_name": "A",
+                        "subtotal": "20.00", "subtotal_tax": "1.20"},
+          "shipping_lines": [{"total": "3.80", "total_tax": "0.20"}],
+          "line_items": [{"id": 501, "product_id": 55, "name": "Book", "sku": "BK-1",
+                           "price": "9.99", "quantity": 2, "total_tax": "0.40",
+                           "meta_data": [{"key": "_refunded_item_id", "value": "81"}]}]}"""
+        .replaceAll("\n\\s*", " ")
+    val r = WooIncremental.syncRefunds(spark, new FullApi(s"[$refund]"),
+      "http://api/refunds", root, "2026-07-02T00:00:00")
+    assert(r == WooIncremental.RefundSyncResult(1, 1))
+    val head = spark.read.parquet(s"$root/refunds").head()
+    assert(head.getAs[java.math.BigDecimal]("total").doubleValue() == -25.0)
+    val item = spark.read.parquet(s"$root/refund_items").head()
+    assert(item.getAs[Long]("order_item_id") == 81L)
+    assert(item.getAs[String]("sync_timestamp") == "2026-07-02T00:00:00")
+  }
 }
