@@ -760,6 +760,27 @@ object SparkEntry {
         .orderBy(ck)
     }),
 
+    // End-to-end corpus CURATION — the composition a training pipeline
+    // actually runs, chaining four gated operator families in one plan:
+    // quality filter -> exact dedup keep-min -> per-language quota
+    // sample -> sequence packing. Gates the operators' interaction
+    // (filters before dedup, sampling after canonicalization, packing
+    // over the surviving set), not just each in isolation.
+    "q69_curate_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quality = docs.filter(TF.isQuality(col("text")))
+      val canonical = Dedup.exactGroups(quality, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      val kept = quality.join(canonical, Seq("doc_id"))
+      val sampled = graft.ops.Sampling.quotaPerGroup(
+        kept.select(col("lang"), col("doc_id"), col("n_chars")), "lang", "doc_id", k = 50)
+      graft.ops.SequencePrep.packAssignments(sampled, "doc_id", "n_chars",
+          budget = 4096L, shards = 4)
+        .join(sampled.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("shard"), col("seq_id"), col("seq_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode NFC normalization (corpus canonicalization before
     // tokenize/fingerprint) through the custom codegen'd Catalyst
     // expression; fixture mixes decomposed e+U+0301 sequences (built
@@ -1682,5 +1703,31 @@ object SparkEntry {
            CAST(length(text) AS INTEGER) AS len_raw,
            CAST(length(nfc_normalize(text)) AS INTEGER) AS len_nfc,
            nfc_normalize(text) <> text AS changed
-         FROM f ORDER BY c_custkey""")
+         FROM f ORDER BY c_custkey""",
+
+    "q69_curate_corpus" ->
+      """WITH q AS (SELECT doc_id, lang, n_chars, text FROM documents
+             WHERE len(regexp_extract_all(text, '\S+')) >= 10
+               AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|on|for)\b')) * 50
+                   >= len(regexp_extract_all(text, '\S+'))),
+         fp AS (SELECT doc_id, lang, n_chars,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+                FROM q),
+         keep AS (SELECT doc_id, lang, n_chars FROM fp
+                  QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1),
+         samp AS (SELECT doc_id, lang, n_chars FROM keep
+                  QUALIFY row_number() OVER (
+                    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 50),
+         d AS (SELECT doc_id, lang, n_chars,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 AS shard,
+                md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM samp),
+         c AS (SELECT doc_id, lang, shard, n_chars,
+                SUM(n_chars) OVER (PARTITION BY shard ORDER BY h, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS e
+               FROM d)
+         SELECT doc_id, lang, shard,
+           (e - n_chars) // 4096 AS seq_id,
+           (e - n_chars) % 4096 AS seq_pos
+         FROM c ORDER BY doc_id""")
 }
