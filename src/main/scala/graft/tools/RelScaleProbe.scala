@@ -101,9 +101,19 @@ object RelScaleProbe {
         graft.ops.Dedup.connectedComponents(
           graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 6, 10, 1000)).count()
       }
+      // at the top k, force the DISTRIBUTED pointer-jumping path too
+      // (driverMaxEdges=0) so the 100 TB codepath has a measured number,
+      // not just a spec
+      val (tDist, nDist) =
+        if (k == 10) time {
+          graft.ops.Dedup.connectedComponents(
+            graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 6, 10, 1000),
+            driverMaxEdges = 0).count()
+        } else (0.0, 0L)
 
       println(f"[relscale] k=$k%-2d (~sf${k / 10.0}%.1f) q01=$t01%6.2fs " +
-        f"q03=$t03%6.2fs(li⋈ord=$joinKind) q05=$t05%6.2fs q44=$t44%6.2fs($n44)")
+        f"q03=$t03%6.2fs(li⋈ord=$joinKind) q05=$t05%6.2fs q44=$t44%6.2fs($n44)" +
+        (if (k == 10) f" q44dist=$tDist%6.2fs($nDist)" else ""))
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
