@@ -101,22 +101,52 @@ object NestedFlatten {
       eavLast(col("meta_data"), "cru_order_origin", lit("WEB")).as("order_origin"),
       firstDiscountAmount(orders).as("discount_amount"))
 
+  /** Whether the line_items element struct carries `field` in this
+    * batch's inferred schema. */
+  private def lineItemHasField(df: DataFrame, field: String): Boolean =
+    df.schema.fields.find(_.name == "line_items").map(_.dataType) match {
+      case Some(ArrayType(st: StructType, _)) => st.fieldNames.contains(field)
+      case _ => false
+    }
+
   /** Explode order line items, carrying the order key — the generator/
     * UDTF surface of the reference (woo-sync/main.py:679-819) realised
-    * with the built-in explode (SURVEY.md §2.10). */
-  def explodeLineItems(orders: DataFrame): DataFrame =
+    * with the built-in explode (SURVEY.md §2.10).
+    *
+    * Bundle sku inheritance (main.py:683-688): the reference's loop
+    * keeps a running `sku` variable that only standalone/parent items
+    * (`bundled_by == ""`) update, so bundled CHILDREN report the sku of
+    * the preceding parent item. Reproduced map-only — for element i,
+    * the last parent at or before i is found by an array slice+filter
+    * (O(n²) over an order's own items, which number in the dozens)
+    * rather than a window, so the explode stays shuffle-free. */
+  def explodeLineItems(orders: DataFrame): DataFrame = {
+    // absent bundled_by (older API shape) -> every item is its own parent
+    val isParent: Column => Column =
+      if (lineItemHasField(orders, "bundled_by"))
+        x => coalesce(x.getField("bundled_by").cast(StringType), lit("")) === ""
+      else _ => lit(true)
     orders.select(
       col("id").cast("long").as("order_id"),
-      explode(col("line_items")).as("li"))
+      posexplode(col("line_items")).as(Seq("__pos", "li")),
+      col("line_items").as("__items"))
       .select(
         col("order_id"),
         col("li.id").cast("long").as("line_item_id"),
         col("li.product_id").cast("long").as("product_id"),
         col("li.name").as("product_name"),
-        col("li.sku").as("sku"),
+        // running-parent sku: last item with empty bundled_by at or
+        // before this position; '' when the order starts with a child
+        // (the reference's initial `sku = ''`)
+        coalesce(
+          try_element_at(
+            filter(slice(col("__items"), lit(1), col("__pos") + 1), isParent),
+            lit(-1)).getField("sku"),
+          lit("")).as("sku"),
         money(col("li.price")).as("price"),
         col("li.quantity").cast("long").as("quantity"),
         money(col("li.total_tax")).as("total_tax"))
+  }
 
   /** Refund amounts are negated on load (woo-sync/main.py:1078-1079). */
   def negateMoney(c: Column): Column = -money(c)

@@ -51,6 +51,34 @@ class NestedFlattenSpec extends SparkSpecBase {
     val pen = items.find(_.getAs[Long]("line_item_id") == 7002L).get
     assert(pen.getAs[java.math.BigDecimal]("price").doubleValue() == 0.0) // "" -> 0
     assert(pen.getAs[String]("product_name") == "Pen")
+    // no bundled_by field in this fixture -> skus pass through unchanged
+    assert(items.map(_.getAs[String]("sku")).sorted.toSeq == Seq("BK-1", "PN-9"))
+  }
+
+  test("explodeLineItems: bundled children inherit the preceding parent's sku") {
+    // reference loop semantics (woo-sync/main.py:683-688): the running
+    // sku updates only on items with empty bundled_by; children report
+    // the last parent's sku, and a leading child gets the initial ''
+    val orderWithBundle =
+      """{"id": 2002, "line_items": [
+           {"id": 1, "product_id": 70, "name": "Orphan", "sku": "X-0",
+            "bundled_by": "99", "price": "1.00", "quantity": 1, "total_tax": "0"},
+           {"id": 2, "product_id": 71, "name": "Bundle", "sku": "BNDL-1",
+            "bundled_by": "", "price": "30.00", "quantity": 1, "total_tax": "0"},
+           {"id": 3, "product_id": 72, "name": "Part A", "sku": "A-1",
+            "bundled_by": "2", "price": "0.00", "quantity": 1, "total_tax": "0"},
+           {"id": 4, "product_id": 73, "name": "Solo", "sku": "SOLO-1",
+            "bundled_by": "", "price": "5.00", "quantity": 1, "total_tax": "0"},
+           {"id": 5, "product_id": 74, "name": "Part B", "sku": "B-1",
+            "bundled_by": "4", "price": "0.00", "quantity": 1, "total_tax": "0"}]}"""
+        .replaceAll("\n\\s*", " ")
+    val items = NestedFlatten.explodeLineItems(spark.read.json(Seq(orderWithBundle).toDS))
+      .collect().map(r => r.getAs[Long]("line_item_id") -> r.getAs[String]("sku")).toMap
+    assert(items(1L) == "")        // child before any parent -> initial ''
+    assert(items(2L) == "BNDL-1")  // parent keeps its own
+    assert(items(3L) == "BNDL-1")  // child inherits preceding parent
+    assert(items(4L) == "SOLO-1")
+    assert(items(5L) == "SOLO-1")  // inherits the NEW parent, not the first
   }
 
   test("negateMoney flips refund amounts") {
