@@ -165,10 +165,16 @@ object NestedFlatten {
 
   /** EAV last NON-EMPTY match with default — the reference's
     * `if y['value'] != "": x = y['value']` guard (woo-sync/main.py:866-873,
-    * 889-893): every non-empty occurrence overwrites, empty ones don't. */
+    * 889-893): every non-empty occurrence overwrites, empty ones don't.
+    * A NULL value counts as an overwrite (Python: `None != ""` is True),
+    * so a trailing null entry yields null here — coerced to 0 by
+    * [[money]]/[[eavIntNonEmpty]] exactly as the reference's
+    * Decimal-try-except does (its int() would throw; try_cast->0 is the
+    * documented malformed-int deviation). */
   def eavLastNonEmpty(meta: Column, key: String, default: Column): Column =
     coalesce(
-      try_element_at(filter(meta, m => m.getField("key") === key && m.getField("value") =!= ""),
+      try_element_at(filter(meta, m => m.getField("key") === key &&
+          coalesce(m.getField("value") =!= "", lit(true))),
         lit(-1)).getField("value"),
       default)
 

@@ -85,12 +85,21 @@ object Relational {
     * partitions (split size bounds what one partition holds; replicas
     * inside ONE partition sharing a salt just keeps that partition's
     * rows together, the granularity a task already processes).
-    * MapType columns are excluded from the hash (xxhash64 rejects
-    * them); they only cost spreading when every other column ties. */
+    * Columns containing a map ANYWHERE in their type are excluded from
+    * the hash (xxhash64 rejects nested maps too); they only cost
+    * spreading when every other column ties. Names are backtick-quoted
+    * so dotted column names don't resolve as struct paths. */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case org.apache.spark.sql.types.ArrayType(e, _) => containsMap(e)
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => containsMap(f.dataType))
+    case _ => false
+  }
+
   private[ops] def bigSideSalt(big: DataFrame, saltFactor: Int): Column = {
     val hashable = big.schema.fields
-      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
-      .map(f => col(f.name)).toSeq
+      .filterNot(f => containsMap(f.dataType))
+      .map(f => col(s"`${f.name}`")).toSeq
     pmod(xxhash64((hashable :+ spark_partition_id().cast("long")): _*),
       lit(saltFactor)).cast("int")
   }

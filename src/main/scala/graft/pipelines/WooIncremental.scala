@@ -87,10 +87,14 @@ object WooIncremental {
                    perPage: Int = 100): ProductSyncResult = {
     val raw = RestPager.toDf(spark, RestPager.pageNumber(transport, url, perPage).toSeq)
     if (raw.isEmpty) return ProductSyncResult(0, 0, 0, 0)
+    // count what actually LANDED (written parquet filtered on this
+    // sync's stamp), like sync() — recomputing the flatten for the
+    // count would double every table's work
     def land(df: DataFrame, name: String): Long = {
-      val stamped = df.withColumn("sync_timestamp", lit(syncTimestamp))
-      stamped.write.mode(SaveMode.Append).parquet(s"$targetRoot/$name")
-      stamped.count()
+      df.withColumn("sync_timestamp", lit(syncTimestamp))
+        .write.mode(SaveMode.Append).parquet(s"$targetRoot/$name")
+      spark.read.parquet(s"$targetRoot/$name")
+        .filter(col("sync_timestamp") === syncTimestamp).count()
     }
     ProductSyncResult(
       land(NestedFlatten.flattenProducts(raw), "products"),
@@ -110,9 +114,10 @@ object WooIncremental {
     val raw = RestPager.toDf(spark, RestPager.pageNumber(transport, url, perPage).toSeq)
     if (raw.isEmpty) return RefundSyncResult(0, 0)
     def land(df: DataFrame, name: String): Long = {
-      val stamped = df.withColumn("sync_timestamp", lit(syncTimestamp))
-      stamped.write.mode(SaveMode.Append).parquet(s"$targetRoot/$name")
-      stamped.count()
+      df.withColumn("sync_timestamp", lit(syncTimestamp))
+        .write.mode(SaveMode.Append).parquet(s"$targetRoot/$name")
+      spark.read.parquet(s"$targetRoot/$name")
+        .filter(col("sync_timestamp") === syncTimestamp).count()
     }
     RefundSyncResult(
       land(NestedFlatten.flattenRefunds(raw), "refunds"),

@@ -37,17 +37,29 @@ object ObjectStoreSink {
   }
 
   /** Upload every data file under a result directory (e.g. a written
-    * parquet/csv dir) to `destDirUri`, skipping job-tracker markers
-    * (_SUCCESS, .crc). Returns the qualified destination paths — the
-    * multi-file form the reference loops by hand. */
+    * parquet/csv dir, INCLUDING partitioned layouts — the walk is
+    * recursive with relative paths preserved) to `destDirUri`, skipping
+    * job-tracker markers (_SUCCESS, .crc) wherever they appear in the
+    * tree. Throws when no data file ships — a result dir with nothing
+    * to upload is an upstream failure, not a success. Returns the
+    * qualified destination paths — the multi-file form the reference
+    * loops by hand. */
   def uploadResultDir(spark: SparkSession, localDir: String, destDirUri: String): Seq[Path] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new Path(localDir)
     val srcFs = src.getFileSystem(conf)
     require(srcFs.getFileStatus(src).isDirectory, s"not a directory: $localDir")
-    srcFs.listStatus(src).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .map(st => uploadFile(spark, st.getPath.toString, s"$destDirUri/${st.getPath.getName}"))
+    val base = srcFs.makeQualified(src).toUri
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Path)]
+    val it = srcFs.listFiles(src, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = base.relativize(st.getPath.toUri).getPath
+      val marker = rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (!marker) files += rel -> st.getPath
+    }
+    if (files.isEmpty)
+      throw new java.io.IOException(s"no data files to upload under $localDir")
+    files.toSeq.map { case (rel, p) => uploadFile(spark, p.toString, s"$destDirUri/$rel") }
   }
 }

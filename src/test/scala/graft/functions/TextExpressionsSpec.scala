@@ -26,12 +26,15 @@ class TextExpressionsSpec extends SparkSpecBase {
   test("interpreted eval matches codegen output") {
     TextExpressions.register(spark)
     val data = Seq(decomposed, composed, s"mixed $composed and $decomposed", "")
-    def run(codegen: Boolean): Seq[String] = {
-      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+    // factoryMode=NO_CODEGEN forces InterpretedUnsafeProjection — the
+    // nullSafeEval path; wholeStage alone still runs generated
+    // projections and would never exercise it
+    def run(mode: String): Seq[String] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
       try data.toDF("t").select(TextExpressions.nfcNormalize($"t")).as[String].collect().toSeq
-      finally spark.conf.set("spark.sql.codegen.wholeStage", true)
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
-    assert(run(codegen = true) == run(codegen = false))
+    assert(run("CODEGEN_ONLY") == run("NO_CODEGEN"))
   }
 
   test("nfc_normalize is callable from SQL and injectable via GraftExtensions") {

@@ -111,6 +111,8 @@ class NestedFlattenSpec extends SparkSpecBase {
          {"key": "brand", "value": ""},
          {"key": "_alg_wc_cog_cost", "value": "4.25"},
          {"key": "_alg_wc_cog_cost", "value": ""},
+         {"key": "fl_staff_price_field", "value": "3.00"},
+         {"key": "fl_staff_price_field", "value": null},
          {"key": "next_receipt_date", "value": "2026-09-01"}]}""".replaceAll("\n\\s*", " ")
 
   test("flattenProducts: 17-key flag map semantics + coercions") {
@@ -125,6 +127,8 @@ class NestedFlattenSpec extends SparkSpecBase {
     assert(r.getAs[String]("brand") == "")                     // plain string: last wins even if empty
     assert(r.getAs[String]("impact") == "")                    // absent key -> '' default
     assert(r.getAs[java.math.BigDecimal]("alg_wc_cog_cost").doubleValue() == 4.25) // empty doesn't overwrite
+    // a NULL value DOES overwrite (Python None != "" is True) -> money-coerced to 0
+    assert(r.getAs[java.math.BigDecimal]("fl_staff_price_field").doubleValue() == 0.0)
     assert(r.getAs[java.sql.Date]("next_receipt_date").toString == "2026-09-01")
     assert(r.getAs[String]("status") == "Publish")             // str.title()
     assert(r.getAs[Boolean]("backorders_allowed"))             // "1" -> true

@@ -50,4 +50,22 @@ class ObjectStoreSinkSpec extends SparkSpecBase {
     // the shipped copy is a readable table equal to the source
     assert(spark.read.parquet(s"$bucket/res").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
   }
+
+  test("uploadResultDir recurses partitioned layouts and refuses an empty result") {
+    val out = Files.createTempDirectory("graft-oss-part").toString + "/res"
+    Seq((1, "a"), (2, "b")).toDF("x", "p").write.partitionBy("p").parquet(out)
+    val bucket = Files.createTempDirectory("graft-oss-bucket4")
+    val shipped = ObjectStoreSink.uploadResultDir(spark, out, s"file://$bucket/res")
+    assert(shipped.nonEmpty) // partition subdir files found, markers skipped
+    val back = spark.read.parquet(s"$bucket/res")
+    assert(back.selectExpr("x").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(back.columns.contains("p")) // partition dirs preserved in relative paths
+
+    // a dir holding only markers must throw, not silently ship nothing
+    val empty = Files.createTempDirectory("graft-oss-empty")
+    Files.write(empty.resolve("_SUCCESS"), Array.empty[Byte])
+    intercept[java.io.IOException] {
+      ObjectStoreSink.uploadResultDir(spark, empty.toString, s"file://$bucket/none")
+    }
+  }
 }
