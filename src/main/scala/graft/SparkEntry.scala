@@ -774,9 +774,11 @@ object SparkEntry {
       val kept = quality.join(canonical, Seq("doc_id"))
       val sampled = graft.ops.Sampling.quotaPerGroup(
         kept.select(col("lang"), col("doc_id"), col("n_chars")), "lang", "doc_id", k = 50)
+      // lang rides through the pack window (`carry`) instead of a
+      // re-join against `sampled`, which would recompute the whole
+      // quality->dedup->quota subtree a second time
       graft.ops.SequencePrep.packAssignments(sampled, "doc_id", "n_chars",
-          budget = 4096L, shards = 4)
-        .join(sampled.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          budget = 4096L, shards = 4, carry = Seq("lang"))
         .select(col("doc_id"), col("lang"), col("shard"), col("seq_id"), col("seq_pos"))
         .orderBy(col("doc_id"))
     }),
@@ -1650,8 +1652,8 @@ object SparkEntry {
                   ROWS UNBOUNDED PRECEDING) AS e
                FROM d)
          SELECT doc_id, shard,
-           (e - n_chars) // 4096 AS seq_id,
-           (e - n_chars) % 4096 AS seq_pos,
+           CAST((e - n_chars) // 4096 AS BIGINT) AS seq_id,
+           CAST((e - n_chars) % 4096 AS BIGINT) AS seq_pos,
            ((e - n_chars) % 4096) + n_chars > 4096 AS crosses_boundary
          FROM c ORDER BY doc_id""",
 
@@ -1727,7 +1729,7 @@ object SparkEntry {
                   ROWS UNBOUNDED PRECEDING) AS e
                FROM d)
          SELECT doc_id, lang, shard,
-           (e - n_chars) // 4096 AS seq_id,
-           (e - n_chars) % 4096 AS seq_pos
+           CAST((e - n_chars) // 4096 AS BIGINT) AS seq_id,
+           CAST((e - n_chars) % 4096 AS BIGINT) AS seq_pos
          FROM c ORDER BY doc_id""")
 }

@@ -121,10 +121,15 @@ object NestedFlatten {
     * (O(n²) over an order's own items, which number in the dozens)
     * rather than a window, so the explode stays shuffle-free. */
   def explodeLineItems(orders: DataFrame): DataFrame = {
-    // absent bundled_by (older API shape) -> every item is its own parent
+    // absent bundled_by (older API shape) -> every item is its own parent.
+    // A JSON-null bundled_by stays a CHILD: the reference's
+    // `li['bundled_by'] == ""` (woo-sync/main.py:683-688) is False for
+    // None, so only a literally-empty string marks a parent. `=== ""`
+    // is null for null input and the filter HOF drops null-predicate
+    // elements, giving exactly that semantics.
     val isParent: Column => Column =
       if (lineItemHasField(orders, "bundled_by"))
-        x => coalesce(x.getField("bundled_by").cast(StringType), lit("")) === ""
+        x => x.getField("bundled_by").cast(StringType) === ""
       else _ => lit(true)
     orders.select(
       col("id").cast("long").as("order_id"),

@@ -37,23 +37,31 @@ object SequencePrep {
     * trainer will see split across two sequences.
     *
     * `lenCol` is the doc's token length — any integer cost column
-    * works (chars for byte-budget packing). */
+    * works (chars for byte-budget packing). `carry` names extra input
+    * columns to pass through unchanged (free inside the one window
+    * shuffle — cheaper than a downstream re-join against the input,
+    * which would recompute the whole upstream subtree). */
   def packAssignments(df: DataFrame, idCol: String, lenCol: String,
-                      budget: Long, shards: Int): DataFrame = {
+                      budget: Long, shards: Int,
+                      carry: Seq[String] = Nil): DataFrame = {
     require(budget > 0 && shards > 0, s"budget/shards must be positive: $budget/$shards")
     val id = col(idCol)
     val shard = graft.functions.TextFunctions.md5Long(id.cast("string")) % shards
     val w = Window.partitionBy(col("shard"))
       .orderBy(md5(id.cast("string")), id)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(id.as(idCol), shard.as("shard"), col(lenCol).cast("long").as("__len"))
+    df.select(id.as(idCol) +: shard.as("shard") +:
+        col(lenCol).cast("long").as("__len") +: carry.map(col): _*)
       .withColumn("__end", sum(col("__len")).over(w))
-      .select(
-        col(idCol), col("shard"),
-        (((col("__end") - col("__len")) / budget).cast("long")).as("seq_id"),
-        ((col("__end") - col("__len")) % budget).as("seq_pos"),
-        ((((col("__end") - col("__len")) % budget) + col("__len")) > budget)
-          .as("crosses_boundary"))
+      .withColumn("__start", col("__end") - col("__len"))
+      .select(col(idCol) +: carry.map(col) ++: Seq(
+        col("shard"),
+        // integer `div`, not double division: exact for any long shard
+        // length (double division loses exactness past 2^53 tokens)
+        expr(s"__start div ${budget}L").cast("long").as("seq_id"),
+        (col("__start") % budget).as("seq_pos"),
+        (((col("__start") % budget) + col("__len")) > budget)
+          .as("crosses_boundary")): _*)
   }
 
   /** Split documents into overlapping windows of `maxTokens` whitespace

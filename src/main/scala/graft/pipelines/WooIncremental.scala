@@ -1,7 +1,8 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
 import graft.ops.{NestedFlatten, Relational}
 import graft.sources.RestPager
 
@@ -35,9 +36,14 @@ object WooIncremental {
     val ordersPath = s"$targetRoot/orders"
     val itemsPath = s"$targetRoot/order_items"
 
-    // 1. watermark (empty target -> full extract)
+    // 1. watermark (empty target -> full extract). Probed through the
+    // Hadoop FileSystem API, not java.io.File: the target may be an
+    // object store (s3a://, gs://) where a local-FS check is always
+    // false and would silently degrade every sync to a full extract.
+    val ordersHPath = new Path(ordersPath)
+    val fs = ordersHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val watermark: Option[String] =
-      if (new java.io.File(ordersPath).exists()) {
+      if (fs.exists(ordersHPath)) {
         val row = Relational.maxWatermark(spark.read.parquet(ordersPath), "sync_timestamp").head()
         if (row.isNullAt(0)) None else Some(row.getString(0))
       } else None
@@ -54,20 +60,44 @@ object WooIncremental {
     val items = NestedFlatten.explodeLineItems(raw)
       .withColumn("sync_timestamp", lit(syncTimestamp))
 
-    // 4. versioned append
-    orders.write.mode(SaveMode.Append).parquet(ordersPath)
-    items.write.mode(SaveMode.Append).parquet(itemsPath)
-
-    val n = spark.read.parquet(ordersPath).filter(col("sync_timestamp") === syncTimestamp).count()
-    val m = spark.read.parquet(itemsPath).filter(col("sync_timestamp") === syncTimestamp).count()
+    // 4. versioned append. Batch sizes come from an Observation riding
+    // the write action — one pass, no re-read of the accumulated table
+    // (which grows without bound over months of syncs), and a retried
+    // sync reusing a syncTimestamp can't over-report.
+    val ordersObs = Observation("orders_landed")
+    val itemsObs = Observation("items_landed")
+    orders.observe(ordersObs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append).parquet(ordersPath)
+    items.observe(itemsObs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append).parquet(itemsPath)
+    val n = ordersObs.get("n").asInstanceOf[Long]
+    val m = itemsObs.get("n").asInstanceOf[Long]
 
     // 5. completion event (T7): append to the control topic dir
+    // (Hadoop FS like the watermark probe — the target may not be local)
     val done = s"""{"job_id":"84393","sync_timestamp":"$syncTimestamp"}"""
-    val topic = java.nio.file.Paths.get(s"$targetRoot/_events")
-    java.nio.file.Files.createDirectories(topic)
-    java.nio.file.Files.writeString(topic.resolve(s"done-$syncTimestamp.json"), done)
+    val topic = new Path(s"$targetRoot/_events")
+    fs.mkdirs(topic)
+    // ':' in a path segment parses as a URI scheme under Hadoop Path —
+    // keep the timestamp in the payload, sanitize it in the filename
+    val out = fs.create(new Path(topic, s"done-${syncTimestamp.replace(':', '-')}.json"), true)
+    try out.write(done.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
 
     SyncResult(n, m, watermark)
+  }
+
+  /** Append the stamped batch and return ITS row count via an
+    * Observation on the write action — one pass over the batch, never a
+    * re-scan of the accumulated table (O(history) per sync otherwise,
+    * and a retried sync reusing a stamp would over-report). */
+  private def landBatch(df: DataFrame, targetRoot: String, name: String,
+                        syncTimestamp: String): Long = {
+    val obs = Observation(s"${name}_landed")
+    df.withColumn("sync_timestamp", lit(syncTimestamp))
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append).parquet(s"$targetRoot/$name")
+    obs.get("n").asInstanceOf[Long]
   }
 
   final case class ProductSyncResult(products: Long, bundles: Long,
@@ -87,15 +117,8 @@ object WooIncremental {
                    perPage: Int = 100): ProductSyncResult = {
     val raw = RestPager.toDf(spark, RestPager.pageNumber(transport, url, perPage).toSeq)
     if (raw.isEmpty) return ProductSyncResult(0, 0, 0, 0)
-    // count what actually LANDED (written parquet filtered on this
-    // sync's stamp), like sync() — recomputing the flatten for the
-    // count would double every table's work
-    def land(df: DataFrame, name: String): Long = {
-      df.withColumn("sync_timestamp", lit(syncTimestamp))
-        .write.mode(SaveMode.Append).parquet(s"$targetRoot/$name")
-      spark.read.parquet(s"$targetRoot/$name")
-        .filter(col("sync_timestamp") === syncTimestamp).count()
-    }
+    def land(df: DataFrame, name: String): Long =
+      landBatch(df, targetRoot, name, syncTimestamp)
     ProductSyncResult(
       land(NestedFlatten.flattenProducts(raw), "products"),
       land(NestedFlatten.explodeProductBundles(raw), "product_bundles"),
@@ -113,12 +136,8 @@ object WooIncremental {
                   perPage: Int = 100): RefundSyncResult = {
     val raw = RestPager.toDf(spark, RestPager.pageNumber(transport, url, perPage).toSeq)
     if (raw.isEmpty) return RefundSyncResult(0, 0)
-    def land(df: DataFrame, name: String): Long = {
-      df.withColumn("sync_timestamp", lit(syncTimestamp))
-        .write.mode(SaveMode.Append).parquet(s"$targetRoot/$name")
-      spark.read.parquet(s"$targetRoot/$name")
-        .filter(col("sync_timestamp") === syncTimestamp).count()
-    }
+    def land(df: DataFrame, name: String): Long =
+      landBatch(df, targetRoot, name, syncTimestamp)
     RefundSyncResult(
       land(NestedFlatten.flattenRefunds(raw), "refunds"),
       land(NestedFlatten.flattenRefundItems(raw), "refund_items"))

@@ -70,7 +70,9 @@ class NestedFlattenSpec extends SparkSpecBase {
            {"id": 4, "product_id": 73, "name": "Solo", "sku": "SOLO-1",
             "bundled_by": "", "price": "5.00", "quantity": 1, "total_tax": "0"},
            {"id": 5, "product_id": 74, "name": "Part B", "sku": "B-1",
-            "bundled_by": "4", "price": "0.00", "quantity": 1, "total_tax": "0"}]}"""
+            "bundled_by": "4", "price": "0.00", "quantity": 1, "total_tax": "0"},
+           {"id": 6, "product_id": 75, "name": "Null child", "sku": "N-1",
+            "bundled_by": null, "price": "0.00", "quantity": 1, "total_tax": "0"}]}"""
         .replaceAll("\n\\s*", " ")
     val items = NestedFlatten.explodeLineItems(spark.read.json(Seq(orderWithBundle).toDS))
       .collect().map(r => r.getAs[Long]("line_item_id") -> r.getAs[String]("sku")).toMap
@@ -79,6 +81,9 @@ class NestedFlattenSpec extends SparkSpecBase {
     assert(items(3L) == "BNDL-1")  // child inherits preceding parent
     assert(items(4L) == "SOLO-1")
     assert(items(5L) == "SOLO-1")  // inherits the NEW parent, not the first
+    // JSON-null bundled_by is a CHILD (python `None == ""` is False),
+    // not a parent: it inherits, never resets the running sku
+    assert(items(6L) == "SOLO-1")
   }
 
   test("negateMoney flips refund amounts") {

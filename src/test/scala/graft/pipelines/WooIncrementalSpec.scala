@@ -67,8 +67,24 @@ class WooIncrementalSpec extends SparkSpecBase {
     assert(o2.getAs[java.math.BigDecimal]("total").doubleValue() == 25.0) // new version wins
     assert(o2.getAs[String]("sync_timestamp") == "2026-06-07T00:00:00")
 
-    // completion events emitted per sync (T7)
-    assert(new java.io.File(s"$root/_events").list().length == 2)
+    // completion events emitted per sync (T7; ignore local-FS .crc sidecars)
+    assert(new java.io.File(s"$root/_events").list()
+      .count(f => f.startsWith("done-") && f.endsWith(".json")) == 2)
+  }
+
+  test("watermark is found through the Hadoop FS API on a scheme-qualified target") {
+    // a `file:`-scheme root is invisible to java.io.File (the old probe),
+    // which would silently degrade every sync to a full extract on any
+    // non-local filesystem; the Hadoop FileSystem probe must find it
+    val root = "file:" + Files.createTempDirectory("graft-woo-fs").toString
+    val api = new Api(Seq((1, "2026-06-02T00:00:00", "10.00")))
+    val r1 = WooIncremental.sync(spark, api, "http://api/orders", root, "2026-06-03T00:00:00")
+    assert(r1.watermark.isEmpty && r1.ordersAppended == 1)
+
+    val api2 = new Api(Seq((2, "2026-06-04T00:00:00", "20.00")))
+    val r2 = WooIncremental.sync(spark, api2, "http://api/orders", root, "2026-06-05T00:00:00")
+    assert(r2.watermark.contains("2026-06-03T00:00:00")) // found, not None
+    assert(api2.calls.head("modified_after") == "2026-06-03T00:00:00")
   }
 
   /** Static one-page transport for the full-scan product/refund syncs. */
