@@ -805,6 +805,70 @@ object SparkEntry {
         .orderBy(ck)
     }),
 
+    // Per-source curation stats — the source-level filter signal
+    // (RefinedWeb/C4 drop boilerplate-heavy sources before any per-doc
+    // work). One narrow projection + one hash aggregate by source.
+    "q70_source_stats" -> ((s, dir) => {
+      graft.ops.TextProfile.sourceStats(t(s, dir, "documents"), "text", "source")
+        .orderBy(col("source"))
+    }),
+
+    // FUZZY decontamination: corpus docs that are MinHash near-dups of a
+    // benchmark doc (paraphrase-robust, vs q55's exact 5-gram overlap).
+    // Bench side broadcast — the corpus never shuffles for the join.
+    "q71_cross_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossMinhashMatches(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", threshold = 0.35, k = 32)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // Corpus-level boilerplate line removal (CCNet-style): lines shared
+    // verbatim by >= minDocs docs are dropped, docs reassemble in
+    // original line order, all-boilerplate docs vanish. Fixture builds
+    // multi-line pages from customer rows (like q67's PII fixture):
+    // shared header/footer + a per-customer unique line + a newsletter
+    // banner on every third customer.
+    "q72_boilerplate_lines" -> ((s, dir) => {
+      val ck = col("c_custkey")
+      val text = concat(
+        lit("TERMS OF SERVICE\nCustomer "), col("c_name"),
+        lit(" note "), ck.cast("string"),
+        when(ck % 2 === 0, concat(lit("\nDetail "), (ck * 3).cast("string")))
+          .otherwise(lit("")),
+        when(ck % 3 === 0, lit("\nSUBSCRIBE TO OUR NEWSLETTER"))
+          .otherwise(lit("")),
+        lit("\nCopyright 2026 Example Corp"))
+      Dedup.dropBoilerplateLines(
+          t(s, dir, "customer").select(ck.as("c_custkey"), text.as("text")),
+          "c_custkey", "text", minDocs = 50)
+        .orderBy(col("id"))
+    }),
+
+    // Token-budget selection: per-language, largest-docs-first greedy
+    // fill to a fixed char budget — the cost-weighted complement of
+    // q57's count quota, via the distributed prefix-sum (no
+    // one-task-per-group window).
+    "q73_token_budget_select" -> ((s, dir) => {
+      graft.ops.Sampling.budgetSelect(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "doc_id", "n_chars", budgetPerGroup = 8000L,
+          scoreCol = Some("n_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic training-order shuffle: stable pseudo-random global
+    // read order with NO global sort — md5 shard + in-shard rank +
+    // round-robin interleaved global rank.
+    "q74_training_order" -> ((s, dir) => {
+      graft.ops.Sampling.trainingOrder(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", shards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -1731,5 +1795,83 @@ object SparkEntry {
          SELECT doc_id, lang, shard,
            CAST((e - n_chars) // 4096 AS BIGINT) AS seq_id,
            CAST((e - n_chars) % 4096 AS BIGINT) AS seq_pos
-         FROM c ORDER BY doc_id""")
+         FROM c ORDER BY doc_id""",
+
+    "q70_source_stats" ->
+      """SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS DOUBLE) / COUNT(*) AS mean_tokens,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_rate
+         FROM documents GROUP BY source ORDER BY source""",
+
+    "q71_cross_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
+         h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741789 AS h1,
+                 CAST(('0x' || substr(md5(shingle), 16, 15)) AS BIGINT) % 1073741789 AS h2
+               FROM sh),
+         sig AS (SELECT doc_id, i, MIN((h1 + i * h2) % 1073741789) AS m
+                 FROM h, UNNEST(range(32)) AS s(i) GROUP BY doc_id, i),
+         band AS (SELECT doc_id, i // 4 AS band,
+                         string_agg(m::VARCHAR, '_' ORDER BY i) AS band_key
+                  FROM sig GROUP BY doc_id, i // 4),
+         cand AS (SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
+                  FROM band c JOIN band b USING (band, band_key)
+                  WHERE c.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+         agree AS (SELECT c.doc_id, c.bench_id,
+                          SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 32.0 AS sig_agreement
+                   FROM cand c
+                   JOIN sig sa ON sa.doc_id = c.doc_id
+                   JOIN sig sb ON sb.doc_id = c.bench_id AND sb.i = sa.i
+                   GROUP BY c.doc_id, c.bench_id)
+         SELECT doc_id, bench_id, sig_agreement FROM agree
+         WHERE sig_agreement >= 0.35 ORDER BY doc_id, bench_id""",
+
+    "q72_boilerplate_lines" ->
+      """WITH d AS (SELECT c_custkey AS id,
+             'TERMS OF SERVICE' || chr(10) || 'Customer ' || c_name ||
+             ' note ' || CAST(c_custkey AS VARCHAR) ||
+             CASE WHEN c_custkey % 2 = 0
+                  THEN chr(10) || 'Detail ' || CAST(c_custkey * 3 AS VARCHAR)
+                  ELSE '' END ||
+             CASE WHEN c_custkey % 3 = 0
+                  THEN chr(10) || 'SUBSCRIBE TO OUR NEWSLETTER'
+                  ELSE '' END ||
+             chr(10) || 'Copyright 2026 Example Corp' AS text
+           FROM customer),
+         ls AS (SELECT id, string_split(text, chr(10)) AS ls FROM d),
+         l AS (SELECT id, i AS pos, ls[i] AS line
+               FROM ls, UNNEST(range(1, len(ls)+1)) AS r(i)),
+         boiler AS (SELECT line FROM l GROUP BY line
+                    HAVING COUNT(DISTINCT id) >= 50),
+         kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM boiler)),
+         agg AS (SELECT id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                        COUNT(*) AS n_kept
+                 FROM kept GROUP BY id),
+         tot AS (SELECT id, CAST(MAX(pos) AS BIGINT) AS n_lines FROM l GROUP BY id)
+         SELECT a.id, a.clean_text, a.n_kept, t.n_lines
+         FROM agg a JOIN tot t USING (id) ORDER BY id""",
+
+    "q73_token_budget_select" ->
+      """WITH c AS (SELECT doc_id, lang, n_chars,
+                CAST(SUM(n_chars) OVER (PARTITION BY lang
+                  ORDER BY n_chars DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM documents)
+         SELECT doc_id, lang, n_chars FROM c WHERE cum <= 8000 ORDER BY doc_id""",
+
+    "q74_training_order" ->
+      """WITH d AS (SELECT doc_id,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+                md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents),
+         r AS (SELECT doc_id, shard,
+                CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+               FROM d)
+         SELECT doc_id, shard, pos, pos * 8 + shard AS global_rank
+         FROM r ORDER BY doc_id""")
 }

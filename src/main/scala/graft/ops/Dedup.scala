@@ -170,14 +170,7 @@ object Dedup {
     * minhashes / k) — a consistent estimator of Jaccard similarity. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 64, rowsPerBand: Int = 4): DataFrame = {
-    val sigs = minhashSigColumns(docs, idCol, textCol, n, k)
-    val nBands = k / rowsPerBand
-    val sigArr = array((0 until k).map(i => col(s"m$i")): _*)
-    val bandKeys = array((0 until nBands).map { b =>
-      concat_ws("_",
-        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
-    }: _*)
-    val banded = sigs.select(col("id"), sigArr.as("sig"), posexplode(bandKeys).as(Seq("band", "band_key")))
+    val banded = bandedSigs(docs, idCol, textCol, n, k, rowsPerBand)
       // one shuffle on the self-join key: signature/banding computed
       // once, shared by both join sides (see shingleIndex note)
       .repartition(col("band"), col("band_key"))
@@ -202,6 +195,94 @@ object Dedup {
                       threshold: Double, n: Int = 3, k: Int = 64, rowsPerBand: Int = 4): DataFrame =
     minhashCandidates(docs, idCol, textCol, n, k, rowsPerBand)
       .filter(col("sig_agreement") >= threshold)
+
+  /** Signature + LSH band rows for one side of a cross-table match:
+    * (id, sig, band, band_key), banding identical to
+    * [[minhashCandidates]] so both sides key the same space. */
+  private def bandedSigs(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, k: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minhashSigColumns(docs, idCol, textCol, n, k)
+    val nBands = k / rowsPerBand
+    val sigArr = array((0 until k).map(i => col(s"m$i")): _*)
+    val bandKeys = array((0 until nBands).map { b =>
+      concat_ws("_",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
+    }: _*)
+    sigs.select(col("id"), sigArr.as("sig"),
+      posexplode(bandKeys).as(Seq("band", "band_key")))
+  }
+
+  /** FUZZY decontamination: corpus documents that are MinHash near-dups
+    * of a benchmark document — the cross-table complement of
+    * [[minhashNearDups]] (self-join) and of [[Decontaminate]]'s exact
+    * n-gram overlap (a paraphrased eval question shares few exact
+    * 5-grams but keeps a high Jaccard shingle similarity).
+    *
+    * Scale shape mirrors exact decontamination (Decontaminate.scala):
+    * the benchmark is megabytes against a 100 TB corpus, so its banded
+    * signatures are BROADCAST — the corpus computes signatures in one
+    * map-side pass and never shuffles for the join. Agreement is
+    * computed at the join site and thresholded BEFORE the distinct, so
+    * the only exchange carries true (corpus_id, bench_id, double)
+    * matches (same narrowing as [[minhashCandidates]]). The broadcast
+    * carries the bench's k-long signatures (k×8 B/doc): fine through
+    * ~10⁵ bench docs; beyond that, split the benchmark and union. */
+  def crossMinhashMatches(corpus: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String, threshold: Double,
+                          n: Int = 3, k: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    val c = bandedSigs(corpus, idCol, textCol, n, k, rowsPerBand)
+      .select(col("band"), col("band_key"), col("id").as("doc_id"), col("sig").as("sig_c"))
+    val b = bandedSigs(bench, idCol, textCol, n, k, rowsPerBand)
+      .select(col("band"), col("band_key"), col("id").as("bench_id"), col("sig").as("sig_b"))
+    c.join(broadcast(b), Seq("band", "band_key"))
+      .select(col("doc_id"), col("bench_id"),
+        (size(filter(zip_with(col("sig_c"), col("sig_b"), (x, y) => x === y), p => p))
+          .cast("double") / k).as("sig_agreement"))
+      .filter(col("sig_agreement") >= threshold)
+      .distinct()
+  }
+
+  /** Corpus-level boilerplate LINE removal (CCNet / RefinedWeb style):
+    * drop every line that appears verbatim in at least `minDocs`
+    * DISTINCT documents (navigation, cookie banners, license headers),
+    * then reassemble each document from its surviving lines in their
+    * original order. Documents left with no lines disappear from the
+    * output (an all-boilerplate page carries no content).
+    *
+    * Plan shape at 100 TB: explode to (doc, pos, line) → hash aggregate
+    * per line counting distinct docs (partial map-side) → the
+    * boilerplate set is inherently SMALL (only lines repeated across
+    * ≥ minDocs docs survive the filter), so the anti-join broadcasts
+    * under AQE and the corpus lines never shuffle for it; reassembly is
+    * one aggregate keyed by doc. No cross-doc quadratic work anywhere.
+    *
+    * Returns (idCol, clean_text, n_kept, n_lines). */
+  def dropBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                           minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = ensureParallelism(docs)
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boiler = lines.groupBy(col("line"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("line"))
+    // per-doc line totals ride the explode (map-side window would also
+    // work, but the reassembly aggregate below already shuffles by id —
+    // count there instead, via max(pos)+1 which is exact for posexplode)
+    lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(
+        lines.groupBy(col("id")).agg((max(col("pos")) + 1).cast("long").as("n_lines")),
+        Seq("id"))
+      .select(col("id"), col("clean_text"), col("n_kept"), col("n_lines"))
+  }
 
   /** Bit width of the SimHash signature. 60 rather than 64 because the
     * per-token hash is the first 15 md5-hex chars parsed as an integer —

@@ -105,4 +105,85 @@ object Sampling {
     df.withColumn(rankCol, row_number().over(w1)).filter(col(rankCol) <= k).drop(rankCol)
       .withColumn(rankCol, row_number().over(w2)).filter(col(rankCol) <= k).drop(rankCol)
   }
+
+  /** Deterministic token-budget selection: keep each group's rows, in a
+    * stable order, while the group's cumulative `costCol` stays within
+    * `budgetPerGroup` — how a training mix is actually sized ("this
+    * source contributes at most N tokens"), the cost-weighted
+    * complement of the count-based [[quotaPerGroup]]. Order is
+    * `scoreCol` DESC when given (quality-ranked selection), always
+    * tiebroken by md5-of-key then key, so the kept set is stable across
+    * runs, engines, and partitionings; `keyCol` must uniquely identify
+    * rows. A row is kept iff its ENTIRE cost fits (greedy prefix rule).
+    *
+    * Scale: the naive form is one window partitioned by group — an
+    * entire group (possibly most of the corpus) in a single task. This
+    * is instead the classic distributed prefix-sum:
+    *   1. range-repartition by (group, order) — ordered bounded chunks
+    *      (the terasort shape; chunk count pinned so AQE can't refold
+    *      the two consumers differently);
+    *   2. cumulative sums within each (chunk, group) cell — a cell is
+    *      at most one chunk, never one whole group;
+    *   3. per-cell totals (≤ chunks × groups rows — tiny) → each cell's
+    *      global starting offset via an exclusive running sum;
+    *   4. broadcast the offsets back and keep offset + local_cum <=
+    *      budget.
+    * Output equals the single-window form exactly (property-tested);
+    * no task ever materialises more than one range chunk. */
+  def budgetSelect(df: DataFrame, groupCol: String, keyCol: String,
+                   costCol: String, budgetPerGroup: Long,
+                   scoreCol: Option[String] = None): DataFrame = {
+    require(budgetPerGroup > 0, s"budget must be positive, got $budgetPerGroup")
+    import org.apache.spark.sql.expressions.Window
+    val tmp = Seq("__pid", "__cum", "__cell_total", "__offset")
+    require(tmp.forall(c => !df.columns.contains(c)),
+      s"input must not already contain ${tmp.mkString("/")}")
+    val ord: Seq[Column] =
+      scoreCol.map(c => col(c).desc).toSeq :+
+        md5(col(keyCol).cast("string")).asc :+ col(keyCol).asc
+    val nChunks = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df
+      .repartitionByRange(nChunks, col(groupCol).asc +: ord: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wCell = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("__cum", sum(col(costCol).cast("long")).over(wCell))
+    // per-cell totals: tiny (chunks × groups), so the exclusive running
+    // sum is a trivial window and the join back broadcasts
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("__pid"), col(groupCol))
+      .agg(sum(col(costCol).cast("long")).as("__cell_total"))
+      .withColumn("__offset", coalesce(sum(col("__cell_total")).over(wOff), lit(0L)))
+      .select(col("__pid"), col(groupCol), col("__offset"))
+    local.join(broadcast(offsets), Seq("__pid", groupCol))
+      .filter(col("__offset") + col("__cum") <= budgetPerGroup)
+      .drop("__pid", "__cum", "__offset")
+  }
+
+  /** Deterministic training-order shuffle: a stable pseudo-random global
+    * read order for a training corpus WITHOUT a global sort. Each row
+    * gets (shard, pos, global_rank): shard = md5 bucket of the key,
+    * pos = 0-based rank within the shard in md5 order, global_rank =
+    * pos × shards + shard — a round-robin interleave of the shard
+    * streams, so consecutive ranks come from different hash buckets
+    * (well-mixed) while each shard's stream is independently producible
+    * (the reader shape at scale: one worker per shard, merge
+    * round-robin). Not a dense 0..n-1 permutation (ranks skip once a
+    * shorter shard exhausts) but a total, deterministic, rerun-stable
+    * order. One shuffle keyed by shard, local sort per shard — pick
+    * `shards` so a shard fits a task (corpus size / target partition
+    * size), exactly like choosing shuffle partitions. */
+  def trainingOrder(df: DataFrame, keyCol: String, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    require(!df.columns.exists(Set("shard", "pos", "global_rank")),
+      "input must not already contain shard/pos/global_rank")
+    import org.apache.spark.sql.expressions.Window
+    val key = col(keyCol).cast("string")
+    val w = Window.partitionBy(col("shard")).orderBy(md5(key), col(keyCol))
+    df.withColumn("shard", graft.functions.TextFunctions.md5Long(key) % shards)
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .withColumn("global_rank", col("pos") * shards + col("shard"))
+  }
 }

@@ -55,4 +55,36 @@ object TextProfile {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
   }
+
+  /** Per-source curation stats — the signal web-corpus pipelines use to
+    * filter or cap whole sources (RefinedWeb / C4 style: a source whose
+    * documents are mostly mutual duplicates is boilerplate-heavy and
+    * gets down-weighted or dropped before any per-document work):
+    *
+    *   - n_docs, total_chars        (size/mass of the source)
+    *   - mean_tokens                (sum tokens / docs, exact-int division
+    *                                 surfaced as double)
+    *   - n_unique                   (distinct md5 text fingerprints)
+    *   - dup_rate                   (1 - n_unique / n_docs)
+    *
+    * Plan shape: one narrow projection (length / token count / md5 per
+    * row, all codegen'd) then a single hash aggregate keyed by source;
+    * the distinct-count is Spark's standard two-phase partial distinct.
+    * Sources number in the thousands at most, so the aggregate output
+    * is driver-tiny at any corpus size. Floats are single divisions of
+    * exact integers — bit-deterministic across engines. */
+  def sourceStats(docs: DataFrame, textCol: String, sourceCol: String): DataFrame =
+    docs.select(
+        col(sourceCol).as("source"),
+        length(col(textCol)).cast("long").as("__chars"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__toks"),
+        md5(col(textCol)).as("__fp"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__chars")).as("total_chars"),
+        (sum(col("__toks")).cast("double") / count(lit(1))).as("mean_tokens"),
+        countDistinct(col("__fp")).as("n_unique"))
+      .withColumn("dup_rate",
+        lit(1.0) - col("n_unique").cast("double") / col("n_docs"))
 }

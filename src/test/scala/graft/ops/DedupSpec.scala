@@ -59,6 +59,36 @@ class DedupSpec extends SparkSpecBase {
     assert(math.abs(est - trueJ) < 0.25, s"est=$est true=$trueJ")
   }
 
+  test("crossMinhashMatches: corpus doc paired with its benchmark near-dup only") {
+    val corpus = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val bench = Seq((100L, base), (101L, "totally disjoint benchmark prompt text " * 5))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossMinhashMatches(corpus, bench, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 100L)) == 1.0)            // exact copy of a bench doc
+    assert(out.getOrElse((2L, 100L), 0.0) > 0.5) // near-dup of a bench doc
+    assert(!out.keySet.exists(_._1 == 3L))    // clean doc never pairs
+    assert(!out.keySet.exists(_._2 == 101L))  // unmatched bench doc absent
+  }
+
+  test("dropBoilerplateLines: shared lines removed, order kept, all-boiler docs vanish") {
+    val docs = Seq(
+      (1L, "HEADER\nalpha unique\nFOOTER"),
+      (2L, "HEADER\nbeta unique\nmiddle line\nFOOTER"),
+      (3L, "HEADER\ngamma unique\nFOOTER"),
+      (4L, "HEADER\nFOOTER") // nothing but boilerplate
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_lines"))))
+      .toMap
+    assert(out(1L) == (("alpha unique", 1L, 3L)))
+    assert(out(2L) == (("beta unique\nmiddle line", 2L, 4L))) // original order preserved
+    assert(out(3L) == (("gamma unique", 1L, 3L)))
+    assert(!out.contains(4L)) // all lines boilerplate -> doc dropped
+    // lines shared by fewer than minDocs docs survive ("middle line": 1 doc)
+  }
+
   test("simhash: identical docs get identical hash; near-dups land within small hamming") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -86,4 +86,55 @@ class SamplingSpec extends SparkSpecBase {
     val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("grp", "id")
     assert(Sampling.quotaPerGroup(tiny, "grp", "id", k = 7).count() == 3)
   }
+
+  test("budgetSelect matches the single-window reference, md5 and score order") {
+    val rows = (1L to 400L).map(i => (s"g${i % 3}", i, (i * 7) % 50 + 1))
+      .toDF("grp", "id", "cost")
+    for (score <- Seq(None, Some("cost"))) {
+      val got = Sampling.budgetSelect(rows, "grp", "id", "cost", 300L, score)
+        .select("grp", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // reference: one window per group, same order spec
+      val ord = score.map(c => col(c).desc).toSeq :+
+        md5(col("id").cast("string")).asc :+ col("id").asc
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+        .orderBy(ord: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val ref = rows.withColumn("__c", sum(col("cost").cast("long")).over(w))
+        .filter(col("__c") <= 300L).select("grp", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == ref, s"scoreCol=$score")
+      assert(got.nonEmpty && got.size < 400)
+    }
+    // every group's kept cost stays within budget
+    val kept = Sampling.budgetSelect(rows, "grp", "id", "cost", 300L)
+      .groupBy("grp").agg(sum("cost").as("s")).collect()
+    assert(kept.forall(_.getAs[Long]("s") <= 300L))
+    // a budget below every cost keeps nothing; a huge budget keeps all
+    assert(Sampling.budgetSelect(rows.filter(col("cost") > 1), "grp", "id", "cost", 1L).count() == 0)
+    assert(Sampling.budgetSelect(rows, "grp", "id", "cost", 1000000L).count() == 400)
+  }
+
+  test("trainingOrder: stable interleaved ranks, partitioning-independent") {
+    val rows = (1L to 300L).toDF("id")
+    val once = Sampling.trainingOrder(rows, "id", shards = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("shard"), r.getAs[Long]("pos"), r.getAs[Long]("global_rank")))).toMap
+    // rerun under a different partitioning: identical assignment
+    val again = Sampling.trainingOrder(rows.repartition(7), "id", shards = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("shard"), r.getAs[Long]("pos"), r.getAs[Long]("global_rank")))).toMap
+    assert(once == again)
+    // ranks are unique and consistent with (pos, shard)
+    val ranks = once.values.map(_._3).toSeq
+    assert(ranks.distinct.size == 300)
+    assert(once.values.forall { case (s, p, g) => g == p * 4 + s && s >= 0 && s < 4 })
+    // each shard's positions are dense 0..n_s-1
+    once.values.groupBy(_._1).foreach { case (_, v) =>
+      assert(v.map(_._2).toSeq.sorted == (0L until v.size).toSeq)
+    }
+    // interleaved: the first `shards` ranks in global order come from
+    // distinct shards (round-robin head)
+    val head = once.values.toSeq.sortBy(_._3).take(4).map(_._1)
+    assert(head.distinct.size == head.size)
+  }
 }

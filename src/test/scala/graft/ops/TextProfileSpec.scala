@@ -27,4 +27,20 @@ class TextProfileSpec extends SparkSpecBase {
     assert(out(1L)._4 * 2 > out(1L)._3)
     assert(out(2L)._4 * 2 < out(2L)._3)
   }
+
+  test("sourceStats: per-source mass, token mean, and exact-dup rate") {
+    val df = Seq(
+      ("web", "same text"), ("web", "same text"), ("web", "other words here"),
+      ("book", "unique one"), ("book", "unique two")
+    ).toDF("source", "text")
+    val out = TextProfile.sourceStats(df, "text", "source")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars"),
+          r.getAs[Double]("mean_tokens"), r.getAs[Long]("n_unique"),
+          r.getAs[Double]("dup_rate")))).toMap
+    // web: 3 docs, two identical -> 2 unique, dup_rate 1/3;
+    // chars 9+9+16=34; tokens 2+2+3=7 -> mean 7/3
+    assert(out("web") == ((3L, 34L, 7.0 / 3, 2L, 1.0 - 2.0 / 3)))
+    assert(out("book") == ((2L, 20L, 2.0, 2L, 0.0)))
+  }
 }
