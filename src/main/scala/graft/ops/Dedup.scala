@@ -260,16 +260,17 @@ object Dedup {
   def dropBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
                            minDocs: Int): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // n_lines is a per-doc scalar computed BEFORE the explode and
+    // carried through it as a constant — no separate counting pass over
+    // the corpus (it would be a third full scan+explode)
     val lines = ensureParallelism(docs)
       .select(col(idCol).as("id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
     val boiler = lines.groupBy(col("line"))
       .agg(countDistinct(col("id")).as("df"))
       .filter(col("df") >= minDocs)
       .select(col("line"))
-    // per-doc line totals ride the explode (map-side window would also
-    // work, but the reassembly aggregate below already shuffles by id —
-    // count there instead, via max(pos)+1 which is exact for posexplode)
     lines.join(boiler, Seq("line"), "left_anti")
       .groupBy(col("id"))
       .agg(
@@ -277,10 +278,8 @@ object Dedup {
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             x => x.getField("line")),
           "\n").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-      .join(
-        lines.groupBy(col("id")).agg((max(col("pos")) + 1).cast("long").as("n_lines")),
-        Seq("id"))
+        count(lit(1)).as("n_kept"),
+        max(col("n_lines")).as("n_lines"))
       .select(col("id"), col("clean_text"), col("n_kept"), col("n_lines"))
   }
 
