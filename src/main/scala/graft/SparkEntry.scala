@@ -869,6 +869,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Lloyd's k-means fit + assignment, bit-deterministic and
+    // engine-portable (md5 seed draw, exact decimal-sum centroid
+    // updates, scale-invariant cosine argmax) — the coarse-quantizer
+    // fit SemDeDup/IVF needs, oracle-checked through two full
+    // iterations.
+    "q75_kmeans_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = VF.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      VF.assignBuckets(emb, col("embedding"), centroids, "cluster")
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -1873,5 +1886,44 @@ object SparkEntry {
                 CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
                FROM d)
          SELECT doc_id, shard, pos, pos * 8 + shard AS global_rank
-         FROM r ORDER BY doc_id""")
+         FROM r ORDER BY doc_id""",
+
+    "q75_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         c0 AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS c,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                FROM e
+                QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+         n0 AS (SELECT c, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nrm FROM c0),
+         a1 AS (SELECT vec_id, embedding, c FROM (
+                  SELECT e.vec_id, e.embedding, n0.c,
+                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_sum(list_transform(list_zip(e.embedding, n0.cv),
+                             x -> CAST(x[1] AS DOUBLE) * x[2])) / n0.nrm DESC, n0.c) AS rn
+                  FROM e, n0) WHERE rn = 1),
+         c1 AS (SELECT c, list(m ORDER BY pos) AS cv FROM (
+                  SELECT c, i AS pos,
+                    CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824) AS DECIMAL(38,0))) AS DOUBLE) AS m
+                  FROM a1, UNNEST(range(1, len(embedding)+1)) AS r(i)
+                  GROUP BY c, i) GROUP BY c),
+         n1 AS (SELECT c, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nrm FROM c1),
+         a2 AS (SELECT vec_id, embedding, c FROM (
+                  SELECT e.vec_id, e.embedding, n1.c,
+                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_sum(list_transform(list_zip(e.embedding, n1.cv),
+                             x -> CAST(x[1] AS DOUBLE) * x[2])) / n1.nrm DESC, n1.c) AS rn
+                  FROM e, n1) WHERE rn = 1),
+         c2 AS (SELECT c, list(m ORDER BY pos) AS cv FROM (
+                  SELECT c, i AS pos,
+                    CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824) AS DECIMAL(38,0))) AS DOUBLE) AS m
+                  FROM a2, UNNEST(range(1, len(embedding)+1)) AS r(i)
+                  GROUP BY c, i) GROUP BY c),
+         n2 AS (SELECT c, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nrm FROM c2),
+         a3 AS (SELECT vec_id, c FROM (
+                  SELECT e.vec_id, n2.c,
+                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_sum(list_transform(list_zip(e.embedding, n2.cv),
+                             x -> CAST(x[1] AS DOUBLE) * x[2])) / n2.nrm DESC, n2.c) AS rn
+                  FROM e, n2) WHERE rn = 1)
+         SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM a3 ORDER BY vec_id""")
 }

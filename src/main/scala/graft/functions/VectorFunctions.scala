@@ -242,15 +242,23 @@ object VectorFunctions {
 
   /** DataFrame-native Lloyd's k-means for the IVF coarse quantizer.
     *
-    * Deterministic init: the k corpus vectors with the smallest
-    * xxhash64(id) (a seeded pseudo-random but reproducible draw). Each
-    * iteration: assign every vector to its nearest centroid map-side
-    * (literal-inlined model — no join, no shuffle on the assignment),
-    * recompute centroids via posexplode partial averages, collect the
-    * k×dim model back to the driver — the classic scalable shape (model
-    * state driver-side like MLlib, data never leaves executors except
-    * k×dim doubles).
-    */
+    * Deterministic AND engine-portable end to end, so the fitted
+    * assignment is oracle-checkable (q75):
+    *   - init: the k corpus vectors with the smallest (md5(id), id) —
+    *     the repo's portable pseudo-random draw (xxhash64 would be
+    *     Spark-only);
+    *   - update: per-dimension EXACT decimal sums of quantized elements
+    *     via [[centroidsByLabel]], not float means — float summation
+    *     depends on partition order, while integer sums are
+    *     associative; cosine ranking is scale-invariant per centroid,
+    *     so the un-divided sum ranks identically to the mean (and a
+    *     mixed-scale model — raw-float seeds, summed updates — is
+    *     equally sound for the same reason);
+    *   - assignment: map-side literal-inlined argmax (no join, no
+    *     shuffle), ties to the lowest centroid id.
+    * Each iteration: one corpus pass + a k×dim driver collect — the
+    * classic scalable shape (model state driver-side like MLlib).
+    * Clusters that lose all members drop out of the model. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
@@ -261,23 +269,20 @@ object VectorFunctions {
     def centroidDf(model: CentroidModel): DataFrame =
       model.toDF("centroid_id", "centroid_vec")
 
-    // deterministic seed draw
+    // deterministic, engine-portable seed draw
     var model: CentroidModel = vecs
-      .orderBy(xxhash64(col("id")))
+      .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(k).collect().zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble) }.toSeq
+      .map { case (r, i) => i -> r.getSeq[Any](1).map {
+        case d: java.lang.Double => d.doubleValue
+        case f: java.lang.Float => f.toDouble
+        case other => other.toString.toDouble
+      }.toSeq }.toSeq
 
     for (_ <- 1 to iters) {
-      model = vecs
-        .withColumn("centroid_id", nearestBucketExpr(col("v"), model))
-        .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cv"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+      model = collectCentroids(centroidsByLabel(
+        vecs.withColumn("centroid_id", nearestBucketExpr(col("v"), model)),
+        "centroid_id", "v"))
     }
     centroidDf(model)
   }
