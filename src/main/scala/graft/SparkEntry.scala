@@ -882,6 +882,29 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // End-to-end corpus RELEASE — the round-5 composition twin of q69:
+    // fuzzy (MinHash) decontamination vs a benchmark → per-language
+    // token-budget sizing → deterministic training order, chained in
+    // ONE plan. Gates the new operators' interaction: the anti-join
+    // consumes crossMinhashMatches' output, budgetSelect's prefix-sum
+    // runs over the decontaminated set, trainingOrder over the sized
+    // set.
+    "q76_corpus_release" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val contaminated = Dedup.crossMinhashMatches(corpus, bench, "doc_id", "text",
+          threshold = 0.35, k = 32)
+        .select(col("doc_id")).distinct()
+      val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      val sized = graft.ops.Sampling.budgetSelect(
+        clean.select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "doc_id", "n_chars", budgetPerGroup = 8000L, scoreCol = Some("n_chars"))
+      graft.ops.Sampling.trainingOrder(sized, "doc_id", shards = 4)
+        .select(col("doc_id"), col("lang"), col("shard"), col("pos"), col("global_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -1925,5 +1948,47 @@ object SparkEntry {
                            list_sum(list_transform(list_zip(e.embedding, n2.cv),
                              x -> CAST(x[1] AS DOUBLE) * x[2])) / n2.nrm DESC, n2.c) AS rn
                   FROM e, n2) WHERE rn = 1)
-         SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM a3 ORDER BY vec_id""")
+         SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM a3 ORDER BY vec_id""",
+
+    "q76_corpus_release" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
+         h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741789 AS h1,
+                 CAST(('0x' || substr(md5(shingle), 16, 15)) AS BIGINT) % 1073741789 AS h2
+               FROM sh),
+         sig AS (SELECT doc_id, i, MIN((h1 + i * h2) % 1073741789) AS m
+                 FROM h, UNNEST(range(32)) AS s(i) GROUP BY doc_id, i),
+         band AS (SELECT doc_id, i // 4 AS band,
+                         string_agg(m::VARCHAR, '_' ORDER BY i) AS band_key
+                  FROM sig GROUP BY doc_id, i // 4),
+         cand AS (SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
+                  FROM band c JOIN band b USING (band, band_key)
+                  WHERE c.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+         agree AS (SELECT c.doc_id, c.bench_id,
+                          SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 32.0 AS a
+                   FROM cand c
+                   JOIN sig sa ON sa.doc_id = c.doc_id
+                   JOIN sig sb ON sb.doc_id = c.bench_id AND sb.i = sa.i
+                   GROUP BY c.doc_id, c.bench_id),
+         contaminated AS (SELECT DISTINCT doc_id FROM agree WHERE a >= 0.35),
+         clean AS (SELECT doc_id, lang, n_chars FROM documents
+                   WHERE doc_id % 10 <> 0
+                     AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         sized AS (SELECT doc_id, lang FROM (
+                    SELECT doc_id, lang,
+                      CAST(SUM(n_chars) OVER (PARTITION BY lang
+                        ORDER BY n_chars DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                    FROM clean) WHERE cum <= 8000),
+         d AS (SELECT doc_id, lang,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 AS shard,
+                md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM sized),
+         r AS (SELECT doc_id, lang, shard,
+                CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+               FROM d)
+         SELECT doc_id, lang, shard, pos, pos * 4 + shard AS global_rank
+         FROM r ORDER BY doc_id""")
 }
