@@ -129,7 +129,12 @@ object Sampling {
     *   4. broadcast the offsets back and keep offset + local_cum <=
     *      budget.
     * Output equals the single-window form exactly (property-tested);
-    * no task ever materialises more than one range chunk. */
+    * no task ever materialises more than one range chunk.
+    *
+    * Null group or key rows are DROPPED — the family's uniform null
+    * rule (see object doc): a null key has no stable md5 order, and a
+    * null group would silently vanish in the offsets equi-join anyway;
+    * the explicit filter makes the behavior deliberate. */
   def budgetSelect(df: DataFrame, groupCol: String, keyCol: String,
                    costCol: String, budgetPerGroup: Long,
                    scoreCol: Option[String] = None): DataFrame = {
@@ -143,6 +148,7 @@ object Sampling {
         md5(col(keyCol).cast("string")).asc :+ col(keyCol).asc
     val nChunks = df.sparkSession.sessionState.conf.numShufflePartitions
     val parted = df
+      .filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
       .repartitionByRange(nChunks, col(groupCol).asc +: ord: _*)
       .withColumn("__pid", spark_partition_id())
     val wCell = Window.partitionBy(col("__pid"), col(groupCol))
@@ -182,7 +188,9 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val key = col(keyCol).cast("string")
     val w = Window.partitionBy(col("shard")).orderBy(md5(key), col(keyCol))
-    df.withColumn("shard", graft.functions.TextFunctions.md5Long(key) % shards)
+    // null keys have no stable hash identity -> dropped (family rule)
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("shard", graft.functions.TextFunctions.md5Long(key) % shards)
       .withColumn("pos", row_number().over(w).cast("long") - 1)
       .withColumn("global_rank", col("pos") * shards + col("shard"))
   }

@@ -112,6 +112,12 @@ class SamplingSpec extends SparkSpecBase {
     // a budget below every cost keeps nothing; a huge budget keeps all
     assert(Sampling.budgetSelect(rows.filter(col("cost") > 1), "grp", "id", "cost", 1L).count() == 0)
     assert(Sampling.budgetSelect(rows, "grp", "id", "cost", 1000000L).count() == 400)
+    // family null rule: null group or key rows are dropped, not
+    // silently lost in the offsets join or hashed as a fake group
+    val withNulls = Seq((Some("a"), Some(1L), 5L), (None, Some(2L), 5L),
+      (Some("a"), None, 5L)).toDF("grp", "id", "cost")
+    assert(Sampling.budgetSelect(withNulls, "grp", "id", "cost", 100L)
+      .collect().map(_.getLong(1)).toSeq == Seq(1L))
   }
 
   test("trainingOrder: stable interleaved ranks, partitioning-independent") {
@@ -136,5 +142,8 @@ class SamplingSpec extends SparkSpecBase {
     // distinct shards (round-robin head)
     val head = once.values.toSeq.sortBy(_._3).take(4).map(_._1)
     assert(head.distinct.size == head.size)
+    // null keys dropped (family rule)
+    val withNull = Seq(Some(1L), None, Some(2L)).toDF("id")
+    assert(Sampling.trainingOrder(withNull, "id", 2).count() == 2)
   }
 }
