@@ -225,8 +225,10 @@ object Dedup {
     * computed at the join site and thresholded BEFORE the distinct, so
     * the only exchange carries true (corpus_id, bench_id, double)
     * matches (same narrowing as [[minhashCandidates]]). The broadcast
-    * carries the bench's k-long signatures (k×8 B/doc): fine through
-    * ~10⁵ bench docs; beyond that, split the benchmark and union. */
+    * carries the bench's k-long signature on EVERY band row —
+    * k/rowsPerBand × k × 8 B ≈ 8 KB/doc at defaults — comfortable
+    * through ~10⁴ bench docs (eval suites are); beyond that, split the
+    * benchmark and union, or raise rowsPerBand to cut the band count. */
   def crossMinhashMatches(corpus: DataFrame, bench: DataFrame,
                           idCol: String, textCol: String, threshold: Double,
                           n: Int = 3, k: Int = 64, rowsPerBand: Int = 4): DataFrame = {

@@ -121,7 +121,15 @@ object Sampling {
     * is instead the classic distributed prefix-sum:
     *   1. range-repartition by (group, order) — ordered bounded chunks
     *      (the terasort shape; chunk count pinned so AQE can't refold
-    *      the two consumers differently);
+    *      the two consumers differently) — and MATERIALISE the ranged
+    *      run (localCheckpoint): the range partitioner samples with a
+    *      per-evaluation seed, so the two consumers below would
+    *      otherwise re-evaluate the exchange with DIFFERENT chunk
+    *      boundaries and the offsets join would attach wrong cells
+    *      (AQE stage reuse usually saves the day, but is not
+    *      guaranteed — e.g. over cached inputs). The materialised run
+    *      is the same data volume the shuffle already wrote; swap in
+    *      reliable checkpoint() for multi-hour 100 TB jobs;
     *   2. cumulative sums within each (chunk, group) cell — a cell is
     *      at most one chunk, never one whole group;
     *   3. per-cell totals (≤ chunks × groups rows — tiny) → each cell's
@@ -151,6 +159,7 @@ object Sampling {
       .filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
       .repartitionByRange(nChunks, col(groupCol).asc +: ord: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val wCell = Window.partitionBy(col("__pid"), col(groupCol))
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

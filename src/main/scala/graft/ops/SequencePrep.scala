@@ -45,6 +45,10 @@ object SequencePrep {
                       budget: Long, shards: Int,
                       carry: Seq[String] = Nil): DataFrame = {
     require(budget > 0 && shards > 0, s"budget/shards must be positive: $budget/$shards")
+    val internal = Set("shard", "__len", "__end", "__start",
+      "seq_id", "seq_pos", "crosses_boundary")
+    require((carry :+ idCol).forall(c => !internal.contains(c)) && !carry.contains(idCol),
+      s"carry/id must not collide with ${internal.mkString("/")} or repeat $idCol")
     val id = col(idCol)
     val shard = graft.functions.TextFunctions.md5Long(id.cast("string")) % shards
     val w = Window.partitionBy(col("shard"))

@@ -54,24 +54,10 @@ object WooIncremental {
     val raw = RestPager.toDf(spark, pages)
     if (raw.isEmpty) return SyncResult(0, 0, watermark)
 
-    // 3. transform
-    val orders = NestedFlatten.flattenOrders(raw)
-      .withColumn("sync_timestamp", lit(syncTimestamp))
-    val items = NestedFlatten.explodeLineItems(raw)
-      .withColumn("sync_timestamp", lit(syncTimestamp))
-
-    // 4. versioned append. Batch sizes come from an Observation riding
-    // the write action — one pass, no re-read of the accumulated table
-    // (which grows without bound over months of syncs), and a retried
-    // sync reusing a syncTimestamp can't over-report.
-    val ordersObs = Observation("orders_landed")
-    val itemsObs = Observation("items_landed")
-    orders.observe(ordersObs, count(lit(1)).as("n"))
-      .write.mode(SaveMode.Append).parquet(ordersPath)
-    items.observe(itemsObs, count(lit(1)).as("n"))
-      .write.mode(SaveMode.Append).parquet(itemsPath)
-    val n = ordersObs.get("n").asInstanceOf[Long]
-    val m = itemsObs.get("n").asInstanceOf[Long]
+    // 3+4. transform + versioned append (landBatch: stamp, observe the
+    // write for the batch count — no re-read of the accumulated table)
+    val n = landBatch(NestedFlatten.flattenOrders(raw), targetRoot, "orders", syncTimestamp)
+    val m = landBatch(NestedFlatten.explodeLineItems(raw), targetRoot, "order_items", syncTimestamp)
 
     // 5. completion event (T7): append to the control topic dir
     // (Hadoop FS like the watermark probe — the target may not be local)

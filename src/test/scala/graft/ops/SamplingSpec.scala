@@ -120,6 +120,39 @@ class SamplingSpec extends SparkSpecBase {
       .collect().map(_.getLong(1)).toSeq == Seq(1L))
   }
 
+  test("budgetSelect holds its contract on a large cached input (one ranged run)") {
+    // regression shape for the two-evaluation range-exchange bug: a
+    // cached many-partition input large enough that the range
+    // partitioner's reservoir sample doesn't cover whole partitions —
+    // without the materialised ranged run, the two consumers sampled
+    // different chunk boundaries and the kept cost EXCEEDED the budget
+    val big = (1L to 100000L).map(i => (s"g${i % 3}", i, (i * 31) % 97 + 1))
+      .toDF("grp", "id", "cost").repartition(16).cache()
+    big.count()
+    try {
+      val out1 = Sampling.budgetSelect(big, "grp", "id", "cost", 500000L, Some("cost"))
+      val kept1 = out1.select("grp", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // deterministic across evaluations
+      val kept2 = Sampling.budgetSelect(big, "grp", "id", "cost", 500000L, Some("cost"))
+        .select("grp", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(kept1 == kept2)
+      // hard invariant: per-group kept cost within budget
+      val sums = Sampling.budgetSelect(big, "grp", "id", "cost", 500000L, Some("cost"))
+        .groupBy("grp").agg(sum("cost").as("s")).collect()
+      assert(sums.nonEmpty && sums.forall(_.getAs[Long]("s") <= 500000L),
+        sums.map(r => r.getString(0) -> r.getLong(1)).toSeq.toString)
+      // equals the single-window reference
+      val ord = Seq(col("cost").desc, md5(col("id").cast("string")).asc, col("id").asc)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+        .orderBy(ord: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val ref = big.withColumn("__c", sum(col("cost").cast("long")).over(w))
+        .filter(col("__c") <= 500000L).select("grp", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(kept1 == ref)
+    } finally big.unpersist()
+  }
+
   test("trainingOrder: stable interleaved ranks, partitioning-independent") {
     val rows = (1L to 300L).toDF("id")
     val once = Sampling.trainingOrder(rows, "id", shards = 4)
