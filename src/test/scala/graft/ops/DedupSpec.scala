@@ -69,6 +69,13 @@ class DedupSpec extends SparkSpecBase {
     assert(out.getOrElse((2L, 100L), 0.0) > 0.5) // near-dup of a bench doc
     assert(!out.keySet.exists(_._1 == 3L))    // clean doc never pairs
     assert(!out.keySet.exists(_._2 == 101L))  // unmatched bench doc absent
+
+    // consistency with the self-join implementation: cross matches ==
+    // the union's near-dup pairs restricted to (corpus, bench) sides
+    val selfJoin = Dedup.minhashNearDups(corpus.unionByName(bench), "doc_id", "text", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      .filter { case ((a, b), _) => a < 100L && b >= 100L }
+    assert(out == selfJoin)
   }
 
   test("dropBoilerplateLines: shared lines removed, order kept, all-boiler docs vanish") {
