@@ -76,6 +76,10 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
       .filter { case ((a, b), _) => a < 100L && b >= 100L }
     assert(out == selfJoin)
+
+    // empty benchmark -> no matches, not an error
+    assert(Dedup.crossMinhashMatches(corpus, bench.filter($"doc_id" < 0L),
+      "doc_id", "text", 0.5).isEmpty)
   }
 
   test("dropBoilerplateLines: shared lines removed, order kept, all-boiler docs vanish") {
@@ -94,6 +98,13 @@ class DedupSpec extends SparkSpecBase {
     assert(out(3L) == (("gamma unique", 1L, 3L)))
     assert(!out.contains(4L)) // all lines boilerplate -> doc dropped
     // lines shared by fewer than minDocs docs survive ("middle line": 1 doc)
+
+    // minDocs boundary: a line in EXACTLY minDocs distinct docs is
+    // boilerplate (>=), counted by distinct docs not occurrences
+    val two = Seq((1L, "shared\na"), (2L, "shared\nshared\nb")).toDF("doc_id", "text")
+    val o2 = Dedup.dropBoilerplateLines(two, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("clean_text")).toMap
+    assert(o2 == Map(1L -> "a", 2L -> "b"))
   }
 
   test("simhash: identical docs get identical hash; near-dups land within small hamming") {

@@ -153,6 +153,27 @@ class SamplingSpec extends SparkSpecBase {
     } finally big.unpersist()
   }
 
+  test("budgetSelect: one group spanning every chunk still matches the reference") {
+    // the operator's raison d'être: a single group larger than any
+    // chunk, so the prefix-sum MUST stitch cumulative costs across
+    // chunk cells via the offsets
+    val one = (1L to 50000L).map(i => ("only", i, (i * 13) % 40 + 1)).toDF("grp", "id", "cost")
+    val got = Sampling.budgetSelect(one, "grp", "id", "cost", 200000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+      .orderBy(md5(col("id").cast("string")).asc, col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ref = one.withColumn("__c", sum(col("cost").cast("long")).over(w))
+      .filter(col("__c") <= 200000L).select("id").collect().map(_.getLong(0)).toSet
+    assert(got == ref && got.nonEmpty && got.size < 50000)
+  }
+
+  test("trainingOrder with one shard is a dense deterministic permutation") {
+    val out = Sampling.trainingOrder((1L to 100L).toDF("id"), "id", shards = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("global_rank")).toMap
+    assert(out.values.toSeq.sorted == (0L until 100L).toSeq) // dense 0..n-1
+  }
+
   test("trainingOrder: stable interleaved ranks, partitioning-independent") {
     val rows = (1L to 300L).toDF("id")
     val once = Sampling.trainingOrder(rows, "id", shards = 4)
