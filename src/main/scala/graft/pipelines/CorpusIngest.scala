@@ -1,0 +1,85 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.hadoop.fs.Path
+import graft.functions.TextFunctions
+import graft.ops.Dedup
+import graft.streaming.EventStream
+
+/** Streaming corpus intake — the continuous ingest pipeline a
+  * training-data platform runs in front of everything else in this
+  * library (T-layer composition of gated operators):
+  *
+  *   1. quality gate ([[TextFunctions.isQuality]]) — narrow per-row
+  *      filter, nothing low-quality ever enters state;
+  *   2. in-flight exact dedup ([[EventStream.dedupDocumentsStream]]) —
+  *      same-content arrivals within the watermark are dropped with
+  *      bounded state (one fingerprint per unique doc in the window);
+  *   3. per-batch reconciliation against the PERSISTENT fingerprint
+  *      index ([[Dedup.incrementalNew]] in `foreachBatch`) — content
+  *      that landed in ANY previous run is dropped; per-batch cost
+  *      scales with the 16-byte/doc index, never the corpus;
+  *   4. idempotent landing: survivors and their fingerprints are
+  *      written to `batch=<id>` subdirectories with OVERWRITE — a
+  *      retried micro-batch rewrites the same directories, so
+  *      at-least-once execution still lands each batch exactly once
+  *      (the standard file-sink batchId pattern). Readers get the
+  *      accumulated corpus with `spark.read.parquet(corpusRoot)` and a
+  *      free `batch` provenance column.
+  *
+  * At 100 TB: stages 1-2 are map-side + watermark-bounded state; stage
+  * 3's anti-join broadcasts nothing corpus-sized (the index is compact
+  * and grows with UNIQUE content only); stage 4 appends — no stage
+  * rereads or shuffles the accumulated corpus, so per-batch cost is
+  * independent of corpus age. */
+object CorpusIngest {
+
+  private val IndexSchema = StructType(Seq(StructField("fingerprint", StringType)))
+
+  /** The stored fingerprint index (empty frame before first landing). */
+  def readIndex(spark: SparkSession, indexRoot: String): DataFrame = {
+    val p = new Path(indexRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) spark.read.parquet(indexRoot)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema)
+  }
+
+  /** Land one reconciled micro-batch idempotently (exposed for spec
+    * replay tests). Returns the number of surviving docs. */
+  def landBatch(batch: DataFrame, batchId: Long, corpusRoot: String,
+                indexRoot: String, idCol: String, textCol: String): Long = {
+    val spark = batch.sparkSession
+    val keep = Dedup.incrementalNew(batch, readIndex(spark, indexRoot), idCol, textCol)
+      .withColumnRenamed("doc_id", idCol)
+    val survivors = batch.join(keep, Seq(idCol), "left_semi")
+      .localCheckpoint() // one computation feeds both writes below
+    survivors.write.mode(SaveMode.Overwrite).parquet(s"$corpusRoot/batch=$batchId")
+    Dedup.fingerprints(survivors, textCol)
+      .distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexRoot/batch=$batchId")
+    survivors.count()
+  }
+
+  /** Start the intake over a streaming `source` (must contain idCol,
+    * textCol, and an event-time tsCol). `AvailableNow` by default so a
+    * scheduler can drain-and-stop; pass a processing-time trigger for
+    * continuous intake. */
+  def start(source: DataFrame, corpusRoot: String, indexRoot: String,
+            checkpointDir: String, idCol: String, textCol: String, tsCol: String,
+            watermarkDelay: String = "10 minutes",
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val cleaned = EventStream.dedupDocumentsStream(
+      source.filter(TextFunctions.isQuality(col(textCol))), textCol, tsCol, watermarkDelay)
+    cleaned.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landBatch(batch, batchId, corpusRoot, indexRoot, idCol, textCol): Unit
+      }
+      .start()
+  }
+}

@@ -1,0 +1,62 @@
+package graft.pipelines
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class CorpusIngestSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val textA = "the quick brown fox jumps over the lazy dog again"
+  private val textB = "a completely different document about the spark engine internals today"
+  private val textC = "yet another unique document in the stream for the third round"
+
+  private def writeDocs(topic: String, part: String, rows: Seq[(Long, String)]): Unit =
+    rows.toDF("doc_id", "text")
+      .withColumn("event_ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+      .write.parquet(s"$topic/$part")
+
+  test("streaming intake: quality gate, in-flight + cross-run dedup, idempotent landing") {
+    val topic = Files.createTempDirectory("graft-ingest-topic").toString
+    val corpus = Files.createTempDirectory("graft-ingest-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-ingest-index").toString + "/i"
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
+
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, event_ts TIMESTAMP")
+        .option("basePath", topic).parquet(topic + "/*")
+      val q = CorpusIngest.start(stream, corpus, index, ckpt,
+        "doc_id", "text", "event_ts")
+      try q.awaitTermination() finally q.stop()
+    }
+
+    // round 1: a quality doc, its in-batch duplicate, a low-quality doc,
+    // and a second unique doc
+    writeDocs(topic, "r1", Seq(1L -> textA, 2L -> textA, 3L -> "short", 4L -> textB))
+    run()
+    val c1 = spark.read.parquet(corpus)
+    assert(c1.count() == 2) // dup collapsed, low-quality dropped
+    assert(c1.select("text").as[String].collect().toSet == Set(textA, textB))
+    assert(CorpusIngest.readIndex(spark, index).count() == 2)
+
+    // round 2 (same checkpoint): a cross-run duplicate of round 1's
+    // content under a NEW id must not land; the fresh doc must
+    writeDocs(topic, "r2", Seq(5L -> textA, 6L -> textC))
+    run()
+    val c2 = spark.read.parquet(corpus)
+    assert(c2.count() == 3)
+    assert(c2.select("text").as[String].collect().toSet == Set(textA, textB, textC))
+    assert(!c2.select("doc_id").as[Long].collect().contains(5L))
+    assert(CorpusIngest.readIndex(spark, index).count() == 3)
+
+    // replay idempotence: re-landing the same batchId overwrites the
+    // same directories — corpus and index sizes are unchanged
+    val replay = Seq(7L -> textC).toDF("doc_id", "text")
+    val landed = CorpusIngest.landBatch(replay, 99L, corpus, index, "doc_id", "text")
+    assert(landed == 0) // textC already indexed -> nothing new
+    CorpusIngest.landBatch(replay, 99L, corpus, index, "doc_id", "text")
+    assert(spark.read.parquet(corpus).count() == 3)
+    assert(CorpusIngest.readIndex(spark, index).count() == 3)
+  }
+}
