@@ -25,5 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NormalizeNfc].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NormalizeNfc(exprs.head)))
+    // the composed text/vector/sampling library (SqlSurface): same
+    // Catalyst trees the Scala API builds, exposed by name to SQL
+    graft.functions.SqlSurface.functions.foreach { case (name, fb) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.SqlSurface", name), fb))
+    }
   }
 }

@@ -24,6 +24,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val builder = registry.lookupFunctionBuilder(FunctionIdentifier("vec_dot"))
     assert(builder.isDefined, "vec_dot not registered")
 
+    // the composed SQL surface is injected alongside the natives
+    for (name <- Seq("graft_token_count", "graft_is_quality", "vec_cosine",
+        "graft_split_label"))
+      assert(registry.lookupFunctionBuilder(FunctionIdentifier(name)).isDefined,
+        s"$name not registered")
+
     val expr = builder.get(Seq(
       Literal.create(Seq(1.0f, 2.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
       Literal.create(Seq(3.0, 4.0), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
