@@ -28,4 +28,44 @@ class PlanShapeSpec extends SparkSpecBase {
     val p = plan("q56_incremental_dedup")
     assert(p.contains("LeftAnti"), p.take(2000))
   }
+
+  test("cross-corpus decontamination broadcasts the benchmark bands") {
+    val p = plan("q71_cross_decontaminate")
+    // the band join must be broadcast (bench side) — a sort-merge join
+    // here would shuffle the whole corpus's banded signatures
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("boilerplate removal anti-joins a broadcast boilerplate set") {
+    val p = plan("q72_boilerplate_lines")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")), p.take(3000))
+  }
+
+  test("budget select never keys a shuffle by the bare group") {
+    // the ranged run itself is materialised (localCheckpoint) before
+    // this plan, so assert the downstream shape: offsets arrive by
+    // broadcast, and every group-keyed exchange also carries the chunk
+    // id — a bare-group exchange would put an entire language's rows in
+    // one task
+    val p = plan("q73_token_budget_select")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // the ROW-stream cumulative window (the one ordered by the score)
+    // must be keyed by (chunk, group), never the bare group; the
+    // per-cell offsets window is over the tiny aggregate and exempt
+    assert(p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("n_chars"))
+      .forall(_.contains("__pid")), p.take(3000))
+  }
+
+  test("training order needs one hash exchange and no global range sort") {
+    val p = plan("q74_training_order")
+    val body = p.linesIterator.filterNot(_.contains("rangepartitioning(doc_id")).mkString("\n")
+    // the only range exchange allowed is the final ORDER BY of the
+    // verify gate; the operator itself is hash-exchange + local sort
+    assert(body.contains("Exchange hashpartitioning(shard"), p.take(3000))
+    assert(!body.contains("rangepartitioning"), p.take(3000))
+  }
 }
