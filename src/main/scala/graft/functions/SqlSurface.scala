@@ -37,27 +37,36 @@ object SqlSurface {
 
   private def c(e: Expression): Column = GraftColumnBridge.column(e)
 
+  /** Fixed-arity wrapper: wrong-arity SQL calls get the function name
+    * and expected count, not a bare IndexOutOfBoundsException. */
+  private def arity(name: String, n: Int)(
+      b: Seq[Expression] => Column): Seq[Expression] => Column =
+    es => {
+      require(es.length == n, s"$name expects $n argument(s), got ${es.length}")
+      b(es)
+    }
+
   /** name -> (arity description, builder). Single registry consumed by
     * both the session extension and programmatic registration. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_tokens" -> ((es: Seq[Expression]) => TextFunctions.tokens(c(es.head))),
-    "graft_token_count" -> ((es: Seq[Expression]) => TextFunctions.tokenCount(c(es.head))),
-    "graft_bpe_token_count" -> ((es: Seq[Expression]) => TextFunctions.bpeTokenCount(c(es.head))),
-    "graft_stopword_count" -> ((es: Seq[Expression]) => TextFunctions.stopwordCount(c(es.head))),
-    "graft_punct_count" -> ((es: Seq[Expression]) => TextFunctions.punctCount(c(es.head))),
-    "graft_lang_guess" -> ((es: Seq[Expression]) => TextFunctions.langGuess(c(es.head))),
+    "graft_tokens" -> arity("graft_tokens", 1)(es => TextFunctions.tokens(c(es.head))),
+    "graft_token_count" -> arity("graft_token_count", 1)(es => TextFunctions.tokenCount(c(es.head))),
+    "graft_bpe_token_count" -> arity("graft_bpe_token_count", 1)(es => TextFunctions.bpeTokenCount(c(es.head))),
+    "graft_stopword_count" -> arity("graft_stopword_count", 1)(es => TextFunctions.stopwordCount(c(es.head))),
+    "graft_punct_count" -> arity("graft_punct_count", 1)(es => TextFunctions.punctCount(c(es.head))),
+    "graft_lang_guess" -> arity("graft_lang_guess", 1)(es => TextFunctions.langGuess(c(es.head))),
     "graft_is_quality" -> ((es: Seq[Expression]) => es match {
       case Seq(t) => TextFunctions.isQuality(c(t))
       case Seq(t, m, d) => TextFunctions.isQuality(c(t),
         litInt(m, "minTokens"), litInt(d, "stopRatioDen"))
       case _ => throw new IllegalArgumentException("graft_is_quality(text[, minTokens, stopRatioDen])")
     }),
-    "graft_fingerprint" -> ((es: Seq[Expression]) => TextFunctions.fingerprint(c(es.head))),
-    "graft_rolling_hash" -> ((es: Seq[Expression]) => TextFunctions.rollingHash(c(es.head))),
-    "graft_scrub_pii" -> ((es: Seq[Expression]) => TextFunctions.scrubPii(c(es.head))),
-    "graft_shingles" -> ((es: Seq[Expression]) =>
+    "graft_fingerprint" -> arity("graft_fingerprint", 1)(es => TextFunctions.fingerprint(c(es.head))),
+    "graft_rolling_hash" -> arity("graft_rolling_hash", 1)(es => TextFunctions.rollingHash(c(es.head))),
+    "graft_scrub_pii" -> arity("graft_scrub_pii", 1)(es => TextFunctions.scrubPii(c(es.head))),
+    "graft_shingles" -> arity("graft_shingles", 2)(es =>
       TextFunctions.shingles(c(es.head), litInt(es(1), "n"))),
-    "graft_hash_bucket" -> ((es: Seq[Expression]) =>
+    "graft_hash_bucket" -> arity("graft_hash_bucket", 2)(es =>
       graft.ops.Sampling.hashBucket(c(es.head), litInt(es(1), "buckets"))),
     "graft_split_label" -> ((es: Seq[Expression]) => es match {
       case Seq(k) => graft.ops.Sampling.splitLabel(c(k))
@@ -65,9 +74,9 @@ object SqlSurface {
         litInt(t, "trainPct"), litInt(v, "validPct"))
       case _ => throw new IllegalArgumentException("graft_split_label(key[, trainPct, validPct])")
     }),
-    "vec_cosine" -> ((es: Seq[Expression]) =>
+    "vec_cosine" -> arity("vec_cosine", 2)(es =>
       VectorFunctions.cosineNative(c(es.head), c(es(1)))),
-    "vec_l2_norm" -> ((es: Seq[Expression]) => VectorFunctions.l2NormNative(c(es.head)))
+    "vec_l2_norm" -> arity("vec_l2_norm", 1)(es => VectorFunctions.l2NormNative(c(es.head)))
   ).map { case (n, b) => n -> ((es: Seq[Expression]) => GraftColumnBridge.expression(b(es))) }
 
   /** Programmatic per-session registration (the non-extensions path).

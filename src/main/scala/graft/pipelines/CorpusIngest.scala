@@ -39,12 +39,28 @@ object CorpusIngest {
 
   private val IndexSchema = StructType(Seq(StructField("fingerprint", StringType)))
 
-  /** The stored fingerprint index (empty frame before first landing). */
-  def readIndex(spark: SparkSession, indexRoot: String): DataFrame = {
-    val p = new Path(indexRoot)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty) spark.read.parquet(indexRoot)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema)
+  /** The stored fingerprint index (empty frame before first landing).
+    * Reads only COMMITTED `batch=` directories (those carrying a
+    * `_SUCCESS` marker — a crash mid-write leaves none, so a torn
+    * directory can neither poison the read nor count as landed), and
+    * excludes `excludeBatchId` when given: a replayed micro-batch must
+    * NOT see its own first attempt's fingerprints, or the anti-join
+    * would drop every replayed doc and the overwrite would erase the
+    * previously landed data. */
+  def readIndex(spark: SparkSession, indexRoot: String,
+                excludeBatchId: Option[Long] = None): DataFrame = {
+    val root = new Path(indexRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed: Seq[String] =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+        .filter(s => excludeBatchId.forall(b => s.getPath.getName != s"batch=$b"))
+        .map(_.getPath.toString)
+    if (committed.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema)
+    else spark.read.parquet(committed: _*).select("fingerprint")
   }
 
   /** Land one reconciled micro-batch idempotently (exposed for spec
@@ -52,7 +68,8 @@ object CorpusIngest {
   def landBatch(batch: DataFrame, batchId: Long, corpusRoot: String,
                 indexRoot: String, idCol: String, textCol: String): Long = {
     val spark = batch.sparkSession
-    val keep = Dedup.incrementalNew(batch, readIndex(spark, indexRoot), idCol, textCol)
+    val keep = Dedup.incrementalNew(batch,
+        readIndex(spark, indexRoot, excludeBatchId = Some(batchId)), idCol, textCol)
       .withColumnRenamed("doc_id", idCol)
     val survivors = batch.join(keep, Seq(idCol), "left_semi")
       .localCheckpoint() // one computation feeds both writes below

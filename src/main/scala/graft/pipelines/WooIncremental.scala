@@ -34,7 +34,6 @@ object WooIncremental {
            syncTimestamp: String,
            perPage: Int = 100): SyncResult = {
     val ordersPath = s"$targetRoot/orders"
-    val itemsPath = s"$targetRoot/order_items"
 
     // 1. watermark (empty target -> full extract). Probed through the
     // Hadoop FileSystem API, not java.io.File: the target may be an

@@ -55,9 +55,10 @@ class PlanShapeSpec extends SparkSpecBase {
     // the ROW-stream cumulative window (the one ordered by the score)
     // must be keyed by (chunk, group), never the bare group; the
     // per-cell offsets window is over the tiny aggregate and exempt
-    assert(p.linesIterator
-      .filter(l => l.contains("windowspecdefinition") && l.contains("n_chars"))
-      .forall(_.contains("__pid")), p.take(3000))
+    val rowWindows = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("n_chars")).toSeq
+    assert(rowWindows.nonEmpty, s"expected a cost-ordered window in the plan:\n${p.take(3000)}")
+    assert(rowWindows.forall(_.contains("__pid")), p.take(3000))
   }
 
   test("training order needs one hash exchange and no global range sort") {

@@ -50,13 +50,30 @@ class CorpusIngestSpec extends SparkSpecBase {
     assert(!c2.select("doc_id").as[Long].collect().contains(5L))
     assert(CorpusIngest.readIndex(spark, index).count() == 3)
 
-    // replay idempotence: re-landing the same batchId overwrites the
-    // same directories — corpus and index sizes are unchanged
+    // replay idempotence against ALREADY-indexed content: re-landing
+    // the same batchId leaves corpus and index unchanged
     val replay = Seq(7L -> textC).toDF("doc_id", "text")
     val landed = CorpusIngest.landBatch(replay, 99L, corpus, index, "doc_id", "text")
     assert(landed == 0) // textC already indexed -> nothing new
     CorpusIngest.landBatch(replay, 99L, corpus, index, "doc_id", "text")
     assert(spark.read.parquet(corpus).count() == 3)
     assert(CorpusIngest.readIndex(spark, index).count() == 3)
+
+    // replay idempotence for NEW content — the data-loss shape: the
+    // replayed batch must NOT anti-join against its own first attempt's
+    // fingerprints (that would land zero and the overwrite would erase
+    // the first attempt's data)
+    val textD = "a brand new document that the earlier rounds have never seen before"
+    val fresh = Seq(8L -> textD).toDF("doc_id", "text")
+    assert(CorpusIngest.landBatch(fresh, 100L, corpus, index, "doc_id", "text") == 1)
+    assert(CorpusIngest.landBatch(fresh, 100L, corpus, index, "doc_id", "text") == 1) // replay
+    val c3 = spark.read.parquet(corpus)
+    assert(c3.count() == 4 && c3.filter($"doc_id" === 8L).count() == 1)
+    assert(CorpusIngest.readIndex(spark, index).count() == 4)
+
+    // a torn (uncommitted) index directory is invisible, not poison
+    val torn = new java.io.File(s"$index/batch=777/_temporary")
+    assert(torn.mkdirs())
+    assert(CorpusIngest.readIndex(spark, index).count() == 4)
   }
 }
