@@ -264,11 +264,14 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     // n_lines is a per-doc scalar computed BEFORE the explode and
     // carried through it as a constant — no separate counting pass over
-    // the corpus (it would be a third full scan+explode)
+    // the corpus (it would be a third full scan+explode); the split
+    // itself runs once per row (a projection below the generator), not
+    // once per consumer
     val lines = ensureParallelism(docs)
-      .select(col(idCol).as("id"),
-        size(split(col(textCol), "\n")).cast("long").as("n_lines"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .select(col(idCol).as("id"), split(col(textCol), "\n").as("__ls"))
+      .select(col("id"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        posexplode(col("__ls")).as(Seq("pos", "line")))
     val boiler = lines.groupBy(col("line"))
       .agg(countDistinct(col("id")).as("df"))
       .filter(col("df") >= minDocs)
