@@ -47,20 +47,36 @@ object CorpusIngest {
     * NOT see its own first attempt's fingerprints, or the anti-join
     * would drop every replayed doc and the overwrite would erase the
     * previously landed data. */
-  def readIndex(spark: SparkSession, indexRoot: String,
-                excludeBatchId: Option[Long] = None): DataFrame = {
-    val root = new Path(indexRoot)
+  /** Committed `batch=` directories under a landing root. */
+  private def committedBatchDirs(spark: SparkSession, rootDir: String,
+                                 excludeBatchId: Option[Long]): Seq[String] = {
+    val root = new Path(rootDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed: Seq[String] =
-      if (!fs.exists(root)) Nil
-      else fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
-        .filter(s => excludeBatchId.forall(b => s.getPath.getName != s"batch=$b"))
-        .map(_.getPath.toString)
-    if (committed.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema)
-    else spark.read.parquet(committed: _*).select("fingerprint")
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .filter(s => excludeBatchId.forall(b => s.getPath.getName != s"batch=$b"))
+      .map(_.getPath.toString)
+  }
+
+  def readIndex(spark: SparkSession, indexRoot: String,
+                excludeBatchId: Option[Long] = None): DataFrame =
+    committedBatchDirs(spark, indexRoot, excludeBatchId) match {
+      case Nil => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema)
+      case dirs => spark.read.parquet(dirs: _*).select("fingerprint")
+    }
+
+  /** The accumulated corpus, COMMITTED batches only — the symmetric
+    * consumer-side read: a raw `spark.read.parquet(corpusRoot)` would
+    * also pick up a torn directory from an in-flight or crashed batch.
+    * Fails on an empty/absent root (there is no corpus to read yet —
+    * the schema is the source's, unknown here). */
+  def readCorpus(spark: SparkSession, corpusRoot: String): DataFrame = {
+    val dirs = committedBatchDirs(spark, corpusRoot, None)
+    require(dirs.nonEmpty, s"no committed batches under $corpusRoot")
+    spark.read.parquet(dirs: _*)
   }
 
   /** Land one reconciled micro-batch idempotently (exposed for spec

@@ -71,9 +71,13 @@ class CorpusIngestSpec extends SparkSpecBase {
     assert(c3.count() == 4 && c3.filter($"doc_id" === 8L).count() == 1)
     assert(CorpusIngest.readIndex(spark, index).count() == 4)
 
-    // a torn (uncommitted) index directory is invisible, not poison
+    // a torn (uncommitted) directory is invisible, not poison — on
+    // both the index and the consumer-side corpus read
     val torn = new java.io.File(s"$index/batch=777/_temporary")
     assert(torn.mkdirs())
     assert(CorpusIngest.readIndex(spark, index).count() == 4)
+    val tornC = new java.io.File(s"$corpus/batch=888/_temporary")
+    assert(tornC.mkdirs())
+    assert(CorpusIngest.readCorpus(spark, corpus).count() == 4)
   }
 }
