@@ -8,9 +8,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * The reference loads each batch into `temp_okta` then issues
   * `CREATE OR REPLACE TABLE target AS SELECT * FROM temp` per table.
-  * On plain parquet the swap is a directory rename (not transactional —
-  * a transactional format like Delta/Iceberg would make `CREATE OR
-  * REPLACE` atomic; documented deviation, SURVEY.md §7 risks).
+  * On plain parquet the swap here is a directory rename with a
+  * crash-window between the two renames. [[ManifestSwap]] is the ATOMIC
+  * publish path (versioned gen dirs + manifest pointer, multi-table) —
+  * prefer it for dataset-style syncs; this rename protocol remains for
+  * fixed-path tables whose consumers address `<root>/<name>` directly.
   */
 object TableSwap {
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.SchemaConform
-import graft.ops.{Relational, TableSwap}
+import graft.ops.{ManifestSwap, Relational}
 import graft.sources.RestPager
 
 /** The reference's densest operator chain, composed end-to-end
@@ -84,8 +84,11 @@ object OktaRefresh {
   }
 
   /** Full refresh: active pages + deprovisioned pages -> conform ->
-    * union -> dedup -> swap into `root/users`. Returns false when the
-    * empty-input guard refused the publish. */
+    * union -> dedup -> publish as the `users` table of a new dataset
+    * generation ([[ManifestSwap]] — the atomic-pointer equivalent of the
+    * reference's per-sync `CREATE OR REPLACE`). Returns false when the
+    * empty-input guard refused the publish. Read back with
+    * [[ManifestSwap.read]]. */
   def refreshUsers(spark: SparkSession,
                    activePages: Seq[String],
                    deprovisionedPages: Seq[String],
@@ -94,6 +97,16 @@ object OktaRefresh {
     val deprov = RestPager.toDf(spark, deprovisionedPages)
     val unioned = active.unionByName(deprov, allowMissingColumns = true)
     val deduped = conformAndDedup(unioned, UsersSchema, DedupKeys("users"))
-    TableSwap.stageAndSwap(spark, deduped, root, "users")
+    refreshTables(spark, Map("users" -> deduped), root)("users")
   }
+
+  /** Multi-table refresh, the full okta sync shape: ONE atomic dataset
+    * generation covering all synced tables (the reference replaces
+    * users/groups/apps/group_members/app_users in one run,
+    * okta-sync/main.py:587-671) — a reader can never observe table A's
+    * new sync next to table B's old one. Per-table publish results as
+    * in [[ManifestSwap.publish]]. */
+  def refreshTables(spark: SparkSession, tables: Map[String, DataFrame],
+                    root: String): Map[String, Boolean] =
+    ManifestSwap.publish(spark, root, tables)
 }

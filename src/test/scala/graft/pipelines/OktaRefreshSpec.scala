@@ -28,7 +28,7 @@ class OktaRefreshSpec extends SparkSpecBase {
     val root = Files.createTempDirectory("graft-okta").toString
     assert(OktaRefresh.refreshUsers(spark, activePages, deprovPages, root))
 
-    val out = spark.read.parquet(s"$root/users")
+    val out = graft.ops.ManifestSwap.read(spark, root, "users")
     assert(out.columns.toSeq == OktaRefresh.UsersSchema.fields.map(_.name).toSeq) // order + drop rogue
     assert(out.count() == 3) // u1 deduped, u2, u3 (deprovisioned union)
     val u1 = out.filter(org.apache.spark.sql.functions.col("id") === "u1").head()
@@ -37,6 +37,6 @@ class OktaRefreshSpec extends SparkSpecBase {
 
     // re-run with empty input: guard must refuse to clobber the table
     assert(!OktaRefresh.refreshUsers(spark, Seq("[]"), Seq("[]"), root))
-    assert(spark.read.parquet(s"$root/users").count() == 3)
+    assert(graft.ops.ManifestSwap.read(spark, root, "users").count() == 3)
   }
 }
