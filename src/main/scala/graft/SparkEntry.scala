@@ -905,6 +905,90 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // TPC-H Q17 shape (adapted to the driver schema — no p_container):
+    // per-row correlated scalar AVG subquery; Catalyst must decorrelate
+    // it to one per-part aggregate + join, never a per-row re-scan of
+    // lineitem. The threshold avg is an exact decimal sum divided in
+    // double, so the boundary comparison is bit-identical in DuckDB.
+    "q77_small_qty_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(
+        """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE p_brand = 'Brand#3'
+             AND l_quantity < 0.2 * (
+               SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+               FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""")
+    }),
+
+    // TPC-H Q18 shape: IN-subquery over a HAVING aggregate (the
+    // "large-volume orders" semi-join) feeding a 3-table join + group.
+    // The HAVING sum is decimal-exact so membership at the threshold
+    // cannot flip with partial-aggregation order.
+    "q78_big_qty_orders" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+           FROM customer JOIN orders ON c_custkey = o_custkey
+                JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_orderkey IN (
+             SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+             HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 280)
+           GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 100""")
+    }),
+
+    // TPC-H Q20 shape (adapted — lineitem plays partsupp): nested IN
+    // chain whose inner block carries a correlated scalar subquery in
+    // the HAVING clause ("suppliers shipping >15% of a large part's
+    // total volume"). The hardest decorrelation in the catalog: the
+    // correlation is against a GROUP BY key of the enclosing subquery.
+    "q79_dominant_suppliers" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(
+        """SELECT s_suppkey, s_name FROM supplier
+           WHERE s_suppkey IN (
+             SELECT l1.l_suppkey FROM lineitem l1
+             WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+             GROUP BY l1.l_suppkey, l1.l_partkey
+             HAVING CAST(SUM(CAST(l1.l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 0.15 * (
+               SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
+           ORDER BY s_suppkey""")
+    }),
+
+    // TPC-H Q21 shape (adapted — no receipt/commit dates): chained
+    // correlated EXISTS + NOT EXISTS with an inequality correlation
+    // ("the supplier who shipped LAST on a multi-supplier finished
+    // order"). Pure date/int comparisons — no float hazard anywhere.
+    "q80_last_shippers" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT s_name, COUNT(*) AS numwait
+           FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                JOIN orders ON o_orderkey = l1.l_orderkey
+           WHERE o_orderstatus = 'F'
+             AND EXISTS (SELECT 1 FROM lineitem l2
+                         WHERE l2.l_orderkey = l1.l_orderkey
+                           AND l2.l_suppkey <> l1.l_suppkey)
+             AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                             WHERE l3.l_orderkey = l1.l_orderkey
+                               AND l3.l_suppkey <> l1.l_suppkey
+                               AND l3.l_shipdate > l1.l_shipdate)
+           GROUP BY s_name
+           ORDER BY numwait DESC, s_name
+           LIMIT 100""")
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -1990,5 +2074,52 @@ object SparkEntry {
                 CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
                FROM d)
          SELECT doc_id, lang, shard, pos, pos * 4 + shard AS global_rank
-         FROM r ORDER BY doc_id""")
+         FROM r ORDER BY doc_id""",
+
+    "q77_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#3'
+           AND l_quantity < 0.2 * (
+             SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+
+    "q78_big_qty_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+         FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+           HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 280)
+         GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 100""",
+
+    "q79_dominant_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l1.l_suppkey FROM lineitem l1
+           WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+           GROUP BY l1.l_suppkey, l1.l_partkey
+           HAVING CAST(SUM(CAST(l1.l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 0.15 * (
+             SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
+         ORDER BY s_suppkey""",
+
+    "q80_last_shippers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+         FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+              JOIN orders ON o_orderkey = l1.l_orderkey
+         WHERE o_orderstatus = 'F'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > l1.l_shipdate)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name
+         LIMIT 100""")
 }
