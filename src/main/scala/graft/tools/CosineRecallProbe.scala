@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Detection-quality probe for the embedding near-dup family — the
+  * cosine twin of [[MinhashRecallProbe]]: on the real embeddings table,
+  * compare the SRP-LSH (q38) and IVF (q50) candidate generators against
+  * BRUTE-FORCE cosine ground truth at a grid of thresholds and
+  * parameters. Both operators verify candidates with the exact codegen'd
+  * cosine before thresholding, so precision is 1.0 by construction —
+  * the number that can degrade is RECALL (a true pair never sharing an
+  * SRP block / probed centroid is never verified). Prints recall vs
+  * maxHamming (SRP) and nprobe (IVF) — the evidence behind the shipped
+  * defaults. */
+object CosineRecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.core.Tables.tune(spark)
+    val dir = if (args.nonEmpty) args.head else "/root/testdata/sf0.1"
+    val emb = graft.core.Tables.table(spark, dir, "embeddings")
+    import graft.functions.{VecExpressions, VectorFunctions => VF}
+    VecExpressions.register(spark)
+
+    // ground truth: ALL pairs >= t by exact cosine (quadratic — probe
+    // scale only; this is precisely what the operators exist to avoid)
+    val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    val allPairs = l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VF.cosineNative(col("v_a"), col("v_b")).as("c"))
+    allPairs.persist()
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect().map(rw => (rw.getLong(0), rw.getLong(1))).toSet
+
+    for (t <- Seq(0.4, 0.6)) {
+      val truth = pairSet(allPairs.filter(col("c") >= t))
+      for (mh <- Seq(7, 11, 14)) {
+        val got = pairSet(graft.ops.Dedup.cosineNearDups(
+          emb, "vec_id", "embedding", minCosine = t, maxHamming = mh))
+        val rec = if (truth.isEmpty) 1.0 else (truth & got).size.toDouble / truth.size
+        println(f"SRP  t=$t%.2f maxHamming=$mh%2d truth=${truth.size}%5d surfaced=${got.size}%5d recall=$rec%.3f")
+      }
+      for (np <- Seq(1, 2, 4)) {
+        val centroids = VF.centroidsByLabel(emb, "label", "embedding")
+        val got = pairSet(graft.ops.Dedup.cosineNearDupsIVF(
+          emb, "vec_id", "embedding", centroids, minCosine = t, nprobe = np))
+        val rec = if (truth.isEmpty) 1.0 else (truth & got).size.toDouble / truth.size
+        println(f"IVF  t=$t%.2f nprobe=$np%2d     truth=${truth.size}%5d surfaced=${got.size}%5d recall=$rec%.3f")
+      }
+    }
+
+    // The real embeddings have ~no pairs above cosine 0.6 at this SF,
+    // so the grid above cannot measure recall where near-DUP detection
+    // actually runs (0.85+, the SemDeDup regime). PLANT dup pairs: a
+    // deterministic jitter (v'_i = v_i + 0.35 * v_rev_i, new id =
+    // id + 1e6, label kept) lands pairs around cosine ~0.85-0.95;
+    // recall is then measured over planted pairs that truly clear the
+    // threshold by exact cosine.
+    val jit = emb.filter(col("vec_id") % 4 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (a, b) => a + lit(0.35f) * b).as("embedding"),
+        col("label"))
+    val aug = emb.select("vec_id", "embedding", "label").unionByName(jit)
+    val plantedTruth = pairSet(
+      emb.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+        .join(jit.select((col("vec_id") - 1000000L).as("id_a"),
+          col("embedding").as("v_b")), Seq("id_a"))
+        .select(col("id_a"), (col("id_a") + 1000000L).as("id_b"),
+          VF.cosineNative(col("v_a"), col("v_b")).as("c"))
+        .filter(col("c") >= 0.85))
+    for (mh <- Seq(7, 11, 14)) {
+      val got = pairSet(graft.ops.Dedup.cosineNearDups(
+        aug, "vec_id", "embedding", minCosine = 0.85, maxHamming = mh))
+      val rec = if (plantedTruth.isEmpty) 1.0
+        else (plantedTruth & got).size.toDouble / plantedTruth.size
+      println(f"SRP  planted t=0.85 maxHamming=$mh%2d planted=${plantedTruth.size}%5d recall=$rec%.3f")
+    }
+    for (np <- Seq(1, 2, 4)) {
+      val centroids = VF.centroidsByLabel(aug, "label", "embedding")
+      val got = pairSet(graft.ops.Dedup.cosineNearDupsIVF(
+        aug, "vec_id", "embedding", centroids, minCosine = 0.85, nprobe = np))
+      val rec = if (plantedTruth.isEmpty) 1.0
+        else (plantedTruth & got).size.toDouble / plantedTruth.size
+      println(f"IVF  planted t=0.85 nprobe=$np%2d     planted=${plantedTruth.size}%5d recall=$rec%.3f")
+    }
+    spark.stop()
+  }
+}
