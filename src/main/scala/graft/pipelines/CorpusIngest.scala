@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -26,61 +26,110 @@ import graft.streaming.EventStream
   *      written to `batch=<id>` subdirectories with OVERWRITE — a
   *      retried micro-batch rewrites the same directories, so
   *      at-least-once execution still lands each batch exactly once
-  *      (the standard file-sink batchId pattern). Readers get the
-  *      accumulated corpus with `spark.read.parquet(corpusRoot)` and a
-  *      free `batch` provenance column.
+  *      (the standard file-sink batchId pattern). Readers use
+  *      [[readCorpus]] (committed content only, with a `batch`
+  *      provenance column).
+  *
+  * Long-running intakes accumulate one directory per micro-batch, so
+  * the per-batch planning cost (listing + one index read per dir) grows
+  * O(batches). [[compact]] folds committed `batch=`/`gen=` directories
+  * into a single `gen=<n>` directory under the same read protocol,
+  * bounding both the listing and small-file growth; call it every N
+  * batches BETWEEN runs (see its contract).
   *
   * At 100 TB: stages 1-2 are map-side + watermark-bounded state; stage
   * 3's anti-join broadcasts nothing corpus-sized (the index is compact
   * and grows with UNIQUE content only); stage 4 appends — no stage
   * rereads or shuffles the accumulated corpus, so per-batch cost is
-  * independent of corpus age. */
+  * independent of corpus age (given periodic compaction). */
 object CorpusIngest {
 
   private val IndexSchema = StructType(Seq(StructField("fingerprint", StringType)))
 
-  /** The stored fingerprint index (empty frame before first landing).
-    * Reads only COMMITTED `batch=` directories (those carrying a
-    * `_SUCCESS` marker — a crash mid-write leaves none, so a torn
-    * directory can neither poison the read nor count as landed), and
-    * excludes `excludeBatchId` when given: a replayed micro-batch must
-    * NOT see its own first attempt's fingerprints, or the anti-join
-    * would drop every replayed doc and the overwrite would erase the
-    * previously landed data. */
-  /** Committed `batch=` directories under a landing root. */
-  private def committedBatchDirs(spark: SparkSession, rootDir: String,
-                                 excludeBatchId: Option[Long]): Seq[String] = {
+  /** Committed data directories under a landing root: `batch=<id>` dirs
+    * carrying a `_SUCCESS` marker (a crash mid-write leaves none, so a
+    * torn directory can neither poison the read nor count as landed)
+    * plus committed `gen=<n>` compaction dirs — minus every directory a
+    * committed gen ABSORBED (its `_ABSORBED` manifest; the absorbed
+    * dirs are deleted after the gen commits, the manifest only covers
+    * the crash window in between). `excludeBatchId`, when given, drops
+    * that `batch=` dir: a replayed micro-batch must NOT see its own
+    * first attempt's fingerprints, or the anti-join would drop every
+    * replayed doc and the overwrite would erase the previously landed
+    * data. */
+  private def committedDirs(spark: SparkSession, rootDir: String,
+                            excludeBatchId: Option[Long]): (Seq[Path], Seq[Path]) = {
     val root = new Path(rootDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Nil
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
-      .filter(s => excludeBatchId.forall(b => s.getPath.getName != s"batch=$b"))
-      .map(_.getPath.toString)
+    if (!fs.exists(root)) return (Nil, Nil)
+    val committed = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath)
+    val gens = committed.filter(_.getName.startsWith("gen="))
+    val absorbed: Set[String] = gens.flatMap { g =>
+      val m = new Path(g, "_ABSORBED")
+      if (!fs.exists(m)) Nil
+      else {
+        val in = fs.open(m)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").toSeq.filter(_.nonEmpty)
+        } finally in.close()
+      }
+    }.toSet
+    val batches = committed
+      .filter(p => p.getName.startsWith("batch=") && !absorbed.contains(p.getName))
+      .filter(p => excludeBatchId.forall(b => p.getName != s"batch=$b"))
+    (batches, gens.filterNot(g => absorbed.contains(g.getName)))
   }
 
+  /** The stored fingerprint index (empty frame before first landing),
+    * committed batches + compaction gens only. */
   def readIndex(spark: SparkSession, indexRoot: String,
-                excludeBatchId: Option[Long] = None): DataFrame =
-    committedBatchDirs(spark, indexRoot, excludeBatchId) match {
-      case Nil => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema)
-      case dirs => spark.read.parquet(dirs: _*).select("fingerprint")
-    }
+                excludeBatchId: Option[Long] = None): DataFrame = {
+    val (batches, gens) = committedDirs(spark, indexRoot, excludeBatchId)
+    val dirs = (batches ++ gens).map(_.toString)
+    if (dirs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema)
+    else spark.read.parquet(dirs: _*).select("fingerprint")
+  }
 
-  /** The accumulated corpus, COMMITTED batches only — the symmetric
-    * consumer-side read: a raw `spark.read.parquet(corpusRoot)` would
-    * also pick up a torn directory from an in-flight or crashed batch.
-    * Fails on an empty/absent root (there is no corpus to read yet —
-    * the schema is the source's, unknown here). */
+  /** The accumulated corpus, COMMITTED content only, with its `batch`
+    * provenance column — partition-discovered (basePath) on live
+    * `batch=` dirs, carried as a physical column inside compaction
+    * gens. A raw `spark.read.parquet(corpusRoot)` would also pick up a
+    * torn directory from an in-flight or crashed batch. Fails on an
+    * empty/absent root (there is no corpus to read yet — the schema is
+    * the source's, unknown here). */
   def readCorpus(spark: SparkSession, corpusRoot: String): DataFrame = {
-    val dirs = committedBatchDirs(spark, corpusRoot, None)
-    require(dirs.nonEmpty, s"no committed batches under $corpusRoot")
-    spark.read.parquet(dirs: _*)
+    val (batches, gens) = committedDirs(spark, corpusRoot, None)
+    require(batches.nonEmpty || gens.nonEmpty, s"no committed batches under $corpusRoot")
+    val parts = Seq(
+      if (batches.isEmpty) None else Some(
+        spark.read.option("basePath", corpusRoot).parquet(batches.map(_.toString): _*)
+          .withColumn("batch", col("batch").cast("long"))),
+      if (gens.isEmpty) None else Some(spark.read.parquet(gens.map(_.toString): _*))
+    ).flatten
+    parts.reduce(_.unionByName(_))
   }
 
   /** Land one reconciled micro-batch idempotently (exposed for spec
-    * replay tests). Returns the number of surviving docs. */
+    * replay tests). Returns the number of surviving docs (via an
+    * [[Observation]] riding the corpus write — no extra pass).
+    *
+    * Crash contract: the corpus `batch=` dir commits before its
+    * fingerprint-index dir. A caller that crashes between the two MUST
+    * retry the SAME batchId before landing anything later — the retry
+    * rewrites both dirs (replay excludes the batch's own fingerprints,
+    * so nothing is lost); skipping ahead instead would leave committed
+    * corpus content unindexed, and later arrivals of identical content
+    * would land duplicates. The streaming driver ([[start]]) gets this
+    * for free from checkpoint replay. Corpus-first is the right order:
+    * the failure mode is duplicate risk, never data loss (an indexed
+    * fingerprint without corpus content would silently drop future
+    * copies of content the corpus doesn't have). */
   def landBatch(batch: DataFrame, batchId: Long, corpusRoot: String,
                 indexRoot: String, idCol: String, textCol: String): Long = {
     val spark = batch.sparkSession
@@ -89,11 +138,65 @@ object CorpusIngest {
       .withColumnRenamed("doc_id", idCol)
     val survivors = batch.join(keep, Seq(idCol), "left_semi")
       .localCheckpoint() // one computation feeds both writes below
-    survivors.write.mode(SaveMode.Overwrite).parquet(s"$corpusRoot/batch=$batchId")
+    val obs = Observation(s"corpus_landed_$batchId")
+    survivors.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$corpusRoot/batch=$batchId")
     Dedup.fingerprints(survivors, textCol)
       .distinct()
       .write.mode(SaveMode.Overwrite).parquet(s"$indexRoot/batch=$batchId")
-    survivors.count()
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** Fold every committed `batch=`/`gen=` directory under `root` into
+    * ONE new `gen=<n>` directory, bounding the O(dirs) per-batch
+    * listing/planning cost and the small-file count of a long-running
+    * intake. The `batch` provenance of corpus rows is preserved as a
+    * physical column (readers see the same schema before and after).
+    *
+    * Commit protocol: data is written to a hidden `.gen-tmp-` dir
+    * together with an `_ABSORBED` manifest naming the folded dirs, then
+    * RENAMED to `gen=<n>` — one atomic metadata op. Readers either see
+    * the old dirs (crash before the rename) or the gen, whose manifest
+    * masks the absorbed dirs until they are deleted (crash after).
+    * Nothing is ever double-counted or lost.
+    *
+    * Call BETWEEN runs (stream stopped, after a clean drain), not
+    * mid-stream: compacting concurrently with an in-flight micro-batch
+    * could absorb a corpus batch whose index twin has not committed
+    * yet, and the subsequent replay would re-land it. Returns the
+    * number of directories folded (0 = nothing to do). */
+  def compact(spark: SparkSession, root: String): Int = {
+    val (batches, gens) = committedDirs(spark, root, None)
+    val toFold = batches ++ gens
+    if (toFold.size <= 1) return 0
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sweep tmp dirs a crashed compaction abandoned (readers never see
+    // them — the name matches neither batch= nor gen=)
+    fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".gen-tmp-"))
+      .foreach(s => fs.delete(s.getPath, true))
+    val nextGen = gens.map(_.getName.stripPrefix("gen=").toLong)
+      .foldLeft(0L)(math.max) + 1
+    val tmp = new Path(root, s".gen-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+
+    // batch dirs: partition-discover the batch id so it survives as a
+    // physical column; gen dirs already carry their columns physically
+    val parts = Seq(
+      if (batches.isEmpty) None else Some(
+        spark.read.option("basePath", root).parquet(batches.map(_.toString): _*)
+          .withColumn("batch", col("batch").cast("long"))),
+      if (gens.isEmpty) None else Some(spark.read.parquet(gens.map(_.toString): _*))
+    ).flatten
+    parts.reduce(_.unionByName(_)).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+
+    val manifest = fs.create(new Path(tmp, "_ABSORBED"), true)
+    try manifest.write(toFold.map(_.getName).sorted.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally manifest.close()
+    require(fs.rename(tmp, new Path(root, s"gen=$nextGen")),
+      s"compaction commit rename failed under $root")
+    toFold.foreach(p => fs.delete(p, true))
+    toFold.size
   }
 
   /** Start the intake over a streaming `source` (must contain idCol,

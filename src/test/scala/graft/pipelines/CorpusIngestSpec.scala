@@ -80,4 +80,68 @@ class CorpusIngestSpec extends SparkSpecBase {
     assert(tornC.mkdirs())
     assert(CorpusIngest.readCorpus(spark, corpus).count() == 4)
   }
+
+  private def docText(i: Long) =
+    s"unique spark document number $i with enough words to clear the quality gate easily"
+
+  test("compact folds committed dirs into one gen with identical contents and bounded listing") {
+    val corpus = Files.createTempDirectory("graft-compact-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-compact-index").toString + "/i"
+
+    for (b <- 0L until 4L)
+      CorpusIngest.landBatch(Seq((b, docText(b))).toDF("doc_id", "text"),
+        b, corpus, index, "doc_id", "text")
+    val before = CorpusIngest.readCorpus(spark, corpus)
+      .select("doc_id", "text", "batch").as[(Long, String, Long)].collect().toSet
+    val idxBefore = CorpusIngest.readIndex(spark, index)
+      .as[String].collect().toSet
+    assert(before.size == 4 && idxBefore.size == 4)
+
+    assert(CorpusIngest.compact(spark, corpus) == 4)
+    assert(CorpusIngest.compact(spark, index) == 4)
+
+    // contents identical, INCLUDING batch provenance; exactly one dir left
+    assert(CorpusIngest.readCorpus(spark, corpus)
+      .select("doc_id", "text", "batch").as[(Long, String, Long)].collect().toSet == before)
+    assert(CorpusIngest.readIndex(spark, index).as[String].collect().toSet == idxBefore)
+    def dataDirs(root: String) = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && !f.getName.startsWith(".")).map(_.getName).toSeq
+    assert(dataDirs(corpus) == Seq("gen=1"), s"saw ${dataDirs(corpus)}")
+    assert(dataDirs(index) == Seq("gen=1"))
+
+    // landing continues after compaction; dedup vs compacted index holds
+    CorpusIngest.landBatch(
+      Seq((10L, docText(10)), (11L, docText(0))).toDF("doc_id", "text"), // 11 dups batch 0
+      10L, corpus, index, "doc_id", "text")
+    val after = CorpusIngest.readCorpus(spark, corpus)
+    assert(after.count() == 5)
+    assert(!after.select("doc_id").as[Long].collect().contains(11L))
+
+    // a second compact absorbs the gen AND the new batch (gen absorbs gen)
+    assert(CorpusIngest.compact(spark, corpus) == 2)
+    assert(dataDirs(corpus) == Seq("gen=2"))
+    assert(CorpusIngest.readCorpus(spark, corpus).count() == 5)
+
+    // replaying an ABSORBED batch neither duplicates nor loses content:
+    // its docs live in the gen, so the replay lands zero survivors
+    assert(CorpusIngest.landBatch(Seq((0L, docText(0))).toDF("doc_id", "text"),
+      0L, corpus, index, "doc_id", "text") == 0)
+    val replayed = CorpusIngest.readCorpus(spark, corpus)
+    assert(replayed.count() == 5)
+    assert(replayed.filter($"doc_id" === 0L).count() == 1)
+  }
+
+  test("a crashed compaction (gen committed, absorbed dirs not yet deleted) never double-counts") {
+    val corpus = Files.createTempDirectory("graft-compact-crash").toString + "/c"
+    val index = Files.createTempDirectory("graft-compact-crashi").toString + "/i"
+    for (b <- 0L until 3L)
+      CorpusIngest.landBatch(Seq((b, docText(b))).toDF("doc_id", "text"),
+        b, corpus, index, "doc_id", "text")
+    assert(CorpusIngest.compact(spark, corpus) == 3)
+    // resurrect an absorbed dir, as if the post-commit delete crashed:
+    // the gen's _ABSORBED manifest must mask it
+    Seq((0L, docText(0))).toDF("doc_id", "text").write.parquet(s"$corpus/batch=0")
+    assert(CorpusIngest.readCorpus(spark, corpus).count() == 3,
+      "absorbed dir resurfaced: _ABSORBED mask failed")
+  }
 }
