@@ -227,16 +227,24 @@ object Dedup {
     * matches (same narrowing as [[minhashCandidates]]). The broadcast
     * carries the bench's k-long signature on EVERY band row —
     * k/rowsPerBand × k × 8 B ≈ 8 KB/doc at defaults — comfortable
-    * through ~10⁴ bench docs (eval suites are); beyond that, split the
-    * benchmark and union, or raise rowsPerBand to cut the band count. */
+    * through ~10⁴ bench docs (eval suites are). A bench side beyond
+    * `maxBroadcastBenchDocs` is guarded by a cheap bench-side count:
+    * the hint is dropped and the join degrades to a shuffle (correct,
+    * just no longer corpus-stationary) instead of dying in a broadcast
+    * OOM; prefer splitting the benchmark and unioning, or raising
+    * rowsPerBand to cut the band count, to stay on the broadcast path. */
   def crossMinhashMatches(corpus: DataFrame, bench: DataFrame,
                           idCol: String, textCol: String, threshold: Double,
-                          n: Int = 3, k: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+                          n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
+                          maxBroadcastBenchDocs: Long = 20000): DataFrame = {
     val c = bandedSigs(corpus, idCol, textCol, n, k, rowsPerBand)
       .select(col("band"), col("band_key"), col("id").as("doc_id"), col("sig").as("sig_c"))
     val b = bandedSigs(bench, idCol, textCol, n, k, rowsPerBand)
       .select(col("band"), col("band_key"), col("id").as("bench_id"), col("sig").as("sig_b"))
-    c.join(broadcast(b), Seq("band", "band_key"))
+    // counting ids (not signatures) keeps the guard probe narrow
+    val benchDocs = bench.select(col(idCol)).count()
+    val bSide = if (benchDocs <= maxBroadcastBenchDocs) broadcast(b) else b
+    c.join(bSide, Seq("band", "band_key"))
       .select(col("doc_id"), col("bench_id"),
         (size(filter(zip_with(col("sig_c"), col("sig_b"), (x, y) => x === y), p => p))
           .cast("double") / k).as("sig_agreement"))
@@ -257,6 +265,12 @@ object Dedup {
     * ≥ minDocs docs survive the filter), so the anti-join broadcasts
     * under AQE and the corpus lines never shuffle for it; reassembly is
     * one aggregate keyed by doc. No cross-doc quadratic work anywhere.
+    * Worst case: an adversarial corpus where EVERY line repeats exactly
+    * minDocs times makes the boiler set corpus_lines/minDocs rows — too
+    * big to broadcast, and AQE degrades the anti-join to a shuffle join
+    * (corpus lines exchange once; correct, just not line-stationary —
+    * probed in CurationScaleProbe's worst-case entry). Real web corpora
+    * sit far from this: boilerplate is heavy-tailed repetition.
     *
     * Returns (idCol, clean_text, n_kept, n_lines). */
   def dropBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,

@@ -142,10 +142,18 @@ object Sampling {
     * Null group or key rows are DROPPED — the family's uniform null
     * rule (see object doc): a null key has no stable md5 order, and a
     * null group would silently vanish in the offsets equi-join anyway;
-    * the explicit filter makes the behavior deliberate. */
+    * the explicit filter makes the behavior deliberate.
+    *
+    * The ranged run is pinned with `materialize` — `localCheckpoint()`
+    * by default (fast, executor-local; lost on executor failure). For
+    * multi-hour 100 TB jobs pass a reliable materialiser, e.g.
+    * `_.checkpoint()` with `sparkContext.setCheckpointDir` on durable
+    * storage — the knob exists precisely so the scaladoc advice is
+    * callable without forking the operator. */
   def budgetSelect(df: DataFrame, groupCol: String, keyCol: String,
                    costCol: String, budgetPerGroup: Long,
-                   scoreCol: Option[String] = None): DataFrame = {
+                   scoreCol: Option[String] = None,
+                   materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     require(budgetPerGroup > 0, s"budget must be positive, got $budgetPerGroup")
     import org.apache.spark.sql.expressions.Window
     val tmp = Seq("__pid", "__cum", "__cell_total", "__offset")
@@ -155,11 +163,10 @@ object Sampling {
       scoreCol.map(c => col(c).desc).toSeq :+
         md5(col(keyCol).cast("string")).asc :+ col(keyCol).asc
     val nChunks = df.sparkSession.sessionState.conf.numShufflePartitions
-    val parted = df
+    val parted = materialize(df
       .filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
       .repartitionByRange(nChunks, col(groupCol).asc +: ord: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .withColumn("__pid", spark_partition_id()))
     val wCell = Window.partitionBy(col("__pid"), col(groupCol))
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -37,9 +37,11 @@ object CurationScaleProbe {
 
     val docs0 = graft.core.Tables.table(spark, dir, "documents")
     val emb0 = graft.core.Tables.table(spark, dir, "embeddings")
+    // measured, not assumed — the tool accepts any dataset dir
+    val (nDocs0, nVecs0) = (docs0.count(), emb0.count())
 
     for (k <- Seq(1, 3, 10)) {
-      println(s"\n===== k=$k (docs=${5000 * k}, vecs=${5000 * k}) =====")
+      println(s"\n===== k=$k (docs=${nDocs0 * k}, vecs=${nVecs0 * k}) =====")
       val docs = copies(docs0, k, "doc_id").localCheckpoint(true)
       val emb = copies(emb0, k, "vec_id").localCheckpoint(true)
 
@@ -56,6 +58,20 @@ object CurationScaleProbe {
         graft.ops.Dedup.dropBoilerplateLines(
           docs.withColumn("text", concat(lit("HEADER\n"), col("text"),
             lit("\nFOOTER"))), "doc_id", "text", minDocs = 50).count()
+      }
+      time(s"boilerplateWorstCase x$k") {
+        // adversarial: every synthetic line repeats in exactly minDocs
+        // docs (div keeps copies distinct so the boiler set grows with
+        // the corpus: 20 × docs/5 lines = corpus_lines/minDocs). With
+        // broadcast disabled the anti-join degrades to the shuffle join
+        // the scaladoc worst-case bound describes — and must behave.
+        val adv = docs.withColumn("text",
+          concat_ws("\n", (0 until 20).map(j =>
+            concat(lit(s"B$j-"), (col("doc_id") / 5).cast("long").cast("string"))): _*))
+        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        try graft.ops.Dedup.dropBoilerplateLines(adv, "doc_id", "text", minDocs = 5).count()
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       }
       time(s"budgetSelect x$k") {
         graft.ops.Sampling.budgetSelect(
