@@ -69,4 +69,23 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(body.contains("Exchange hashpartitioning(shard"), p.take(3000))
     assert(!body.contains("rangepartitioning"), p.take(3000))
   }
+
+  test("correlated subqueries decorrelate — no per-row subplans anywhere") {
+    // q77-q80 (TPC-H Q17/Q18/Q20/Q21 shapes): Catalyst must rewrite
+    // every correlated scalar/EXISTS/IN subquery into aggregate +
+    // semi/anti/inner joins. A surviving per-row subplan node would
+    // re-execute the inner query per outer row — the difference between
+    // one aggregate over lineitem and |outer| of them at 100 TB.
+    for (q <- Seq("q77_small_qty_revenue", "q78_big_qty_orders",
+                  "q79_dominant_suppliers", "q80_last_shippers")) {
+      val p = plan(q)
+      assert(!p.contains("InSubqueryExec") && !p.contains("ScalarSubquery")
+        && !p.contains("Subquery subquery"), s"$q kept a subplan:\n${p.take(3000)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to a nested-loop shape:\n${p.take(3000)}")
+    }
+    // the EXISTS/NOT EXISTS chain specifically must be semi + anti joins
+    val p80 = plan("q80_last_shippers")
+    assert(p80.contains("LeftSemi") && p80.contains("LeftAnti"), p80.take(3000))
+  }
 }
