@@ -39,4 +39,27 @@ class OktaRefreshSpec extends SparkSpecBase {
     assert(!OktaRefresh.refreshUsers(spark, Seq("[]"), Seq("[]"), root))
     assert(graft.ops.ManifestSwap.read(spark, root, "users").count() == 3)
   }
+
+  test("multi-table refresh publishes one atomic generation across tables") {
+    import spark.implicits._
+    import graft.ops.ManifestSwap
+    val root = Files.createTempDirectory("graft-okta-multi").toString
+    // sync 1: users + groups land together
+    val r1 = OktaRefresh.refreshTables(spark, Map(
+      "users" -> Seq(("u1", "ACTIVE")).toDF("id", "status"),
+      "groups" -> Seq(("g1", "Everyone"), ("g2", "Admins")).toDF("id", "name")), root)
+    assert(r1 == Map("users" -> true, "groups" -> true))
+
+    // sync 2: users update + an EMPTY groups pull (API hiccup) — users
+    // must flip, groups must carry the previous generation; both remain
+    // readable from the same single manifest
+    val r2 = OktaRefresh.refreshTables(spark, Map(
+      "users" -> Seq(("u1", "SUSPENDED"), ("u2", "ACTIVE")).toDF("id", "status"),
+      "groups" -> Seq.empty[(String, String)].toDF("id", "name")), root)
+    assert(r2 == Map("users" -> true, "groups" -> false))
+    assert(ManifestSwap.read(spark, root, "users").count() == 2)
+    assert(ManifestSwap.read(spark, root, "groups").count() == 2)
+    val (_, mapping) = ManifestSwap.currentMapping(spark, root)
+    assert(mapping.keySet == Set("users", "groups"))
+  }
 }
