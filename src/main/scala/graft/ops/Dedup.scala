@@ -236,14 +236,17 @@ object Dedup {
   def crossMinhashMatches(corpus: DataFrame, bench: DataFrame,
                           idCol: String, textCol: String, threshold: Double,
                           n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
-                          maxBroadcastBenchDocs: Long = 20000): DataFrame = {
+                          maxBroadcastBenchDocs: Int = 20000): DataFrame = {
     val c = bandedSigs(corpus, idCol, textCol, n, k, rowsPerBand)
       .select(col("band"), col("band_key"), col("id").as("doc_id"), col("sig").as("sig_c"))
     val b = bandedSigs(bench, idCol, textCol, n, k, rowsPerBand)
       .select(col("band"), col("band_key"), col("id").as("bench_id"), col("sig").as("sig_b"))
-    // counting ids (not signatures) keeps the guard probe narrow
-    val benchDocs = bench.select(col(idCol)).count()
-    val bSide = if (benchDocs <= maxBroadcastBenchDocs) broadcast(b) else b
+    // bounded guard probe: ids only, stops at cap+1 rows — never a full
+    // scan of a large bench lineage just to learn "it's too big"
+    val benchSmall =
+      bench.select(col(idCol)).limit(maxBroadcastBenchDocs + 1).count() <=
+        maxBroadcastBenchDocs
+    val bSide = if (benchSmall) broadcast(b) else b
     c.join(bSide, Seq("band", "band_key"))
       .select(col("doc_id"), col("bench_id"),
         (size(filter(zip_with(col("sig_c"), col("sig_b"), (x, y) => x === y), p => p))

@@ -63,18 +63,12 @@ object ManifestSwap {
     }.sortBy(_._1)
   }
 
-  private def parseManifest(fs: FileSystem, path: Path): Map[String, String] = {
-    val in = fs.open(path)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-      new String(buf.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
-    text.split("\n").iterator.filter(_.nonEmpty).map { line =>
-      val Array(name, gen) = line.split("\t", 2)
-      name -> gen
-    }.toMap
-  }
+  private def parseManifest(fs: FileSystem, path: Path): Map[String, String] =
+    graft.core.FsUtils.readUtf8(fs, path)
+      .split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val Array(name, gen) = line.split("\t", 2)
+        name -> gen
+      }.toMap
 
   /** (latest committed seq, its table->genDirName mapping); (-1, empty)
     * before the first publish. */
@@ -147,15 +141,13 @@ object ManifestSwap {
     * seq (single-writer contract violated) re-reads latest and retries
     * at a higher seq, so the worst case is two complete generations at
     * distinct seqs — never a torn pointer. */
-  private def commit(fs: FileSystem, root: String, seq0: Long,
-                     mapping: Map[String, String]): Unit = {
+  private[ops] def commit(fs: FileSystem, root: String, seq0: Long,
+                          mapping: Map[String, String]): Unit = {
     val dir = manifestDir(root)
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(mapping.toSeq.sorted.map { case (n, g) => s"$n\t$g" }
-      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    graft.core.FsUtils.writeUtf8(fs, tmp,
+      mapping.toSeq.sorted.map { case (n, g) => s"$n\t$g" }.mkString("", "\n", "\n"))
     var seq = seq0
     var attempts = 0
     while (!fs.rename(tmp, new Path(dir, "manifest-%019d".format(seq)))) {

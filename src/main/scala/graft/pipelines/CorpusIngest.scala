@@ -57,32 +57,50 @@ object CorpusIngest {
     * first attempt's fingerprints, or the anti-join would drop every
     * replayed doc and the overwrite would erase the previously landed
     * data. */
-  private def committedDirs(spark: SparkSession, rootDir: String,
-                            excludeBatchId: Option[Long]): (Seq[Path], Seq[Path]) = {
+  /** One root scan: (live committed batch dirs, live committed gen
+    * dirs, MASKED leftovers — dirs a committed gen's `_ABSORBED`
+    * manifest names but whose post-commit delete never finished). The
+    * masked list must be physically deleted before any masking gen can
+    * itself be folded away, or the leftovers would resurface. */
+  private def scanRoot(spark: SparkSession, rootDir: String,
+                       excludeBatchId: Option[Long]): (Seq[Path], Seq[Path], Seq[Path]) = {
     val root = new Path(rootDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return (Nil, Nil)
-    val committed = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath)
+    if (!fs.exists(root)) return (Nil, Nil, Nil)
+    val all = fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+    val committed = all.filter(p => fs.exists(new Path(p, "_SUCCESS")))
     val gens = committed.filter(_.getName.startsWith("gen="))
     val absorbed: Set[String] = gens.flatMap { g =>
       val m = new Path(g, "_ABSORBED")
       if (!fs.exists(m)) Nil
-      else {
-        val in = fs.open(m)
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-            .split("\n").toSeq.filter(_.nonEmpty)
-        } finally in.close()
-      }
+      else graft.core.FsUtils.readUtf8(fs, m).split("\n").toSeq.filter(_.nonEmpty)
     }.toSet
     val batches = committed
       .filter(p => p.getName.startsWith("batch=") && !absorbed.contains(p.getName))
       .filter(p => excludeBatchId.forall(b => p.getName != s"batch=$b"))
-    (batches, gens.filterNot(g => absorbed.contains(g.getName)))
+    (batches, gens.filterNot(g => absorbed.contains(g.getName)),
+      all.filter(p => absorbed.contains(p.getName)))
+  }
+
+  private def committedDirs(spark: SparkSession, rootDir: String,
+                            excludeBatchId: Option[Long]): (Seq[Path], Seq[Path]) = {
+    val (batches, gens, _) = scanRoot(spark, rootDir, excludeBatchId)
+    (batches, gens)
+  }
+
+  /** The shared committed-content read: batch dirs partition-discover
+    * their id via basePath (normalized to long), gens carry it as a
+    * physical column — ONE definition, so what [[compact]] writes is by
+    * construction what [[readCorpus]] reconstructs. */
+  private def readCommitted(spark: SparkSession, root: String,
+                            batches: Seq[Path], gens: Seq[Path]): DataFrame = {
+    val parts = Seq(
+      if (batches.isEmpty) None else Some(
+        spark.read.option("basePath", root).parquet(batches.map(_.toString): _*)
+          .withColumn("batch", col("batch").cast("long"))),
+      if (gens.isEmpty) None else Some(spark.read.parquet(gens.map(_.toString): _*))
+    ).flatten
+    parts.reduce(_.unionByName(_))
   }
 
   /** The stored fingerprint index (empty frame before first landing),
@@ -106,13 +124,7 @@ object CorpusIngest {
   def readCorpus(spark: SparkSession, corpusRoot: String): DataFrame = {
     val (batches, gens) = committedDirs(spark, corpusRoot, None)
     require(batches.nonEmpty || gens.nonEmpty, s"no committed batches under $corpusRoot")
-    val parts = Seq(
-      if (batches.isEmpty) None else Some(
-        spark.read.option("basePath", corpusRoot).parquet(batches.map(_.toString): _*)
-          .withColumn("batch", col("batch").cast("long"))),
-      if (gens.isEmpty) None else Some(spark.read.parquet(gens.map(_.toString): _*))
-    ).flatten
-    parts.reduce(_.unionByName(_))
+    readCommitted(spark, corpusRoot, batches, gens)
   }
 
   /** Land one reconciled micro-batch idempotently (exposed for spec
@@ -166,33 +178,27 @@ object CorpusIngest {
     * yet, and the subsequent replay would re-land it. Returns the
     * number of directories folded (0 = nothing to do). */
   def compact(spark: SparkSession, root: String): Int = {
-    val (batches, gens) = committedDirs(spark, root, None)
-    val toFold = batches ++ gens
-    if (toFold.size <= 1) return 0
+    val (batches, gens, masked) = scanRoot(spark, root, None)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // sweep tmp dirs a crashed compaction abandoned (readers never see
-    // them — the name matches neither batch= nor gen=)
-    fs.listStatus(new Path(root)).toSeq
+    // FINISH a crashed predecessor first, unconditionally: delete dirs
+    // still masked by a live _ABSORBED manifest (their content lives in
+    // the masking gen) and abandoned tmp dirs. Folding the masking gen
+    // away while its masked dirs were still on disk would delete the
+    // only record naming them — they would resurface and double-count.
+    masked.foreach(p => fs.delete(p, true))
+    if (fs.exists(new Path(root))) fs.listStatus(new Path(root)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".gen-tmp-"))
       .foreach(s => fs.delete(s.getPath, true))
+    val toFold = batches ++ gens
+    if (toFold.size <= 1) return 0
     val nextGen = gens.map(_.getName.stripPrefix("gen=").toLong)
       .foldLeft(0L)(math.max) + 1
     val tmp = new Path(root, s".gen-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
 
-    // batch dirs: partition-discover the batch id so it survives as a
-    // physical column; gen dirs already carry their columns physically
-    val parts = Seq(
-      if (batches.isEmpty) None else Some(
-        spark.read.option("basePath", root).parquet(batches.map(_.toString): _*)
-          .withColumn("batch", col("batch").cast("long"))),
-      if (gens.isEmpty) None else Some(spark.read.parquet(gens.map(_.toString): _*))
-    ).flatten
-    parts.reduce(_.unionByName(_)).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-
-    val manifest = fs.create(new Path(tmp, "_ABSORBED"), true)
-    try manifest.write(toFold.map(_.getName).sorted.mkString("", "\n", "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally manifest.close()
+    readCommitted(spark, root, batches, gens)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    graft.core.FsUtils.writeUtf8(fs, new Path(tmp, "_ABSORBED"),
+      toFold.map(_.getName).sorted.mkString("", "\n", "\n"))
     require(fs.rename(tmp, new Path(root, s"gen=$nextGen")),
       s"compaction commit rename failed under $root")
     toFold.foreach(p => fs.delete(p, true))

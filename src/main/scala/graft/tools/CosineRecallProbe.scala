@@ -44,8 +44,8 @@ object CosineRecallProbe {
         val rec = if (truth.isEmpty) 1.0 else (truth & got).size.toDouble / truth.size
         println(f"SRP  t=$t%.2f maxHamming=$mh%2d truth=${truth.size}%5d surfaced=${got.size}%5d recall=$rec%.3f")
       }
+      val centroids = VF.centroidsByLabel(emb, "label", "embedding")
       for (np <- Seq(1, 2, 4)) {
-        val centroids = VF.centroidsByLabel(emb, "label", "embedding")
         val got = pairSet(graft.ops.Dedup.cosineNearDupsIVF(
           emb, "vec_id", "embedding", centroids, minCosine = t, nprobe = np))
         val rec = if (truth.isEmpty) 1.0 else (truth & got).size.toDouble / truth.size
@@ -81,10 +81,10 @@ object CosineRecallProbe {
         else (plantedTruth & got).size.toDouble / plantedTruth.size
       println(f"SRP  planted t=0.85 maxHamming=$mh%2d planted=${plantedTruth.size}%5d recall=$rec%.3f")
     }
+    val augCentroids = VF.centroidsByLabel(aug, "label", "embedding")
     for (np <- Seq(1, 2, 4)) {
-      val centroids = VF.centroidsByLabel(aug, "label", "embedding")
       val got = pairSet(graft.ops.Dedup.cosineNearDupsIVF(
-        aug, "vec_id", "embedding", centroids, minCosine = 0.85, nprobe = np))
+        aug, "vec_id", "embedding", augCentroids, minCosine = 0.85, nprobe = np))
       val rec = if (plantedTruth.isEmpty) 1.0
         else (plantedTruth & got).size.toDouble / plantedTruth.size
       println(f"IVF  planted t=0.85 nprobe=$np%2d     planted=${plantedTruth.size}%5d recall=$rec%.3f")

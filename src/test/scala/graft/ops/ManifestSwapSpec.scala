@@ -100,6 +100,23 @@ class ManifestSwapSpec extends SparkSpecBase {
     assert(ManifestSwap.read(spark, root, "t").as[Int].collect().toSeq == Seq(7))
   }
 
+  test("commit's rename-collision retry lands at a higher seq, never a torn pointer") {
+    val root = Files.createTempDirectory("graft-mswap-retry").toString
+    ManifestSwap.publish(spark, root, Map("t" -> Seq(1).toDF("x")))
+    val (seq1, mapping) = ManifestSwap.currentMapping(spark, root)
+    // occupy the EXACT seqs commit will try first (seq+1, then the
+    // re-read max+1) so the rename itself fails and the loop must run
+    val f = fs(root)
+    for (d <- 1 to 2) {
+      val p = new Path(s"$root/_manifests/manifest-${"%019d".format(seq1 + d)}")
+      val out = f.create(p, true); out.write("t\tbogus\n".getBytes); out.close()
+    }
+    ManifestSwap.commit(f, root, seq1 + 1, mapping) // collides at seq1+1, retries
+    val (seqAfter, mapAfter) = ManifestSwap.currentMapping(spark, root)
+    assert(seqAfter == seq1 + 3, s"expected retry to land at ${seq1 + 3}, got $seqAfter")
+    assert(mapAfter == mapping) // the full mapping, not the rival's torn one
+  }
+
   test("unchanged tables are carried into the new generation") {
     val root = Files.createTempDirectory("graft-mswap-carry").toString
     ManifestSwap.publish(spark, root,

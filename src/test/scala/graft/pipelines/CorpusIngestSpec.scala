@@ -143,5 +143,17 @@ class CorpusIngestSpec extends SparkSpecBase {
     Seq((0L, docText(0))).toDF("doc_id", "text").write.parquet(s"$corpus/batch=0")
     assert(CorpusIngest.readCorpus(spark, corpus).count() == 3,
       "absorbed dir resurfaced: _ABSORBED mask failed")
+
+    // the FOLLOW-ON compaction is the dangerous step: it folds away the
+    // masking gen, which held the only record naming the leftover dir —
+    // compact must physically finish the crashed deletes first, or
+    // batch=0's content would resurface and double-count
+    CorpusIngest.landBatch(Seq((50L, docText(50))).toDF("doc_id", "text"),
+      50L, corpus, index, "doc_id", "text")
+    assert(CorpusIngest.compact(spark, corpus) == 2) // gen=1 + batch=50, NOT the masked leftover
+    assert(CorpusIngest.readCorpus(spark, corpus).count() == 4,
+      "masked leftover survived the gen that masked it and double-counted")
+    assert(CorpusIngest.readCorpus(spark, corpus)
+      .filter($"doc_id" === 0L).count() == 1)
   }
 }
