@@ -1,10 +1,10 @@
 package graft.ops
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.core.FsUtils
 
 /** K3 — ATOMIC multi-table publish via a versioned-manifest pointer,
   * closing the two-rename visibility window of [[TableSwap.stageAndSwap]]
@@ -64,7 +64,7 @@ object ManifestSwap {
   }
 
   private def parseManifest(fs: FileSystem, path: Path): Map[String, String] =
-    graft.core.FsUtils.readUtf8(fs, path)
+    FsUtils.readUtf8(fs, path)
       .split("\n").iterator.filter(_.nonEmpty).map { line =>
         val Array(name, gen) = line.split("\t", 2)
         name -> gen
@@ -146,7 +146,7 @@ object ManifestSwap {
     val dir = manifestDir(root)
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    graft.core.FsUtils.writeUtf8(fs, tmp,
+    FsUtils.writeUtf8(fs, tmp,
       mapping.toSeq.sorted.map { case (n, g) => s"$n\t$g" }.mkString("", "\n", "\n"))
     var seq = seq0
     var attempts = 0

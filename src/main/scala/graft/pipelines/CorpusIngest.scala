@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.hadoop.fs.Path
+import graft.core.FsUtils
 import graft.functions.TextFunctions
 import graft.ops.Dedup
 import graft.streaming.EventStream
@@ -46,22 +47,18 @@ object CorpusIngest {
 
   private val IndexSchema = StructType(Seq(StructField("fingerprint", StringType)))
 
-  /** Committed data directories under a landing root: `batch=<id>` dirs
-    * carrying a `_SUCCESS` marker (a crash mid-write leaves none, so a
-    * torn directory can neither poison the read nor count as landed)
-    * plus committed `gen=<n>` compaction dirs — minus every directory a
-    * committed gen ABSORBED (its `_ABSORBED` manifest; the absorbed
-    * dirs are deleted after the gen commits, the manifest only covers
-    * the crash window in between). `excludeBatchId`, when given, drops
+  /** One root scan: (live committed batch dirs, live committed gen
+    * dirs, MASKED leftovers). Committed = carrying a `_SUCCESS` marker
+    * (a crash mid-write leaves none, so a torn directory can neither
+    * poison the read nor count as landed) and not named by any
+    * committed gen's `_ABSORBED` manifest. Masked leftovers are
+    * absorbed dirs whose post-commit delete never finished — they must
+    * be physically deleted before any masking gen can itself be folded
+    * away, or they would resurface. `excludeBatchId`, when given, drops
     * that `batch=` dir: a replayed micro-batch must NOT see its own
     * first attempt's fingerprints, or the anti-join would drop every
     * replayed doc and the overwrite would erase the previously landed
     * data. */
-  /** One root scan: (live committed batch dirs, live committed gen
-    * dirs, MASKED leftovers — dirs a committed gen's `_ABSORBED`
-    * manifest names but whose post-commit delete never finished). The
-    * masked list must be physically deleted before any masking gen can
-    * itself be folded away, or the leftovers would resurface. */
   private def scanRoot(spark: SparkSession, rootDir: String,
                        excludeBatchId: Option[Long]): (Seq[Path], Seq[Path], Seq[Path]) = {
     val root = new Path(rootDir)
@@ -73,7 +70,7 @@ object CorpusIngest {
     val absorbed: Set[String] = gens.flatMap { g =>
       val m = new Path(g, "_ABSORBED")
       if (!fs.exists(m)) Nil
-      else graft.core.FsUtils.readUtf8(fs, m).split("\n").toSeq.filter(_.nonEmpty)
+      else FsUtils.readUtf8(fs, m).split("\n").toSeq.filter(_.nonEmpty)
     }.toSet
     val batches = committed
       .filter(p => p.getName.startsWith("batch=") && !absorbed.contains(p.getName))
@@ -197,7 +194,7 @@ object CorpusIngest {
 
     readCommitted(spark, root, batches, gens)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    graft.core.FsUtils.writeUtf8(fs, new Path(tmp, "_ABSORBED"),
+    FsUtils.writeUtf8(fs, new Path(tmp, "_ABSORBED"),
       toFold.map(_.getName).sorted.mkString("", "\n", "\n"))
     require(fs.rename(tmp, new Path(root, s"gen=$nextGen")),
       s"compaction commit rename failed under $root")
