@@ -989,6 +989,24 @@ object SparkEntry {
            LIMIT 100""")
     }),
 
+    // Correlated LATERAL subquery with ORDER BY + LIMIT (per-group
+    // top-k in its most natural SQL form — the remaining hard
+    // decorrelation surface after q77-q80): Catalyst rewrites the
+    // per-nation lateral into a window rank + filter, never a per-row
+    // re-scan of customer. acctbal is a raw column (no arithmetic), so
+    // ordering and output are engine-exact.
+    "q81_lateral_topk" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT n_name, c.c_name, c.c_acctbal
+           FROM nation JOIN LATERAL (
+             SELECT c_name, c_acctbal FROM customer
+             WHERE c_nationkey = n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+           ORDER BY n_name, c_acctbal DESC, c_name""")
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -2121,5 +2139,13 @@ object SparkEntry {
                              AND l3.l_shipdate > l1.l_shipdate)
          GROUP BY s_name
          ORDER BY numwait DESC, s_name
-         LIMIT 100""")
+         LIMIT 100""",
+
+    "q81_lateral_topk" ->
+      """SELECT n_name, c.c_name, c.c_acctbal
+         FROM nation, LATERAL (
+           SELECT c_name, c_acctbal FROM customer
+           WHERE c_nationkey = n_nationkey
+           ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+         ORDER BY n_name, c_acctbal DESC, c_name""")
 }

@@ -77,7 +77,8 @@ class PlanShapeSpec extends SparkSpecBase {
     // re-execute the inner query per outer row — the difference between
     // one aggregate over lineitem and |outer| of them at 100 TB.
     for (q <- Seq("q77_small_qty_revenue", "q78_big_qty_orders",
-                  "q79_dominant_suppliers", "q80_last_shippers")) {
+                  "q79_dominant_suppliers", "q80_last_shippers",
+                  "q81_lateral_topk")) {
       val p = plan(q)
       assert(!p.contains("InSubqueryExec") && !p.contains("ScalarSubquery")
         && !p.contains("Subquery subquery"), s"$q kept a subplan:\n${p.take(3000)}")
