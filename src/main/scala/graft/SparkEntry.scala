@@ -1007,6 +1007,30 @@ object SparkEntry {
            ORDER BY n_name, c_acctbal DESC, c_name""")
     }),
 
+    // Recursive CTE (WITH RECURSIVE, new engine surface in Spark 4):
+    // a data-driven month spine from min to max order month, gap-filled
+    // with order counts — the dense-time-series pattern a reporting
+    // layer runs. Bounds ride the recursion as a carried column, so the
+    // recursive term needs no subquery; the month label is a string in
+    // both engines (portable, dtype-stable).
+    "q82_month_spine" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """WITH RECURSIVE months(m, mx) AS (
+             SELECT CAST(MIN(date_trunc('month', o_orderdate)) AS DATE),
+                    CAST(MAX(date_trunc('month', o_orderdate)) AS DATE)
+             FROM orders
+             UNION ALL
+             SELECT add_months(m, 1), mx FROM months WHERE m < mx)
+           SELECT date_format(m, 'yyyy-MM') AS month,
+                  COALESCE(o.n, CAST(0 AS BIGINT)) AS n_orders
+           FROM months LEFT JOIN (
+             SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                    COUNT(*) AS n
+             FROM orders GROUP BY 1) o USING (m)
+           ORDER BY month""")
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -2147,5 +2171,20 @@ object SparkEntry {
            SELECT c_name, c_acctbal FROM customer
            WHERE c_nationkey = n_nationkey
            ORDER BY c_acctbal DESC, c_name LIMIT 2) c
-         ORDER BY n_name, c_acctbal DESC, c_name""")
+         ORDER BY n_name, c_acctbal DESC, c_name""",
+
+    "q82_month_spine" ->
+      """WITH RECURSIVE months(m, mx) AS (
+           SELECT CAST(MIN(date_trunc('month', o_orderdate)) AS DATE),
+                  CAST(MAX(date_trunc('month', o_orderdate)) AS DATE)
+           FROM orders
+           UNION ALL
+           SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mx FROM months WHERE m < mx)
+         SELECT strftime(m, '%Y-%m') AS month,
+                COALESCE(o.n, 0) AS n_orders
+         FROM months LEFT JOIN (
+           SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                  COUNT(*) AS n
+           FROM orders GROUP BY 1) o USING (m)
+         ORDER BY month""")
 }
