@@ -1031,6 +1031,27 @@ object SparkEntry {
            ORDER BY month""")
     }),
 
+    // PIVOT clause (wide reporting shape the delegated-SQL layer uses):
+    // per-year counts fanned into one column per priority. COALESCE
+    // normalizes Spark's null-for-absent-combo to the 0 a conditional
+    // aggregation (the oracle's portable form) produces.
+    "q83_priority_pivot" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT order_year,
+                  COALESCE(urgent, CAST(0 AS BIGINT)) AS urgent,
+                  COALESCE(high, CAST(0 AS BIGINT)) AS high,
+                  COALESCE(medium, CAST(0 AS BIGINT)) AS medium,
+                  COALESCE(notspec, CAST(0 AS BIGINT)) AS notspec,
+                  COALESCE(low, CAST(0 AS BIGINT)) AS low
+           FROM (SELECT year(o_orderdate) AS order_year, o_orderpriority AS p
+                 FROM orders)
+           PIVOT (COUNT(*) FOR p IN (
+             '1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium,
+             '4-NOT SPECIFIED' AS notspec, '5-LOW' AS low))
+           ORDER BY order_year""")
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -2186,5 +2207,14 @@ object SparkEntry {
            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
                   COUNT(*) AS n
            FROM orders GROUP BY 1) o USING (m)
-         ORDER BY month""")
+         ORDER BY month""",
+
+    "q83_priority_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+         COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+         COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+         COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+         COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+         COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+         FROM orders GROUP BY 1 ORDER BY order_year""")
 }
