@@ -1052,6 +1052,30 @@ object SparkEntry {
            ORDER BY order_year""")
     }),
 
+    // UNPIVOT clause (the inverse reporting shape — wide back to long):
+    // composed directly over the q83 pivot so the gate covers the
+    // round-trip. UNPIVOT drops null cells by default; the COALESCE in
+    // the pivot keeps zero-count combos as real rows.
+    "q84_priority_unpivot" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT order_year, priority, n
+           FROM (
+             SELECT order_year,
+                    COALESCE(urgent, CAST(0 AS BIGINT)) AS urgent,
+                    COALESCE(high, CAST(0 AS BIGINT)) AS high,
+                    COALESCE(medium, CAST(0 AS BIGINT)) AS medium,
+                    COALESCE(notspec, CAST(0 AS BIGINT)) AS notspec,
+                    COALESCE(low, CAST(0 AS BIGINT)) AS low
+             FROM (SELECT year(o_orderdate) AS order_year, o_orderpriority AS p
+                   FROM orders)
+             PIVOT (COUNT(*) FOR p IN (
+               '1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium,
+               '4-NOT SPECIFIED' AS notspec, '5-LOW' AS low)))
+           UNPIVOT (n FOR priority IN (urgent, high, medium, notspec, low))
+           ORDER BY order_year, priority""")
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -2216,5 +2240,14 @@ object SparkEntry {
          COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
          COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS notspec,
          COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
-         FROM orders GROUP BY 1 ORDER BY order_year""")
+         FROM orders GROUP BY 1 ORDER BY order_year""",
+
+    "q84_priority_unpivot" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                CASE o_orderpriority
+                  WHEN '1-URGENT' THEN 'urgent' WHEN '2-HIGH' THEN 'high'
+                  WHEN '3-MEDIUM' THEN 'medium' WHEN '4-NOT SPECIFIED' THEN 'notspec'
+                  ELSE 'low' END AS priority,
+                COUNT(*) AS n
+         FROM orders GROUP BY 1, 2 ORDER BY order_year, priority""")
 }

@@ -80,6 +80,18 @@ object ManifestSwap {
     }
   }
 
+  /** Mapping of a SPECIFIC committed seq, if still retained — the
+    * generation-pinning read a reproducible consumer (e.g. a training
+    * run that must see one frozen dataset across restarts) resolves
+    * once and sticks with. Raise `retainManifests` on the publisher to
+    * match how long pinned runs live. */
+  def mappingAt(spark: SparkSession, root: String, seq: Long): Option[Map[String, String]] = {
+    val fs = fsOf(spark, root)
+    committedManifests(fs, root).collectFirst {
+      case (s, path) if s == seq => parseManifest(fs, path)
+    }
+  }
+
   /** Resolved data path for `name`'s current generation, if published. */
   def resolvePath(spark: SparkSession, root: String, name: String): Option[String] =
     currentMapping(spark, root)._2.get(name)
@@ -91,6 +103,15 @@ object ManifestSwap {
       case Some(path) => spark.read.parquet(path)
       case None => throw new IllegalArgumentException(
         s"table '$name' has no published generation under $root")
+    }
+
+  /** Read a table as of a PINNED manifest seq (see [[mappingAt]]). */
+  def readAt(spark: SparkSession, root: String, name: String, seq: Long): DataFrame =
+    mappingAt(spark, root, seq).flatMap(_.get(name)) match {
+      case Some(gen) => spark.read.parquet(new Path(genDir(root, name), gen).toString)
+      case None => throw new IllegalArgumentException(
+        s"table '$name' has no generation at seq $seq under $root " +
+          "(never published, or swept past retention)")
     }
 
   /** Publish `tables` as ONE atomic generation flip: write each frame to

@@ -117,6 +117,22 @@ class ManifestSwapSpec extends SparkSpecBase {
     assert(mapAfter == mapping) // the full mapping, not the rival's torn one
   }
 
+  test("a pinned seq keeps reading its own generation across publishes") {
+    val root = Files.createTempDirectory("graft-mswap-pin").toString
+    ManifestSwap.publish(spark, root, Map("t" -> Seq(1, 2).toDF("x")))
+    val (pinned, _) = ManifestSwap.currentMapping(spark, root)
+    ManifestSwap.publish(spark, root, Map("t" -> Seq(9).toDF("x")))
+    // current moved on; the pinned consumer still sees its generation
+    assert(ManifestSwap.read(spark, root, "t").count() == 1)
+    assert(ManifestSwap.readAt(spark, root, "t", pinned)
+      .as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // past retention (default 2), the pin is swept and fails loudly
+    ManifestSwap.publish(spark, root, Map("t" -> Seq(7).toDF("x")))
+    intercept[IllegalArgumentException] {
+      ManifestSwap.readAt(spark, root, "t", pinned)
+    }
+  }
+
   test("unchanged tables are carried into the new generation") {
     val root = Files.createTempDirectory("graft-mswap-carry").toString
     ManifestSwap.publish(spark, root,
