@@ -2243,11 +2243,16 @@ object SparkEntry {
          FROM orders GROUP BY 1 ORDER BY order_year""",
 
     "q84_priority_unpivot" ->
-      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
-                CASE o_orderpriority
-                  WHEN '1-URGENT' THEN 'urgent' WHEN '2-HIGH' THEN 'high'
-                  WHEN '3-MEDIUM' THEN 'medium' WHEN '4-NOT SPECIFIED' THEN 'notspec'
-                  ELSE 'low' END AS priority,
-                COUNT(*) AS n
-         FROM orders GROUP BY 1, 2 ORDER BY order_year, priority""")
+      """WITH y AS (SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS order_year
+                    FROM orders),
+         p(priority, label) AS (VALUES
+           ('urgent', '1-URGENT'), ('high', '2-HIGH'), ('medium', '3-MEDIUM'),
+           ('notspec', '4-NOT SPECIFIED'), ('low', '5-LOW')),
+         c AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                      o_orderpriority, COUNT(*) AS n
+               FROM orders GROUP BY 1, 2)
+         SELECT y.order_year, p.priority, COALESCE(c.n, 0) AS n
+         FROM y CROSS JOIN p
+         LEFT JOIN c ON c.order_year = y.order_year AND c.o_orderpriority = p.label
+         ORDER BY y.order_year, p.priority""")
 }

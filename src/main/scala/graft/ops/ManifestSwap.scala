@@ -87,9 +87,10 @@ object ManifestSwap {
     * match how long pinned runs live. */
   def mappingAt(spark: SparkSession, root: String, seq: Long): Option[Map[String, String]] = {
     val fs = fsOf(spark, root)
-    committedManifests(fs, root).collectFirst {
-      case (s, path) if s == seq => parseManifest(fs, path)
-    }
+    // the manifest name is fully determined by the seq — probe it
+    // directly instead of listing the directory
+    val p = new Path(manifestDir(root), "manifest-%019d".format(seq))
+    if (fs.exists(p)) Some(parseManifest(fs, p)) else None
   }
 
   /** Resolved data path for `name`'s current generation, if published. */
