@@ -1076,6 +1076,103 @@ object SparkEntry {
            ORDER BY order_year, priority""")
     }),
 
+    // GROUPING SETS — the general multi-level aggregate beyond the
+    // ROLLUP/CUBE lattices q35/q48 already gate: (region, year),
+    // per-region, per-year and grand-total levels in ONE pass. Catalyst
+    // plans this as a single Expand + hash aggregate — one shuffle
+    // serves all four levels, not four scans (PlanShapeSpec pins the
+    // single Expand). Grouping keys are COALESCEd to sentinels so every
+    // output column stays non-null (dtype-stable through both engines'
+    // pandas paths — nullable ints decay to float64); the per-column
+    // GROUPING() bits are combined explicitly rather than via
+    // grouping_id() so the gate never depends on engine bit order.
+    "q85_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "region").createOrReplaceTempView("region")
+      s.sql(
+        """SELECT CAST(grouping(r_name) * 2 + grouping(order_year) AS INTEGER) AS gid,
+                  COALESCE(r_name, 'ALL') AS region,
+                  COALESCE(order_year, -1) AS order_year,
+                  COUNT(*) AS n_orders,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM (SELECT r_name, year(o_orderdate) AS order_year, o_totalprice
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                      JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey)
+           GROUP BY GROUPING SETS ((r_name, order_year), (r_name), (order_year), ())
+           ORDER BY gid, region, order_year""")
+    }),
+
+    // EXCEPT ALL / INTERSECT ALL — bag-semantics set ops (§2.7 gates
+    // the DISTINCT forms via q07/q09/q47): per-customer multiset
+    // difference and overlap of urgent- vs high-priority order
+    // multiplicities. Catalyst rewrites both into count-replicating
+    // aggregates — no join explosion, exact multiset arithmetic.
+    "q86_bag_setops" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT 'except_all' AS op, cust_id, COUNT(*) AS n FROM (
+             SELECT o_custkey AS cust_id FROM orders WHERE o_orderpriority = '1-URGENT'
+             EXCEPT ALL
+             SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+           GROUP BY 1, 2
+           UNION ALL
+           SELECT 'intersect_all' AS op, cust_id, COUNT(*) AS n FROM (
+             SELECT o_custkey AS cust_id FROM orders WHERE o_orderpriority = '1-URGENT'
+             INTERSECT ALL
+             SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+           GROUP BY 1, 2
+           ORDER BY op, cust_id""")
+    }),
+
+    // Scalar edit distance — the single-string fuzzy-match primitive
+    // (the set-level similarity family is q26-q28/q38): levenshtein
+    // between two catalog attributes, folded into a distance histogram.
+    // Codegen'd scalar + one k-row hash agg; map-side combine keeps the
+    // exchange tiny at any SF.
+    "q87_edit_distance" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(
+        """SELECT levenshtein(p_name, p_type) AS dist, COUNT(*) AS n
+           FROM part GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // Statistical moments from EXACT sufficient statistics (engine
+    // completeness: correlation / regression slope / stddev). Builtin
+    // corr()/stddev() merge double partials in partition order —
+    // nondeterministic last bits across runs and engines — so the gate
+    // aggregates the decimal-exact (n, Σx, Σy, Σx², Σy², Σxy) in one
+    // hash pass and derives the moments in IEEE double with an
+    // identical expression tree in both engines: associative,
+    // partition-order-free, bit-stable at any SF (the q75 discipline).
+    // DECIMAL(9,2) is exact for both columns (qty ≤ 50, price < 10^7)
+    // and keeps cross-products inside width-18 int64 storage — wider
+    // operand casts overflow DuckDB's decimal multiply.
+    "q88_stats_moments" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """WITH s AS (
+             SELECT l_returnflag,
+                    COUNT(*) AS n,
+                    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx,
+                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sy,
+                    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))
+                           * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sxx,
+                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                           * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS syy,
+                    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))
+                           * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sxy
+             FROM lineitem GROUP BY l_returnflag)
+           SELECT l_returnflag, n,
+                  round((n * sxy - sx * sy)
+                        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
+                  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_price_per_qty,
+                  round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS stddev_qty
+           FROM s ORDER BY l_returnflag""")
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -2254,5 +2351,56 @@ object SparkEntry {
          SELECT y.order_year, p.priority, COALESCE(c.n, 0) AS n
          FROM y CROSS JOIN p
          LEFT JOIN c ON c.order_year = y.order_year AND c.o_orderpriority = p.label
-         ORDER BY y.order_year, p.priority""")
+         ORDER BY y.order_year, p.priority""",
+
+    "q85_grouping_sets" ->
+      """SELECT CAST(grouping(r_name) * 2 + grouping(order_year) AS INTEGER) AS gid,
+                COALESCE(r_name, 'ALL') AS region,
+                COALESCE(order_year, -1) AS order_year,
+                COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM (SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS order_year, o_totalprice
+               FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey)
+         GROUP BY GROUPING SETS ((r_name, order_year), (r_name), (order_year), ())
+         ORDER BY gid, region, order_year""",
+
+    "q86_bag_setops" ->
+      """SELECT 'except_all' AS op, cust_id, COUNT(*) AS n FROM (
+           SELECT o_custkey AS cust_id FROM orders WHERE o_orderpriority = '1-URGENT'
+           EXCEPT ALL
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+         GROUP BY 1, 2
+         UNION ALL
+         SELECT 'intersect_all' AS op, cust_id, COUNT(*) AS n FROM (
+           SELECT o_custkey AS cust_id FROM orders WHERE o_orderpriority = '1-URGENT'
+           INTERSECT ALL
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+         GROUP BY 1, 2
+         ORDER BY op, cust_id""",
+
+    "q87_edit_distance" ->
+      """SELECT CAST(levenshtein(p_name, p_type) AS INTEGER) AS dist, COUNT(*) AS n
+         FROM part GROUP BY 1 ORDER BY 1""",
+
+    "q88_stats_moments" ->
+      """WITH s AS (
+           SELECT l_returnflag,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))
+                         * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                         * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS syy,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))
+                         * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+                round((n * sxy - sx * sy)
+                      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
+                round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_price_per_qty,
+                round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS stddev_qty
+         FROM s ORDER BY l_returnflag""")
 }

@@ -89,4 +89,13 @@ class PlanShapeSpec extends SparkSpecBase {
     val p80 = plan("q80_last_shippers")
     assert(p80.contains("LeftSemi") && p80.contains("LeftAnti"), p80.take(3000))
   }
+
+  test("grouping sets compute all four levels in one Expand pass") {
+    // a single Expand feeding one aggregate — NOT a union of four
+    // scans/aggregates; at 100 TB that's one read + one shuffle for the
+    // whole lattice instead of four of each
+    val p = plan("q85_grouping_sets")
+    assert(p.linesIterator.count(_.contains("+- Expand ")) == 1, p.take(3000))
+    assert(!p.contains("Union"), p.take(3000))
+  }
 }
