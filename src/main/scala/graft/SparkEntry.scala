@@ -1173,6 +1173,19 @@ object SparkEntry {
            FROM s ORDER BY l_returnflag""")
     }),
 
+    // Weighted proportional sampling with multiplicities (systematic /
+    // Madow resampling, ops/Sampling.scala): 300 grid points over the
+    // n_chars-weighted cumulative line in md5 order — the "sample
+    // documents proportional to quality" mixture step. Selection is
+    // pure DECIMAL(38,0) integer arithmetic, so DuckDB reproduces the
+    // exact copy counts with HUGEINT math (no float anywhere).
+    "q89_weighted_sample" -> ((s, dir) => {
+      graft.ops.Sampling
+        .weightedSystematicSample(t(s, dir, "documents"), "doc_id", "n_chars", 300)
+        .select(col("doc_id"), col("copies"))
+        .orderBy(col("doc_id"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -2402,5 +2415,21 @@ object SparkEntry {
                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
                 round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_price_per_qty,
                 round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS stddev_qty
-         FROM s ORDER BY l_returnflag""")
+         FROM s ORDER BY l_returnflag""",
+
+    "q89_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, CAST(n_chars AS HUGEINT) AS wt,
+                           md5(CAST(doc_id AS VARCHAR)) AS r
+                    FROM documents WHERE n_chars > 0),
+           c AS (SELECT doc_id, wt,
+                        SUM(wt) OVER (ORDER BY r, doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+                        SUM(wt) OVER () AS tot
+                 FROM w)
+         SELECT doc_id,
+                CAST((600 * cum + tot) // (2 * tot)
+                   - (600 * (cum - wt) + tot) // (2 * tot) AS BIGINT) AS copies
+         FROM c
+         WHERE (600 * cum + tot) // (2 * tot)
+             - (600 * (cum - wt) + tot) // (2 * tot) >= 1
+         ORDER BY doc_id""")
 }

@@ -184,6 +184,78 @@ object Sampling {
       .drop("__pid", "__cum", "__offset")
   }
 
+  /** Deterministic weighted proportional sampling WITH multiplicities —
+    * systematic (Madow) resampling: draw `n` evenly-spaced points over
+    * the cumulative weight line (offset half a step, so nothing depends
+    * on an RNG) and give each row one copy per point falling in its
+    * weight interval. The classic resampler of particle filters, here
+    * as the training-mix step "sample/upweight documents proportional
+    * to quality": every row's expected copy count is exactly
+    * n·w/W and its realised count differs from that by < 1 — strictly
+    * stratified, so the sample is better-balanced than n independent
+    * draws. `copies` is returned (0-rows dropped); feed it to a
+    * generator for physical replication or use it as a weight.
+    *
+    * Row order along the weight line is md5-of-key (tiebroken by key,
+    * which must be unique — see [[quotaPerGroup]]), so the kept set is
+    * stable across runs, engines, and partitionings, and rerunning
+    * with a larger `n` only refines the grid. Null keys and
+    * null/zero/negative weights are dropped (the family's null rule;
+    * a non-positive weight has no interval).
+    *
+    * ENGINE-PORTABLE BY CONSTRUCTION: selection is pure integer
+    * arithmetic — copies(c) = ⌊(2n·c + W) / 2W⌋ − ⌊(2n·(c−w) + W) / 2W⌋
+    * evaluated in DECIMAL(38,0) with integral division, never a float —
+    * so any engine with exact decimals reproduces the sample
+    * bit-for-bit (oracle-gated in q89 against DuckDB HUGEINT math;
+    * exact while 2n·W < 10^38).
+    *
+    * Scale: same distributed prefix-sum as [[budgetSelect]] — ranged
+    * chunks, per-(chunk) cumulative sums, tiny per-cell totals rolled
+    * into broadcast offsets; the ranged run is materialised for the two
+    * consumers (same range-exchange re-evaluation hazard, same
+    * `materialize` knob). No task ever sees more than one chunk; the
+    * grid itself is never materialised at all. */
+  def weightedSystematicSample(df: DataFrame, keyCol: String, weightCol: String,
+                               n: Long,
+                               materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val tmp = Seq("__pid", "__cum", "__cell_total", "__offset", "__total",
+      "__gcum", "__hi", "__lo", "copies")
+    require(tmp.forall(c => !df.columns.contains(c)),
+      s"input must not already contain ${tmp.mkString("/")}")
+    val dec = DecimalType(38, 0)
+    val w = col(weightCol).cast(dec)
+    val ord: Seq[Column] = Seq(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    val nChunks = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = materialize(df
+      .filter(col(keyCol).isNotNull && col(weightCol) > 0)
+      .repartitionByRange(nChunks, ord: _*)
+      .withColumn("__pid", spark_partition_id()))
+    val wCell = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("__cum", sum(w).over(wCell))
+    // per-chunk totals: nChunks rows — the exclusive running sum and the
+    // grand total are single-task trivia and the join back broadcasts
+    val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = parted.groupBy(col("__pid")).agg(sum(w).as("__cell_total"))
+      .withColumn("__offset", coalesce(sum(col("__cell_total")).over(wOff), lit(0).cast(dec)))
+      .withColumn("__total", sum(col("__cell_total")).over(wAll))
+      .select(col("__pid"), col("__offset"), col("__total"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__gcum", col("__offset") + col("__cum"))
+      .withColumn("__hi", lit(2L * n).cast(dec) * col("__gcum") + col("__total"))
+      .withColumn("__lo", lit(2L * n).cast(dec) * (col("__gcum") - w) + col("__total"))
+      .withColumn("copies",
+        expr("__hi DIV (CAST(2 AS DECIMAL(38,0)) * __total)")
+          - expr("__lo DIV (CAST(2 AS DECIMAL(38,0)) * __total)"))
+      .filter(col("copies") >= 1)
+      .drop("__pid", "__cum", "__offset", "__total", "__gcum", "__hi", "__lo")
+  }
+
   /** Deterministic training-order shuffle: a stable pseudo-random global
     * read order for a training corpus WITHOUT a global sort. Each row
     * gets (shard, pos, global_rank): shard = md5 bucket of the key,

@@ -90,6 +90,19 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p80.contains("LeftSemi") && p80.contains("LeftAnti"), p80.take(3000))
   }
 
+  test("weighted sample keeps the cumulative window chunked — no global window") {
+    // same scale discipline as q73: the weight-line prefix sum must be
+    // keyed by the range-chunk id, never run as one no-partition window
+    // over the whole corpus; offsets arrive by broadcast
+    val p = plan("q89_weighted_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    val cumWindows = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("AS __cum")).toSeq
+    assert(cumWindows.nonEmpty, s"expected the weight-line window in the plan:\n${p.take(3000)}")
+    assert(cumWindows.forall(_.contains("__pid")), p.take(3000))
+  }
+
   test("grouping sets compute all four levels in one Expand pass") {
     // a single Expand feeding one aggregate — NOT a union of four
     // scans/aggregates; at 100 TB that's one read + one shuffle for the

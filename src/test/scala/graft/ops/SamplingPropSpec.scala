@@ -47,6 +47,37 @@ class SamplingPropSpec extends SparkSpecBase {
     }
   }
 
+  test("weightedSystematicSample == exact BigInt single-pass reference") {
+    val wsGen = for {
+      nRows <- Gen.choose(1, 250)
+      n <- Gen.choose(1L, 60L)
+      weights <- Gen.listOfN(nRows, Gen.choose(1L, 1000L))
+    } yield (weights, n)
+    val cases = samples(wsGen, 15)
+    assert(cases.size >= 10)
+    cases.foreach { case (weights, n) =>
+      val rows = weights.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "wt")
+      val got = Sampling.weightedSystematicSample(rows, "id", "wt", n)
+        .select("id", "copies").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: exact BigInt fold over the md5-sorted weight line
+      def md5Hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val sorted = weights.zipWithIndex
+        .map { case (w, i) => (md5Hex(i.toString), i.toLong, w) }
+        .sortBy(t => (t._1, t._2))
+      val bigW = BigInt(weights.sum)
+      def pts(c: BigInt): BigInt = (BigInt(2 * n) * c + bigW) / (2 * bigW)
+      var cum = BigInt(0)
+      val ref = sorted.flatMap { case (_, id, w) =>
+        cum += w
+        val c = pts(cum) - pts(cum - w)
+        if (c >= 1) Some(id -> c.toLong) else None
+      }.toMap
+      assert(got == ref, s"n=$n rows=${weights.size}")
+      assert(got.values.sum == n)
+    }
+  }
+
   test("hashSample(p1) ⊆ hashSample(p2) for any p1 <= p2") {
     val pctPairs = samples(for {
       a <- Gen.choose(0, 100); b <- Gen.choose(0, 100)

@@ -183,6 +183,44 @@ class SamplingSpec extends SparkSpecBase {
     assert(got == ref && got.nonEmpty && got.size < 50000)
   }
 
+  test("weightedSystematicSample: copies sum to n and track n*w/W within 1") {
+    val rows = (1L to 200L).map(i => (i, (i % 13) * 37 + 1)).toDF("id", "wt")
+    val n = 50L
+    val got = Sampling.weightedSystematicSample(rows, "id", "wt", n)
+      .select(col("id"), col("wt"), col("copies"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._3).sum == n, "grid points must be fully assigned")
+    assert(got.forall(_._3 >= 1))
+    // strict stratification: realised copies within 1 of the expectation
+    val w = rows.agg(sum("wt")).first.getLong(0).toDouble
+    got.foreach { case (id, wt, c) =>
+      assert(math.abs(c - n * wt / w) < 1.0 + 1e-9, s"id=$id wt=$wt copies=$c")
+    }
+  }
+
+  test("weightedSystematicSample drops null keys and non-positive weights") {
+    val rows = Seq((Some(1L), Some(10L)), (None, Some(10L)), (Some(2L), None),
+      (Some(3L), Some(0L)), (Some(4L), Some(-5L)), (Some(5L), Some(10L)))
+      .toDF("id", "wt")
+    val kept = Sampling.weightedSystematicSample(rows, "id", "wt", 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L)) // the only valid rows; each takes half the grid
+    val copies = Sampling.weightedSystematicSample(rows, "id", "wt", 4)
+      .select("copies").collect().map(_.getLong(0)).toSet
+    assert(copies == Set(2L))
+  }
+
+  test("weightedSystematicSample is partitioning-independent and n-monotone-refining") {
+    val rows = (1L to 300L).map(i => (i, i % 7 * 100 + 3)).toDF("id", "wt")
+    def run(df: org.apache.spark.sql.DataFrame, n: Long) =
+      Sampling.weightedSystematicSample(df, "id", "wt", n)
+        .select("id", "copies").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(rows, 40) == run(rows.repartition(11), 40))
+    // a certainty row (w >= W/n) stays selected as the grid refines
+    val coarse = run(rows, 40); val fine = run(rows, 80)
+    assert(fine.values.sum == 80 && coarse.values.sum == 40)
+  }
+
   test("trainingOrder with one shard is a dense deterministic permutation") {
     val out = Sampling.trainingOrder((1L to 100L).toDF("id"), "id", shards = 1)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("global_rank")).toMap
