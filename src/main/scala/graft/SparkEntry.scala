@@ -1186,6 +1186,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The grouped form of q89 — 60 grid points per language over each
+    // language's own weight line ("n docs per language, proportional to
+    // length/quality within each"): the actual mixture-construction
+    // shape. Same integer-exact selection, windows keyed by
+    // (chunk, lang) so no language ever owns a whole task.
+    "q90_weighted_sample_by_lang" -> ((s, dir) => {
+      graft.ops.Sampling
+        .weightedSystematicSample(t(s, dir, "documents"), "doc_id", "n_chars", 60,
+          groupCol = Some("lang"))
+        .select(col("lang"), col("doc_id"), col("copies"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -2431,5 +2444,22 @@ object SparkEntry {
          FROM c
          WHERE (600 * cum + tot) // (2 * tot)
              - (600 * (cum - wt) + tot) // (2 * tot) >= 1
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+
+    "q90_weighted_sample_by_lang" ->
+      """WITH w AS (SELECT doc_id, lang, CAST(n_chars AS HUGEINT) AS wt,
+                           md5(CAST(doc_id AS VARCHAR)) AS r
+                    FROM documents WHERE n_chars > 0 AND lang IS NOT NULL),
+           c AS (SELECT doc_id, lang, wt,
+                        SUM(wt) OVER (PARTITION BY lang ORDER BY r, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                        SUM(wt) OVER (PARTITION BY lang) AS tot
+                 FROM w)
+         SELECT lang, doc_id,
+                CAST((120 * cum + tot) // (2 * tot)
+                   - (120 * (cum - wt) + tot) // (2 * tot) AS BIGINT) AS copies
+         FROM c
+         WHERE (120 * cum + tot) // (2 * tot)
+             - (120 * (cum - wt) + tot) // (2 * tot) >= 1
+         ORDER BY lang, doc_id""")
 }

@@ -210,15 +210,23 @@ object Sampling {
     * bit-for-bit (oracle-gated in q89 against DuckDB HUGEINT math;
     * exact while 2n·W < 10^38).
     *
+    * With `groupCol` the whole construction runs independently per
+    * group over the group's own weight line and total — "n docs per
+    * language, proportional to quality within each" — the grouped
+    * mixture-construction shape; output equals running the global form
+    * on each group alone (spec'd). Null groups are dropped like null
+    * keys.
+    *
     * Scale: same distributed prefix-sum as [[budgetSelect]] — ranged
-    * chunks, per-(chunk) cumulative sums, tiny per-cell totals rolled
-    * into broadcast offsets; the ranged run is materialised for the two
-    * consumers (same range-exchange re-evaluation hazard, same
+    * chunks, per-(chunk[, group]) cumulative sums, tiny per-cell totals
+    * rolled into broadcast offsets; the ranged run is materialised for
+    * the two consumers (same range-exchange re-evaluation hazard, same
     * `materialize` knob). No task ever sees more than one chunk; the
     * grid itself is never materialised at all. */
   def weightedSystematicSample(df: DataFrame, keyCol: String, weightCol: String,
                                n: Long,
-                               materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+                               materialize: DataFrame => DataFrame = _.localCheckpoint(),
+                               groupCol: Option[String] = None): DataFrame = {
     require(n > 0, s"sample size must be positive, got $n")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
@@ -228,24 +236,30 @@ object Sampling {
       s"input must not already contain ${tmp.mkString("/")}")
     val dec = DecimalType(38, 0)
     val w = col(weightCol).cast(dec)
+    val grp: Seq[Column] = groupCol.toSeq.map(col)
     val ord: Seq[Column] = Seq(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    val keep = groupCol.foldLeft(col(keyCol).isNotNull && col(weightCol) > 0) {
+      (p, g) => p && col(g).isNotNull
+    }
     val nChunks = df.sparkSession.sessionState.conf.numShufflePartitions
     val parted = materialize(df
-      .filter(col(keyCol).isNotNull && col(weightCol) > 0)
-      .repartitionByRange(nChunks, ord: _*)
+      .filter(keep)
+      .repartitionByRange(nChunks, grp.map(_.asc) ++ ord: _*)
       .withColumn("__pid", spark_partition_id()))
-    val wCell = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+    val wCell = Window.partitionBy(col("__pid") +: grp: _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("__cum", sum(w).over(wCell))
-    // per-chunk totals: nChunks rows — the exclusive running sum and the
-    // grand total are single-task trivia and the join back broadcasts
-    val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsets = parted.groupBy(col("__pid")).agg(sum(w).as("__cell_total"))
+    // per-cell totals: ≤ chunks × groups rows — the exclusive running
+    // sum and group totals are trivia and the join back broadcasts
+    val wOff = Window.partitionBy(grp: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(grp: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = parted.groupBy(col("__pid") +: grp: _*).agg(sum(w).as("__cell_total"))
       .withColumn("__offset", coalesce(sum(col("__cell_total")).over(wOff), lit(0).cast(dec)))
       .withColumn("__total", sum(col("__cell_total")).over(wAll))
-      .select(col("__pid"), col("__offset"), col("__total"))
-    local.join(broadcast(offsets), Seq("__pid"))
+      .select(col("__pid") +: grp :+ col("__offset") :+ col("__total"): _*)
+    local.join(broadcast(offsets), "__pid" +: groupCol.toSeq)
       .withColumn("__gcum", col("__offset") + col("__cum"))
       .withColumn("__hi", lit(2L * n).cast(dec) * col("__gcum") + col("__total"))
       .withColumn("__lo", lit(2L * n).cast(dec) * (col("__gcum") - w) + col("__total"))

@@ -92,15 +92,18 @@ class PlanShapeSpec extends SparkSpecBase {
 
   test("weighted sample keeps the cumulative window chunked — no global window") {
     // same scale discipline as q73: the weight-line prefix sum must be
-    // keyed by the range-chunk id, never run as one no-partition window
-    // over the whole corpus; offsets arrive by broadcast
-    val p = plan("q89_weighted_sample")
-    assert(p.contains("BroadcastHashJoin"), p.take(3000))
-    assert(!p.contains("SortMergeJoin"), p.take(3000))
-    val cumWindows = p.linesIterator
-      .filter(l => l.contains("windowspecdefinition") && l.contains("AS __cum")).toSeq
-    assert(cumWindows.nonEmpty, s"expected the weight-line window in the plan:\n${p.take(3000)}")
-    assert(cumWindows.forall(_.contains("__pid")), p.take(3000))
+    // keyed by the range-chunk id (and the group, for the grouped
+    // form), never run as one no-partition window over the whole
+    // corpus; offsets arrive by broadcast
+    for (q <- Seq("q89_weighted_sample", "q90_weighted_sample_by_lang")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n${p.take(3000)}")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n${p.take(3000)}")
+      val cumWindows = p.linesIterator
+        .filter(l => l.contains("windowspecdefinition") && l.contains("AS __cum")).toSeq
+      assert(cumWindows.nonEmpty, s"$q expected the weight-line window:\n${p.take(3000)}")
+      assert(cumWindows.forall(_.contains("__pid")), s"$q:\n${p.take(3000)}")
+    }
   }
 
   test("grouping sets compute all four levels in one Expand pass") {

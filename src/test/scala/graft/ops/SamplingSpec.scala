@@ -221,6 +221,33 @@ class SamplingSpec extends SparkSpecBase {
     assert(fine.values.sum == 80 && coarse.values.sum == 40)
   }
 
+  test("grouped weightedSystematicSample == global form run on each group alone") {
+    val rows = (1L to 240L).map(i => (i, s"g${i % 5}", (i % 17) * 23 + 7))
+      .toDF("id", "grp", "wt")
+    val n = 12L
+    val grouped = Sampling.weightedSystematicSample(rows, "id", "wt", n,
+        groupCol = Some("grp"))
+      .select("grp", "id", "copies").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // each group's grid depends only on its own weight line
+    (0 until 5).foreach { g =>
+      val alone = Sampling.weightedSystematicSample(
+          rows.filter(col("grp") === s"g$g"), "id", "wt", n)
+        .select("grp", "id", "copies").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(grouped.filter(_._1._1 == s"g$g") == alone, s"group g$g")
+    }
+    // every group exhausts its own grid
+    grouped.groupBy(_._1._1).foreach { case (g, m) =>
+      assert(m.values.sum == n, s"group $g copies=${m.values.sum}")
+    }
+    // null groups dropped like null keys
+    val withNull = rows.union(Seq((999L, null: String, 50L)).toDF("id", "grp", "wt"))
+    val kept = Sampling.weightedSystematicSample(withNull, "id", "wt", n,
+      groupCol = Some("grp")).select("id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(999L))
+  }
+
   test("trainingOrder with one shard is a dense deterministic permutation") {
     val out = Sampling.trainingOrder((1L to 100L).toDF("id"), "id", shards = 1)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("global_rank")).toMap
