@@ -1199,6 +1199,20 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Bloom-filter decontamination: q55's overlap report through an
+    // md5-derived 2^16-slot / 3-probe Bloom filter over the bench
+    // grams — the m chosen so false positives actually occur at gate
+    // scale, and the oracle reproduces the EXACT false-positive set
+    // (portable positions, not engine-private hashes).
+    "q91_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.bloomContamination(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 5, mBits = 1 << 16, kHashes = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -2461,5 +2475,23 @@ object SparkEntry {
          FROM c
          WHERE (120 * cum + tot) // (2 * tot)
              - (120 * (cum - wt) + tot) // (2 * tot) >= 1
-         ORDER BY lang, doc_id""")
+         ORDER BY lang, doc_id""",
+
+    "q91_bloom_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+                FROM toks, UNNEST(range(1, len(ws)-3)) AS r(i) WHERE len(ws) >= 5),
+         corp AS (SELECT doc_id, g FROM sh WHERE doc_id % 20 <> 0),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corp GROUP BY doc_id),
+         bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+         bpos AS (SELECT DISTINCT CAST(('0x' || substr(md5(g || ':' || j), 1, 15)) AS BIGINT) % 65536 AS p
+                  FROM bench, UNNEST([0,1,2]) AS t(j)),
+         probe AS (SELECT doc_id, g, CAST(('0x' || substr(md5(g || ':' || j), 1, 15)) AS BIGINT) % 65536 AS p
+                   FROM corp, UNNEST([0,1,2]) AS t(j)),
+         flagged AS (SELECT doc_id, g FROM probe JOIN bpos USING (p)
+                     GROUP BY doc_id, g HAVING COUNT(*) = 3),
+         hits AS (SELECT doc_id, COUNT(*) AS n_flagged FROM flagged GROUP BY doc_id)
+         SELECT h.doc_id, h.n_flagged, s.n_shingles
+         FROM hits h JOIN sizes s USING (doc_id) ORDER BY h.doc_id""")
 }

@@ -31,4 +31,42 @@ class DecontaminateSpec extends SparkSpecBase {
       corpus.filter(col("doc_id") =!= 1), bench, "doc_id", "text", n = 5)
     assert(out.isEmpty)
   }
+
+  test("bloomContamination is a superset of exact contamination") {
+    // at a roomy m the filter has no room for false positives on this
+    // fixture, so the report must equal the exact one bit-for-bit
+    val exact = Decontaminate.contamination(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = Decontaminate.bloomContamination(corpus, bench, "doc_id", "text",
+        n = 5, mBits = 1 << 22, kHashes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+  }
+
+  test("bloomContamination at tiny m produces false positives, never false negatives") {
+    // m=8 with 3 probes over ~11 bench grams saturates the filter:
+    // every corpus gram is flagged — the degenerate-but-correct bound
+    val bloom = Decontaminate.bloomContamination(corpus, bench, "doc_id", "text",
+        n = 5, mBits = 8, kHashes = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exactHits = Map(1L -> 2L)
+    // no false negatives: every exactly-contaminated doc at least as flagged
+    exactHits.foreach { case (id, hits) =>
+      assert(bloom.contains(id) && bloom(id)._1 >= hits, s"doc $id under-flagged: $bloom")
+    }
+    // false positives exist (clean docs flagged) and are bounded by the
+    // doc's own distinct-gram count
+    assert(bloom.keySet.exists(id => !exactHits.contains(id)), s"expected FPs at m=8: $bloom")
+    bloom.foreach { case (id, (flagged, shingles)) =>
+      assert(flagged <= shingles, s"doc $id flagged=$flagged > shingles=$shingles")
+    }
+  }
+
+  test("bloomContamination is deterministic across repartitionings") {
+    val a = Decontaminate.bloomContamination(corpus, bench, "doc_id", "text",
+      n = 5, mBits = 1 << 10, kHashes = 3).collect().map(_.toSeq).toSet
+    val b = Decontaminate.bloomContamination(corpus.repartition(7), bench.coalesce(1),
+      "doc_id", "text", n = 5, mBits = 1 << 10, kHashes = 3).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
