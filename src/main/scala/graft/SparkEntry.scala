@@ -1213,6 +1213,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Portable HyperLogLog: approximate distinct user-days per event
+    // type with md5-derived registers and integer-exact harmonic sums,
+    // so the ESTIMATE — approximation error included — is bit-identical
+    // across engines (built-in approx_count_distinct can't be
+    // oracle-gated; this can). n_exact rides the same pass: the
+    // register index is a function of the value, so per-register exact
+    // distincts sum to the group's.
+    "q92_hll_user_days" -> ((s, dir) => {
+      graft.ops.Sketches.hllDistinct(t(s, dir, "events"), Seq("event_type"),
+          concat(col("user_id").cast("string"), lit(":"),
+            to_date(col("ts")).cast("string")), p = 8)
+        .orderBy(col("event_type"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -2493,5 +2507,29 @@ object SparkEntry {
                      GROUP BY doc_id, g HAVING COUNT(*) = 3),
          hits AS (SELECT doc_id, COUNT(*) AS n_flagged FROM flagged GROUP BY doc_id)
          SELECT h.doc_id, h.n_flagged, s.n_shingles
-         FROM hits h JOIN sizes s USING (doc_id) ORDER BY h.doc_id""")
+         FROM hits h JOIN sizes s USING (doc_id) ORDER BY h.doc_id""",
+
+    "q92_hll_user_days" ->
+      """WITH v AS (SELECT event_type, user_id || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS v FROM events),
+         h AS (SELECT event_type, v, md5(v) AS hx FROM v),
+         b AS (SELECT event_type, v, CAST(('0x' || substr(hx,1,15)) AS BIGINT) % 256 AS bucket,
+                      substr(hx,16,15) AS w FROM h),
+         r AS (SELECT event_type, v, bucket,
+                      CASE WHEN length(regexp_extract(w,'^0*')) = 15 THEN 61
+                           ELSE length(regexp_extract(w,'^0*')) * 4
+                                + CASE WHEN CAST(('0x' || substr(w, length(regexp_extract(w,'^0*'))+1, 1)) AS BIGINT) >= 8 THEN 0
+                                       WHEN CAST(('0x' || substr(w, length(regexp_extract(w,'^0*'))+1, 1)) AS BIGINT) >= 4 THEN 1
+                                       WHEN CAST(('0x' || substr(w, length(regexp_extract(w,'^0*'))+1, 1)) AS BIGINT) >= 2 THEN 2
+                                       ELSE 3 END + 1 END AS rnk
+               FROM b),
+         regs AS (SELECT event_type, bucket, MAX(rnk) AS mr, COUNT(DISTINCT v) AS du
+                  FROM r GROUP BY 1, 2),
+         agg AS (SELECT event_type, COUNT(*) AS used, SUM(du) AS n_exact,
+                        SUM(CAST(1::BIGINT << (61 - mr) AS HUGEINT)) AS s_occ
+                 FROM regs GROUP BY 1)
+         SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+                CAST((7213::HUGEINT * 1000 * 256 * 256 * 256 * (1::HUGEINT << 61))
+                     // ((10000::HUGEINT * (1000*256 + 1079)) * (s_occ + (256 - used) * (1::HUGEINT << 61))) AS BIGINT) AS n_hll,
+                used AS used_buckets
+         FROM agg ORDER BY event_type""")
 }

@@ -50,4 +50,28 @@ class ApproxAggSpec extends SparkSpecBase {
       assert(est <= c + (0.01 * n).toLong + 1, s"overcount for $k: $est vs $c (n=$n)")
     }
   }
+
+  test("portable HLL: n_exact is truly exact and n_hll lands within ~3 rsd of it") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (s"g${i % 2}", i)).toDF("g", "v")
+    val out = Sketches.hllDistinct(df, Seq("g"), col("v"), p = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("g0")._1 == 2500 && out("g1")._1 == 2500)
+    val rsd = 1.04 / math.sqrt(256)
+    out.foreach { case (g, (exact, est)) =>
+      assert(math.abs(est - exact).toDouble / exact <= 3 * rsd,
+        s"group $g: est=$est exact=$exact")
+    }
+  }
+
+  test("portable HLL is bit-deterministic across partitionings and duplication") {
+    import spark.implicits._
+    val df = (1L to 3000L).map(i => (s"g${i % 3}", i % 700)).toDF("g", "v")
+    val a = Sketches.hllDistinct(df, Seq("g"), col("v"), p = 6)
+      .collect().map(_.toSeq).toSet
+    // duplicates can't move a distinct sketch; partitioning can't either
+    val b = Sketches.hllDistinct(df.union(df).repartition(13), Seq("g"), col("v"), p = 6)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
