@@ -1227,6 +1227,23 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Integer-exact PageRank over the part co-purchase graph (parts
+    // sharing an order, both directions): two full iterations in
+    // scaled-integer floor-division arithmetic, bit-identical to the
+    // DuckDB HUGEINT re-derivation — float PageRank could never be
+    // hash-gated like this (q75 k-means discipline, applied to graphs).
+    "q93_copurchase_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
+      val edges = a.join(b, "l_orderkey")
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      graft.ops.PageRank.pageRank(edges, "src", "dst", iterations = 2)
+        .withColumnRenamed("id", "part")
+        .orderBy(col("part"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -2531,5 +2548,26 @@ object SparkEntry {
                 CAST((7213::HUGEINT * 1000 * 256 * 256 * 256 * (1::HUGEINT << 61))
                      // ((10000::HUGEINT * (1000*256 + 1079)) * (s_occ + (256 - used) * (1::HUGEINT << 61))) AS BIGINT) AS n_hll,
                 used AS used_buckets
-         FROM agg ORDER BY event_type""")
+         FROM agg ORDER BY event_type""",
+
+    "q93_copurchase_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                        FROM lineitem a JOIN lineitem b
+                          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         nodes AS (SELECT DISTINCT src AS id FROM pairs),
+         deg AS (SELECT src, COUNT(*)::HUGEINT AS d FROM pairs GROUP BY 1),
+         r1 AS (SELECT n.id,
+                       150000000000::HUGEINT + COALESCE(SUM((1000000000000::HUGEINT * 85) // (100 * d.d)), 0) AS r
+                FROM nodes n
+                LEFT JOIN pairs e ON e.dst = n.id
+                LEFT JOIN deg d ON d.src = e.src
+                GROUP BY n.id),
+         r2 AS (SELECT n.id,
+                       150000000000::HUGEINT + COALESCE(SUM((r.r * 85) // (100 * d.d)), 0) AS r
+                FROM nodes n
+                LEFT JOIN pairs e ON e.dst = n.id
+                LEFT JOIN deg d ON d.src = e.src
+                LEFT JOIN r1 r ON r.id = e.src
+                GROUP BY n.id)
+         SELECT id AS part, CAST(r AS BIGINT) AS pr FROM r2 ORDER BY id""")
 }

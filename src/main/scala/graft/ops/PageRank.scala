@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Fixed-iteration PageRank in scaled-integer arithmetic.
+  *
+  * Ranks live as integers scaled by 10^12 and every contribution is a
+  * floor division — `(r * 85) DIV (100 * outdeg)` — so the result is
+  * associative, partition-order-free and bit-identical on any engine
+  * with 128-bit integer division (q93 pins two full iterations against
+  * a DuckDB HUGEINT re-derivation, the same oracle discipline as the
+  * q75 k-means fit). Float PageRank can't be gated this way: sum order
+  * changes the last ulps. The deliberate approximation — each division
+  * floors away < 1 unit of 10^-12 rank mass per edge — is identical in
+  * both engines by construction.
+  *
+  * Semantics: damping 0.85 with a per-node base of 0.15·scale;
+  * dangling-node mass (nodes with no out-edges) is dropped rather than
+  * redistributed — the standard simplification, documented here
+  * because it slightly deflates total mass; ranks still order
+  * correctly. One iteration = join edges→ranks on src, one
+  * sum-aggregate keyed by dst, one left join back to the node set.
+  *
+  * Scale shape: the edge+degree relation is built once, materialised,
+  * and reused every iteration (at cluster scale, pre-partition it by
+  * src so the per-iteration join co-locates; ranks are |nodes| rows —
+  * small next to edges — and AQE broadcasts them when they fit). Rank
+  * lineage is cut per iteration via `materialize` (default
+  * localCheckpoint; swap in reliable checkpoint() for long chains on
+  * real clusters, as with [[Sampling.budgetSelect]]). */
+object PageRank {
+
+  /** Per-node scaled PageRank after `iterations` rounds. Output:
+    * (id, pr) where pr ≈ rank·10^12 as a long. Edges are directed;
+    * pass both directions for an undirected graph. */
+  def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int,
+               materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val dec = DecimalType(38, 0)
+    val scale = lit(1000000000000L).cast(dec)
+    val base = lit(150000000000L).cast(dec)
+    val edges = edges0.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val withDeg = materialize(
+      edges.join(edges.groupBy(col("__src")).agg(count(lit(1)).as("__deg")), "__src"))
+    val nodes = edges.select(col("__src").as("id"))
+      .union(edges.select(col("__dst"))).distinct()
+    var ranks = nodes.withColumn("__r", scale)
+    for (_ <- 1 to iterations) {
+      val contribs = withDeg.join(ranks, withDeg("__src") === ranks("id"))
+        .select(col("__dst").as("id"),
+          expr("CAST((__r * CAST(85 AS DECIMAL(38,0))) DIV (CAST(100 AS DECIMAL(38,0)) * __deg) AS DECIMAL(38,0))").as("__c"))
+        .groupBy(col("id")).agg(sum(col("__c")).as("__in"))
+      ranks = materialize(nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"), (base + coalesce(col("__in"), lit(0).cast(dec))).as("__r")))
+    }
+    ranks.select(col("id"), col("__r").cast("long").as("pr"))
+  }
+}
