@@ -114,4 +114,38 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.linesIterator.count(_.contains("+- Expand ")) == 1, p.take(3000))
     assert(!p.contains("Union"), p.take(3000))
   }
+
+  test("bloom decontamination probes by broadcast — corpus grams never sort-merge-joined") {
+    // the set-bit position table is the filter; probing must be a
+    // map-side broadcast join exactly like q55's exact-gram variant
+    val p = plan("q91_bloom_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("portable HLL is the classic two-level partial-agg shape") {
+    // both aggregations must run partial (map-side combine) before
+    // their exchange — the register table is the only shuffled state,
+    // and no join/window/sort sneaks into a pure sketch plan
+    val p = plan("q92_hll_user_days")
+    assert(p.contains("partial_"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    // count distinct riding the same pass adds its expand-style
+    // rewrite, but everything stays HashAggregate + Exchange only
+    assert(!p.contains("WindowExec"), p.take(3000))
+  }
+
+  test("pagerank contribution sums aggregate partially before the dst shuffle") {
+    // the gated plan hides iteration subtrees behind the localCheckpoint
+    // cuts, so pin the operator with materialization disabled: the
+    // per-iteration contribution aggregate must map-side combine — at
+    // 100 TB the edge relation is the big side and only partial sums
+    // may cross the wire keyed by dst
+    import spark.implicits._
+    val edges = (1L to 100L).map(i => (i % 13, (i * 5) % 13)).filter(p => p._1 != p._2)
+      .toDF("src", "dst").distinct()
+    val p = graft.ops.PageRank.pageRank(edges, "src", "dst", 2, materialize = identity)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"), p.take(3000))
+  }
 }
