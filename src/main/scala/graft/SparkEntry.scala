@@ -1244,6 +1244,35 @@ object SparkEntry {
         .orderBy(col("part"))
     }),
 
+    // Native sliding windows: Spark's window(ts, 15m, 5m) — every event
+    // lands in exactly 3 overlapping windows — against an oracle that
+    // reconstructs the slide-aligned starts arithmetically from the
+    // epoch (the two formulations must agree bucket-for-bucket).
+    "q94_sliding_windows" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "15 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // Rank-analytics trio — ntile quartiles, percent_rank, cume_dist —
+    // over a unique (acctbal, custkey) order so every rank is
+    // deterministic; the two ratio functions divide small exact
+    // integers, so even the doubles match bit-for-bit.
+    "q95_rank_analytics" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -2569,5 +2598,23 @@ object SparkEntry {
                 LEFT JOIN deg d ON d.src = e.src
                 LEFT JOIN r1 r ON r.id = e.src
                 GROUP BY n.id)
-         SELECT id AS part, CAST(r AS BIGINT) AS pr FROM r2 ORDER BY id""")
+         SELECT id AS part, CAST(r AS BIGINT) AS pr FROM r2 ORDER BY id""",
+
+    "q94_sliding_windows" ->
+      """WITH x AS (SELECT event_type, value,
+                           (CAST(floor(epoch(ts) / 300) AS BIGINT) - j) * 300 AS ws
+                    FROM events, UNNEST([0,1,2]) AS t(j))
+         SELECT make_timestamp(ws * 1000000) AS win_start, event_type,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""",
+
+    "q95_rank_analytics" ->
+      """SELECT c_mktsegment, c_custkey,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_mktsegment, c_custkey""")
 }

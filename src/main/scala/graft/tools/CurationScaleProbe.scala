@@ -88,6 +88,27 @@ object CurationScaleProbe {
         graft.functions.VectorFunctions.assignBuckets(
           emb, col("embedding"), c, "cluster").count()
       }
+      time(s"bloomContamination x$k") {
+        // bench fixed while the corpus grows: probe cost must track the
+        // corpus-side gram volume, never the filter build
+        graft.ops.Decontaminate.bloomContamination(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs0.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 5, mBits = 1 << 18, kHashes = 3).count()
+      }
+      time(s"hllDistinct x$k") {
+        graft.ops.Sketches.hllDistinct(docs, Seq("lang"),
+          col("doc_id") % 100000, p = 8).count()
+      }
+      time(s"pagerank(2) x$k") {
+        // doc-similarity-shaped graph: synthetic bounded-degree edges
+        // over the grown id space (each id links to 8 neighbours)
+        val ids = docs.select(col("doc_id").as("src"))
+        val edges = ids.select(col("src"), explode(array((1 to 8).map(lit(_)): _*)).as("__o"))
+          .select(col("src"), ((col("src") + col("__o") * 97) % (nDocs0 * k)).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        graft.ops.PageRank.pageRank(edges, "src", "dst", iterations = 2).count()
+      }
     }
     spark.stop()
   }
