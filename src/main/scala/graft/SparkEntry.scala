@@ -1273,6 +1273,42 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"), col("c_custkey"))
     }),
 
+    // Frequent co-purchase pairs (A-priori level 2): part pairs sharing
+    // >= 3 distinct orders. At 100 TB you'd cap per-order item count
+    // first (the pair explosion is quadratic per order); the count is
+    // distinct-keyed so duplicate lines can't inflate support.
+    "q96_frequent_pairs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
+      a.join(b, "l_orderkey").filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        .filter(col("n_orders") >= 3)
+        .orderBy(col("p1"), col("p2"))
+    }),
+
+    // Ordered funnel with a conversion window: first view, first click
+    // within a day of it, first purchase within a day of that — per
+    // user, with nullable stage timestamps. Timestamps are truncated to
+    // milliseconds on BOTH sides so the µs-vs-ns storage split between
+    // the engines can't flip a strict comparison at the margin.
+    "q97_funnel" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        date_trunc("millisecond", col("ts")).as("ts"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + expr("INTERVAL 1 DAY"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + expr("INTERVAL 1 DAY"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+        .orderBy(col("user_id"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -2616,5 +2652,27 @@ object SparkEntry {
                 cume_dist() OVER w AS cd
          FROM customer
          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
-         ORDER BY c_mktsegment, c_custkey""")
+         ORDER BY c_mktsegment, c_custkey""",
+
+    "q96_frequent_pairs" ->
+      """SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                COUNT(DISTINCT a.l_orderkey) AS n_orders
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 3
+         ORDER BY p1, p2""",
+
+    "q97_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, date_trunc('millisecond', ts) AS ts FROM events),
+         s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                  AND e.ts <= s1.t1 + INTERVAL 1 DAY GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                  AND e.ts <= s2.t2 + INTERVAL 1 DAY GROUP BY 1)
+         SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                 LEFT JOIN s3 ON s1.user_id = s3.user_id
+         ORDER BY s1.user_id""")
 }
