@@ -1309,6 +1309,42 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Gap-based sessionization + per-session rollup (TimeSeries
+    // .sessionize/sessionStats): one window pass keyed by user, 30-min
+    // gap, explicit event_id tie-break. Timestamps truncated to ms on
+    // both sides (same µs-vs-ns margin guard as q97).
+    "q98_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), date_trunc("millisecond", col("ts")).as("ts"))
+      graft.ops.TimeSeries.sessionStats(e, "user_id", "ts", "event_id",
+        "event_type", gapSeconds = 1800)
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // First-order (Markov) state-transition statistics: lead() per user,
+    // then one global (from,to) count; p is a single IEEE division of
+    // two exact longs, so the doubles hash-match across engines.
+    "q99_transitions" -> ((s, dir) => {
+      graft.ops.TimeSeries.transitions(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+        .orderBy(col("from_state"), col("to_state"))
+    }),
+
+    // Fixed-step gap-fill with LOCF: 6-hour buckets per user between
+    // that user's first and last bucket; missing buckets carry
+    // total_value forward and flag observed=false. The spine is a pure
+    // sequence()+explode — its size IS the output size, no driver loop.
+    // n is coalesced to 0 on both sides (nullable-int → float64 dtype
+    // decay guard).
+    "q100_gapfill_locf" -> ((s, dir) => {
+      graft.ops.TimeSeries.gapFillLocf(t(s, dir, "events"), "user_id", "ts",
+        stepSeconds = 21600,
+        aggs = Seq(count(lit(1)).as("n"), dsum(col("value")).as("total_value")),
+        locfCols = Seq("total_value"))
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -2674,5 +2710,54 @@ object SparkEntry {
          SELECT s1.user_id, s1.t1, s2.t2, s3.t3
          FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
                  LEFT JOIN s3 ON s1.user_id = s3.user_id
-         ORDER BY s1.user_id""")
+         ORDER BY s1.user_id""",
+
+    "q98_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           date_trunc('millisecond', ts) AS ts FROM events),
+         f AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                              THEN 1 ELSE 0 END AS is_new
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         g AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+               FROM f),
+         h AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                   ORDER BY ts, event_id) AS rn FROM g)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+                MIN(ts) AS session_start, MAX(ts) AS session_end,
+                arg_min(event_type, rn) AS first_state,
+                arg_max(event_type, rn) AS last_state
+         FROM h GROUP BY 1, 2 ORDER BY user_id, session_id""",
+
+    "q99_transitions" ->
+      """WITH p AS (SELECT event_type AS from_state,
+                           lead(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS to_state
+                    FROM events),
+         c AS (SELECT from_state, to_state, COUNT(*) AS n
+               FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+         w AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT) AS n_from
+               FROM c)
+         SELECT from_state, to_state, n, n_from,
+                CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+         FROM w ORDER BY from_state, to_state""",
+
+    "q100_gapfill_locf" ->
+      """WITH o AS (SELECT user_id,
+                           make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS bucket,
+                           COUNT(*) AS n,
+                           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+                    FROM events GROUP BY 1, 2),
+         s AS (SELECT user_id, UNNEST(generate_series(MIN(bucket), MAX(bucket),
+                        INTERVAL 21600 SECOND)) AS bucket
+               FROM o GROUP BY user_id),
+         j AS (SELECT s.user_id, s.bucket, o.n, o.total_value,
+                      o.n IS NOT NULL AS observed
+               FROM s LEFT JOIN o ON s.user_id = o.user_id AND s.bucket = o.bucket)
+         SELECT user_id, bucket, COALESCE(n, 0) AS n,
+                last_value(total_value IGNORE NULLS) OVER (PARTITION BY user_id
+                  ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS total_value,
+                observed
+         FROM j ORDER BY user_id, bucket""")
 }

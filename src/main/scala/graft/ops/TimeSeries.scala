@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over keyed event streams: gap-based
+  * sessionization, first-order (Markov) transition statistics, and
+  * fixed-step gap-fill with last-observation-carried-forward.
+  *
+  * Scale notes (100 TB): every operator here is a single window pass
+  * partitioned by the entity key — one hash shuffle on the key, then
+  * a per-partition sort. No driver-side state, no collect. Key
+  * cardinality (users, series) is the parallelism unit, so skewed
+  * entities (one user with 10^8 events) are the hazard; sessionize and
+  * transitions only need (ts, tie, state) per row, so project early —
+  * the sort buffer per key stays a few bytes per event.
+  *
+  * Determinism: all orderings take an explicit unique tie-break column
+  * so same-timestamp events sort identically in any engine; emitted
+  * ratios are single IEEE divisions of exact integer counts (bit-equal
+  * across engines); no floating accumulation anywhere.
+  */
+object TimeSeries {
+
+  /** Assign gap-based sessions: a new session starts when the time
+    * since the previous event of the same key exceeds `gapSeconds`.
+    * Output: input columns + `session_id` (1-based, per key, in event
+    * order). The canonical sessionization used by web analytics; the
+    * reference's event pipeline leaves this to its warehouse layer
+    * (dot/transforms SQL); here it is one window pass.
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    // Gap test in exact microseconds: timestamp -> long is epoch-micros
+    // arithmetic in Spark, no float rounding at any scale.
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val isNew = when(prevTs.isNull, 1L)
+      .when(unix_micros(col(tsCol)) - unix_micros(prevTs) > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("__new", isNew)
+      .withColumn("session_id", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+
+  /** Per-session rollup on top of [[sessionize]]: one row per (key,
+    * session) with event count, span, and first/last state. */
+  def sessionStats(events: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, stateCol: String, gapSeconds: Long): DataFrame = {
+    val sess = sessionize(events, keyCol, tsCol, tieCol, gapSeconds)
+    val w = Window.partitionBy(col(keyCol), col("session_id"))
+      .orderBy(col(tsCol), col(tieCol))
+    sess
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        max(when(col("__rn") === 1, col(stateCol))).as("first_state"),
+        max(struct(col("__rn"), col(stateCol))).getField(stateCol).as("last_state"))
+  }
+
+  /** First-order transition statistics: for each ordered adjacent pair
+    * of states within a key, the transition count and its probability
+    * among all transitions leaving `from_state`. The probability is a
+    * single IEEE division of two exact counts — bit-identical in any
+    * engine. Rows never cross keys (lead is per-key).
+    */
+  def transitions(events: DataFrame, keyCol: String, tsCol: String,
+                  tieCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(keyCol), col(tsCol), col(tieCol), col(stateCol).as("from_state"))
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .filter(col("to_state").isNotNull)
+    val counts = pairs.groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("from_state"))
+    counts
+      .withColumn("n_from", sum(col("n")).over(totals))
+      .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
+  }
+
+  /** Fixed-step gap-fill with LOCF: bucket events to `stepSeconds`,
+    * aggregate per (key, bucket), then produce one row per key per step
+    * between that key's first and last bucket — missing buckets carry
+    * the last observed aggregate forward and are flagged
+    * `observed = false`.
+    *
+    * The spine is `sequence(min, max, step)` exploded per key — pure
+    * generate, no driver loop; its size is (span/step)·keys, which is
+    * the OUTPUT size, so it cannot blow up beyond what the caller asked
+    * for. LOCF is one running `last(ignoreNulls)` window per key.
+    *
+    * @param aggs aggregate columns over the raw events within a bucket
+    *             (must be exact/deterministic if the result is gated).
+    */
+  def gapFillLocf(events: DataFrame, keyCol: String, tsCol: String,
+                  stepSeconds: Long, aggs: Seq[Column],
+                  locfCols: Seq[String]): DataFrame = {
+    val step = stepSeconds * 1000000L // micros
+    // Exact long arithmetic (Column `/` on longs is DOUBLE division,
+    // whose rounding at a bucket boundary could disagree with an
+    // engine doing integer floor); epoch-micros are positive so
+    // subtract-pmod == floor-to-step.
+    val micros = unix_micros(col(tsCol))
+    val bucket = timestamp_micros(micros - pmod(micros, lit(step)))
+    val observed = events
+      .withColumn("bucket", bucket)
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+    val spine = observed
+      .groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"),
+        expr(s"INTERVAL $stepSeconds SECONDS"))).as("bucket"))
+    val joined = spine.join(observed, Seq(keyCol, "bucket"), "left")
+      .withColumn("observed", observed.columns
+        .find(c => c != keyCol && c != "bucket")
+        .map(c => col(c).isNotNull).getOrElse(lit(true)))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    locfCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+}

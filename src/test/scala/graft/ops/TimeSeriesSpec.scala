@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // (user, event_id, ts, state) — user 1 has a 90s gap splitting two
+  // sessions; user 2 is one session; a same-timestamp pair checks the
+  // tie-break.
+  private lazy val events = Seq(
+    (1L, 10L, "2024-01-01 00:00:00", "view"),
+    (1L, 11L, "2024-01-01 00:00:30", "click"),
+    (1L, 12L, "2024-01-01 00:02:00", "view"),     // 90s gap -> new session
+    (1L, 13L, "2024-01-01 00:02:10", "purchase"),
+    (2L, 20L, "2024-01-01 00:00:05", "view"),
+    (2L, 22L, "2024-01-01 00:00:05", "error"),    // ts tie: event_id orders
+    (2L, 21L, "2024-01-01 00:00:05", "click")
+  ).toDF("user_id", "event_id", "ts_s", "state")
+    .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+
+  test("sessionize splits on gap > threshold, per key, 1-based") {
+    val out = TimeSeries.sessionize(events, "user_id", "ts", "event_id", 60L)
+      .select("user_id", "event_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 10L)) == 1L && out((1L, 11L)) == 1L)
+    assert(out((1L, 12L)) == 2L && out((1L, 13L)) == 2L)
+    assert(out((2L, 20L)) == 1L && out((2L, 21L)) == 1L && out((2L, 22L)) == 1L)
+  }
+
+  test("sessionStats rolls up count, span, first/last state with tie-break") {
+    val out = TimeSeries.sessionStats(events, "user_id", "ts", "event_id",
+        "state", 60L)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    val Array(s11, s12, s21) = out
+    assert(s11.getLong(0) == 1L && s11.getLong(1) == 1L)
+    assert(s11.getAs[Long]("n_events") == 2L)
+    assert(s11.getAs[String]("first_state") == "view")
+    assert(s11.getAs[String]("last_state") == "click")
+    assert(s12.getAs[Long]("n_events") == 2L)
+    assert(s12.getAs[java.sql.Timestamp]("session_start") == ts("2024-01-01 00:02:00"))
+    assert(s12.getAs[java.sql.Timestamp]("session_end") == ts("2024-01-01 00:02:10"))
+    // user 2: three same-ts events — event_id 20 first, 22 last
+    assert(s21.getAs[String]("first_state") == "view")
+    assert(s21.getAs[String]("last_state") == "error")
+  }
+
+  test("transitions counts adjacent pairs per key and normalizes per from_state") {
+    // user 1: view->click, click->view, view->purchase
+    // user 2 (event_id order): view->click, click->error
+    val out = TimeSeries.transitions(events, "user_id", "ts", "event_id", "state")
+      .collect().map(r => (r.getAs[String]("from_state"), r.getAs[String]("to_state")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_from"), r.getAs[Double]("p"))).toMap
+    assert(out(("view", "click")) == ((2L, 3L, 2.0 / 3.0)))
+    assert(out(("view", "purchase")) == ((1L, 3L, 1.0 / 3.0)))
+    assert(out(("click", "view")) == ((1L, 2L, 0.5)))
+    assert(out(("click", "error")) == ((1L, 2L, 0.5)))
+    assert(out.size == 4)
+  }
+
+  test("gapFillLocf fills missing steps, carries value forward, flags observed") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:10", 5.0),
+      (1L, "2024-01-01 02:00:10", 7.0), // buckets 00,02 observed; 01 missing
+      (2L, "2024-01-01 05:30:00", 9.0)  // single bucket
+    ).toDF("user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = TimeSeries.gapFillLocf(df, "user_id", "ts", 3600L,
+        aggs = Seq(count(lit(1)).as("n"), sum(col("value")).as("v")),
+        locfCols = Seq("v"))
+      .orderBy("user_id", "bucket").collect()
+    assert(out.length == 4)
+    val gap = out(1) // user 1, 01:00 bucket
+    assert(gap.getAs[java.sql.Timestamp]("bucket") == ts("2024-01-01 01:00:00"))
+    assert(!gap.getAs[Boolean]("observed"))
+    assert(gap.isNullAt(gap.fieldIndex("n")))
+    assert(gap.getAs[Double]("v") == 5.0) // carried forward
+    assert(out(2).getAs[Double]("v") == 7.0 && out(2).getAs[Boolean]("observed"))
+    assert(out(3).getAs[Long]("user_id") == 2L &&
+      out(3).getAs[java.sql.Timestamp]("bucket") == ts("2024-01-01 05:00:00"))
+  }
+
+  test("bucket alignment is exact long arithmetic at step boundaries") {
+    // ts exactly on a boundary must land in its own bucket, not the
+    // previous one (the double-division formulation could round here).
+    val df = Seq((1L, "2024-01-01 06:00:00", 1.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = TimeSeries.gapFillLocf(df, "user_id", "ts", 21600L,
+      aggs = Seq(count(lit(1)).as("n")), locfCols = Nil).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[java.sql.Timestamp]("bucket") == ts("2024-01-01 06:00:00"))
+  }
+}
