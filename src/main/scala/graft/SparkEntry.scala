@@ -1345,6 +1345,69 @@ object SparkEntry {
         .orderBy(col("user_id"), col("bucket"))
     }),
 
+    // Distributed TF-IDF (TfIdf.tfidf): two shuffles (doc-term tf agg,
+    // term-key df join) + a broadcast 1-row doc count. tf/df/n_docs are
+    // exact longs; the ln-based score is gated QUANTIZED to 1e-4
+    // (floor(x·10⁴+0.5)) because ln is not bit-identical across
+    // engines (measured 1-ulp divergence on ~0.1–7.5% of n/df inputs
+    // depending on libm) — a 1-ulp input flips the quantum with
+    // probability ~1e-9/row.
+    "q101_tfidf" -> ((s, dir) => {
+      graft.ops.TfIdf.tfidf(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("tf") >= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("n_docs"),
+          floor(col("tfidf") * 10000 + 0.5).cast("long").as("score_q"))
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
+    // Exact triangle counts on the ≥2-support co-purchase graph via
+    // degree orientation (out-degree bounded by O(√m), so the wedge
+    // self-join survives hub nodes); the oracle reformulates with the
+    // naive a<b<c three-way join — two independent derivations of the
+    // same integers.
+    "q102_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
+      val edges = a.join(b, "l_orderkey").filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select(col("p1"), col("p2"))
+      graft.ops.Triangles.triangleCounts(edges, "p1", "p2")
+        .withColumnRenamed("id", "part")
+        .orderBy(col("part"))
+    }),
+
+    // Per-group z-score outliers (Outliers.zscoreOutliers): decimal-
+    // exact sufficient stats surfaced once as doubles, then a fixed
+    // IEEE dag (÷ × − sqrt are all correctly rounded — no
+    // transcendentals), so mean/sd/z hash-match bit-for-bit and the
+    // |z|>2.5 cut can't straddle engines.
+    "q103_outliers" -> ((s, dir) => {
+      graft.ops.Outliers.zscoreOutliers(t(s, dir, "events"),
+        "event_type", "value", threshold = 2.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("grp_mean"), col("grp_sd"), col("z"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Skew-salted equi-join (SkewJoin.saltedJoin, 8 salts): the oracle
+    // is the PLAIN join — proving the salt only reshapes the partition
+    // histogram, never the result. Salt is a deterministic hash (no
+    // rand(): stage retries reproduce it).
+    "q104_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.SkewJoin.saltedJoin(li, ord,
+        keys = Seq("l_orderkey"), saltOn = Seq("l_linenumber"), salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -2759,5 +2822,56 @@ object SparkEntry {
                 last_value(total_value IGNORE NULLS) OVER (PARTITION BY user_id
                   ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS total_value,
                 observed
-         FROM j ORDER BY user_id, bucket""")
+         FROM j ORDER BY user_id, bucket""",
+
+    "q101_tfidf" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS term
+                      FROM documents),
+         tt AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tt GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(doc_id) AS n_docs FROM documents)
+         SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+                CAST(floor(CAST(tf.tf AS DOUBLE)
+                  * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+                  * 10000 + 0.5) AS BIGINT) AS score_q
+         FROM tf JOIN df USING (term) CROSS JOIN n
+         WHERE tf.tf >= 3
+         ORDER BY doc_id, term""",
+
+    "q102_triangles" ->
+      """WITH e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+                    FROM lineitem a JOIN lineitem b
+                      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                    GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                 FROM e e1 JOIN e e2 ON e1.v = e2.u
+                           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+                     UNION ALL SELECT c FROM tri)
+         SELECT id AS part, COUNT(*) AS n_triangles
+         FROM corners GROUP BY 1 ORDER BY part""",
+
+    "q103_outliers" ->
+      """WITH st AS (SELECT event_type, COUNT(value) AS n,
+                            CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS s1,
+                            CAST(SUM(CAST(value AS DECIMAL(9,2))
+                                   * CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS s2
+                     FROM events GROUP BY 1),
+         m AS (SELECT event_type,
+                      s1 / CAST(n AS DOUBLE) AS grp_mean,
+                      sqrt(s2 / CAST(n AS DOUBLE)
+                        - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) AS grp_sd
+               FROM st)
+         SELECT e.event_id, e.event_type, e.value, m.grp_mean, m.grp_sd,
+                (e.value - m.grp_mean) / m.grp_sd AS z
+         FROM events e JOIN m USING (event_type)
+         WHERE abs((e.value - m.grp_mean) / m.grp_sd) > 2.5
+         ORDER BY e.event_id""",
+
+    "q104_salted_join" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS n,
+                CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY 1 ORDER BY 1""")
 }
