@@ -1408,6 +1408,119 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // SCD Type-2 history build (Scd.scd2FromEvents): collapse each
+    // per-user run of identical states into one [valid_from, valid_to)
+    // interval — the dbt-snapshot shape. lag-run window, per-run agg
+    // and the lead window all cluster on user_id, so the plan carries
+    // ONE hash exchange end-to-end (PlanShapeSpec-pinned). ms-truncated
+    // timestamps (µs-vs-ns margin guard, as q97/q98).
+    "q105_scd2" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), date_trunc("millisecond", col("ts")).as("ts"))
+      graft.ops.Scd.scd2FromEvents(e, "user_id", "ts", "event_id", "event_type")
+        .orderBy(col("user_id"), col("version"))
+    }),
+
+    // CDC MERGE apply (CdcMerge.mergeApply): latest event per user is
+    // the change batch (error→D delete, else U full-row upsert; key
+    // user_id·12+1 so some keys land outside the base — the insert
+    // path). The base table is touched by ONE broadcast anti-join and
+    // never shuffles; the oracle recomputes MERGE relationally.
+    "q106_cdc_merge" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .withColumn("c_nationkey", col("c_nationkey").cast("long"))
+      val latest = Relational.keepLatest(t(s, dir, "events"),
+        Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+      val changes = latest.select(
+        (col("user_id") * 12 + 1).as("c_custkey"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        concat(lit("CDC-"), (col("user_id") * 12 + 1).cast("string")).as("c_name"),
+        ((col("user_id") * 12 + 1) % 25).as("c_nationkey"),
+        col("value").as("c_acctbal"),
+        lit("CDC").as("c_mktsegment"))
+      graft.ops.CdcMerge.mergeApply(base, changes, "c_custkey")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Bigram PMI collocations (Collocations.pmiBigrams): bigrams form
+    // INSIDE the row (token list zipped with its own tail — no
+    // positional self-join), counts are exact longs, and the ln-based
+    // pmi is gated quantized to 1e-4 (same libm-portability rule as
+    // q101's tf-idf).
+    "q107_pmi_bigrams" -> ((s, dir) => {
+      graft.ops.Collocations.pmiBigrams(t(s, dir, "documents"),
+        "doc_id", "text", minCount = 5L)
+        .select(col("t1"), col("t2"), col("c_ab"), col("c_a"), col("c_b"),
+          col("n_tokens"), col("n_bigrams"),
+          floor(col("pmi") * 10000 + 0.5).cast("long").as("pmi_q"))
+        .orderBy(col("t1"), col("t2"))
+    }),
+
+    // Bounded multi-source BFS (Bfs.hopDistance): hop distance ≤3 from
+    // the p_partkey%50=0 seed set over the ≥2-support co-purchase
+    // graph (q102's edges). Pregel-shaped driver loop over DEPTH — each
+    // superstep one frontier⋈edges join + anti-join vs visited; the
+    // oracle walks the same graph with WITH RECURSIVE + MIN(hop).
+    "q108_bfs_hops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
+      val edges = a.join(b, "l_orderkey").filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select(col("p1"), col("p2"))
+      val sources = t(s, dir, "part").filter(col("p_partkey") % 50 === 0)
+        .select(col("p_partkey"))
+      graft.ops.Bfs.hopDistance(edges, sources, "p1", "p2", maxHops = 3)
+        .withColumnRenamed("id", "part")
+        .withColumn("hops", col("hops").cast("long"))
+        .orderBy(col("part"))
+    }),
+
+    // Equi-width histogram: 20 global-range bins per event_type. The
+    // bin index is a fixed IEEE dag (two subs, one div, one mul, floor
+    // — all correctly rounded, no transcendentals) so bin edges can't
+    // straddle engines; the max value is clamped into the top bin.
+    "q109_histogram" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val mm = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      e.crossJoin(broadcast(mm))
+        .withColumn("bin",
+          least(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 20)
+            .cast("long"), lit(19L)))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
+    // Winsorized per-segment mean: p05/p95 picked by SORT POSITION
+    // (row_number = ceil(q·n) — actual data values, no interpolation,
+    // engine-independent), then an exact decimal sum of the clipped
+    // column. The clip bounds join back as a broadcast.
+    "q110_winsorize" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("c_mktsegment"))
+      val bounds = c
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          min(when(col("rn") === ceil(lit(0.05) * col("n")).cast("long"),
+            col("c_acctbal"))).as("lo"),
+          min(when(col("rn") === ceil(lit(0.95) * col("n")).cast("long"),
+            col("c_acctbal"))).as("hi"),
+          min(col("n")).as("n"))
+      c.join(broadcast(bounds), "c_mktsegment")
+        .groupBy(col("c_mktsegment"), col("lo"), col("hi"), col("n"))
+        .agg(dsum(when(col("c_acctbal") < col("lo"), col("lo"))
+          .when(col("c_acctbal") > col("hi"), col("hi"))
+          .otherwise(col("c_acctbal"))).as("wsum"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -2873,5 +2986,114 @@ object SparkEntry {
       """SELECT o.o_orderpriority, COUNT(*) AS n,
                 CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+
+    "q105_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           date_trunc('millisecond', ts) AS ts FROM events),
+         f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                                OR lag(event_type) OVER w <> event_type
+                              THEN 1 ELSE 0 END AS chg
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         g AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+               FROM f),
+         runs AS (SELECT user_id, version, MIN(event_type) AS event_type,
+                         MIN(ts) AS valid_from, COUNT(*) AS n_events
+                  FROM g GROUP BY 1, 2)
+         SELECT user_id, version, event_type, valid_from,
+                lead(valid_from) OVER w2 AS valid_to,
+                lead(valid_from) OVER w2 IS NULL AS is_current,
+                n_events
+         FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+         ORDER BY user_id, version""",
+
+    "q106_cdc_merge" ->
+      """WITH le AS (SELECT user_id, event_type, value,
+                            row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+                     FROM events),
+         ch AS (SELECT user_id * 12 + 1 AS k,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                       value
+                FROM le WHERE rn = 1)
+         SELECT c.c_custkey, c.c_name, CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+                c.c_acctbal, c.c_mktsegment
+         FROM customer c LEFT JOIN ch ON c.c_custkey = ch.k WHERE ch.k IS NULL
+         UNION ALL
+         SELECT k, 'CDC-' || CAST(k AS VARCHAR), k % 25, value, 'CDC'
+         FROM ch WHERE op = 'U'
+         ORDER BY c_custkey""",
+
+    "q107_pmi_bigrams" ->
+      """WITH toks AS (SELECT doc_id,
+                              list_filter(string_split_regex(text, '\s+'),
+                                          x -> length(x) > 0) AS ts
+                       FROM documents),
+         u AS (SELECT doc_id, unnest(ts) AS term,
+                      generate_subscripts(ts, 1) AS ord FROM toks),
+         uni AS (SELECT term, COUNT(*) AS c FROM u GROUP BY 1),
+         big AS (SELECT a.term AS t1, b.term AS t2
+                 FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+         counts AS (SELECT t1, t2, COUNT(*) AS c_ab FROM big
+                    GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         tot AS (SELECT SUM(len(ts)) AS n_tokens,
+                        SUM(greatest(len(ts) - 1, 0)) AS n_bigrams FROM toks)
+         SELECT c.t1, c.t2, c.c_ab, ua.c AS c_a, ub.c AS c_b,
+                CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+                CAST(tot.n_bigrams AS BIGINT) AS n_bigrams,
+                CAST(floor(ln((CAST(c.c_ab AS DOUBLE) / CAST(tot.n_bigrams AS DOUBLE))
+                     / ((CAST(ua.c AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE))
+                        * (CAST(ub.c AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE))))
+                     * 10000 + 0.5) AS BIGINT) AS pmi_q
+         FROM counts c JOIN uni ua ON c.t1 = ua.term
+                       JOIN uni ub ON c.t2 = ub.term
+                       CROSS JOIN tot
+         ORDER BY t1, t2""",
+
+    "q108_bfs_hops" ->
+      """WITH RECURSIVE e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+                              FROM lineitem a JOIN lineitem b
+                                ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey <> b.l_partkey
+                              GROUP BY 1, 2
+                              HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+         src AS (SELECT DISTINCT p_partkey AS id FROM part WHERE p_partkey % 50 = 0),
+         bfs(id, hops) AS (
+           SELECT id, 0 FROM src
+           UNION
+           SELECT e.v, bfs.hops + 1 FROM bfs JOIN e ON e.u = bfs.id
+           WHERE bfs.hops < 3)
+         SELECT id AS part, CAST(MIN(hops) AS BIGINT) AS hops
+         FROM bfs GROUP BY 1 ORDER BY 1""",
+
+    "q109_histogram" ->
+      """WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+         SELECT e.event_type,
+                least(CAST(floor((e.value - mm.lo) / (mm.hi - mm.lo) * 20) AS BIGINT),
+                      19) AS bin,
+                COUNT(*) AS n
+         FROM events e CROSS JOIN mm
+         GROUP BY 1, 2 ORDER BY event_type, bin""",
+
+    "q110_winsorize" ->
+      """WITH r AS (SELECT c_mktsegment, c_acctbal,
+                           row_number() OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey) AS rn,
+                           COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+                    FROM customer),
+         b AS (SELECT c_mktsegment,
+                      MIN(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                               THEN c_acctbal END) AS lo,
+                      MIN(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                               THEN c_acctbal END) AS hi,
+                      MIN(n) AS n
+               FROM r GROUP BY 1)
+         SELECT c.c_mktsegment, b.lo, b.hi, b.n,
+                CAST(SUM(CAST(CASE WHEN c.c_acctbal < b.lo THEN b.lo
+                                   WHEN c.c_acctbal > b.hi THEN b.hi
+                                   ELSE c.c_acctbal END AS DECIMAL(18,4)))
+                     AS DOUBLE) AS wsum
+         FROM customer c JOIN b USING (c_mktsegment)
+         GROUP BY 1, 2, 3, 4 ORDER BY 1""")
 }
