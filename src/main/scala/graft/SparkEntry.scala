@@ -1424,8 +1424,13 @@ object SparkEntry {
     // CDC MERGE apply (CdcMerge.mergeApply): latest event per user is
     // the change batch (error→D delete, else U full-row upsert; key
     // user_id·12+1 so some keys land outside the base — the insert
-    // path). The base table is touched by ONE broadcast anti-join and
-    // never shuffles; the oracle recomputes MERGE relationally.
+    // path). The base table is touched by ONE anti-join (broadcast by
+    // size stats, not hint) and never shuffles; the oracle recomputes
+    // MERGE relationally. Tie-break precision: keep-latest orders on
+    // (ts DESC, event_id DESC) and the fixture's ts is native µs in
+    // BOTH engines (since the r7 testdata refresh), so the sort keys
+    // compare bit-identically — no truncation guard needed; event_id
+    // breaks exact-µs ties deterministically either way.
     "q106_cdc_merge" -> ((s, dir) => {
       val base = t(s, dir, "customer")
         .withColumn("c_nationkey", col("c_nationkey").cast("long"))
@@ -1482,13 +1487,17 @@ object SparkEntry {
     // bin index is a fixed IEEE dag (two subs, one div, one mul, floor
     // — all correctly rounded, no transcendentals) so bin edges can't
     // straddle engines; the max value is clamped into the top bin.
+    // Degenerate hi==lo range (constant column) → everything in bin 0
+    // explicitly: Spark would NaN-floor to 0 while DuckDB errors, so
+    // both sides guard the divisor the same way.
     "q109_histogram" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val mm = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
       e.crossJoin(broadcast(mm))
         .withColumn("bin",
-          least(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 20)
-            .cast("long"), lit(19L)))
+          when(col("hi") === col("lo"), lit(0L)).otherwise(
+            least(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 20)
+              .cast("long"), lit(19L))))
         .groupBy(col("event_type"), col("bin"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"), col("bin"))
@@ -3070,8 +3079,9 @@ object SparkEntry {
     "q109_histogram" ->
       """WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
          SELECT e.event_type,
-                least(CAST(floor((e.value - mm.lo) / (mm.hi - mm.lo) * 20) AS BIGINT),
-                      19) AS bin,
+                CASE WHEN mm.hi = mm.lo THEN 0
+                     ELSE least(CAST(floor((e.value - mm.lo) / (mm.hi - mm.lo) * 20) AS BIGINT),
+                                19) END AS bin,
                 COUNT(*) AS n
          FROM events e CROSS JOIN mm
          GROUP BY 1, 2 ORDER BY event_type, bin""",

@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -18,13 +19,19 @@ object Tables {
     *    JVM (observed via jstack: CollationAwareUTF8String.<clinit>
     *    looping UCharacter.toTitleCase). The JVM case mapping is
     *    identical for ASCII corpora and matches DuckDB's lower().
-    *  - nanosAsLong: events.ts is a nanosecond parquet timestamp, which
-    *    TimestampType (µs) cannot hold — Spark 4 otherwise rejects the
-    *    column (PARQUET_TYPE_ILLEGAL).
+    *  - nanosAsLong: some generations of events.parquet carry a
+    *    nanosecond parquet timestamp, which TimestampType (µs) cannot
+    *    hold — Spark 4 otherwise rejects the column
+    *    (PARQUET_TYPE_ILLEGAL). Harmless when the column is already µs.
+    *  - session.timeZone=UTC: the fixtures store naive (NTZ) or
+    *    epoch-based instants; pinning UTC makes the NTZ→TIMESTAMP cast
+    *    in `events` value-preserving and keeps Spark/DuckDB oracle
+    *    comparisons timezone-independent.
     */
   def tune(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     // InferFiltersFromGenerate turns explode(f(x)) into a pushed-down
     // `size(f(x)) > 0` pre-filter. For the text/dedup family f is the
     // whole tokenize+shingle pipeline, so the inferred filter re-runs it
@@ -55,16 +62,32 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** The events table carries a nanosecond-precision parquet timestamp,
-    * which Spark's TimestampType (microseconds) cannot hold — Spark 4
-    * rejects the column outright (PARQUET_TYPE_ILLEGAL). Read nanos as
-    * Long (legacy conf) and floor-divide to microseconds, matching what
-    * `CAST(ts_ns AS TIMESTAMP)` does in engines with native ns support.
+  /** Schema-adaptive loader for the events table. The driver has shipped
+    * `ts` in two generations and may regenerate the fixture again, so we
+    * branch on the type the parquet footer actually yields:
+    *
+    *  - nanosecond INT64 timestamp → read as Long under `nanosAsLong`
+    *    (TimestampType is µs and cannot hold it), floor-divide to µs —
+    *    matching `CAST(ts_ns AS TIMESTAMP)` in engines with native ns.
+    *  - naive `timestamp[us]` → arrives as TIMESTAMP_NTZ; cast to
+    *    TimestampType (session TZ pinned to UTC in [[tune]], so the cast
+    *    is value-preserving) so downstream µs/epoch arithmetic and the
+    *    DuckDB oracle comparison behave identically to the ns generation.
+    *  - TimestampType → pass through.
+    *
+    * Every other shape fails loudly rather than silently zeroing the
+    * 22 event-family gates (the round-7 regression mode).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     tune(spark)
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — extend Tables.events for this fixture generation")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

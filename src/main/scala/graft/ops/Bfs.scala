@@ -13,10 +13,18 @@ import org.apache.spark.sql.functions._
   * reachable set and the visited set is the output accumulator — at
   * 1000 executors each superstep is a normal keyed join whose cost
   * tracks the frontier size, and `maxHops` is a small constant (the
-  * driver loop is over DEPTH, not data). Frontiers are cached and
-  * explicitly unpersisted; for deep traversals on real clusters,
-  * checkpoint every ~10 hops to cut lineage (documented, not needed at
-  * maxHops ≤ 5).
+  * driver loop is over DEPTH, not data). Each superstep's frontier is
+  * cached only until the NEXT frontier materialises, then unpersisted —
+  * cached state is O(1 frontier + visited), not O(hops) — and the loop
+  * exits early once a frontier comes back empty (the reachable set is
+  * exhausted; further supersteps would be empty-join no-ops). For deep
+  * traversals on real clusters, checkpoint every ~10 hops to cut
+  * lineage (documented, not needed at maxHops ≤ 5).
+  *
+  * The RETURNED `visited` frame is left cached on purpose — callers
+  * invariably iterate it more than once (join + stats) and dropping the
+  * cache here would recompute the whole traversal. The caller owns it:
+  * `result.unpersist()` when done.
   *
   * Determinism: pure integer set algebra — hop numbers are the
   * superstep index; min-hop per node is implied by first discovery.
@@ -33,19 +41,34 @@ object Bfs {
     var visited = sources.select(col(sources.columns.head).as("id"))
       .distinct().withColumn("hops", lit(0)).cache()
     var frontier = visited.select(col("id"))
+    // the cached `next` frame backing the current frontier, if any —
+    // unpersisted as soon as the following superstep has materialised
+    var frontierCache: Option[DataFrame] = None
     var hop = 0
-    while (hop < maxHops) {
+    var exhausted = false
+    while (hop < maxHops && !exhausted) {
       hop += 1
       val next = frontier.join(und, frontier("id") === und("u"))
         .select(col("v").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
         .withColumn("hops", lit(hop)).cache()
-      val nv = visited.union(next).cache()
-      nv.count() // materialise before dropping the parents from cache
-      frontier = next.select(col("id"))
-      visited.unpersist(); visited = nv
+      val reached = next.count() // materialise before dropping parents
+      frontierCache.foreach(_.unpersist())
+      frontierCache = None
+      if (reached == 0) {
+        // reachable set exhausted — remaining hops would be no-ops
+        next.unpersist()
+        exhausted = true
+      } else {
+        val nv = visited.union(next).cache()
+        nv.count() // materialise before dropping the parents from cache
+        visited.unpersist(); visited = nv
+        frontierCache = Some(next)
+        frontier = next.select(col("id"))
+      }
     }
+    frontierCache.foreach(_.unpersist())
     und.unpersist()
-    visited
+    visited // cached — caller-owned, see scaladoc
   }
 }

@@ -14,14 +14,16 @@ import org.apache.spark.sql.functions._
   * removes it. Keys absent from `changes` pass through untouched.
   *
   * Scale shape: the base table is touched by exactly ONE operator — a
-  * LEFT ANTI join against the change-key set — and anti joins
-  * broadcast when the change batch is small (the normal CDC regime:
-  * a batch is ~1e3–1e6 keys against a ~1e10-row base), so the base
-  * never shuffles; upserts ride in as a cheap union of the small side.
-  * If a change batch ever outgrows the broadcast threshold, AQE falls
-  * back to a shuffled anti join — graceful, not wrong. This is
-  * deliberately NOT a full-outer join: full outer can't broadcast and
-  * would shuffle the entire base on every batch.
+  * LEFT ANTI join against the change-key set. The join carries NO
+  * forced broadcast hint: in the normal CDC regime (a ~1e3–1e6-key
+  * batch against a ~1e10-row base) Spark's size estimate / AQE runtime
+  * stats pick a broadcast anti join, so the base never shuffles and
+  * upserts ride in as a cheap union of the small side; if a change
+  * batch ever outgrows the broadcast threshold, AQE falls back to a
+  * shuffled anti join — graceful, not a driver OOM (a forced hint would
+  * broadcast regardless of size). This is deliberately NOT a full-outer
+  * join: full outer can't broadcast and would shuffle the entire base
+  * on every batch.
   *
   * Determinism: `changes` must be key-unique (enforce upstream with
   * keep-latest dedup, Relational.latestByKey) — with a unique key per
@@ -38,7 +40,9 @@ object CdcMerge {
     val cols = base.columns.toSeq
     val touched = changes.select(col(key))
     val upserts = changes.filter(col(op) === "U").select(cols.map(col): _*)
-    base.join(broadcast(touched), Seq(key), "left_anti")
+    // no broadcast() hint: let size stats / AQE choose, so an oversized
+    // batch degrades to a shuffled anti join instead of driver OOM
+    base.join(touched, Seq(key), "left_anti")
       .unionByName(upserts)
   }
 }

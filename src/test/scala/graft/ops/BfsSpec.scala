@@ -1,0 +1,30 @@
+package graft.ops
+
+import graft.SparkSpecBase
+
+class BfsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // path 1-2-3-4-5 plus isolated 6-7; sources {1}
+  private def edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+    .toDF("src", "dst")
+
+  test("hop distances are min-hop from the source set, undirected") {
+    val out = Bfs.hopDistance(edges, Seq(1L).toDF("id"), "src", "dst", maxHops = 3)
+    val got = out.as[(Long, Int)].collect().toMap
+    out.unpersist()
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("early-exits on an exhausted frontier and leaves only the returned frame cached") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // component {1..5} is exhausted after 4 hops; maxHops=50 must not
+    // run 46 empty supersteps or accumulate 50 cached frontiers
+    val out = Bfs.hopDistance(edges, Seq(1L).toDF("id"), "src", "dst", maxHops = 50)
+    assert(out.as[(Long, Int)].collect().toMap ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    out.unpersist(blocking = true)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"Bfs leaked cached RDDs: $leaked")
+  }
+}
