@@ -113,6 +113,39 @@ object WooIncremental {
 
   final case class RefundSyncResult(refunds: Long, items: Long)
 
+  final case class FullSyncResult(orders: SyncResult,
+                                  refunds: Option[RefundSyncResult],
+                                  products: Option[ProductSyncResult])
+
+  /** UTC hours at which the refund + product full scans run (reference
+    * woo-sync/main.py:1313 — `datetime.now(timezone.utc).hour in [11, 17]`). */
+  val refundProductHours: Set[Int] = Set(11, 17)
+
+  /** The reference's whole `trigger_sync` pass (woo-sync/main.py:1306-1329):
+    * the incremental order sync runs EVERY invocation; the refund and
+    * product full scans are hour-gated to the twice-daily UTC slots
+    * (T6's scheduled-trigger conditional — they are full-table extracts,
+    * so the reference amortizes them). The clock is injected so specs
+    * (and backfills) control the gate without wall-clock time — same
+    * pattern as Poller's injected sleep. */
+  def fullSync(spark: SparkSession,
+               transport: RestPager.Transport,
+               ordersUrl: String,
+               refundsUrl: String,
+               productsUrl: String,
+               targetRoot: String,
+               syncTimestamp: String,
+               nowUtcHour: () => Int =
+                 () => java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC).getHour,
+               perPage: Int = 100): FullSyncResult = {
+    val orders = sync(spark, transport, ordersUrl, targetRoot, syncTimestamp, perPage)
+    if (refundProductHours(nowUtcHour())) {
+      val refunds = syncRefunds(spark, transport, refundsUrl, targetRoot, syncTimestamp, perPage)
+      val products = syncProducts(spark, transport, productsUrl, targetRoot, syncTimestamp, perPage)
+      FullSyncResult(orders, Some(refunds), Some(products))
+    } else FullSyncResult(orders, None, None)
+  }
+
   /** Refund headers + exploded refund line items, one extract — the
     * reference's `get_refunds_and_items` (woo-sync/main.py:1223-1261;
     * full scan like products). */

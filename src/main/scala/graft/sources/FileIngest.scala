@@ -82,6 +82,12 @@ object FileIngest {
         .drop("__rn")
     }
 
+    // A UTF-8 BOM needs no handling HERE: Spark's CSV reader (univocity)
+    // consumes a leading U+FEFF before tokenizing, so the first cell
+    // arrives clean — FileIngestSpec pins that behavior so a parser
+    // change can't silently regress it. (The reference strips U+FEFF off
+    // ingested config text, dbt-trigger/main.py:103; the JSON intake
+    // path DOES need the strip — RestPager.stripBom.)
     val naSet = naValues.map(lit): Seq[Column]
     val typed = schema.map { case (name, t) =>
       val cleaned = when(col(name).isin(naSet: _*), lit(null)).otherwise(col(name))

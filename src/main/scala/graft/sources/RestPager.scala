@@ -123,10 +123,17 @@ object RestPager {
   def batched(pages: Iterator[String], pagesPerBatch: Int = 50): Iterator[Seq[String]] =
     pages.grouped(pagesPerBatch)
 
+  /** Strip a leading UTF-8 BOM from fetched text — the reference
+    * defensively strips U+FEFF off every ingested config/token string
+    * (dbt-trigger/main.py:103, dbt-classify/main.py:96); a BOM'd JSON
+    * body would otherwise land as one _corrupt_record row. */
+  private[graft] def stripBom(s: String): String =
+    if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+
   /** Parse a batch of JSON-array bodies into a DataFrame. */
   def toDf(spark: SparkSession, bodies: Seq[String]): DataFrame = {
     import spark.implicits._
-    spark.read.json(bodies.toDS)
+    spark.read.json(bodies.map(stripBom).toDS)
   }
 
   /** S3 — lateral fan-out: for each parent id fetch its (cursor-

@@ -131,6 +131,37 @@ class WooIncrementalSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$root/product_bundles").count() == 1) // v1's child rows remain
   }
 
+  test("fullSync gates refund+product scans to UTC hours 11 and 17 (T6)") {
+    // url-recording transport: every endpoint returns an empty page, so
+    // the assertion is purely about WHICH scans the hour gate triggered
+    class RecordingApi extends RestPager.Transport {
+      val urls = mutable.Buffer[String]()
+      def get(url: String, params: Map[String, String]): RestPager.Response = {
+        urls += url
+        RestPager.Response(200, "[]", headers = Map("X-WP-TotalPages" -> "1"))
+      }
+    }
+    def run(hour: Int): (WooIncremental.FullSyncResult, Seq[String]) = {
+      val root = Files.createTempDirectory(s"graft-woo-full-$hour").toString
+      val api = new RecordingApi
+      val r = WooIncremental.fullSync(spark, api, "http://api/orders",
+        "http://api/refunds", "http://api/products", root,
+        "2026-07-02T00:00:00", nowUtcHour = () => hour)
+      (r, api.urls.toSeq)
+    }
+
+    val (r12, urls12) = run(12) // off-slot: orders only
+    assert(r12.refunds.isEmpty && r12.products.isEmpty)
+    assert(urls12 == Seq("http://api/orders"))
+
+    for (hour <- Seq(11, 17)) { // on-slot: refunds + products fan out too
+      val (r, urls) = run(hour)
+      assert(r.refunds.contains(WooIncremental.RefundSyncResult(0, 0)))
+      assert(r.products.contains(WooIncremental.ProductSyncResult(0, 0, 0, 0)))
+      assert(urls == Seq("http://api/orders", "http://api/refunds", "http://api/products"))
+    }
+  }
+
   test("refund sync lands headers and exploded items with negated totals") {
     val root = Files.createTempDirectory("graft-woo-ref").toString
     val refund =

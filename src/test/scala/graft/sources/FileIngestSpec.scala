@@ -12,7 +12,9 @@ class FileIngestSpec extends SparkSpecBase {
 
   private def writeTsv(lines: Seq[String]): String = {
     val f = Files.createTempFile("graft-geo", ".txt")
-    Files.write(f, lines.mkString("\n").getBytes)
+    // explicit UTF-8: the platform default charset may be ASCII under a
+    // bare locale, which would mangle the BOM fixture into '?' bytes
+    Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     f.toString
   }
 
@@ -31,6 +33,19 @@ class FileIngestSpec extends SparkSpecBase {
     assert(byId(4L).getAs[String]("country_code") == "US")   // extra cols cut
     assert(df.schema("population").dataType.typeName == "long")
     assert(df.schema("elevation").dataType.typeName == "double")
+  }
+
+  test("a UTF-8 BOM on the file's first cell is stripped before parse and NA check") {
+    val path = writeTsv(Seq(
+      "\uFEFF1\tCity\tUS\t10\t1.0", // BOM'd first cell must still parse as integer 1
+      "2\tTown\tFR\t20\t2.0"))
+    val df = FileIngest.readDelimited(spark, path, geoSchema)
+    assert(df.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    // BOM'd NA token in the first column still nulls
+    val path2 = writeTsv(Seq("\uFEFFNULL\tX\tUS\t1\t1.0"))
+    val df2 = FileIngest.readDelimited(spark, path2, geoSchema)
+    assert(df2.head().isNullAt(0))
   }
 
   test("skipRows drops the comment preamble (countryInfo shape)") {

@@ -81,4 +81,10 @@ class RestPagerSpec extends SparkSpecBase {
     assert(df.count() == 2)
     assert(df.columns.toSet == Set("id", "x"))
   }
+
+  test("toDf strips a leading UTF-8 BOM — no _corrupt_record from BOM'd bodies") {
+    val df = toDf(spark, Seq("\uFEFF" + """[{"id":"a","x":1}]"""))
+    assert(df.columns.toSet == Set("id", "x")) // not _corrupt_record
+    assert(df.count() == 1)
+  }
 }
