@@ -1233,12 +1233,12 @@ object SparkEntry {
     // DuckDB HUGEINT re-derivation — float PageRank could never be
     // hash-gated like this (q75 k-means discipline, applied to graphs).
     "q93_copurchase_pagerank" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
-      val edges = a.join(b, "l_orderkey")
-        .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst")).distinct()
+      // BasketEdges with the skew cap OFF: TPC-H orders hold ≤ 7 lines,
+      // so capping would only change results at mega-basket scale — at
+      // 100 TB pass maxBasketSize to bound a hot order's k² pair blowup
+      // (BasketSkewProbe measures the effect; PLANS.md r8).
+      val edges = graft.ops.BasketEdges.edges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
       graft.ops.PageRank.pageRank(edges, "src", "dst", iterations = 2)
         .withColumnRenamed("id", "part")
         .orderBy(col("part"))
