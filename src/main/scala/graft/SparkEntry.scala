@@ -1530,6 +1530,20 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Leakage-safe split (Sampling.leakageSafeSplit): the q44 near-dup
+    // components hash into train/valid/test BY GROUP (portable md5, q54
+    // discipline), so no Jaccard near-dup pair ever straddles the cut;
+    // singletons split by their own id. Oracle = q44's recursive-CTE
+    // closure + the q54 md5 bucket CASE over coalesce(component, id).
+    "q111_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, thresholdNum = 6, thresholdDen = 10, maxDf = 1000)
+      val comps = Dedup.connectedComponents(pairs)
+      graft.ops.Sampling.leakageSafeSplit(docs.select(col("doc_id")), "doc_id", comps)
+        .orderBy(col("doc_id"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -3105,5 +3119,34 @@ object SparkEntry {
                                    ELSE c.c_acctbal END AS DECIMAL(18,4)))
                      AS DOUBLE) AS wsum
          FROM customer c JOIN b USING (c_mktsegment)
-         GROUP BY 1, 2, 3, 4 ORDER BY 1""")
+         GROUP BY 1, 2, 3, 4 ORDER BY 1""",
+
+    "q111_leakage_safe_split" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         idx AS (SELECT shingle, doc_id FROM sh
+                 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                   FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+         good AS (SELECT id_a, id_b FROM pairs
+                  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+                  WHERE n_common * 10 >= (sa.sz + sb.sz - n_common) * 6),
+         bidir AS (SELECT id_a AS s, id_b AS t FROM good
+                   UNION SELECT id_b, id_a FROM good),
+         reach(v, r) AS (SELECT s, s FROM bidir
+                         UNION SELECT b.s, r.r FROM bidir b JOIN reach r ON b.t = r.v),
+         comp AS (SELECT v AS doc_id, MIN(r) AS component_id FROM reach GROUP BY v),
+         g AS (SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS grp
+               FROM documents d LEFT JOIN comp c USING (doc_id)),
+         b AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+               FROM g)
+         SELECT doc_id,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""")
 }

@@ -283,6 +283,31 @@ object Sampling {
     * order. One shuffle keyed by shard, local sort per shard — pick
     * `shards` so a shard fits a task (corpus size / target partition
     * size), exactly like choosing shuffle partitions. */
+  /** Leakage-safe split: near-duplicate documents must land on the SAME
+    * side of a train/valid/test cut, or held-out evaluation leaks
+    * training text (the classic contamination-by-near-dup failure).
+    * The split unit is therefore the near-dup GROUP, not the document:
+    * every doc in a connected component hashes by its component id
+    * (members share it by construction), singletons by their own id —
+    * so membership stays engine-portable md5 (q54 discipline) and a
+    * pair produced by the dedup family can never straddle the cut.
+    *
+    * Scale shape: `components` holds only docs in near-dup clusters —
+    * the duplicate fraction of the corpus, orders of magnitude smaller
+    * than `docs` — so the left join broadcasts and the corpus never
+    * shuffles; the label itself is a map-only expression. Upstream
+    * component ids come from [[Dedup.connectedComponents]] (pointer
+    * jumping / union-find), already bounded at 100 TB.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, components: DataFrame,
+                       trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val comp = components.select(col("doc_id").as(idCol), col("component_id"))
+    docs.join(comp, Seq(idCol), "left")
+      .withColumn("split",
+        splitLabel(coalesce(col("component_id"), col(idCol)), trainPct, validPct))
+      .drop("component_id")
+  }
+
   def trainingOrder(df: DataFrame, keyCol: String, shards: Int): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
     require(!df.columns.exists(Set("shard", "pos", "global_rank")),

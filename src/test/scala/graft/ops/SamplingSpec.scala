@@ -280,4 +280,28 @@ class SamplingSpec extends SparkSpecBase {
     val withNull = Seq(Some(1L), None, Some(2L)).toDF("id")
     assert(Sampling.trainingOrder(withNull, "id", 2).count() == 2)
   }
+
+  test("leakageSafeSplit keeps every near-dup component on one side of the cut") {
+    val docs = (1L to 500L).toDF("doc_id")
+    // components: {1,2,3} -> 1 and {10,11} -> 10 (min-label convention)
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "component_id")
+    val split = Sampling.leakageSafeSplit(docs, "doc_id", comps)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size == 500 && split.values.forall(Set("train", "valid", "test")))
+
+    // every component member shares its component's label...
+    assert(Set(split(1L), split(2L), split(3L)).size == 1)
+    assert(split(10L) == split(11L))
+    // ...which is the label of the component id itself
+    val label = docs.sparkSession.range(1).select(
+      Sampling.splitLabel(lit(1L)).as("a"), Sampling.splitLabel(lit(10L)).as("b")).head()
+    assert(split(1L) == label.getString(0) && split(10L) == label.getString(1))
+
+    // singletons split exactly like the plain hash split (same md5 family)
+    val plain = docs.filter(!col("doc_id").isin(1L, 2L, 3L, 10L, 11L))
+      .select(col("doc_id"), Sampling.splitLabel(col("doc_id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    plain.foreach { case (id, s) => assert(split(id) == s) }
+  }
 }
