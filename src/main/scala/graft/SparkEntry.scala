@@ -1544,6 +1544,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 retrieval scoring (Bm25.bm25Micro): Okapi BM25 with the
+    // Lucene idf for a fixed 3-term query, gated in exact micro-units —
+    // per-term contributions quantize BEFORE the per-doc sum, so the
+    // score is an associative long sum (q101 ln-portability rule).
+    "q112_bm25" -> ((s, dir) => {
+      graft.ops.Bm25.bm25Micro(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "hash", "join"))
+        .orderBy(col("doc_id"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -3148,5 +3158,30 @@ object SparkEntry {
                 CASE WHEN bucket < 80 THEN 'train'
                      WHEN bucket < 90 THEN 'valid'
                      ELSE 'test' END AS split
-         FROM b ORDER BY doc_id""")
+         FROM b ORDER BY doc_id""",
+
+    "q112_bm25" ->
+      """WITH terms AS (SELECT doc_id,
+                               unnest(list_filter(string_split_regex(text, '\s+'),
+                                                  x -> length(x) > 0)) AS term
+                        FROM documents),
+         lens AS (SELECT doc_id, COUNT(*) AS len FROM terms GROUP BY 1),
+         stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM lens),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+                WHERE term IN ('spark', 'hash', 'join') GROUP BY 1, 2),
+         dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         c AS (SELECT tf.doc_id,
+                      ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                         / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+                      * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                         / (CAST(tf.tf AS DOUBLE)
+                            + 1.2 * (1.0 - 0.75 + (0.75 * CAST(l.len AS DOUBLE))
+                                     / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+                        AS contrib
+               FROM tf JOIN dfc d USING (term)
+                       JOIN lens l ON l.doc_id = tf.doc_id
+                       CROSS JOIN stats s)
+         SELECT doc_id, COUNT(*) AS n_terms_matched,
+                SUM(CAST(floor(contrib * 1000000.0 + 0.5) AS BIGINT)) AS bm25_micro
+         FROM c GROUP BY 1 ORDER BY doc_id""")
 }
