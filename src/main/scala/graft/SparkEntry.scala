@@ -713,6 +713,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-aware dedup (Dedup.dedupCorpusKeepBest): keep the LONGEST
+    // member of each q44 near-dup cluster (n_chars desc, id asc
+    // tie-break) instead of the min id — the production survivor rule.
+    // Only clustered docs rank; losers anti-join back as a broadcast.
+    "q113_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, thresholdNum = 6, thresholdDen = 10, maxDf = 1000)
+      Dedup.dedupCorpusKeepBest(docs.select(col("doc_id"), col("n_chars")),
+        "doc_id", pairs, Seq(col("n_chars").desc))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sequence packing (training-data prep, beyond ref): concat-and-chunk
     // assignment of every doc to a fixed-budget training sequence —
     // shard-local md5 order, one window shuffle, no global sort.
@@ -3183,5 +3196,31 @@ object SparkEntry {
                        CROSS JOIN stats s)
          SELECT doc_id, COUNT(*) AS n_terms_matched,
                 SUM(CAST(floor(contrib * 1000000.0 + 0.5) AS BIGINT)) AS bm25_micro
-         FROM c GROUP BY 1 ORDER BY doc_id""")
+         FROM c GROUP BY 1 ORDER BY doc_id""",
+
+    "q113_dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         idx AS (SELECT shingle, doc_id FROM sh
+                 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                   FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+         good AS (SELECT id_a, id_b FROM pairs
+                  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+                  WHERE n_common * 10 >= (sa.sz + sb.sz - n_common) * 6),
+         bidir AS (SELECT id_a AS s, id_b AS t FROM good
+                   UNION SELECT id_b, id_a FROM good),
+         reach(v, r) AS (SELECT s, s FROM bidir
+                         UNION SELECT b.s, r.r FROM bidir b JOIN reach r ON b.t = r.v),
+         comp AS (SELECT v AS doc_id, MIN(r) AS component_id FROM reach GROUP BY v),
+         losers AS (SELECT d.doc_id
+                    FROM documents d JOIN comp c USING (doc_id)
+                    QUALIFY row_number() OVER (PARTITION BY c.component_id
+                                               ORDER BY d.n_chars DESC, d.doc_id) > 1)
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         ORDER BY doc_id""")
 }

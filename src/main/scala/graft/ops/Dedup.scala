@@ -535,6 +535,35 @@ object Dedup {
     docs.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupCorpus]] with quality-aware survivor selection: production
+    * corpora keep the BEST member of each near-dup cluster (longest,
+    * highest quality score, preferred source), not the minimum id.
+    * `ordering` ranks cluster members best-first; the id ascending is
+    * appended as the final tie-break so survivors are total-order
+    * deterministic regardless of partitioning.
+    *
+    * Scale shape: only CLUSTERED docs enter the ranking window (the
+    * duplicate fraction — the inner join against the component map
+    * prunes the corpus first), the window partitions by component id
+    * (near-dup clusters are small, so no single-partition stage), and
+    * the loser list ships back as a broadcast anti-join exactly like
+    * [[dedupCorpus]]'s drop list — the full corpus never shuffles. */
+  def dedupCorpusKeepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+                          ordering: Seq[Column],
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val comps = connectedComponents(pairs, checkpointDir = checkpointDir)
+      .withColumnRenamed("doc_id", idCol)
+    val clustered = docs.join(comps, Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component_id"))
+      .orderBy(ordering :+ col(idCol).asc: _*)
+    val losers = clustered
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Bit width of the random-hyperplane (SRP) signature — 60 to match
     * [[SimhashBits]]' all-positive-long envelope and divide evenly into
     * 4/5/6-bit LSH blocks. */

@@ -195,6 +195,26 @@ class DedupSpec extends SparkSpecBase {
     assert(kept == Set(1L, 3L))
   }
 
+  test("dedupCorpusKeepBest keeps the best-ranked member per cluster, not the min id") {
+    // cluster {1,2,4}: rank by score desc -> doc 2 (highest) survives;
+    // unrelated doc 3 passes through untouched
+    val scored = docs.withColumn("score",
+      when(col("doc_id") === 2L, 9L).otherwise(col("doc_id")))
+    val pairs = Dedup.jaccardPairs(scored, "doc_id", "text",
+      n = 3, thresholdNum = 6, thresholdDen = 10)
+    val kept = Dedup.dedupCorpusKeepBest(scored, "doc_id", pairs,
+      Seq(col("score").desc))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+
+    // tie on the ordering columns -> id asc breaks it deterministically
+    val tied = Dedup.dedupCorpusKeepBest(
+      scored.withColumn("score", lit(0L)), "doc_id", pairs,
+      Seq(col("score").desc))
+      .collect().map(_.getLong(0)).toSet
+    assert(tied == Set(1L, 3L)) // min id wins only as the tie-break
+  }
+
   test("connectedComponents removes its checkpoint scratch area on failure") {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt-fail")
     try {
