@@ -1291,12 +1291,14 @@ object SparkEntry {
     // first (the pair explosion is quadratic per order); the count is
     // distinct-keyed so duplicate lines can't inflate support.
     "q96_frequent_pairs" -> ((s, dir) => {
+      // pre-distinct + count support build (the q102/q108 A/B'd rewrite)
       val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
       val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
       a.join(b, "l_orderkey").filter(col("p1") < col("p2"))
         .groupBy(col("p1"), col("p2"))
-        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 3)
         .orderBy(col("p1"), col("p2"))
     }),
@@ -1379,12 +1381,18 @@ object SparkEntry {
     // naive a<b<c three-way join — two independent derivations of the
     // same integers.
     "q102_triangles" -> ((s, dir) => {
+      // support filter via pre-distinct + count, not countDistinct: after
+      // distinct (order, part), each (order, p1, p2) triple is unique, so
+      // count(*) == countDistinct(order) with ONE 7M-row shuffle instead
+      // of the count-distinct expansion's two (A/B'd: 1.94 -> 1.21 s
+      // warm at sf0.1, identical 3573 edges; PLANS.md r8).
       val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
       val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
       val edges = a.join(b, "l_orderkey").filter(col("p1") < col("p2"))
         .groupBy(col("p1"), col("p2"))
-        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 2)
         .select(col("p1"), col("p2"))
       graft.ops.Triangles.triangleCounts(edges, "p1", "p2")
@@ -1480,12 +1488,14 @@ object SparkEntry {
     // superstep one frontier⋈edges join + anti-join vs visited; the
     // oracle walks the same graph with WITH RECURSIVE + MIN(hop).
     "q108_bfs_hops" -> ((s, dir) => {
+      // same pre-distinct + count support build as q102 (A/B'd 1.6x win)
       val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
       val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
       val edges = a.join(b, "l_orderkey").filter(col("p1") < col("p2"))
         .groupBy(col("p1"), col("p2"))
-        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 2)
         .select(col("p1"), col("p2"))
       val sources = t(s, dir, "part").filter(col("p_partkey") % 50 === 0)
