@@ -1500,7 +1500,11 @@ object SparkEntry {
         .select(col("p1"), col("p2"))
       val sources = t(s, dir, "part").filter(col("p_partkey") % 50 === 0)
         .select(col("p_partkey"))
-      graft.ops.Bfs.hopDistance(edges, sources, "p1", "p2", maxHops = 3)
+      // edgesDistinct: the support groupBy emits each p1<p2 pair once,
+      // so the undirected union is disjoint — skip Bfs's defensive
+      // dedup shuffle (the query's largest stage at sf0.1)
+      graft.ops.Bfs.hopDistance(edges, sources, "p1", "p2", maxHops = 3,
+        edgesDistinct = true)
         .withColumnRenamed("id", "part")
         .withColumn("hops", col("hops").cast("long"))
         .orderBy(col("part"))

@@ -32,12 +32,24 @@ import org.apache.spark.sql.functions._
 object Bfs {
 
   /** Hop distance (0..maxHops) from any node in `sources` over
-    * undirected `edges(src,dst)`. Returns (id, hops) for reached nodes. */
+    * undirected `edges(src,dst)`. Returns (id, hops) for reached nodes.
+    *
+    * `edgesDistinct = true` skips the defensive dedup of the undirected
+    * union — correct whenever the input carries each undirected edge
+    * once with a consistent orientation (e.g. a groupBy-produced
+    * src<dst pair list: the union of (u,v) and (v,u) is then disjoint
+    * by construction). That dedup is a full-edge-set shuffle (4.8M rows
+    * at sf0.1 for q108, the single largest stage of the query), so
+    * callers who can assert distinctness should. Duplicate edges would
+    * NOT change results (BFS is set algebra per superstep — the
+    * frontier distinct absorbs them), only waste join work, so the flag
+    * is a pure plan choice, not a correctness trap. */
   def hopDistance(edges: DataFrame, sources: DataFrame, src: String,
-                  dst: String, maxHops: Int): DataFrame = {
-    val und = edges.select(col(src).as("u"), col(dst).as("v"))
+                  dst: String, maxHops: Int,
+                  edgesDistinct: Boolean = false): DataFrame = {
+    val undRaw = edges.select(col(src).as("u"), col(dst).as("v"))
       .union(edges.select(col(dst).as("u"), col(src).as("v")))
-      .distinct().cache()
+    val und = (if (edgesDistinct) undRaw else undRaw.distinct()).cache()
     var visited = sources.select(col(sources.columns.head).as("id"))
       .distinct().withColumn("hops", lit(0)).cache()
     var frontier = visited.select(col("id"))

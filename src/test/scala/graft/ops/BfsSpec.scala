@@ -16,6 +16,23 @@ class BfsSpec extends SparkSpecBase {
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
   }
 
+  test("edgesDistinct skips the dedup but yields identical hop distances") {
+    val out = Bfs.hopDistance(edges, Seq(1L).toDF("id"), "src", "dst",
+      maxHops = 4, edgesDistinct = true)
+    val got = out.as[(Long, Int)].collect().toMap
+    out.unpersist()
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+
+    // duplicate edges with edgesDistinct=true still give correct hops
+    // (frontier distinct absorbs them — the flag is a plan choice only)
+    val dup = edges.union(edges)
+    val out2 = Bfs.hopDistance(dup, Seq(1L).toDF("id"), "src", "dst",
+      maxHops = 2, edgesDistinct = true)
+    val got2 = out2.as[(Long, Int)].collect().toMap
+    out2.unpersist()
+    assert(got2 == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
   test("early-exits on an exhausted frontier and leaves only the returned frame cached") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     // component {1..5} is exhausted after 4 hops; maxHops=50 must not
