@@ -79,11 +79,27 @@ object ScaleProbe {
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") < CopyStride && col("doc_id") % 20 === 0),
         "doc_id", "text", 5).count())
+      // round-8 ops. Pairs are materialised once so the split/keep-best
+      // timings isolate THEIR cost, not a jaccard re-run (measured
+      // above). BM25 query terms live in copy 0's token space — copies
+      // 1..k-1 contribute corpus-side cost (explode/lens/tf filter, the
+      // dominant term) without matches, which is the scaling under test.
+      val pairsM = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 6, 10, 1000)
+        .localCheckpoint(true)
+      val compsM = graft.ops.Dedup.connectedComponents(pairsM).localCheckpoint(true)
+      val (tLsp, nLsp) = time(graft.ops.Sampling.leakageSafeSplit(
+        docs.select(col("doc_id")), "doc_id", compsM).count())
+      val (tBest, nBest) = time(graft.ops.Dedup.dedupCorpusKeepBest(
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", pairsM,
+        Seq(col("n_chars").desc)).count())
+      val (tBm, nBm) = time(graft.ops.Bm25.bm25Micro(
+        docs, "doc_id", "text", Seq("spark_c0", "hash_c0", "join_c0")).count())
       println(f"[scale] k=$k%-2d docs=${5000L * k}%-6d " +
         f"jaccard=$tJac%6.2fs($nJac) minhash=$tMin%6.2fs($nMin) " +
         f"simhash=$tSim%6.2fs($nSim) cosine=$tCos%6.2fs($nCos) " +
         f"cosivf=$tCosIvf%6.2fs($nCosIvf) ivf=$tKnn%6.2fs($nKnn) " +
-        f"decon=$tDec%6.2fs($nDec)")
+        f"decon=$tDec%6.2fs($nDec) lsplit=$tLsp%6.2fs($nLsp) " +
+        f"keepbest=$tBest%6.2fs($nBest) bm25=$tBm%6.2fs($nBm)")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()

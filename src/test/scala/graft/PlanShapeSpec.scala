@@ -135,6 +135,30 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("WindowExec"), p.take(3000))
   }
 
+  test("leakage-safe split broadcasts the component map — corpus never shuffles for it") {
+    // the component map is the duplicate fraction of the corpus; a
+    // sort-merge left join here would shuffle every doc at 100 TB
+    val p = plan("q111_leakage_safe_split")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftOuter")), p.take(3000))
+  }
+
+  test("bm25 keeps the corpus on hash aggregates — no window, stats by broadcast") {
+    val p = plan("q112_bm25")
+    assert(!p.contains("WindowExec"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // query-vocab df and N/avglen both arrive by broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // tf aggregate map-side combines before its exchange
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
+  test("keep-best dedup anti-joins losers and windows only clustered docs") {
+    val p = plan("q113_dedup_keep_best")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")), p.take(3000))
+  }
+
   test("pagerank contribution sums aggregate partially before the dst shuffle") {
     // the gated plan hides iteration subtrees behind the localCheckpoint
     // cuts, so pin the operator with materialization disabled: the
