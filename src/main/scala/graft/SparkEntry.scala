@@ -1581,6 +1581,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental FUZZY dedup (Dedup.incrementalFuzzyDedup): the %10==0
+    // slice arrives as a batch against the rest as the standing index —
+    // batch docs survive unless they MinHash-match the index or a
+    // smaller-id batch doc (greedy arrival rule, oracle = pure EXISTS
+    // over the q27 signature machinery; k=32 mirrors q27).
+    "q114_incremental_fuzzy_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
+      val index = docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text"))
+      Dedup.incrementalFuzzyDedup(index, batch, "doc_id", "text",
+        threshold = 0.5, k = 32)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -3236,5 +3251,37 @@ object SparkEntry {
                                                ORDER BY d.n_chars DESC, d.doc_id) > 1)
          SELECT doc_id, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         ORDER BY doc_id""",
+
+    "q114_incremental_fuzzy_dedup" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
+         h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741789 AS h1,
+                 CAST(('0x' || substr(md5(shingle), 16, 15)) AS BIGINT) % 1073741789 AS h2
+               FROM sh),
+         sig AS (SELECT doc_id, i, MIN((h1 + i * h2) % 1073741789) AS m
+                 FROM h, UNNEST(range(32)) AS s(i) GROUP BY doc_id, i),
+         band AS (SELECT doc_id, i // 4 AS band,
+                         string_agg(m::VARCHAR, '_' ORDER BY i) AS band_key
+                  FROM sig GROUP BY doc_id, i // 4),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM band a JOIN band b USING (band, band_key)
+                  WHERE a.doc_id < b.doc_id),
+         agree AS (SELECT c.id_a, c.id_b,
+                          SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 32.0 AS ag
+                   FROM cand c
+                   JOIN sig sa ON sa.doc_id = c.id_a
+                   JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+                   GROUP BY c.id_a, c.id_b),
+         m AS (SELECT id_a, id_b FROM agree WHERE ag >= 0.5),
+         drops AS (SELECT id_a AS doc_id FROM m WHERE id_a % 10 = 0 AND id_b % 10 <> 0
+                   UNION
+                   SELECT id_b FROM m WHERE id_b % 10 = 0 AND id_a % 10 <> 0
+                   UNION
+                   SELECT id_b FROM m WHERE id_a % 10 = 0 AND id_b % 10 = 0)
+         SELECT doc_id FROM documents
+         WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT doc_id FROM drops)
          ORDER BY doc_id""")
 }

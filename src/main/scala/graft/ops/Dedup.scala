@@ -255,6 +255,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental FUZZY dedup: which docs of an arrival batch survive
+    * against an existing corpus index — the MinHash complement of the
+    * exact-fingerprint [[incrementalDedup]] (a re-crawled page with a
+    * changed timestamp defeats exact hashing but keeps Jaccard
+    * similarity).
+    *
+    * Survivor rule, applied per batch doc:
+    *  - drop if it MinHash-matches ANY index doc (threshold on
+    *    signature agreement, [[crossMinhashMatches]]);
+    *  - drop if it matches a SMALLER-id doc of the same batch — the
+    *    pairwise greedy arrival rule ("earliest wins"), NOT the
+    *    transitive-component rule of [[dedupCorpus]]: in the chain
+    *    a~b, b~c (but a≁c) greedy keeps {a, c} where components keep
+    *    only a. Greedy is the streaming-ingest semantic (each doc is
+    *    judged against what was already accepted-or-seen, id order
+    *    standing in for arrival order) and keeps the oracle a pure
+    *    EXISTS — no closure.
+    *
+    * Scale shape: the index side stays stationary — its banded
+    * signatures never shuffle for the cross join; the BATCH side
+    * broadcasts (arrival batches are small — the [[crossMinhashMatches]]
+    * size guard applies, via its bench-side cap). The intra-batch pass
+    * is [[minhashNearDups]] on the batch alone — O(batch), not
+    * O(corpus). Drop lists are batch-sized and ride a broadcast
+    * anti-join; signatures for the batch are computed twice (once per
+    * pass) — cache the batch upstream if that matters. */
+  def incrementalFuzzyDedup(index: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String, threshold: Double,
+                            n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
+                            maxBroadcastBatchDocs: Int = 20000): DataFrame = {
+    val crossDrops = crossMinhashMatches(index, batch, idCol, textCol,
+      threshold, n, k, rowsPerBand, maxBroadcastBatchDocs)
+      .select(col("bench_id").as(idCol))
+    val intraDrops = minhashNearDups(batch, idCol, textCol, threshold, n, k, rowsPerBand)
+      .select(col("id_b").as(idCol))
+    batch.join(crossDrops.union(intraDrops).distinct(), Seq(idCol), "left_anti")
+  }
+
   /** Corpus-level boilerplate LINE removal (CCNet / RefinedWeb style):
     * drop every line that appears verbatim in at least `minDocs`
     * DISTINCT documents (navigation, cookie banners, license headers),

@@ -215,6 +215,27 @@ class DedupSpec extends SparkSpecBase {
     assert(tied == Set(1L, 3L)) // min id wins only as the tie-break
   }
 
+  test("incrementalFuzzyDedup drops batch docs matching the index or a smaller-id batch doc") {
+    val index = Seq((1L, base), (3L, unrelated)).toDF("doc_id", "text")
+    // 10 near-dups index doc 1 -> dropped; 11 and 12 are mutual
+    // near-dups (11 < 12 -> 12 dropped, 11 kept); 13 is clean
+    val other = "entirely novel text discussing benchmark oracles and verification gates " * 5
+    val batch = Seq(
+      (10L, nearDup), (11L, other), (12L, other.replace("novel", "fresh")), (13L, "short unique row " * 10)
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalFuzzyDedup(index, batch, "doc_id", "text",
+      threshold = 0.5, k = 32)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L))
+
+    // an empty index degenerates to intra-batch greedy dedup only
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val kept2 = Dedup.incrementalFuzzyDedup(empty, batch, "doc_id", "text",
+      threshold = 0.5, k = 32)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(10L, 11L, 13L))
+  }
+
   test("connectedComponents removes its checkpoint scratch area on failure") {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt-fail")
     try {
