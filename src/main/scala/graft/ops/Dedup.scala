@@ -589,6 +589,8 @@ object Dedup {
   def dedupCorpusKeepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
                           ordering: Seq[Column],
                           checkpointDir: Option[String] = None): DataFrame = {
+    require(!docs.columns.exists(Set("component_id", "__rn")),
+      "docs must not already contain component_id/__rn (internal ranking columns)")
     val comps = connectedComponents(pairs, checkpointDir = checkpointDir)
       .withColumnRenamed("doc_id", idCol)
     val clustered = docs.join(comps, Seq(idCol))

@@ -301,6 +301,8 @@ object Sampling {
     */
   def leakageSafeSplit(docs: DataFrame, idCol: String, components: DataFrame,
                        trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(!docs.columns.contains("component_id"),
+      "docs must not already contain component_id (the join key of the component map)")
     val comp = components.select(col("doc_id").as(idCol), col("component_id"))
     docs.join(comp, Seq(idCol), "left")
       .withColumn("split",
