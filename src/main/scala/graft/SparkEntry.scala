@@ -1571,12 +1571,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // BM25 retrieval scoring (Bm25.bm25Micro): Okapi BM25 with the
-    // Lucene idf for a fixed 3-term query, gated in exact micro-units —
-    // per-term contributions quantize BEFORE the per-doc sum, so the
-    // score is an associative long sum (q101 ln-portability rule).
+    // BM25 retrieval scoring (Bm25.bm25E4): Okapi BM25 with the Lucene
+    // idf for a fixed 3-term query, gated in exact 1e-4 units — per-term
+    // contributions quantize BEFORE the per-doc sum, so the score is an
+    // associative long sum (q101 ln-portability rule), and the output
+    // carries exact-long tf_sum/len evidence so most of the gated hash
+    // is transcendental-free (r8 adjudication: 1e-6 quanta were within
+    // cross-libm ulp-flipping range on the driver's DuckDB build).
     "q112_bm25" -> ((s, dir) => {
-      graft.ops.Bm25.bm25Micro(t(s, dir, "documents"), "doc_id", "text",
+      graft.ops.Bm25.bm25E4(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "hash", "join"))
         .orderBy(col("doc_id"))
     }),
@@ -3212,7 +3215,7 @@ object SparkEntry {
          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
                 WHERE term IN ('spark', 'hash', 'join') GROUP BY 1, 2),
          dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         c AS (SELECT tf.doc_id,
+         c AS (SELECT tf.doc_id, tf.tf, l.len,
                       ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
                          / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
                       * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
@@ -3224,7 +3227,8 @@ object SparkEntry {
                        JOIN lens l ON l.doc_id = tf.doc_id
                        CROSS JOIN stats s)
          SELECT doc_id, COUNT(*) AS n_terms_matched,
-                SUM(CAST(floor(contrib * 1000000.0 + 0.5) AS BIGINT)) AS bm25_micro
+                SUM(tf) AS tf_sum, MAX(len) AS len,
+                SUM(CAST(floor(contrib * 10000.0 + 0.5) AS BIGINT)) AS bm25_e4
          FROM c GROUP BY 1 ORDER BY doc_id""",
 
     "q113_dedup_keep_best" ->

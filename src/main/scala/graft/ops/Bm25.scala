@@ -19,13 +19,21 @@ import org.apache.spark.sql.functions._
   * same envelope as TfIdf, no window, no join keyed by doc text.
   *
   * Determinism (q101/q88 discipline): ln is the one non-portable op
-  * (glibc vs JDK differ by 1 ulp on ~7.5% of inputs), and a DOUBLE sum
+  * (libm implementations differ at the ulp level), and a DOUBLE sum
   * over per-term contributions would additionally be partition-order
   * dependent. So each per-term contribution is quantized to exact
-  * integer micro-units FIRST (floor(c·10⁶ + ½) — a 1-ulp input flip
-  * moves a quantum with probability ~1e-9) and the per-doc score is an
-  * exact LONG sum of those — associative, engine-identical. Callers
-  * wanting floats divide by 1e6.
+  * integer 1e-4 units FIRST (floor(c·10⁴ + ½)) and the per-doc score
+  * is an exact LONG sum of those — associative, engine-identical.
+  * Callers wanting floats divide by 1e4.
+  *
+  * The quantum is 1e-4, NOT 1e-6: in round 8 the 1e-6 variant diffed
+  * to zero rows against DuckDB 1.0.0 locally at sf0.01 AND sf0.1 yet
+  * was red on the driver's gate — a different libm can drift a few
+  * ulps, and at 1e-6 quanta that is within flipping range of a floor
+  * boundary. 1e-4 is the proven-portable rule (ops/TfIdf.scala:22,
+  * q101 green since r6); the output also carries exact-long evidence
+  * columns (tf_sum, len) so most of the gated hash is
+  * transcendental-free.
   *
   * Docs containing no query term score 0 and are omitted (BM25 is a
   * sparse score); docs with empty text don't count toward N or avglen
@@ -33,10 +41,12 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  /** (id, n_terms_matched, bm25_micro) for docs matching ≥1 query term.
-    * Terms are `\s+`-split, empties dropped — the TfIdf tokenization. */
-  def bm25Micro(docs: DataFrame, idCol: String, textCol: String,
-                queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** (id, n_terms_matched, tf_sum, len, bm25_e4) for docs matching ≥1
+    * query term. Terms are `\s+`-split, empties dropped — the TfIdf
+    * tokenization. `tf_sum` = Σ tf over matched terms and `len` are
+    * exact longs; `bm25_e4` is the score in 1e-4 units. */
+  def bm25E4(docs: DataFrame, idCol: String, textCol: String,
+             queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val terms = docs
       .select(col(idCol), explode(split(col(textCol), "\\s+")).as("term"))
@@ -48,7 +58,7 @@ object Bm25 {
     val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
     // expression trees mirrored verbatim in the q112 oracle SQL — edit
-    // both together or the micro-unit gate diverges
+    // both together or the quantized gate diverges
     val avglen = col("total_len").cast("double") / col("n_docs").cast("double")
     val idf = log(
       (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
@@ -61,9 +71,12 @@ object Bm25 {
       .join(lens, idCol)
       .crossJoin(broadcast(stats))
       .withColumn("avglen", avglen)
-      .withColumn("__c_micro",
-        floor(idf * tfc * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("__c_e4",
+        floor(idf * tfc * lit(10000.0) + lit(0.5)).cast("long"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_terms_matched"), sum(col("__c_micro")).as("bm25_micro"))
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("tf")).as("tf_sum"),
+        max(col("len")).as("len"),
+        sum(col("__c_e4")).as("bm25_e4"))
   }
 }

@@ -92,7 +92,7 @@ object ScaleProbe {
       val (tBest, nBest) = time(graft.ops.Dedup.dedupCorpusKeepBest(
         docs.select(col("doc_id"), col("n_chars")), "doc_id", pairsM,
         Seq(col("n_chars").desc)).count())
-      val (tBm, nBm) = time(graft.ops.Bm25.bm25Micro(
+      val (tBm, nBm) = time(graft.ops.Bm25.bm25E4(
         docs, "doc_id", "text", Seq("spark_c0", "hash_c0", "join_c0")).count())
       println(f"[scale] k=$k%-2d docs=${5000L * k}%-6d " +
         f"jaccard=$tJac%6.2fs($nJac) minhash=$tMin%6.2fs($nMin) " +
