@@ -169,12 +169,17 @@ object Dedup {
     * pairs with their exact signature agreement fraction (matching
     * minhashes / k) — a consistent estimator of Jaccard similarity. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, k: Int = 64, rowsPerBand: Int = 4): DataFrame = {
-    val banded = bandedSigs(docs, idCol, textCol, n, k, rowsPerBand)
-      // one shuffle on the self-join key: signature/banding computed
-      // once, shared by both join sides (see shingleIndex note)
-      .repartition(col("band"), col("band_key"))
+                        n: Int = 3, k: Int = 64, rowsPerBand: Int = 4): DataFrame =
+    candidatesFromBanded(bandedSigs(docs, idCol, textCol, n, k, rowsPerBand), k)
 
+  /** Self-join candidate generation over pre-banded signature rows —
+    * the [[minhashCandidates]] body, factored so callers holding an
+    * already-materialized banded frame (incremental dedup's batch side)
+    * don't recompute signatures. */
+  private def candidatesFromBanded(banded0: DataFrame, k: Int): DataFrame = {
+    // one shuffle on the self-join key: signature/banding computed
+    // once, shared by both join sides (see shingleIndex note)
+    val banded = banded0.repartition(col("band"), col("band_key"))
     val l = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("band", "band_key")).filter(col("id_a") < col("id_b"))
@@ -237,16 +242,29 @@ object Dedup {
                           idCol: String, textCol: String, threshold: Double,
                           n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
                           maxBroadcastBenchDocs: Int = 20000): DataFrame = {
-    val c = bandedSigs(corpus, idCol, textCol, n, k, rowsPerBand)
-      .select(col("band"), col("band_key"), col("id").as("doc_id"), col("sig").as("sig_c"))
-    val b = bandedSigs(bench, idCol, textCol, n, k, rowsPerBand)
-      .select(col("band"), col("band_key"), col("id").as("bench_id"), col("sig").as("sig_b"))
     // bounded guard probe: ids only, stops at cap+1 rows — never a full
     // scan of a large bench lineage just to learn "it's too big"
     val benchSmall =
       bench.select(col(idCol)).limit(maxBroadcastBenchDocs + 1).count() <=
         maxBroadcastBenchDocs
-    val bSide = if (benchSmall) broadcast(b) else b
+    crossMatchesFromBanded(
+      bandedSigs(corpus, idCol, textCol, n, k, rowsPerBand),
+      bandedSigs(bench, idCol, textCol, n, k, rowsPerBand),
+      benchSmall, threshold, k)
+  }
+
+  /** Cross-table match over pre-banded signature rows — the
+    * [[crossMinhashMatches]] join body, factored so callers holding an
+    * already-materialized bench/batch banded frame reuse it instead of
+    * recomputing signatures. */
+  private def crossMatchesFromBanded(cBanded: DataFrame, bBanded: DataFrame,
+                                     broadcastBench: Boolean, threshold: Double,
+                                     k: Int): DataFrame = {
+    val c = cBanded
+      .select(col("band"), col("band_key"), col("id").as("doc_id"), col("sig").as("sig_c"))
+    val b = bBanded
+      .select(col("band"), col("band_key"), col("id").as("bench_id"), col("sig").as("sig_b"))
+    val bSide = if (broadcastBench) broadcast(b) else b
     c.join(bSide, Seq("band", "band_key"))
       .select(col("doc_id"), col("bench_id"),
         (size(filter(zip_with(col("sig_c"), col("sig_b"), (x, y) => x === y), p => p))
@@ -264,31 +282,44 @@ object Dedup {
     * Survivor rule, applied per batch doc:
     *  - drop if it MinHash-matches ANY index doc (threshold on
     *    signature agreement, [[crossMinhashMatches]]);
-    *  - drop if it matches a SMALLER-id doc of the same batch — the
-    *    pairwise greedy arrival rule ("earliest wins"), NOT the
-    *    transitive-component rule of [[dedupCorpus]]: in the chain
-    *    a~b, b~c (but a≁c) greedy keeps {a, c} where components keep
-    *    only a. Greedy is the streaming-ingest semantic (each doc is
-    *    judged against what was already accepted-or-seen, id order
-    *    standing in for arrival order) and keeps the oracle a pure
-    *    EXISTS — no closure.
+    *  - drop if it matches ANY smaller-id doc of the same batch,
+    *    surviving or not — the pairwise SEEN-wins arrival rule (a pure
+    *    EXISTS against all earlier batch docs, id order standing in
+    *    for arrival order), NOT the transitive-component rule of
+    *    [[dedupCorpus]] and NOT accepted-only greedy: in the chain
+    *    a~b, b~c (but a≁c) seen-wins keeps only {a} (c matches the
+    *    already-dropped b), where accepted-only greedy would keep
+    *    {a, c} and components keep only a. Seen-wins is the
+    *    conservative ingest semantic (never admit anything similar to
+    *    anything that arrived earlier) and keeps the oracle a pure
+    *    EXISTS — no closure, no sequential accept state.
     *
     * Scale shape: the index side stays stationary — its banded
     * signatures never shuffle for the cross join; the BATCH side
     * broadcasts (arrival batches are small — the [[crossMinhashMatches]]
     * size guard applies, via its bench-side cap). The intra-batch pass
-    * is [[minhashNearDups]] on the batch alone — O(batch), not
+    * is candidate self-join on the batch alone — O(batch), not
     * O(corpus). Drop lists are batch-sized and ride a broadcast
-    * anti-join; signatures for the batch are computed twice (once per
-    * pass) — cache the batch upstream if that matters. */
+    * anti-join. The batch's banded signatures are computed ONCE
+    * (eager localCheckpoint — one Spark job, batch-sized blocks) and
+    * shared by the cross-index and intra-batch passes; the index side
+    * stays pure lineage. */
   def incrementalFuzzyDedup(index: DataFrame, batch: DataFrame,
                             idCol: String, textCol: String, threshold: Double,
                             n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
                             maxBroadcastBatchDocs: Int = 20000): DataFrame = {
-    val crossDrops = crossMinhashMatches(index, batch, idCol, textCol,
-      threshold, n, k, rowsPerBand, maxBroadcastBatchDocs)
+    // bounded guard probe, same rule as crossMinhashMatches
+    val batchSmall =
+      batch.select(col(idCol)).limit(maxBroadcastBatchDocs + 1).count() <=
+        maxBroadcastBatchDocs
+    val batchBanded = bandedSigs(batch, idCol, textCol, n, k, rowsPerBand)
+      .localCheckpoint(true)
+    val crossDrops = crossMatchesFromBanded(
+      bandedSigs(index, idCol, textCol, n, k, rowsPerBand),
+      batchBanded, batchSmall, threshold, k)
       .select(col("bench_id").as(idCol))
-    val intraDrops = minhashNearDups(batch, idCol, textCol, threshold, n, k, rowsPerBand)
+    val intraDrops = candidatesFromBanded(batchBanded, k)
+      .filter(col("sig_agreement") >= threshold)
       .select(col("id_b").as(idCol))
     batch.join(crossDrops.union(intraDrops).distinct(), Seq(idCol), "left_anti")
   }

@@ -94,12 +94,23 @@ object ScaleProbe {
         Seq(col("n_chars").desc)).count())
       val (tBm, nBm) = time(graft.ops.Bm25.bm25E4(
         docs, "doc_id", "text", Seq("spark_c0", "hash_c0", "join_c0")).count())
+      // incremental fuzzy dedup: the INDEX stays fixed (copy 0's
+      // %20!=0 docs) while the arrival batch grows k× — the
+      // stationary-index claim means cost should track the batch
+      // (one signature job + broadcast probes) on top of a constant
+      // index-side signature pass; cap raised so the whole series
+      // stays on the broadcast path
+      val (tInc, nInc) = time(graft.ops.Dedup.incrementalFuzzyDedup(
+        docs0.filter(col("doc_id") % 20 =!= 0).select(col("doc_id"), col("text")),
+        docs.filter(col("doc_id") % 20 === 0).select(col("doc_id"), col("text")),
+        "doc_id", "text", 0.5, k = 32, maxBroadcastBatchDocs = 200000).count())
       println(f"[scale] k=$k%-2d docs=${5000L * k}%-6d " +
         f"jaccard=$tJac%6.2fs($nJac) minhash=$tMin%6.2fs($nMin) " +
         f"simhash=$tSim%6.2fs($nSim) cosine=$tCos%6.2fs($nCos) " +
         f"cosivf=$tCosIvf%6.2fs($nCosIvf) ivf=$tKnn%6.2fs($nKnn) " +
         f"decon=$tDec%6.2fs($nDec) lsplit=$tLsp%6.2fs($nLsp) " +
-        f"keepbest=$tBest%6.2fs($nBest) bm25=$tBm%6.2fs($nBm)")
+        f"keepbest=$tBest%6.2fs($nBest) bm25=$tBm%6.2fs($nBm) " +
+        f"incfuzzy=$tInc%6.2fs($nInc)")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()

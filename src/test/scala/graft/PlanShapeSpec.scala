@@ -159,6 +159,21 @@ class PlanShapeSpec extends SparkSpecBase {
       l.contains("BroadcastHashJoin") && l.contains("LeftAnti")), p.take(3000))
   }
 
+  test("incremental fuzzy dedup computes batch signatures once, index stationary") {
+    val p = plan("q114_incremental_fuzzy_dedup")
+    // the batch's banded signatures are materialized once (eager
+    // localCheckpoint) and re-read by both the cross-index and the
+    // intra-batch pass
+    assert(p.contains("Scan ExistingRDD"), p.take(3000))
+    // only two parquet scans remain: the index signature lineage and
+    // the batch side of the final anti-join — a third would mean a
+    // pass recomputed batch signatures from raw text
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 2, p.take(3000))
+    // both band joins build on the batch side: the index's banded
+    // signatures never shuffle for the cross match
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("pagerank contribution sums aggregate partially before the dst shuffle") {
     // the gated plan hides iteration subtrees behind the localCheckpoint
     // cuts, so pin the operator with materialization disabled: the
