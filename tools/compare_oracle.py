@@ -1,18 +1,37 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run each oracle SQL in
-DuckDB over the sf parquet tables and diff against Verify's parquet dumps."""
-import sys, json, glob
+DuckDB over the sf parquet tables and diff against Verify's parquet dumps.
+
+--detail: on any mismatch, print EVERY differing column (not just the
+first), up to --max-rows full differing rows side-by-side, and a
+per-column md5 over the canonicalized (name-sorted, row-sorted) values
+for BOTH engines — enough to adjudicate a red driver row in one run."""
+import sys, json, glob, hashlib
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+detail = "--detail" in sys.argv
+max_rows = 10
+for a in sys.argv[1:]:
+    if a.startswith("--max-rows="):
+        max_rows = int(a.split("=")[1])
+
+sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+out_dir = args[1] if len(args) > 1 else "/root/repo/target/verify_out"
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+def col_hash(series):
+    h = hashlib.md5()
+    for v in series:
+        h.update(repr(v).encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:12]
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = []
@@ -32,7 +51,7 @@ for name, sql in sorted(oracle.items()):
         fails.append((name, f"rows {len(got)} vs {len(exp)}")); print(f"ROWS  {name}: {len(got)} vs {len(exp)}"); continue
     g = got[gc].sort_values(by=gc, kind="mergesort").reset_index(drop=True)
     e = exp[ec].sort_values(by=ec, kind="mergesort").reset_index(drop=True)
-    ok = True
+    bad_cols = {}
     for c in gc:
         gv, ev = g[c], e[c]
         if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
@@ -42,10 +61,26 @@ for name, sql in sorted(oracle.items()):
             except Exception: eq = [str(a) == str(b) for a, b in zip(gv, ev)]
         bad = [i for i, x in enumerate(eq) if not x]
         if bad:
+            bad_cols[c] = bad
             i = bad[0]
             fails.append((name, f"col {c}"))
             print(f"DIFF  {name} col={c} n={len(bad)} first@{i}: {gv.iloc[i]!r} vs {ev.iloc[i]!r}")
-            ok = False; break
-    if ok: print(f"OK    {name} ({len(got)} rows)")
+            if not detail:
+                break
+    if not bad_cols:
+        print(f"OK    {name} ({len(got)} rows)")
+    elif detail:
+        print(f"      per-column canonical hashes (spark | duckdb):")
+        for c in gc:
+            hg, he = col_hash(g[c]), col_hash(e[c])
+            mark = "  <-- DIFFERS" if hg != he else ""
+            print(f"        {c:30s} {hg} | {he}{mark}")
+        rows = sorted(set(i for bad in bad_cols.values() for i in bad))[:max_rows]
+        print(f"      first {len(rows)} differing rows (canonical order):")
+        for i in rows:
+            print(f"        row {i}:")
+            for c in gc:
+                flag = " *" if i in bad_cols.get(c, []) else ""
+                print(f"          {c:28s} spark={g[c].iloc[i]!r} duckdb={e[c].iloc[i]!r}{flag}")
 print(f"\n{len(oracle)-len(fails)}/{len(oracle)} oracle-matched")
 sys.exit(1 if fails else 0)
