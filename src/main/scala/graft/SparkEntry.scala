@@ -3227,8 +3227,8 @@ object SparkEntry {
                        JOIN lens l ON l.doc_id = tf.doc_id
                        CROSS JOIN stats s)
          SELECT doc_id, COUNT(*) AS n_terms_matched,
-                SUM(tf) AS tf_sum, MAX(len) AS len,
-                SUM(CAST(floor(contrib * 10000.0 + 0.5) AS BIGINT)) AS bm25_e4
+                CAST(SUM(tf) AS BIGINT) AS tf_sum, MAX(len) AS len,
+                CAST(SUM(CAST(floor(contrib * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS bm25_e4
          FROM c GROUP BY 1 ORDER BY doc_id""",
 
     "q113_dedup_keep_best" ->

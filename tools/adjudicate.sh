@@ -15,7 +15,14 @@ rx="${1:?usage: tools/adjudicate.sh <queryRegex> [sfDir]}"
 sf="${2:-/root/testdata/sf0.01}"
 out="$(mktemp -d /tmp/adjudicate.XXXXXX)"
 trap 'rm -rf "$out"' EXIT
-SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" ./run_local.sh \
-  graft.tools.VerifySubset "$sf" "$out" "$rx" 2>&1 | grep '\[subset\]' || {
-    echo "no query matched regex '$rx' (note: full-match semantics)"; exit 2; }
+# Capture the run first and check its exit status separately, so a
+# VerifySubset crash surfaces as a run failure instead of masquerading
+# as "no query matched" under pipefail.
+runlog="$out/verify_subset.log"
+if ! SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" ./run_local.sh \
+    graft.tools.VerifySubset "$sf" "$out" "$rx" >"$runlog" 2>&1; then
+  echo "VerifySubset FAILED (exit $?); last 30 lines:"; tail -30 "$runlog"; exit 3
+fi
+grep '\[subset\]' "$runlog" || {
+  echo "no query matched regex '$rx' (note: full-match semantics)"; exit 2; }
 python3 tools/compare_oracle.py "$sf" "$out" --detail --max-rows=20

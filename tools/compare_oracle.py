@@ -2,10 +2,20 @@
 """Local replica of the driver's correctness gate: run each oracle SQL in
 DuckDB over the sf parquet tables and diff against Verify's parquet dumps.
 
+Always-on lint: DESCRIBE every oracle and fail any whose final select
+types a column HUGEINT/UHUGEINT (DuckDB widens integer SUM to int128;
+pandas canonicalizes that to float64, so `12345.0` vs Spark's int64
+`12345` flips the driver's repr-level hash while value-equality still
+passes — the exact r8/r9 q112 signature). Fix pattern:
+CAST(SUM(..) AS BIGINT) in the final select.
+
 --detail: on any mismatch, print EVERY differing column (not just the
 first), up to --max-rows full differing rows side-by-side, and a
 per-column md5 over the canonicalized (name-sorted, row-sorted) values
-for BOTH engines — enough to adjudicate a red driver row in one run."""
+for BOTH engines. In --detail mode the per-column canonical repr hashes
+are also COMPARED (not just printed): a repr/dtype divergence counts as
+a failure even when Python `==` passes, matching the driver's
+hash sensitivity."""
 import sys, json, glob, hashlib
 import duckdb
 import pyarrow.parquet as pq
@@ -34,21 +44,42 @@ def col_hash(series):
     return h.hexdigest()[:12]
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-fails = []
+failed = set()          # distinct failed query names -> summary count
+fails = []              # (name, reason) detail lines, may be >1 per query
+
+# --- HUGEINT lint (always on): one DESCRIBE pass over every oracle. ---
+for name, sql in sorted(oracle.items()):
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception as e:
+        failed.add(name); fails.append((name, f"describe error: {e}"))
+        print(f"DERR  {name}: {e}")
+        continue
+    huge = [(c, t) for c, t, *_ in desc if "HUGEINT" in str(t).upper()]
+    if huge:
+        failed.add(name); fails.append((name, f"HUGEINT {huge}"))
+        print(f"HUGE  {name}: final select types {huge} — pandas will "
+              f"canonicalize to float64 and the driver hash will flip; "
+              f"CAST(... AS BIGINT) in the final select")
+
 for name, sql in sorted(oracle.items()):
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
-        fails.append((name, "no spark output")); print(f"MISS  {name}"); continue
+        failed.add(name); fails.append((name, "no spark output"))
+        print(f"MISS  {name}"); continue
     got = pq.read_table(files[0]).to_pandas()
     try:
         exp = con.execute(sql).df()
     except Exception as e:
-        fails.append((name, f"oracle error: {e}")); print(f"OERR  {name}: {e}"); continue
+        failed.add(name); fails.append((name, f"oracle error: {e}"))
+        print(f"OERR  {name}: {e}"); continue
     gc, ec = sorted(got.columns), sorted(exp.columns)
     if gc != ec:
-        fails.append((name, f"cols {gc} vs {ec}")); print(f"COLS  {name}: {gc} vs {ec}"); continue
+        failed.add(name); fails.append((name, f"cols {gc} vs {ec}"))
+        print(f"COLS  {name}: {gc} vs {ec}"); continue
     if len(got) != len(exp):
-        fails.append((name, f"rows {len(got)} vs {len(exp)}")); print(f"ROWS  {name}: {len(got)} vs {len(exp)}"); continue
+        failed.add(name); fails.append((name, f"rows {len(got)} vs {len(exp)}"))
+        print(f"ROWS  {name}: {len(got)} vs {len(exp)}"); continue
     g = got[gc].sort_values(by=gc, kind="mergesort").reset_index(drop=True)
     e = exp[ec].sort_values(by=ec, kind="mergesort").reset_index(drop=True)
     bad_cols = {}
@@ -63,13 +94,26 @@ for name, sql in sorted(oracle.items()):
         if bad:
             bad_cols[c] = bad
             i = bad[0]
-            fails.append((name, f"col {c}"))
+            failed.add(name); fails.append((name, f"col {c}"))
             print(f"DIFF  {name} col={c} n={len(bad)} first@{i}: {gv.iloc[i]!r} vs {ev.iloc[i]!r}")
             if not detail:
                 break
-    if not bad_cols:
-        print(f"OK    {name} ({len(got)} rows)")
-    elif detail:
+    repr_bad = []
+    if detail and not bad_cols:
+        # driver-sensitivity check: canonical repr hashes must agree even
+        # when value-equality passed (catches int64-vs-float64 etc.)
+        for c in gc:
+            hg, he = col_hash(g[c]), col_hash(e[c])
+            if hg != he:
+                repr_bad.append(c)
+                failed.add(name); fails.append((name, f"repr col {c}"))
+                print(f"REPR  {name} col={c} values == but canonical repr "
+                      f"differs ({hg} vs {he}; dtypes {g[c].dtype} vs {e[c].dtype})"
+                      f" — driver hash would flip")
+    if not bad_cols and not repr_bad:
+        ok = "OK    " if name not in failed else "VALS  "  # lint may have failed it
+        print(f"{ok}{name} ({len(got)} rows)")
+    elif detail and bad_cols:
         print(f"      per-column canonical hashes (spark | duckdb):")
         for c in gc:
             hg, he = col_hash(g[c]), col_hash(e[c])
@@ -82,5 +126,5 @@ for name, sql in sorted(oracle.items()):
             for c in gc:
                 flag = " *" if i in bad_cols.get(c, []) else ""
                 print(f"          {c:28s} spark={g[c].iloc[i]!r} duckdb={e[c].iloc[i]!r}{flag}")
-print(f"\n{len(oracle)-len(fails)}/{len(oracle)} oracle-matched")
-sys.exit(1 if fails else 0)
+print(f"\n{len(oracle)-len(failed)}/{len(oracle)} oracle-matched")
+sys.exit(1 if failed else 0)
