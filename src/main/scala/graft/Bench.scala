@@ -1,9 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints the driver's single JSON line on stdout and
+  * ALSO writes the full per-query record (every run's timing, the
+  * aggregation rule used, and /proc/loadavg before and after) to
+  * BENCH_FULL.json — the driver's stdout tail capture truncates about
+  * half of the 114-query map, and round-over-round adjudication needs
+  * both the complete series and the ambient-load context (PLANS.md
+  * documents drift bands that track machine load, not code changes).
+  */
 object Bench {
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+    catch { case _: Throwable => "unavailable" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    val loadBefore = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,31 +57,68 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // best of two timed runs: plans are already warm, so remaining
-      // run-to-run spread is GC/OS jitter — the min OVER SUCCESSFUL
-      // runs is the stable estimate of the query's actual cost (a
-      // failed run's elapsed-to-failure must never win the min).
-      val runs = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        reset()
-        (ok, dt)
-      }
-      // no successful run -> sentinel -1 so downstream round-over-round
-      // comparisons never mistake elapsed-to-failure for a timing
-      val dt = runs.filter(_._1).map(_._2).minOption.getOrElse(-1.0)
+    def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Boolean, Double) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      reset()
+      (ok, dt)
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Pass 1: two timed runs per query. Plans are already warm, so
+    // run-to-run spread is GC/OS jitter; min over SUCCESSFUL runs is
+    // the stable estimate (a failed run's elapsed must never win).
+    val firstPass: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                        Vector[(Boolean, Double)])] =
+      ordered.map { case (name, fn) => (name, fn, (1 to 2).map(_ => timedRun(name, fn)).toVector) }
+    // Pass 2: the 10 most expensive queries dominate the total AND the
+    // round-over-round drift signal, so they get a third run and report
+    // the MEDIAN of three — robust to a single GC/load spike in either
+    // direction, which min-of-2 is not.
+    val top10 = firstPass
+      .map { case (n, _, rs) => n -> rs.filter(_._1).map(_._2).minOption.getOrElse(-1.0) }
+      .filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1).toSet
+    val finished = firstPass.map { case (name, fn, rs0) =>
+      val rs = if (top10(name)) rs0 :+ timedRun(name, fn) else rs0
+      val good = rs.filter(_._1).map(_._2).sorted
+      val dt =
+        if (good.isEmpty) -1.0
+        else if (good.size >= 3) good(good.size / 2)
+        else good.head
+      val rule = if (good.size >= 3) "median3" else "min2"
       System.err.println(
-        if (dt >= 0) f"[bench] $name%-28s $dt%8.2fs" else f"[bench] $name%-28s FAILED")
-      name -> dt
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        if (dt >= 0) f"[bench] $name%-28s $dt%8.2fs ($rule)" else f"[bench] $name%-28s FAILED")
+      (name, dt, rule, rs)
+    }
+    val loadAfter = loadavg()
+    val results = finished.map { case (n, dt, _, _) => n -> dt }.toMap
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full record to file: complete 114-query map + raw runs + loadavg.
+    val fullRecords = finished.sortBy(_._1).map { case (n, dt, rule, rs) =>
+      val raw = rs.map { case (ok, t) => if (ok) f"$t%.4f" else s""""FAIL"""" }.mkString("[", ",", "]")
+      s"""  "$n": {"sec": $dt, "rule": "$rule", "runs": $raw}"""
+    }.mkString(",\n")
+    val full =
+      s"""{
+         |"sf": "$sfDir", "cpus": $cpus,
+         |"loadavg_before": "$loadBefore", "loadavg_after": "$loadAfter",
+         |"total_sec": $total,
+         |"queries": {
+         |$fullRecords
+         |}
+         |}""".stripMargin
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(full) finally w.close()
+      System.err.println(s"[bench] full per-query record -> $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
     spark.stop()
   }
 }

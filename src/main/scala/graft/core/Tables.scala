@@ -78,11 +78,39 @@ object Tables {
     * Every other shape fails loudly rather than silently zeroing the
     * 22 event-family gates (the round-7 regression mode).
     */
+  // one magnitude check per fixture dir per JVM — the sanity agg is a
+  // single column scan and events() is called once per query
+  private val nsCheckedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** A bare LongType ts is ASSUMED epoch-nanoseconds (the r≤6 fixture
+    * generation), but a regenerated fixture could ship epoch-µs/ms/s in
+    * the same physical type and a silent ÷1000 would shift every event
+    * by 1000× — the exact r6→r7 regression class. Verify the value
+    * magnitude once per dir: epoch-ns for years ~1973..2128 lies in
+    * [1e17, 5e18]; epoch-µs peaks ~4e15, ms ~4e12, s ~4e9 — the bands
+    * are 100× apart, so a range check is unambiguous. */
+  private def requireEpochNanos(raw: DataFrame, dir: String): Unit =
+    if (nsCheckedDirs.add(dir)) {
+      val row = raw.agg(min(col("ts")), max(col("ts"))).head()
+      if (!row.isNullAt(0)) {
+        val (lo, hi) = (row.getLong(0), row.getLong(1))
+        if (lo < 100000000000000000L || hi >= 5000000000000000000L)
+          throw new IllegalStateException(
+            s"events.ts is LongType with range [$lo, $hi] — not plausibly " +
+            "epoch-nanoseconds (expected ~[1e17, 5e18]); the fixture " +
+            "generation changed (epoch-µs/ms/s?). Extend Tables.events " +
+            "rather than letting ts div 1000 silently shift every event.")
+      }
+    }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     tune(spark)
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
-      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType         =>
+        requireEpochNanos(raw, dir)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => raw
       case other => throw new IllegalStateException(

@@ -303,7 +303,17 @@ object Dedup {
     * anti-join. The batch's banded signatures are computed ONCE
     * (eager localCheckpoint — one Spark job, batch-sized blocks) and
     * shared by the cross-index and intra-batch passes; the index side
-    * stays pure lineage. */
+    * stays pure lineage.
+    *
+    * Storage retention: each call eagerly materialises one
+    * localCheckpoint of the batch's banded signatures (~k longs per
+    * batch doc). The blocks must outlive the returned (lazy) frame, so
+    * they are NOT unpersisted here; they are freed by the session's
+    * ContextCleaner once the returned frame's plan is GC'd. Long-lived
+    * sessions ingesting many arrival batches should not hold references
+    * to consumed result frames (the bench path's per-iteration
+    * `getPersistentRDDs...unpersist` sweep — see ScaleProbe — is the
+    * explicit-release pattern). */
   def incrementalFuzzyDedup(index: DataFrame, batch: DataFrame,
                             idCol: String, textCol: String, threshold: Double,
                             n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,

@@ -95,13 +95,16 @@ object ScaleProbe {
       val (tBm, nBm) = time(graft.ops.Bm25.bm25E4(
         docs, "doc_id", "text", Seq("spark_c0", "hash_c0", "join_c0")).count())
       // incremental fuzzy dedup: the INDEX stays fixed (copy 0's
-      // %20!=0 docs) while the arrival batch grows k× — the
-      // stationary-index claim means cost should track the batch
-      // (one signature job + broadcast probes) on top of a constant
-      // index-side signature pass; cap raised so the whole series
-      // stays on the broadcast path
+      // %20!=0 docs, in the SAME perturbed token space as the batch so
+      // copy-0 batch docs genuinely hit the index — the measured cost
+      // includes real cross-match traffic, as the decontamination probe
+      // does) while the arrival batch grows k× — the stationary-index
+      // claim means cost should track the batch (one signature job +
+      // broadcast probes) on top of a constant index-side signature
+      // pass; cap raised so the whole series stays on the broadcast path
       val (tInc, nInc) = time(graft.ops.Dedup.incrementalFuzzyDedup(
-        docs0.filter(col("doc_id") % 20 =!= 0).select(col("doc_id"), col("text")),
+        docs.filter(col("doc_id") < CopyStride && col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), col("text")),
         docs.filter(col("doc_id") % 20 === 0).select(col("doc_id"), col("text")),
         "doc_id", "text", 0.5, k = 32, maxBroadcastBatchDocs = 200000).count())
       println(f"[scale] k=$k%-2d docs=${5000L * k}%-6d " +

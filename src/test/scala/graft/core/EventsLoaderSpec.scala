@@ -69,6 +69,18 @@ class EventsLoaderSpec extends SparkSpecBase {
     }
   }
 
+  test("a LongType ts that is not epoch-nanos magnitude fails loudly") {
+    // epoch-µs written as a bare int64: same physical type as the ns
+    // generation, 1000× smaller values — the ÷1000 assumption would
+    // silently shift every event (the r6→r7 regression class), so the
+    // loader must refuse instead
+    val usDir = tmpDir("us-as-long")
+    baseDf.withColumn("ts", col("us")).drop("us")
+      .write.mode("overwrite").parquet(s"$usDir/events.parquet")
+    val ex = intercept[IllegalStateException](Tables.events(spark, usDir).collect())
+    assert(ex.getMessage.contains("not plausibly"), ex.getMessage)
+  }
+
   test("events loader matches the live driver fixture") {
     val df = Tables.events(spark, sf0001)
     assert(df.schema("ts").dataType == TimestampType)
