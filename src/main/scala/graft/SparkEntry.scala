@@ -1599,6 +1599,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Multimodal near-dup: 60-bit dHash perceptual fingerprints over
+    // the q36-style binary assets, paired via the same pigeonhole
+    // Hamming blocks as text simhash. Integer-exact end to end, so the
+    // oracle recomputes the fingerprint bit-for-bit (documents' ASCII
+    // text bytes stand in for image payloads, as in q36).
+    "q115_image_near_dup" -> ((s, dir) => {
+      val assets = graft.ops.Multimodal.assetsFromBinary(
+        t(s, dir, "documents"), "doc_id", "text", "image", "fake")
+      graft.ops.Multimodal.imageNearDups(assets, "asset_id", "payload", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -3287,5 +3299,31 @@ object SparkEntry {
                    SELECT id_b FROM m WHERE id_a % 10 = 0 AND id_b % 10 = 0)
          SELECT doc_id FROM documents
          WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT doc_id FROM drops)
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+
+    // Recomputes the 60-bit dHash bit-for-bit (ASCII fixture: the i-th
+    // char's code point == the i-th payload byte), then exact all-pairs
+    // Hamming — complete, so it equals the blocked Spark answer. Every
+    // integer SUM is CAST to BIGINT (HUGEINT lint discipline).
+    "q115_image_near_dup" ->
+      """WITH pos AS (SELECT doc_id, CAST((i-1) % 66 AS INTEGER) AS cell,
+                             ord(substr(text, i, 1)) AS v
+                      FROM documents, UNNEST(range(1, length(text)+1)) r(i)),
+         ids AS (SELECT DISTINCT doc_id FROM documents),
+         cells AS (SELECT ids.doc_id, CAST(c.cell AS INTEGER) AS cell
+                   FROM ids, UNNEST(range(66)) c(cell)),
+         g AS (SELECT c.doc_id, c.cell, CAST(COALESCE(SUM(p.v), 0) AS BIGINT) AS gray
+               FROM cells c LEFT JOIN pos p ON p.doc_id = c.doc_id AND p.cell = c.cell
+               GROUP BY 1, 2),
+         b AS (SELECT a.doc_id, (a.cell // 11) * 10 + (a.cell % 11) AS bit
+               FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.cell = a.cell + 1
+               WHERE a.cell % 11 < 10 AND n.gray > a.gray),
+         h AS (SELECT ids.doc_id,
+                      CAST(COALESCE(SUM(CAST(1 AS BIGINT) << CAST(bit AS INTEGER)), 0) AS BIGINT) AS dhash
+               FROM ids LEFT JOIN b ON b.doc_id = ids.doc_id GROUP BY 1)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+         FROM h a JOIN h b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         ORDER BY id_a, id_b""")
 }

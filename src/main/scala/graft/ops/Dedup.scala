@@ -792,7 +792,17 @@ object Dedup {
   }
 
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, nBlocksOpt: Int = 0): DataFrame = {
+                      maxHamming: Int = 3, nBlocksOpt: Int = 0): DataFrame =
+    hammingNearDups(simhash(docs, idCol, textCol), "id", "simhash", maxHamming, nBlocksOpt)
+
+  /** Hamming-ball near-dup pairs over ANY precomputed ≤[[SimhashBits]]-bit
+    * non-negative hash column (text simhash, image dHash, audio
+    * fingerprint...) — the Manku block machinery factored out of
+    * [[simhashNearDups]] so every perceptual-hash family shares one
+    * candidate generator. Returns (id_a, id_b, hamming), complete for
+    * `hamming <= maxHamming` by the pigeonhole argument below. */
+  def hammingNearDups(hashed0: DataFrame, idCol: String, hashCol: String,
+                      maxHamming: Int, nBlocksOpt: Int = 0): DataFrame = {
     val nBlocks = if (nBlocksOpt > 0) nBlocksOpt else autoBlocks(maxHamming)
     require(nBlocks > maxHamming, s"need more blocks ($nBlocks) than allowed diffs ($maxHamming)")
     require(nBlocks <= SimhashBits, s"at most $SimhashBits blocks")
@@ -803,7 +813,7 @@ object Dedup {
     // land in <= d blocks)
     val blockBits = SimhashBits / nBlocks
     val combos = (0 until nBlocks).combinations(nBlocks - maxHamming).toSeq
-    val hashed = simhash(docs, idCol, textCol)
+    val hashed = hashed0.select(col(idCol).as("id"), col(hashCol).as("simhash"))
     // combo key = the combo's block values packed into one long (total
     // bits <= SimhashBits, so it always fits); combo index disambiguates
     val comboKeys = combos.map { combo =>

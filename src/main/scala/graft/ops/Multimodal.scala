@@ -124,6 +124,29 @@ object Multimodal {
     }
   }
 
+  /** Perceptual near-duplicate pairs over image assets (the multimodal
+    * analogue of the text SimHash family): fingerprint every payload
+    * with the 60-bit dHash ([[graft.functions.ImageDHash]] — codegen'd,
+    * integer-exact, stub decode documented there), then find all pairs
+    * within `maxHamming` via [[Dedup.hammingNearDups]]'s pigeonhole
+    * combination blocks — candidate generation is bucketed equi-joins,
+    * never an all-pairs product, so the shape survives a 100 TB asset
+    * table exactly like text simhash does.
+    *
+    * Scale notes: the fingerprint is map-only over the binary column
+    * (payload bytes never shuffle — only the 8-byte hash plus id flows
+    * into the block join), and a real decoder would slot into
+    * [[graft.functions.DHashKernel.hash]] without touching the plan.
+    * Returns (id_a, id_b, hamming). */
+  def imageNearDups(assets: DataFrame, idCol: String = "asset_id",
+                    payloadCol: String = "payload", maxHamming: Int = 3): DataFrame = {
+    graft.functions.ImageExpressions.register(assets.sparkSession)
+    val hashed = assets.select(
+      col(idCol).as("id"),
+      graft.functions.ImageExpressions.imageDHash(col(payloadCol)).as("dhash"))
+    Dedup.hammingNearDups(hashed, "id", "dhash", maxHamming)
+  }
+
   /** Metadata-only profile — never touches payload bytes, so Parquet
     * column pruning keeps the scan narrow even on multi-TB asset
     * tables. */

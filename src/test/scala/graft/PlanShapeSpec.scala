@@ -174,6 +174,20 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("image near-dup blocks by combination key — no cross product, hash-only shuffle") {
+    val p = plan("q115_image_near_dup")
+    // candidate generation must be the pigeonhole block equi-join,
+    // never an all-pairs product over the asset table
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the fingerprint is computed in the scan stage (codegen'd
+    // image_dhash projection); payload bytes never reach the join —
+    // only (id, hash) columns shuffle
+    assert(p.contains("image_dhash"), p.take(3000))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("payload")), p.take(3000))
+  }
+
   test("pagerank contribution sums aggregate partially before the dst shuffle") {
     // the gated plan hides iteration subtrees behind the localCheckpoint
     // cuts, so pin the operator with materialization disabled: the

@@ -46,4 +46,56 @@ class MultimodalSpec extends SparkSpecBase {
     assert(prof.head.getAs[Long]("n_assets") == 50L)
     assert(prof.head.getAs[Long]("total_bytes") > 0)
   }
+
+  test("dHash kernel: gradient bits, 60-bit envelope, locality") {
+    import graft.functions.DHashKernel
+    // empty payload -> all cells 0, strict > never fires
+    assert(DHashKernel.hash(Array.emptyByteArray) == 0L)
+    // single ascending ramp touching each cell once: every horizontal
+    // neighbor is brighter, so all 60 gradient bits set
+    val ramp = Array.tabulate[Byte](DHashKernel.Cells)(i => i.toByte)
+    assert(DHashKernel.hash(ramp) == (1L << 60) - 1)
+    // descending ramp: no bit set
+    val desc = Array.tabulate[Byte](DHashKernel.Cells)(i => (DHashKernel.Cells - i).toByte)
+    assert(DHashKernel.hash(desc) == 0L)
+    // locality: flipping ONE byte moves few bits (each byte feeds one
+    // cell; one cell borders at most 2 gradient pairs)
+    val base = Array.tabulate[Byte](200)(i => ((i * 37 + 11) % 251).toByte)
+    val tweaked = base.clone(); tweaked(100) = (tweaked(100) ^ 0x7f).toByte
+    val d = java.lang.Long.bitCount(DHashKernel.hash(base) ^ DHashKernel.hash(tweaked))
+    assert(d <= 4, s"single-byte perturbation moved $d bits")
+    // non-negative (SimhashBits envelope for the block machinery)
+    assert(DHashKernel.hash(base) >= 0L && DHashKernel.hash(base) < (1L << 60))
+  }
+
+  test("imageNearDups: blocked pairs equal exact all-pairs Hamming (pigeonhole completeness)") {
+    val all = Multimodal.assetsFromBinary(
+      Tables.documents(spark, sf0001), "doc_id", "text", "image", "fake")
+    val got = Multimodal.imageNearDups(all, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force from the same fingerprints
+    graft.functions.ImageExpressions.register(spark)
+    val hs = all.select(col("asset_id"),
+      graft.functions.ImageExpressions.imageDHash(col("payload")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(want.nonEmpty, "fixture should contain near-dup assets")
+    assert(got == want)
+  }
+
+  test("image_dhash stays inside whole-stage codegen") {
+    graft.functions.ImageExpressions.register(spark)
+    val plan = assets.select(
+      graft.functions.ImageExpressions.imageDHash(col("payload")).as("h"))
+    // evaluating forces codegen; a doGenCode bug would fall back or throw
+    assert(plan.agg(max(col("h"))).head().getLong(0) >= 0L)
+    // the `*(n)` marker on the projection = inside a WholeStageCodegen
+    // stage; an interpreted fallback would render a bare Project
+    val executed = plan.queryExecution.executedPlan.toString
+    assert(executed.linesIterator.exists(l =>
+      l.contains("image_dhash") && l.trim.startsWith("+- *(")), executed.take(1000))
+  }
 }
