@@ -1611,6 +1611,55 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Multimodal near-dup, audio member: 60-bit Haitsma–Kalker-style
+    // second-order energy-delta fingerprints (codegen'd, stub decode
+    // documented in AudioExpressions) paired via the SAME pigeonhole
+    // Hamming blocks as text simhash / image dHash. Integer-exact end
+    // to end; the oracle recomputes the fingerprint bit-for-bit.
+    "q116_audio_near_dup" -> ((s, dir) => {
+      val assets = graft.ops.Multimodal.assetsFromBinary(
+        t(s, dir, "documents"), "doc_id", "text", "audio", "fake")
+      graft.ops.Multimodal.audioNearDups(assets, "asset_id", "payload", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Substring-level exact dedup (Lee et al. 2022): every 8-token
+    // window hashed, windows occurring >= 2 times corpus-wide merged
+    // into maximal per-doc spans. md5 window hashes are bytes-defined,
+    // so the oracle recomputes them identically; span arithmetic is
+    // all-integer.
+    "q117_dup_window_spans" -> ((s, dir) => {
+      Dedup.duplicateWindowSpans(t(s, dir, "documents"), "doc_id", "text", w = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // The destructive half of q117: duplicated-window spans stripped
+    // and each document reassembled from its surviving tokens (docs
+    // with no duplicated window pass through; fully-covered docs
+    // disappear, mirroring the boilerplate rule).
+    "q118_strip_dup_windows" -> ((s, dir) => {
+      Dedup.removeDuplicateWindows(t(s, dir, "documents"), "doc_id", "text", w = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Hybrid retrieval: BM25 micro-unit ranks fused with quantized
+    // embedding-dot ranks via reciprocal-rank fusion — every score an
+    // exact integer (1e-3-quantized components, integral-division RRF
+    // contributions), so the oracle reproduces ranks and fusion
+    // bit-for-bit. Query vector q_i = ((i*37+11) % 100) - 50 is a pure
+    // integer formula stated identically in both engines.
+    "q119_hybrid_rrf" -> ((s, dir) => {
+      val queryQ = (0 until 64).map(i => (((i * 37 + 11) % 100) - 50).toLong)
+      graft.ops.Retrieval.hybridSearch(
+        t(s, dir, "documents"), "doc_id", "text",
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        Seq("spark", "hash", "join"), queryQ, n = 50, kRrf = 60, topK = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("rrf_e6").desc, col("doc_id"))
+    }),
+
     // P1/P2 — woo products flatten incl. the 17-key EAV flag map
     // (woo-sync/main.py:821-974): the fixture derives every meta value
     // from integer part columns (money as exact "d.dd" strings), runs the
@@ -3325,5 +3374,153 @@ object SparkEntry {
                 CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
          FROM h a JOIN h b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
-         ORDER BY id_a, id_b""")
+         ORDER BY id_a, id_b""",
+
+    // Recomputes the 60-bit audio fingerprint bit-for-bit (6x13 energy
+    // grid fold, bit set iff the band-to-band energy gradient increased
+    // from the previous frame: (E(f,b)-E(f,b+1)) - (E(f-1,b)-E(f-1,b+1))
+    // > 0), then exact all-pairs Hamming — complete, so it equals the
+    // blocked Spark answer. Every integer SUM CAST to BIGINT.
+    "q116_audio_near_dup" ->
+      """WITH pos AS (SELECT doc_id, CAST((i-1) % 78 AS INTEGER) AS cell,
+                             ord(substr(text, i, 1)) AS v
+                      FROM documents, UNNEST(range(1, length(text)+1)) r(i)),
+         ids AS (SELECT DISTINCT doc_id FROM documents),
+         cells AS (SELECT ids.doc_id, CAST(c.cell AS INTEGER) AS cell
+                   FROM ids, UNNEST(range(78)) c(cell)),
+         g AS (SELECT c.doc_id, c.cell, CAST(COALESCE(SUM(p.v), 0) AS BIGINT) AS e
+               FROM cells c LEFT JOIN pos p ON p.doc_id = c.doc_id AND p.cell = c.cell
+               GROUP BY 1, 2),
+         b AS (SELECT a.doc_id, ((a.cell // 13) - 1) * 12 + (a.cell % 13) AS bit
+               FROM g a
+               JOIN g a2 ON a2.doc_id = a.doc_id AND a2.cell = a.cell + 1
+               JOIN g p  ON p.doc_id  = a.doc_id AND p.cell  = a.cell - 13
+               JOIN g p2 ON p2.doc_id = a.doc_id AND p2.cell = a.cell - 12
+               WHERE a.cell >= 13 AND a.cell % 13 < 12
+                 AND (a.e - a2.e) > (p.e - p2.e)),
+         h AS (SELECT ids.doc_id,
+                      CAST(COALESCE(SUM(CAST(1 AS BIGINT) << CAST(bit AS INTEGER)), 0) AS BIGINT) AS afp
+               FROM ids LEFT JOIN b ON b.doc_id = ids.doc_id GROUP BY 1)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+         FROM h a JOIN h b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.afp, b.afp)) <= 3
+         ORDER BY id_a, id_b""",
+
+    // Recomputes the 8-token window hashes (md5 over the space-joined
+    // slice — bytes-identical to Spark), keeps hashes occurring >= 2
+    // times corpus-wide, and merges duplicated starts into spans with
+    // the same overlap-or-abut rule (next start <= prev start + 8).
+    // Intermediate window-SUM is HUGEINT but never reaches the final
+    // select; emitted aggregates are CAST to BIGINT.
+    "q117_dup_window_spans" ->
+      """WITH toks AS (SELECT doc_id,
+                              list_filter(string_split_regex(text, '\s+'),
+                                          t -> length(t) > 0) AS ts
+                       FROM documents),
+         win AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+                        md5(array_to_string(list_slice(ts, CAST(i AS INTEGER),
+                                                       CAST(i + 7 AS INTEGER)), ' ')) AS wh
+                 FROM toks, UNNEST(range(1, len(ts) - 8 + 2)) r(i)),
+         dup AS (SELECT wh FROM win GROUP BY wh HAVING COUNT(*) >= 2),
+         hit AS (SELECT w.doc_id, w.start FROM win w JOIN dup d ON d.wh = w.wh),
+         lagd AS (SELECT doc_id, start,
+                         lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+                  FROM hit),
+         isl AS (SELECT doc_id, start,
+                        SUM(CASE WHEN prev IS NULL OR start > prev + 8 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY start) AS island
+                 FROM lagd)
+         SELECT doc_id, CAST(MIN(start) AS BIGINT) AS span_start,
+                CAST(MAX(start) + 7 AS BIGINT) AS span_end,
+                CAST(COUNT(*) AS BIGINT) AS n_windows
+         FROM isl GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""",
+
+    // q117's spans expanded to covered token positions, anti-joined
+    // against the positioned tokens, and reassembled in order. Docs
+    // whose every token is covered disappear (boilerplate rule).
+    "q118_strip_dup_windows" ->
+      """WITH toks AS (SELECT doc_id,
+                              list_filter(string_split_regex(text, '\s+'),
+                                          t -> length(t) > 0) AS ts
+                       FROM documents),
+         win AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+                        md5(array_to_string(list_slice(ts, CAST(i AS INTEGER),
+                                                       CAST(i + 7 AS INTEGER)), ' ')) AS wh
+                 FROM toks, UNNEST(range(1, len(ts) - 8 + 2)) r(i)),
+         dup AS (SELECT wh FROM win GROUP BY wh HAVING COUNT(*) >= 2),
+         hit AS (SELECT w.doc_id, w.start FROM win w JOIN dup d ON d.wh = w.wh),
+         lagd AS (SELECT doc_id, start,
+                         lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+                  FROM hit),
+         isl AS (SELECT doc_id, start,
+                        SUM(CASE WHEN prev IS NULL OR start > prev + 8 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY start) AS island
+                 FROM lagd),
+         spans AS (SELECT doc_id, MIN(start) AS s, MAX(start) + 7 AS e
+                   FROM isl GROUP BY doc_id, island),
+         cover AS (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS tp
+                   FROM spans, UNNEST(range(s, e + 1)) r(p)),
+         tok_pos AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+                            CAST(i AS BIGINT) AS tp, ts[CAST(i AS INTEGER)] AS tok
+                     FROM toks, UNNEST(range(1, len(ts) + 1)) r(i)),
+         kept AS (SELECT t.doc_id, t.n_tokens, t.tp, t.tok
+                  FROM tok_pos t LEFT JOIN cover c
+                    ON c.doc_id = t.doc_id AND c.tp = t.tp
+                  WHERE c.tp IS NULL)
+         SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS clean_text,
+                CAST(COUNT(*) AS BIGINT) AS n_kept,
+                CAST(MAX(n_tokens) AS BIGINT) AS n_tokens
+         FROM kept GROUP BY doc_id ORDER BY doc_id""",
+
+    // Reproduces both rank lists exactly — the BM25 micro-unit chain is
+    // q112's verbatim, the semantic side quantizes each float component
+    // to 1e-3 units with the same IEEE double multiply+floor — then
+    // fuses with integral-division RRF contributions. All emitted
+    // aggregates CAST to BIGINT (HUGEINT lint).
+    "q119_hybrid_rrf" ->
+      """WITH terms AS (SELECT doc_id,
+                               unnest(list_filter(string_split_regex(text, '\s+'),
+                                                  x -> length(x) > 0)) AS term
+                        FROM documents),
+         lens AS (SELECT doc_id, COUNT(*) AS len FROM terms GROUP BY 1),
+         stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM lens),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+                WHERE term IN ('spark', 'hash', 'join') GROUP BY 1, 2),
+         dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         c AS (SELECT tf.doc_id,
+                      ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                         / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+                      * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                         / (CAST(tf.tf AS DOUBLE)
+                            + 1.2 * (1.0 - 0.75 + (0.75 * CAST(l.len AS DOUBLE))
+                                     / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+                        AS contrib
+               FROM tf JOIN dfc d USING (term)
+                       JOIN lens l ON l.doc_id = tf.doc_id
+                       CROSS JOIN stats s),
+         bm AS (SELECT doc_id,
+                       CAST(SUM(CAST(floor(contrib * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score
+                FROM c GROUP BY 1),
+         lex AS (SELECT doc_id AS id,
+                        row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+                 FROM bm ORDER BY score DESC, doc_id LIMIT 50),
+         qdot AS (SELECT vec_id,
+                         CAST(SUM(CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                                             * 1000.0) AS BIGINT)
+                                  * ((((i - 1) * 37 + 11) % 100) - 50)) AS BIGINT) AS score
+                  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) r(i)
+                  GROUP BY vec_id),
+         sem AS (SELECT vec_id AS id,
+                        row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+                 FROM qdot ORDER BY score DESC, vec_id LIMIT 50),
+         u AS (SELECT id, 'lex' AS src, rank FROM lex
+               UNION ALL SELECT id, 'sem', rank FROM sem)
+         SELECT id AS doc_id,
+                CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_e6,
+                CAST(MAX(CASE WHEN src = 'lex' THEN rank END) AS BIGINT) AS lex_rank,
+                CAST(MAX(CASE WHEN src = 'sem' THEN rank END) AS BIGINT) AS sem_rank
+         FROM u GROUP BY id
+         ORDER BY rrf_e6 DESC, doc_id LIMIT 20""")
 }

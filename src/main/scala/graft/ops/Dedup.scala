@@ -384,6 +384,116 @@ object Dedup {
       .select(col("id"), col("clean_text"), col("n_kept"), col("n_lines"))
   }
 
+  /** Substring-level exact dedup at token-window granularity — the
+    * within-document counterpart of whole-document dedup ("Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022:
+    * repeated ≥50-token runs in web corpora are memorization fuel even
+    * when the containing documents differ). Every length-`w` token
+    * window is hashed; a window occurring ≥ `minCount` times anywhere in
+    * the corpus (other docs OR the same doc) is duplicated, and per doc
+    * the duplicated window starts are merged into maximal spans
+    * (windows merge when they overlap or exactly abut: next start ≤
+    * prev start + w).
+    *
+    * Fixed-window hashing is the standard scalable compromise for the
+    * suffix-array construction in the paper: any duplicated run of
+    * length ≥ w contains a duplicated w-window at every offset, so the
+    * merged spans cover exactly the maximal duplicated runs, quantized
+    * to w-window granularity. Window hashes are md5 over the
+    * space-joined slice — bytes-defined, so the DuckDB oracle recomputes
+    * them identically. (For very large w, a polynomial rolling hash
+    * drops the O(len·w) hashing to O(len); at w ≈ 8-50 the constant is
+    * fine and md5 keeps the oracle trivial.)
+    *
+    * Plan shape at 100 TB: window hashing is map-only (split + HOF
+    * transform + posexplode — no shuffle); one hash aggregate counts
+    * window occurrences (map-side partial); the duplicated-hash set
+    * joins back as a LEFT SEMI that AQE broadcasts when small (dup
+    * windows are the heavy-tailed minority in real corpora); span
+    * merging is one window shuffle keyed by doc. Raw text never
+    * shuffles — only (id, start, 32-hex hash) rows move.
+    *
+    * Returns (id, span_start, span_end, n_windows): 1-based inclusive
+    * token-index spans, n_windows = duplicated window starts merged
+    * into the span. */
+  def duplicateWindowSpans(docs: DataFrame, idCol: String, textCol: String,
+                           w: Int, minCount: Int = 2): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val hits = duplicateWindowHits(docs, idCol, textCol, w, minCount)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("start"))
+    hits
+      .withColumn("__prev", lag(col("start"), 1).over(byDoc))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("start") > col("__prev") + w, 1).otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(byDoc))
+      .groupBy(col("id"), col("__island"))
+      .agg(
+        min(col("start")).as("span_start"),
+        (max(col("start")) + w - 1).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  /** Remove every duplicated-window span from each document (the
+    * destructive half of [[duplicateWindowSpans]]): token positions
+    * covered by any span are dropped and the survivors are reassembled
+    * in original order. Documents with no duplicated window pass
+    * through untouched; a document whose every token is covered
+    * disappears (mirrors [[dropBoilerplateLines]]' all-boilerplate
+    * rule).
+    *
+    * The span→position expansion explodes each span into its covered
+    * token indexes so the removal is a plain (id, position) EQUI
+    * anti-join — no range join, no per-doc UDF; spans are few and short
+    * relative to the corpus, so the exploded cover set stays small.
+    *
+    * Returns (id, clean_text, n_kept, n_tokens). */
+  def removeDuplicateWindows(docs: DataFrame, idCol: String, textCol: String,
+                             w: Int, minCount: Int = 2): DataFrame = {
+    val spans = duplicateWindowSpans(docs, idCol, textCol, w, minCount)
+    val cover = spans.select(col("id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("tp"))
+      .distinct()
+    val tokPos = ensureParallelism(docs).select(
+        col(idCol).as("id"),
+        filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__ts"))
+      .select(col("id"),
+        size(col("__ts")).cast("long").as("n_tokens"),
+        posexplode(col("__ts")).as(Seq("__p0", "tok")))
+      .select(col("id"), col("n_tokens"), (col("__p0") + 1).cast("long").as("tp"), col("tok"))
+    tokPos.join(cover, Seq("id", "tp"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("tp"), col("tok")))),
+            x => x.getField("tok")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_kept"),
+        max(col("n_tokens")).as("n_tokens"))
+      .select(col("id"), col("clean_text"), col("n_kept"), col("n_tokens"))
+  }
+
+  /** Shared first half of the duplicate-window family: (id, start, wh)
+    * for every window whose hash occurs ≥ minCount times corpus-wide.
+    * `start` is the 1-based token index of the window head. */
+  private def duplicateWindowHits(docs: DataFrame, idCol: String, textCol: String,
+                                  w: Int, minCount: Int): DataFrame = {
+    val wins = ensureParallelism(docs)
+      .select(col(idCol).as("id"),
+        filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__ts"))
+      .filter(size(col("__ts")) >= w)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(1), size(col("__ts")) - w + 1),
+          i => md5(concat_ws(" ", slice(col("__ts"), i, lit(w)))))).as(Seq("__p0", "wh")))
+      .select(col("id"), (col("__p0") + 1).cast("long").as("start"), col("wh"))
+    val dup = wins.groupBy(col("wh")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("wh"))
+    wins.join(dup, Seq("wh"), "left_semi")
+  }
+
   /** Bit width of the SimHash signature. 60 rather than 64 because the
     * per-token hash is the first 15 md5-hex chars parsed as an integer —
     * bytes-defined and hence reproducible in ANY engine (the DuckDB

@@ -147,6 +147,29 @@ object Multimodal {
     Dedup.hammingNearDups(hashed, "id", "dhash", maxHamming)
   }
 
+  /** Acoustic near-duplicate pairs over audio assets — the audio member
+    * of the perceptual-hash family: fingerprint every payload with the
+    * 60-bit Haitsma–Kalker-style second-order energy-delta hash
+    * ([[graft.functions.AudioFingerprint]] — codegen'd, integer-exact,
+    * stub decode documented there), then find all pairs within
+    * `maxHamming` via [[Dedup.hammingNearDups]] — the same pigeonhole
+    * combination blocks as text simhash and image dHash, so candidate
+    * generation is bucketed equi-joins, never an all-pairs product.
+    *
+    * Scale notes: identical envelope to [[imageNearDups]] — the
+    * fingerprint is a scan-stage codegen projection, payload bytes
+    * never shuffle (only id + 8-byte hash reach the block join), and a
+    * real decoder+STFT slots into the kernel without touching the
+    * plan. Returns (id_a, id_b, hamming). */
+  def audioNearDups(assets: DataFrame, idCol: String = "asset_id",
+                    payloadCol: String = "payload", maxHamming: Int = 3): DataFrame = {
+    graft.functions.AudioExpressions.register(assets.sparkSession)
+    val hashed = assets.select(
+      col(idCol).as("id"),
+      graft.functions.AudioExpressions.audioFingerprint(col(payloadCol)).as("afp"))
+    Dedup.hammingNearDups(hashed, "id", "afp", maxHamming)
+  }
+
   /** Metadata-only profile — never touches payload bytes, so Parquet
     * column pruning keeps the scan narrow even on multi-TB asset
     * tables. */

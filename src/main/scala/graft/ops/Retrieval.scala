@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid (lexical + semantic) retrieval with reciprocal-rank fusion —
+  * the retrieval composition a training-data curation stack uses to
+  * mine hard examples and build eval sets: BM25 scores one view of the
+  * corpus, embedding similarity another, and RRF
+  * (Cormack/Clarke/Buettcher 2009) merges the two rankings without any
+  * score calibration:
+  *
+  *   rrf(d) = Σ_lists 1 / (k + rank_list(d))
+  *
+  * Determinism discipline (q112/q101): every score that feeds a rank is
+  * an exact integer — BM25 rides [[Bm25.bm25E4]]'s micro-unit long sum,
+  * and the semantic side quantizes embedding components to 1e-3 units
+  * BEFORE the dot product (per-element double multiply + floor is
+  * IEEE-identical across engines; the subsequent sum is an exact
+  * associative long sum). Ranks break ties by id; RRF contributions are
+  * integral division `1_000_000 div (k + rank)` summed as longs. The
+  * whole pipeline is engine-exact — no float comparison anywhere.
+  *
+  * Plan shape at 100 TB: each list's candidate cut is a per-partition
+  * top-n (TakeOrderedAndProject — partial top-n per partition, merge of
+  * n·partitions rows; never a global sort); fusion then runs over at
+  * most lists·n rows, so the single-partition rank windows are bounded
+  * by construction. The semantic side is brute-force scoring here
+  * (one narrow projection over the embedding table);
+  * [[graft.functions.VectorFunctions.ivfTopK]] is the drop-in
+  * bucket-pruned variant when scanning every vector is too much.
+  */
+object Retrieval {
+
+  /** Exact-integer semantic scores: quantize each float component to
+    * 1e-3 units (floor of an IEEE double multiply — engine-portable),
+    * then dot with the caller's integer query vector as a long sum.
+    * Returns (idCol, score). */
+  def quantizedDotScores(emb: DataFrame, idCol: String, vecCol: String,
+                         queryQ: Seq[Long]): DataFrame = {
+    require(queryQ.nonEmpty, "query vector must be non-empty")
+    val q = array(queryQ.map(lit): _*)
+    emb.select(col(idCol), aggregate(
+      zip_with(
+        transform(col(vecCol), x => floor(x.cast("double") * lit(1000.0)).cast("long")),
+        q, (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x).as("score"))
+  }
+
+  /** Deterministic top-n rank list from an exact-integer score column:
+    * rank 1 = highest score, ties broken by ascending id. The cut is a
+    * TakeOrderedAndProject (no global sort); the rank window runs on
+    * the n surviving rows only. Returns (id, rank). */
+  def rankTop(scored: DataFrame, idCol: String, scoreCol: String, n: Int): DataFrame = {
+    val order = Seq(col(scoreCol).desc, col(idCol).asc)
+    scored.orderBy(order: _*).limit(n)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .select(col(idCol).as("id"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion of named (id, rank) lists: each list
+    * contributes `1_000_000 div (kRrf + rank)` micro-units (integral
+    * division — exact), summed per id; output carries each list's rank
+    * as `<name>_rank` (null where the id missed that list's cut).
+    * Returns topK rows ordered by (rrf_e6 desc, id). */
+  def rrfFuse(lists: Seq[(String, DataFrame)], kRrf: Int = 60, topK: Int = 20): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    val tagged = lists.map { case (name, df) =>
+      df.select(col("id"), lit(name).as("src"), col("rank").cast("long").as("rank"))
+    }.reduce(_ unionByName _)
+    val rankCols = lists.map { case (name, _) =>
+      max(when(col("src") === name, col("rank"))).as(s"${name}_rank")
+    }
+    tagged.groupBy(col("id"))
+      .agg(sum(expr(s"1000000L div (${kRrf}L + rank)")).as("rrf_e6"), rankCols: _*)
+      .orderBy(col("rrf_e6").desc, col("id").asc)
+      .limit(topK)
+  }
+
+  /** End-to-end hybrid search: BM25 micro-unit ranks over `docs` fused
+    * with quantized-dot ranks over `emb` (joined on the shared id
+    * space). Returns (id, rrf_e6, lex_rank, sem_rank). */
+  def hybridSearch(docs: DataFrame, docId: String, textCol: String,
+                   emb: DataFrame, embId: String, vecCol: String,
+                   queryTerms: Seq[String], queryQ: Seq[Long],
+                   n: Int = 50, kRrf: Int = 60, topK: Int = 20): DataFrame = {
+    val lex = rankTop(
+      Bm25.bm25E4(docs, docId, textCol, queryTerms)
+        .select(col(docId), col("bm25_e4").as("score")),
+      docId, "score", n)
+    val sem = rankTop(quantizedDotScores(emb, embId, vecCol, queryQ), embId, "score", n)
+    rrfFuse(Seq("lex" -> lex, "sem" -> sem), kRrf, topK)
+  }
+}

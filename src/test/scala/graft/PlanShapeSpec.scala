@@ -188,6 +188,37 @@ class PlanShapeSpec extends SparkSpecBase {
       l.contains("Exchange") && l.contains("payload")), p.take(3000))
   }
 
+  test("audio near-dup rides the same pigeonhole blocks — no cross product, payload never shuffles") {
+    val p = plan("q116_audio_near_dup")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // fingerprint in the scan-stage codegen projection; only (id, hash)
+    // columns reach the block equi-join
+    assert(p.contains("audio_fingerprint"), p.take(3000))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("payload")), p.take(3000))
+  }
+
+  test("dup-window spans: raw text never shuffles, window counting combines map-side") {
+    val p = plan("q117_dup_window_spans")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // only (id, start, 32-hex window hash) rows cross the wire — the
+    // tokenized text column stays below the generator projection
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange") && (l.contains("text") || l.contains("__ts"))), p.take(3000))
+    // occurrence counting is a hash aggregate with a map-side partial
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
+  test("hybrid RRF: both candidate cuts are TakeOrderedAndProject, never a global sort") {
+    val p = plan("q119_hybrid_rrf")
+    // per-partition top-n + driver merge for each list; a Sort+
+    // GlobalLimit over the corpus would be the 100 TB bottleneck
+    assert(p.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("pagerank contribution sums aggregate partially before the dst shuffle") {
     // the gated plan hides iteration subtrees behind the localCheckpoint
     // cuts, so pin the operator with materialization disabled: the

@@ -107,6 +107,45 @@ class DedupSpec extends SparkSpecBase {
     assert(o2 == Map(1L -> "a", 2L -> "b"))
   }
 
+  test("duplicateWindowSpans: cross-doc and within-doc repeats merge into maximal spans") {
+    val d = Seq(
+      (1L, "p q r s t u"),                 // shares "p q r","q r s" with 2 and 6
+      (2L, "m p q r s n"),
+      (3L, "a b a b a b a b"),             // self-repetition: every window duplicated
+      (4L, "k l m n"),                     // nothing duplicated
+      (5L, "p q"),                         // shorter than the window
+      (6L, "p q r z1 z2 z3 z4 q r s")      // two SEPARATE dup regions -> two spans
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateWindowSpans(d, "doc_id", "text", w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, 1L, 4L, 2L),   // starts {1,2} merge: overlap rule next <= prev + w
+      (2L, 2L, 5L, 2L),
+      (3L, 1L, 8L, 6L),   // within-doc counting: "a b a" x3, "b a b" x3
+      (6L, 1L, 3L, 1L), (6L, 8L, 10L, 1L))) // gap > w splits islands
+  }
+
+  test("removeDuplicateWindows: spans stripped, untouched docs pass, fully-covered docs vanish") {
+    val d = Seq(
+      (1L, "p q r s t u"),
+      (2L, "m p q r s n"),
+      (3L, "a b a b a b a b"),
+      (4L, "k l m n"),
+      (5L, "p q"),
+      (6L, "p q r z1 z2 z3 z4 q r s")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateWindows(d, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_tokens"))))
+      .toMap
+    assert(out(1L) == (("t u", 2L, 6L)))
+    assert(out(2L) == (("m n", 2L, 6L)))
+    assert(!out.contains(3L)) // every token covered -> doc disappears
+    assert(out(4L) == (("k l m n", 4L, 4L)))
+    assert(out(5L) == (("p q", 2L, 2L)))
+    assert(out(6L) == (("z1 z2 z3 z4", 4L, 10L)))
+  }
+
   test("simhash: identical docs get identical hash; near-dups land within small hamming") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

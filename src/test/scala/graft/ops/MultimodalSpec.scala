@@ -98,4 +98,56 @@ class MultimodalSpec extends SparkSpecBase {
     assert(executed.linesIterator.exists(l =>
       l.contains("image_dhash") && l.trim.startsWith("+- *(")), executed.take(1000))
   }
+
+  test("audio fingerprint kernel: second-order delta bits, 60-bit envelope, invariances") {
+    import graft.functions.AudioFingerprintKernel._
+    // empty payload -> all energies 0, strict > never fires
+    assert(hash(Array.emptyByteArray) == 0L)
+    // constant payload (whole number of grid cycles, so every cell
+    // folds the same count): every delta equals its predecessor, no bit
+    assert(hash(Array.fill[Byte](2 * Cells)(42)) == 0L)
+    // the double difference cancels global loudness: adding the same
+    // value to every byte shifts every cell energy equally (length is a
+    // multiple of Cells so all cells fold the same number of positions)
+    // and the deltas — hence the hash — are unchanged
+    val base = Array.tabulate[Byte](3 * Cells)(i => ((i * 53 + 7) % 127).toByte)
+    val shifted = base.map(b => (b + 20).toByte) // stays < 147, no 0xff wrap
+    assert(hash(shifted) == hash(base), "global offset must cancel in the double difference")
+    // locality: flipping ONE byte feeds one cell, which borders at most
+    // 4 (frame,band) delta pairs
+    val tweaked = base.clone(); tweaked(100) = (tweaked(100) ^ 0x3f).toByte
+    val d = java.lang.Long.bitCount(hash(base) ^ hash(tweaked))
+    assert(d <= 4, s"single-byte perturbation moved $d bits")
+    // non-negative SimhashBits envelope for the block machinery
+    assert(hash(base) >= 0L && hash(base) < (1L << 60))
+  }
+
+  test("audioNearDups: blocked pairs equal exact all-pairs Hamming (pigeonhole completeness)") {
+    val all = Multimodal.assetsFromBinary(
+      Tables.documents(spark, sf0001), "doc_id", "text", "audio", "fake")
+    val got = Multimodal.audioNearDups(all, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    graft.functions.AudioExpressions.register(spark)
+    val hs = all.select(col("asset_id"),
+      graft.functions.AudioExpressions.audioFingerprint(col("payload")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(want.nonEmpty, "fixture should contain near-dup audio assets")
+    assert(got == want)
+  }
+
+  test("audio_fingerprint stays inside whole-stage codegen") {
+    graft.functions.AudioExpressions.register(spark)
+    val audio = Multimodal.assetsFromBinary(
+      Tables.documents(spark, sf0001).limit(50), "doc_id", "text", "audio", "fake")
+    val plan = audio.select(
+      graft.functions.AudioExpressions.audioFingerprint(col("payload")).as("h"))
+    assert(plan.agg(max(col("h"))).head().getLong(0) >= 0L)
+    val executed = plan.queryExecution.executedPlan.toString
+    assert(executed.linesIterator.exists(l =>
+      l.contains("audio_fingerprint") && l.trim.startsWith("+- *(")), executed.take(1000))
+  }
 }

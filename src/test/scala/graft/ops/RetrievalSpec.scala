@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("quantizedDotScores: 1e-3 floor quantization then exact long dot") {
+    val emb = Seq(
+      (1L, Seq(1.5f, -0.25f)),
+      (2L, Seq(0.0f, 2.0f)),
+      (3L, Seq(-1.0009f, 0.001f)) // floor(-1000.9) = -1001, floor(1.0) = 1
+    ).toDF("vec_id", "embedding")
+    val out = Retrieval.quantizedDotScores(emb, "vec_id", "embedding", Seq(2L, 3L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1500L * 2 + -250L * 3)
+    assert(out(2L) == 0L * 2 + 2000L * 3)
+    assert(out(3L) == -1001L * 2 + 1L * 3)
+  }
+
+  test("rankTop: descending score, id tiebreak, top-n cut, no global sort") {
+    val scored = Seq((5L, 10L), (1L, 30L), (2L, 30L), (3L, 20L), (4L, 5L))
+      .toDF("id", "score")
+    val ranked = Retrieval.rankTop(scored, "id", "score", n = 3)
+    val got = ranked.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L)) // tie 30/30 -> id order
+    // the cut is a TakeOrderedAndProject, not a global Sort+Limit
+    val p = ranked.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("rrfFuse: integral-division contributions, null rank for missed lists") {
+    val lex = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
+    val sem = Seq((10L, 2L), (30L, 1L)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem), kRrf = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    // 10: both lists -> 1000000/61 + 1000000/62 (integer division)
+    assert(out.head == ((10L, 1000000L / 61 + 1000000L / 62, Some(1L), Some(2L))))
+    // 30: sem rank 1 only; 20: lex rank 2 only — 16393 > 16129
+    assert(out(1) == ((30L, 1000000L / 61, None, Some(1L))))
+    assert(out(2) == ((20L, 1000000L / 62, Some(2L), None)))
+  }
+
+  test("hybridSearch end-to-end: deterministic, both rank columns populated somewhere") {
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val q = (0 until 64).map(i => (((i * 37 + 11) % 100) - 50).toLong)
+    def run() = Retrieval.hybridSearch(docs, "doc_id", "text", emb, "vec_id", "embedding",
+      Seq("the", "and", "data"), q, n = 20, kRrf = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val a = run(); val b = run()
+    assert(a == b, "fusion must be bit-deterministic across runs")
+    assert(a.size == 10)
+    // rrf strictly ordered descending with id tiebreak -> no dup ids
+    assert(a.map(_._1).distinct.size == 10)
+    assert(a.sliding(2).forall { case Seq(x, y) => x._2 >= y._2; case _ => true })
+  }
+}
