@@ -1644,6 +1644,55 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental perceptual-hash dedup — the Hamming member of the
+    // incremental family (q56 exact, q114 MinHash): the %10==0 slice
+    // arrives as a batch of image dHashes against the rest as the
+    // standing index; greedy arrival rule mirrors q114 (drop if within
+    // Hamming 3 of the index or of a smaller-id batch doc). Oracle =
+    // pure EXISTS over the q115 fingerprint chain.
+    "q120_incremental_image_dedup" -> ((s, dir) => {
+      graft.functions.ImageExpressions.register(s)
+      val hashed = graft.ops.Multimodal.assetsFromBinary(
+          t(s, dir, "documents"), "doc_id", "text", "image", "fake")
+        .select(col("asset_id").as("doc_id"),
+          graft.functions.ImageExpressions.imageDHash(col("payload")).as("h"))
+      val batch = hashed.filter(col("doc_id") % 10 === 0)
+      val index = hashed.filter(col("doc_id") % 10 =!= 0)
+      Dedup.incrementalHammingDedup(index, batch, "doc_id", "h", maxHamming = 3)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus snapshot diff (release drift audit): prev/cur snapshots
+    // derived from documents by arithmetic slices (%7 drop = added in
+    // cur, %5 drop = removed, %3 text suffix = changed), classified by
+    // md5 fingerprint full-outer join. Drift rows only.
+    "q121_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prev = docs.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text"))
+      val cur = docs.filter(col("doc_id") % 5 =!= 0).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      graft.ops.CorpusDiff.drift(prev, cur, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // The per-dimension rollup of q121's classification (incl.
+    // unchanged): counts per (status, source), cur's dims winning for
+    // docs in both snapshots.
+    "q122_corpus_diff_summary" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prev = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"), col("source"))
+      val cur = docs.filter(col("doc_id") % 5 =!= 0).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+      graft.ops.CorpusDiff.summaryBy(prev, cur, "doc_id", "text", Seq("source"))
+        .orderBy(col("status"), col("source"))
+    }),
+
     // Hybrid retrieval: BM25 micro-unit ranks fused with quantized
     // embedding-dot ranks via reciprocal-rank fusion — every score an
     // exact integer (1e-3-quantized components, integral-division RRF
@@ -3473,6 +3522,70 @@ object SparkEntry {
                 CAST(COUNT(*) AS BIGINT) AS n_kept,
                 CAST(MAX(n_tokens) AS BIGINT) AS n_tokens
          FROM kept GROUP BY doc_id ORDER BY doc_id""",
+
+    // Same dHash chain as q115, then the greedy arrival rule as pure
+    // EXISTS: a batch (%10==0) doc survives unless within Hamming 3 of
+    // an index doc or a smaller-id batch doc.
+    "q120_incremental_image_dedup" ->
+      """WITH pos AS (SELECT doc_id, CAST((i-1) % 66 AS INTEGER) AS cell,
+                             ord(substr(text, i, 1)) AS v
+                      FROM documents, UNNEST(range(1, length(text)+1)) r(i)),
+         ids AS (SELECT DISTINCT doc_id FROM documents),
+         cells AS (SELECT ids.doc_id, CAST(c.cell AS INTEGER) AS cell
+                   FROM ids, UNNEST(range(66)) c(cell)),
+         g AS (SELECT c.doc_id, c.cell, CAST(COALESCE(SUM(p.v), 0) AS BIGINT) AS gray
+               FROM cells c LEFT JOIN pos p ON p.doc_id = c.doc_id AND p.cell = c.cell
+               GROUP BY 1, 2),
+         b AS (SELECT a.doc_id, (a.cell // 11) * 10 + (a.cell % 11) AS bit
+               FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.cell = a.cell + 1
+               WHERE a.cell % 11 < 10 AND n.gray > a.gray),
+         h AS (SELECT ids.doc_id,
+                      CAST(COALESCE(SUM(CAST(1 AS BIGINT) << CAST(bit AS INTEGER)), 0) AS BIGINT) AS dhash
+               FROM ids LEFT JOIN b ON b.doc_id = ids.doc_id GROUP BY 1)
+         SELECT d.doc_id FROM h d
+         WHERE d.doc_id % 10 = 0
+           AND NOT EXISTS (SELECT 1 FROM h i WHERE i.doc_id % 10 <> 0
+                           AND bit_count(xor(d.dhash, i.dhash)) <= 3)
+           AND NOT EXISTS (SELECT 1 FROM h b2 WHERE b2.doc_id % 10 = 0
+                           AND b2.doc_id < d.doc_id
+                           AND bit_count(xor(d.dhash, b2.dhash)) <= 3)
+         ORDER BY doc_id""",
+
+    // md5-fingerprint full-outer classification of the two arithmetic
+    // snapshot slices; drift rows only (added/removed/changed).
+    "q121_corpus_diff" ->
+      """WITH prev AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+         cur AS (SELECT doc_id,
+                        CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+                 FROM documents WHERE doc_id % 5 <> 0),
+         j AS (SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+                      p.doc_id IS NULL AS isadd, c.doc_id IS NULL AS isrem,
+                      md5(p.text) AS fp, md5(c.text) AS fc
+               FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
+         SELECT doc_id,
+                CASE WHEN isadd THEN 'added'
+                     WHEN isrem THEN 'removed'
+                     ELSE 'changed' END AS status
+         FROM j WHERE isadd OR isrem OR fp <> fc
+         ORDER BY doc_id""",
+
+    // Rollup per (status, source) including unchanged; cur's source
+    // wins where the doc exists in both snapshots.
+    "q122_corpus_diff_summary" ->
+      """WITH prev AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 7 <> 0),
+         cur AS (SELECT doc_id,
+                        CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text,
+                        source
+                 FROM documents WHERE doc_id % 5 <> 0),
+         j AS (SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+                      CASE WHEN p.doc_id IS NULL THEN 'added'
+                           WHEN c.doc_id IS NULL THEN 'removed'
+                           WHEN md5(p.text) <> md5(c.text) THEN 'changed'
+                           ELSE 'unchanged' END AS status,
+                      COALESCE(c.source, p.source) AS source
+               FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
+         SELECT status, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM j GROUP BY 1, 2 ORDER BY status, source""",
 
     // Reproduces both rank lists exactly — the BM25 micro-unit chain is
     // q112's verbatim, the semantic side quantizes each float component

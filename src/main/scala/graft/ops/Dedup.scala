@@ -913,27 +913,9 @@ object Dedup {
     * `hamming <= maxHamming` by the pigeonhole argument below. */
   def hammingNearDups(hashed0: DataFrame, idCol: String, hashCol: String,
                       maxHamming: Int, nBlocksOpt: Int = 0): DataFrame = {
-    val nBlocks = if (nBlocksOpt > 0) nBlocksOpt else autoBlocks(maxHamming)
-    require(nBlocks > maxHamming, s"need more blocks ($nBlocks) than allowed diffs ($maxHamming)")
-    require(nBlocks <= SimhashBits, s"at most $SimhashBits blocks")
-    // integer division: when nBlocks doesn't divide SimhashBits the top
-    // SimhashBits % nBlocks bits stay uncovered — harmless: diffs there
-    // dirty no block, so >= (nBlocks - d) blocks still agree (the
-    // pigeonhole completeness argument only needs covered-bit diffs to
-    // land in <= d blocks)
-    val blockBits = SimhashBits / nBlocks
-    val combos = (0 until nBlocks).combinations(nBlocks - maxHamming).toSeq
+    val nBlocks = resolveBlocks(maxHamming, nBlocksOpt)
     val hashed = hashed0.select(col(idCol).as("id"), col(hashCol).as("simhash"))
-    // combo key = the combo's block values packed into one long (total
-    // bits <= SimhashBits, so it always fits); combo index disambiguates
-    val comboKeys = combos.map { combo =>
-      combo.foldLeft(lit(0L)) { (acc, blk) =>
-        shiftleft(acc, blockBits) +
-          shiftrightunsigned(col("simhash"), blk * blockBits).bitwiseAND(lit((1L << blockBits) - 1))
-      }
-    }
-    val blocked = hashed.select(col("id"), col("simhash"),
-      posexplode(array(comboKeys: _*)).as(Seq("ck", "ck_key")))
+    val blocked = comboBlocked(hashed, nBlocks, maxHamming)
       .repartition(col("ck"), col("ck_key"))
     val l = blocked.select(col("ck"), col("ck_key"), col("id").as("id_a"), col("simhash").as("h_a"))
     val r = blocked.select(col("ck"), col("ck_key"), col("id").as("id_b"), col("simhash").as("h_b"))
@@ -942,5 +924,71 @@ object Dedup {
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Incremental perceptual-hash dedup — the Hamming member of the
+    * incremental family ([[incrementalNew]] exact, [[incrementalFuzzyDedup]]
+    * MinHash): an arrival batch of (id, ≤60-bit hash) rows is checked
+    * against a standing index with the same greedy arrival rule — a
+    * batch row survives unless it lands within `maxHamming` of an index
+    * hash or of a smaller-id batch row (non-recursive EXISTS, mirroring
+    * the fuzzy variant's oracle-checkable semantics).
+    *
+    * Plan shape at 100 TB: the index's combo blocks are a pure
+    * projection+explode over its (id, 8-byte hash) relation — the index
+    * never shuffles; the batch's blocks BROADCAST into the cross join
+    * (an arrival batch is orders of magnitude smaller than the corpus),
+    * so per-batch cost is O(index scan) with no index-sized exchange.
+    * Intra-batch pairs reuse [[hammingNearDups]] on the batch alone.
+    * Returns the surviving batch rows (id, hash columns as given). */
+  def incrementalHammingDedup(index: DataFrame, batch: DataFrame,
+                              idCol: String, hashCol: String,
+                              maxHamming: Int, nBlocksOpt: Int = 0): DataFrame = {
+    val nBlocks = resolveBlocks(maxHamming, nBlocksOpt)
+    val idx = comboBlocked(
+      index.select(col(idCol).as("id"), col(hashCol).as("simhash")), nBlocks, maxHamming)
+    val bat = comboBlocked(
+      batch.select(col(idCol).as("id"), col(hashCol).as("simhash")), nBlocks, maxHamming)
+      .select(col("ck"), col("ck_key"), col("id").as("b_id"), col("simhash").as("b_h"))
+    val crossDrops = idx
+      .join(broadcast(bat), Seq("ck", "ck_key"))
+      .filter(bit_count(col("simhash").bitwiseXOR(col("b_h"))) <= maxHamming)
+      .select(col("b_id").as("id")).distinct()
+    val intraDrops = hammingNearDups(
+      batch.select(col(idCol).as("id"), col(hashCol).as("simhash")),
+      "id", "simhash", maxHamming, nBlocks)
+      .select(col("id_b").as("id")).distinct()
+    batch.join(crossDrops.union(intraDrops).distinct()
+        .withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+  }
+
+  private def resolveBlocks(maxHamming: Int, nBlocksOpt: Int): Int = {
+    val nBlocks = if (nBlocksOpt > 0) nBlocksOpt else autoBlocks(maxHamming)
+    require(nBlocks > maxHamming, s"need more blocks ($nBlocks) than allowed diffs ($maxHamming)")
+    require(nBlocks <= SimhashBits, s"at most $SimhashBits blocks")
+    nBlocks
+  }
+
+  /** (ck, ck_key, id, simhash): one row per (row, combination) with the
+    * combo's block values packed into one long key. Integer division:
+    * when nBlocks doesn't divide SimhashBits the top SimhashBits %
+    * nBlocks bits stay uncovered — harmless: diffs there dirty no
+    * block, so >= (nBlocks - d) blocks still agree (the pigeonhole
+    * completeness argument only needs covered-bit diffs to land in
+    * <= d blocks). */
+  private def comboBlocked(hashed: DataFrame, nBlocks: Int, maxHamming: Int): DataFrame = {
+    val blockBits = SimhashBits / nBlocks
+    val combos = (0 until nBlocks).combinations(nBlocks - maxHamming).toSeq
+    // combo key = the combo's block values packed into one long (total
+    // bits <= SimhashBits, so it always fits); combo index disambiguates
+    val comboKeys = combos.map { combo =>
+      combo.foldLeft(lit(0L)) { (acc, blk) =>
+        shiftleft(acc, blockBits) +
+          shiftrightunsigned(col("simhash"), blk * blockBits).bitwiseAND(lit((1L << blockBits) - 1))
+      }
+    }
+    hashed.select(col("id"), col("simhash"),
+      posexplode(array(comboKeys: _*)).as(Seq("ck", "ck_key")))
   }
 }

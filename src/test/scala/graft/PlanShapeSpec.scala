@@ -219,6 +219,18 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("incremental hamming dedup broadcasts the batch — index never shuffles for the cross pass") {
+    val p = plan("q120_incremental_image_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the batch's combo blocks ride a broadcast into the cross join;
+    // an index-sized exchange keyed by block would be the 100 TB hazard
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("image_dhash"), p.take(3000))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("payload")), p.take(3000))
+  }
+
   test("pagerank contribution sums aggregate partially before the dst shuffle") {
     // the gated plan hides iteration subtrees behind the localCheckpoint
     // cuts, so pin the operator with materialization disabled: the

@@ -275,6 +275,25 @@ class DedupSpec extends SparkSpecBase {
     assert(kept2 == Set(10L, 11L, 13L))
   }
 
+  test("incrementalHammingDedup: greedy arrival rule over index and smaller-id batch matches") {
+    val index = Seq((1L, 0L), (2L, (1L << 59) | (1L << 20))).toDF("id", "h")
+    val batch = Seq(
+      (10L, 1L),                                // hamming 1 from index doc 1 -> cross drop
+      (11L, 0x3FF00L),                          // far from everything -> survives
+      (12L, 0x3FF01L),                          // hamming 1 from batch 11 (smaller id) -> intra drop
+      (13L, (1L << 59) | (1L << 20) | (1L << 5)), // hamming 1 from index doc 2 -> cross drop
+      (14L, 0x3FF03L)                           // hamming 1 from batch 12; rule is
+                                                // non-recursive, so dropped even though 12 was
+    ).toDF("id", "h")
+    val out = Dedup.incrementalHammingDedup(index, batch, "id", "h", maxHamming = 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L))
+    // empty index degenerates to intra-batch-only dedup
+    val noIdx = Dedup.incrementalHammingDedup(index.limit(0), batch, "id", "h", maxHamming = 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(noIdx == Set(10L, 11L, 13L)) // only 12 (vs 11) and 14 (vs 12) drop
+  }
+
   test("connectedComponents removes its checkpoint scratch area on failure") {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt-fail")
     try {
