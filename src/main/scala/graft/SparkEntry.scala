@@ -1693,6 +1693,53 @@ object SparkEntry {
         .orderBy(col("status"), col("source"))
     }),
 
+    // Z-order (Morton) layout clustering: orders keyed by (custkey,
+    // order-day) bit-interleaved into a 62-bit z-value, dealt into 16
+    // equal-count files by exact global rank (distributed prefix-sum —
+    // no single-reducer sort); output is each file's pruning envelope
+    // (count + min/max of BOTH dimensions), i.e. what a manifest would
+    // record to prune either predicate column.
+    "q123_zorder_layout" -> ((s, dir) => {
+      graft.ops.Layout.zorderFileStats(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey").as("x"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))
+            .cast("long").as("y")),
+        "o_orderkey", "x", "y", numFiles = 16)
+        .orderBy(col("file_id"))
+    }),
+
+    // Bigram-LM scoring (the KenLM-style perplexity filter of CCNet /
+    // RefinedWeb, integer-exact): corpus-trained 10^6-quantized
+    // conditional quanta summed per document — no logs, no doubles.
+    "q124_bigram_lm_score" -> ((s, dir) => {
+      graft.ops.NgramLm.scoreDocs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Size-balanced serpentine ("snake draft") output sharding: docs
+    // ranked by n_chars desc (md5 tie-break) and dealt into 8 shards
+    // alternately L→R / R→L — per-shard totals stay within one block's
+    // spread. Doc-level assignment emitted (the rollup is derivable).
+    "q125_balanced_shards" -> ((s, dir) => {
+      graft.ops.Sampling.balancedShards(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", shards = 8)
+        .select(col("doc_id"), col("n_chars"), col("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR hashed-unigram importance weights (Xie et al. 2023): raw =
+    // full corpus, target = its English slice; 4096 md5 buckets,
+    // add-one-smoothed integer ratio quanta; the O(buckets) weight
+    // table rides a broadcast join at any corpus size.
+    "q126_dsir_importance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Dsir.scoreDocs(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 4096)
+        .orderBy(col("doc_id"))
+    }),
+
     // Hybrid retrieval: BM25 micro-unit ranks fused with quantized
     // embedding-dot ranks via reciprocal-rank fusion — every score an
     // exact integer (1e-3-quantized components, integral-division RRF
@@ -3586,6 +3633,87 @@ object SparkEntry {
                FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
          SELECT status, source, CAST(COUNT(*) AS BIGINT) AS n_docs
          FROM j GROUP BY 1, 2 ORDER BY status, source""",
+
+    // Recomputes the Morton interleave bit-for-bit (list comprehension
+    // over the 31 bit positions), ranks by (zval, id), deals files by
+    // floor(rank0·16/n). All emitted aggregates CAST to BIGINT.
+    "q123_zorder_layout" ->
+      """WITH z AS (SELECT o_orderkey AS id, o_custkey AS x,
+                    CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS y
+             FROM orders),
+         zz AS (SELECT id, x, y,
+                list_sum([((x >> b) & 1) * (1::BIGINT << (2*b)) +
+                          ((y >> b) & 1) * (1::BIGINT << (2*b+1)) for b in range(0, 31)]) AS zval
+                FROM z),
+         r AS (SELECT x, y, row_number() OVER (ORDER BY zval, id) - 1 AS rk,
+                      COUNT(*) OVER () AS n
+               FROM zz)
+         SELECT CAST((rk * 16) // n AS INTEGER) AS file_id,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+                CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+         FROM r GROUP BY 1 ORDER BY file_id""",
+
+    // Same tokenization protocol as q21/q119; bigrams via 1-indexed
+    // list_transform; conditional quanta by integer division; every
+    // emitted aggregate CAST to BIGINT (HUGEINT lint).
+    "q124_bigram_lm_score" ->
+      """WITH tk AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 t -> length(t) > 0) AS toks
+              FROM documents),
+         bg AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM tk),
+         tf AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS tf FROM bg GROUP BY 1, 2),
+         c2 AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1),
+         c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+                FROM c2 GROUP BY 1),
+         m AS (SELECT bg, (1000000 * c2) // c1 AS q
+               FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1)
+         SELECT tf.doc_id,
+                CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                CAST(SUM(tf * q) AS BIGINT) AS score_sum,
+                CAST(CAST(SUM(tf * q) AS BIGINT) // CAST(SUM(tf) AS BIGINT) AS BIGINT) AS avg_q
+         FROM tf JOIN m USING (bg)
+         GROUP BY 1 ORDER BY doc_id""",
+
+    // Serpentine deal over the exact global rank by (n_chars desc, md5,
+    // id) — the q73/q74 ordering discipline.
+    "q125_balanced_shards" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+                    row_number() OVER (ORDER BY n_chars DESC,
+                                       md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk
+             FROM documents)
+         SELECT doc_id, n_chars,
+                CAST(CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+                          ELSE 7 - rk % 8 END AS INTEGER) AS shard
+         FROM r ORDER BY doc_id""",
+
+    // Hashed buckets via the portable md5-long (q74 pattern);
+    // add-one-smoothed integer ratio; every emitted aggregate BIGINT.
+    "q126_dsir_importance" ->
+      """WITH tok AS (SELECT doc_id,
+                      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                         t -> length(t) > 0)) AS tok
+               FROM documents),
+         b AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS bucket
+               FROM tok),
+         db AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+         rawc AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS raw_cnt FROM db GROUP BY 1),
+         tgtc AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS tgt_cnt
+                  FROM db JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+         w AS (SELECT r.bucket,
+                      (1000000 * (COALESCE(t.tgt_cnt, 0) + 1)) // (r.raw_cnt + 1) AS w
+               FROM rawc r LEFT JOIN tgtc t ON r.bucket = t.bucket)
+         SELECT db.doc_id,
+                CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                CAST(SUM(cnt * w) AS BIGINT) AS imp_sum,
+                CAST(CAST(SUM(cnt * w) AS BIGINT) // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS avg_imp
+         FROM db JOIN w USING (bucket)
+         GROUP BY 1 ORDER BY doc_id""",
 
     // Reproduces both rank lists exactly — the BM25 micro-unit chain is
     // q112's verbatim, the semantic side quantizes each float component

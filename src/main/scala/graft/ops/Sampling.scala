@@ -310,6 +310,68 @@ object Sampling {
       .drop("component_id")
   }
 
+  /** Exact 1-based global rank under a TOTAL order, with no
+    * single-partition window stage: range-partition on the order,
+    * row_number within each partition, then add broadcast per-partition
+    * count offsets (the same distributed prefix-sum shape as
+    * [[budgetSelect]], with count as the cost). The sampled range
+    * boundaries are nondeterministic, but `offset + local rank` is the
+    * exact global rank under ANY boundary choice because the order is
+    * total — callers must pass a tie-broken ordering. The offset frame
+    * is one row per shuffle partition (tiny), so its running-sum window
+    * and the join back both stay driver-trivial/broadcast at any scale.
+    *
+    * `materialize` pins the partition assignment between the rank pass
+    * and the offset pass (same contract as [[budgetSelect]]). */
+  def globalRank(df: DataFrame, ord: Seq[Column], out: String = "global_rank",
+                 materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(ord.nonEmpty, "globalRank needs at least one order column")
+    require(!df.columns.contains(out) && !df.columns.contains("__pid"),
+      s"input must not already contain $out/__pid")
+    import org.apache.spark.sql.expressions.Window
+    val nChunks = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = materialize(df
+      .repartitionByRange(nChunks, ord: _*)
+      .withColumn("__pid", spark_partition_id()))
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+    // one row per partition: the unpartitioned window is over ≤ nChunks rows
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    parted.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(out, col("__off") + row_number().over(wLocal).cast("long"))
+      .drop("__pid", "__off")
+  }
+
+  /** Size-balanced serpentine ("snake draft") shard assignment: rank
+    * all rows by cost desc (md5+key tie-break), then deal rank blocks
+    * of `shards` rows alternately left-to-right / right-to-left. For
+    * heavy-tailed cost distributions this bounds the shard-total spread
+    * by one block's internal spread — far tighter than hash or
+    * round-robin assignment — while staying bit-deterministic and
+    * oracle-checkable (a window + pure arithmetic; the rank itself is
+    * [[globalRank]], so there is no single-reducer sort at 100 TB).
+    * Null keys/costs are dropped (family rule). */
+  def balancedShards(df: DataFrame, keyCol: String, costCol: String,
+                     shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    require(!df.columns.exists(Set("shard", "__rank0")),
+      "input must not already contain shard/__rank0")
+    val ord = Seq(col(costCol).desc, md5(col(keyCol).cast("string")).asc,
+      col(keyCol).asc)
+    globalRank(df.filter(col(keyCol).isNotNull && col(costCol).isNotNull),
+        ord, out = "__rank0")
+      .withColumn("__rank0", col("__rank0") - 1)
+      .withColumn("shard",
+        when((expr(s"__rank0 div $shards") % 2) === 0, col("__rank0") % shards)
+          .otherwise(lit(shards - 1) - col("__rank0") % shards)
+          .cast("int"))
+      .drop("__rank0")
+  }
+
   def trainingOrder(df: DataFrame, keyCol: String, shards: Int): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
     require(!df.columns.exists(Set("shard", "pos", "global_rank")),

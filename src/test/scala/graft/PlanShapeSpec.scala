@@ -244,4 +244,35 @@ class PlanShapeSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(p.contains("partial_sum"), p.take(3000))
   }
+
+  test("exact global rank (zorder layout / balanced shards) windows only within range chunks") {
+    for (q <- Seq("q123_zorder_layout", "q125_balanced_shards")) {
+      val p = plan(q)
+      // the full-data rank window must be keyed by the chunk id — an
+      // unkeyed row_number would put the whole table in one task
+      val rankWindows = p.linesIterator
+        .filter(_.contains("row_number() windowspecdefinition")).toSeq
+      assert(rankWindows.nonEmpty, s"$q: expected a rank window:\n${p.take(2000)}")
+      assert(rankWindows.forall(_.contains("__pid")),
+        s"$q:\n${rankWindows.mkString("\n")}")
+      // per-chunk count offsets arrive by broadcast
+      assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    }
+  }
+
+  test("bigram LM tokenizes the corpus once — consumers read the materialized tf table") {
+    val p = plan("q124_bigram_lm_score")
+    assert(!p.contains("Generate"),
+      "explode must happen only inside the single checkpointed tokenization pass")
+    assert(!p.contains("Scan parquet"), "no re-scan of raw documents")
+  }
+
+  test("dsir weights broadcast and the raw bucket shuffle is reused at runtime") {
+    val df = SparkEntry.queries("q126_dsir_importance")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert("ReusedQueryStage|ReusedExchange".r.findAllIn(p).nonEmpty,
+      "raw corpus must be tokenized once, not re-exploded per consumer:\n" + p.take(3000))
+  }
 }

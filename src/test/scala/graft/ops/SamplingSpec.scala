@@ -304,4 +304,52 @@ class SamplingSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     plain.foreach { case (id, s) => assert(split(id) == s) }
   }
+
+  test("globalRank equals a single-window row_number under any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 2000L).map(i => (i, (i * 7919) % 97)).toDF("id", "v")
+    val expected = rows
+      .withColumn("rk", row_number().over(Window.orderBy(col("v").desc, col("id"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = Sampling.globalRank(rows.repartition(17),
+        Seq(col("v").desc, col("id").asc), out = "rk")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
+  test("globalRank rejects colliding output columns") {
+    val df = (1L to 5L).toDF("id")
+    intercept[IllegalArgumentException] {
+      Sampling.globalRank(df, Seq(col("id")), out = "id")
+    }
+  }
+
+  test("balancedShards serpentine deal: block k reverses when k is odd") {
+    // costs strictly decreasing by id, so rank order == id order
+    val rows = (0L until 32L).map(i => (i, 1000L - i)).toDF("id", "cost")
+    val shard = Sampling.balancedShards(rows, "id", "cost", shards = 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("shard")).toMap
+    (0L until 32L).foreach { i =>
+      val (block, pos) = (i / 8, (i % 8).toInt)
+      val want = if (block % 2 == 0) pos else 7 - pos
+      assert(shard(i) == want, s"rank $i")
+    }
+  }
+
+  test("balancedShards: linear costs over full blocks balance EXACTLY") {
+    // serpentine pairs block 2k with reversed block 2k+1, so any
+    // cost sequence linear in rank sums identically on every shard —
+    // a round-robin deal would spread by shards·blocks here
+    val rows = (0L until 320L).map(i => (i, 5000L - 3L * i)).toDF("id", "cost")
+    val totals = Sampling.balancedShards(rows, "id", "cost", shards = 8)
+      .groupBy("shard").agg(sum("cost").as("t"))
+      .collect().map(_.getLong(1))
+    assert(totals.length == 8 && totals.distinct.length == 1, totals.toSeq)
+    // determinism under arbitrary input partitioning
+    val again = Sampling.balancedShards(rows.repartition(13), "id", "cost", 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("shard")).toMap
+    val first = Sampling.balancedShards(rows, "id", "cost", 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("shard")).toMap
+    assert(again == first)
+  }
 }
