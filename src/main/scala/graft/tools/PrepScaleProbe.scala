@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe for the round-10 data-prep operators (z-order layout,
+  * bigram-LM scoring, balanced shards, DSIR weights): k× perturbed
+  * copies of the sf corpus, measured wall times — PLANS.md's linearity
+  * claims for these ops are measured here, not asserted.
+  *
+  * Perturbation follows ScaleProbe: doc copies get copy-suffixed
+  * tokens (vocabulary grows k× like a real corpus — the worst case for
+  * the LM's model join); order copies get disjoint key ranges. The
+  * DSIR target stays FIXED (copy 0's English slice) while raw grows k×
+  * — the weight table is O(buckets) by construction, so cost must
+  * track the raw-corpus passes alone.
+  */
+object PrepScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.core.Tables.tune(spark)
+    val dir = if (args.nonEmpty) args.head else "/root/testdata/sf0.1"
+
+    val CopyStride = 10000000L
+    def copies(base: DataFrame, k: Int, idCol: String,
+               f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until k).map { i =>
+        f(base.withColumn(idCol, col(idCol) + lit(i.toLong * CopyStride)), i)
+      }.reduce(_ unionByName _)
+
+    val docs0 = graft.core.Tables.table(spark, dir, "documents")
+    val orders0 = graft.core.Tables.table(spark, dir, "orders")
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    for (k <- Seq(1, 2, 4, 8)) {
+      val docs = copies(docs0, k, "doc_id",
+        (d, i) => d.withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1_c" + i)))
+        .localCheckpoint(true)
+      val orders = copies(orders0, k, "o_orderkey", (d, _) => d)
+        .select(col("o_orderkey"), col("o_custkey").as("x"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))
+            .cast("long").as("y"))
+        .localCheckpoint(true)
+
+      val (tZ, nZ) = time(graft.ops.Layout.zorderFileStats(
+        orders, "o_orderkey", "x", "y", numFiles = 64).count())
+      val (tLm, nLm) = time(graft.ops.NgramLm.scoreDocs(docs, "doc_id", "text").count())
+      val (tSh, nSh) = time(graft.ops.Sampling.balancedShards(
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", 64).count())
+      val (tDs, nDs) = time(graft.ops.Dsir.scoreDocs(
+        docs, docs.filter(col("doc_id") < CopyStride && col("lang") === "en"),
+        "doc_id", "text").count())
+      println(f"[prep-scale] k=$k%-2d orders=${orders0.count() * k}%-8d " +
+        f"zorder=$tZ%6.2fs($nZ) bigramlm=$tLm%6.2fs($nLm) " +
+        f"shards=$tSh%6.2fs($nSh) dsir=$tDs%6.2fs($nDs)")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    spark.stop()
+  }
+}
