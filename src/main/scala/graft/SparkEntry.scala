@@ -1740,6 +1740,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source trigram lexical diversity (corpus-level type-token
+    // ratio — the mode-collapse / synthetic-slice detector): integer
+    // counts + 10^6-quantized distinct share.
+    "q127_ngram_diversity" -> ((s, dir) => {
+      graft.ops.TextProfile.ngramDiversity(
+        t(s, dir, "documents"), "source", "text", n = 3)
+        .orderBy(col("source"))
+    }),
+
+    // Distributed BPE vocabulary learning (Sennrich et al. 2016): 8
+    // most-frequent-pair merges over the Heaps-law-sized word table;
+    // greedy in-word merges are literal sentinel-bracket replaces, so
+    // DuckDB reproduces the scan bit-for-bit. Output = the learned
+    // merge list (model-sized, like the kmeans centroids).
+    "q128_bpe_merges" -> ((s, dir) => {
+      graft.ops.BpeTrain.merges(t(s, dir, "documents"), "text", nMerges = 8)
+        .orderBy(col("step"))
+    }),
+
     // Hybrid retrieval: BM25 micro-unit ranks fused with quantized
     // embedding-dot ranks via reciprocal-rank fusion — every score an
     // exact integer (1e-3-quantized components, integral-division RRF
@@ -1901,6 +1920,36 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
   // DuckDB oracle SQL — same column names, same deterministic arithmetic.
   // ---------------------------------------------------------------------------
+  /** q128's oracle, generated: n unrolled merge stages, each = pair
+    * count over the current symbol table → argmax (cnt desc, pair asc)
+    * → literal sentinel-bracket replace. DuckDB's replace scans
+    * left-to-right non-overlapping exactly like the engine's. */
+  private def bpeOracleSql(n: Int): String = {
+    val (l, r) = ("chr(1)", "chr(2)")
+    val stages = (1 to n).map { i =>
+      s"""p$i AS (SELECT s.a AS a, s.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+              SELECT freq, unnest(list_transform(range(1, len(sy)),
+                       j -> struct_pack(a := sy[j], b := sy[j+1]))) AS s
+              FROM (SELECT freq,
+                           regexp_extract_all(seq, $l || '([^' || $r || ']+)' || $r, 1) AS sy
+                    FROM w${i - 1})
+            ) GROUP BY 1, 2),
+         t$i AS (SELECT $i AS step, a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         w$i AS (SELECT replace(seq, $l||a||$r||$l||b||$r, $l||a||b||$r) AS seq, freq
+                 FROM w${i - 1} CROSS JOIN t$i)"""
+    }.mkString(",\n         ")
+    val union = (1 to n).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ")
+    s"""WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    t -> length(t) > 0)) AS word
+                     FROM documents),
+         wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+         w0 AS (SELECT array_to_string(list_transform(string_split(word, ''),
+                         c -> $l||c||$r), '') AS seq, freq
+                FROM wc),
+         $stages
+         SELECT step, a AS lhs, b AS rhs, cnt FROM ($union) ORDER BY step"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3714,6 +3763,26 @@ object SparkEntry {
                 CAST(CAST(SUM(cnt * w) AS BIGINT) // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS avg_imp
          FROM db JOIN w USING (bucket)
          GROUP BY 1 ORDER BY doc_id""",
+
+    // Same trigram assembly as the q124 bigram protocol, generalized;
+    // ttr quantized by integer division, all aggregates BIGINT.
+    "q127_ngram_diversity" ->
+      """WITH tk AS (SELECT source,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 t -> length(t) > 0) AS toks
+              FROM documents),
+         g AS (SELECT source,
+                      unnest(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+               FROM tk),
+         c AS (SELECT source, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+         SELECT source,
+                CAST(SUM(cnt) AS BIGINT) AS total_ngrams,
+                CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+                CAST((1000000 * CAST(COUNT(*) AS BIGINT)) // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS ttr_e6
+         FROM c GROUP BY 1 ORDER BY source""",
+
+    "q128_bpe_merges" -> bpeOracleSql(8),
 
     // Reproduces both rank lists exactly — the BM25 micro-unit chain is
     // q112's verbatim, the semantic side quantizes each float component

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE vocabulary learning (Sennrich et al. 2016): the
+  * iterative most-frequent-pair merge over a word-frequency table —
+  * the TRAINING side of the tokenizer family (q45 applies a BPE-ish
+  * pre-tokenizer; this learns the merge list itself).
+  *
+  * Representation: a word's symbol sequence is one string with every
+  * symbol wrapped in sentinel brackets (U+0001 s U+0002, absent from
+  * the corpus by audit). Merging pair (a,b) is then a LITERAL string
+  * replace of "⟨a⟩⟨b⟩" with "⟨ab⟩" — and because adjacent wrapped
+  * symbols share no characters, left-to-right non-overlapping replace
+  * (both Spark's UTF8String.replace and DuckDB's replace) implements
+  * exactly BPE's greedy in-word merge scan ("aaa" + (a,a) → "aa","a").
+  *
+  * Scale shape: everything iterates over the DISTINCT-WORD table
+  * (Heaps-law sized — orders of magnitude under the corpus; the one
+  * corpus-sized pass is the initial word count, a single hash agg).
+  * Each merge step is one (a,b)-keyed hash agg over the word table +
+  * a driver-side argmax of ONE row (the learned merge — model-sized,
+  * the kmeans-centroid precedent) + a map-only replace, with a
+  * lineage cut per step so plan depth stays constant. 10 merges = 10
+  * small vocab-table jobs, never a corpus re-scan.
+  */
+object BpeTrain {
+
+  private val L = "\u0001"
+  private val R = "\u0002"
+
+  /** One learned merge: the pair, its weighted count, rank of step. */
+  final case class Merge(step: Int, lhs: String, rhs: String, cnt: Long)
+
+  /** Corpus word-frequency table: lower-cased `\s+` tokens (the text
+    * family protocol) with exact counts — the only corpus-sized pass. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(expr(
+        s"filter(split(lower($textCol), '\\\\s+'), t -> length(t) > 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Encode a word into its bracketed character-symbol string. */
+  private def encode(word: Column): Column =
+    expr(s"concat_ws('', transform(split(word, ''), c -> concat('$L', c, '$R')))")
+
+  /** Weighted adjacent-pair counts over the current symbol table. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .withColumn("syms",
+        expr(s"regexp_extract_all(seq, '$L([^$R]+)$R', 1)"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(0, size(syms) - 2),
+                     i -> struct(syms[i] AS a, syms[i + 1] AS b))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Learn `nMerges` merges. Ties break by (count desc, lhs asc,
+    * rhs asc) in binary string order — deterministic across engines
+    * for BMP text. Stops early if no pair remains.
+    *
+    * Replaces are map-only, so intermediate steps stay pure lineage
+    * and only every `checkpointInterval`-th table is materialised —
+    * one argmax job per step plus nMerges/interval cuts, instead of a
+    * write-out per merge (a replace recompute over the vocab table is
+    * far cheaper than materialising it). */
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                  checkpointInterval: Int = 4,
+                  materialize: DataFrame => DataFrame = _.localCheckpoint()): Seq[Merge] = {
+    require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
+    require(checkpointInterval >= 1, s"interval must be positive, got $checkpointInterval")
+    var words = materialize(
+      wordCounts(docs, textCol).select(encode(col("word")).as("seq"), col("freq")))
+    val out = Seq.newBuilder[Merge]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += Merge(step, a, b, c)
+        words = words.withColumn("seq",
+          replace(col("seq"), lit(s"$L$a$R$L$b$R"), lit(s"$L$a$b$R")))
+        if (step % checkpointInterval == 0) words = materialize(words)
+        step += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The learned merge list as a DataFrame (step, lhs, rhs, cnt) —
+    * the gate/catalog surface. */
+  def merges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learnMerges(docs, textCol, nMerges).toDF("step", "lhs", "rhs", "cnt")
+  }
+}

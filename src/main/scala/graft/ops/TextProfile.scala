@@ -87,4 +87,37 @@ object TextProfile {
         countDistinct(col("__fp")).as("n_unique"))
       .withColumn("dup_rate",
         lit(1.0) - col("n_unique").cast("double") / col("n_docs"))
+
+  /** Per-group n-gram lexical diversity (the corpus-level type-token
+    * ratio used to flag mode-collapsed/synthetic slices — a shrinking
+    * distinct-share under a growing token count is the collapse
+    * signature). Output per group: total n-gram instances, distinct
+    * n-grams, and the 10^6-quantized distinct share (integer div —
+    * exact in every engine).
+    *
+    * Plan shape: tokenize + n-gram assembly are one map-only array
+    * transform (no positional join — the q124 bigram machinery
+    * generalized to n); then (group, gram) hash agg → per-group agg.
+    * Both aggregates combine map-side; gram text crosses the wire only
+    * keyed for the first agg, and group cardinality is tiny so the
+    * second is driver-trivial at any corpus size. */
+  def ngramDiversity(docs: DataFrame, groupCol: String, textCol: String,
+                     n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val grams = docs
+      .select(col(groupCol).as("grp"), col(textCol).as("text"))
+      .withColumn("toks",
+        expr("filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)"))
+      .select(col("grp"), explode(expr(
+        s"""CASE WHEN size(toks) >= $n
+            THEN transform(sequence(0, size(toks) - $n),
+                           i -> concat_ws(' ', slice(toks, i + 1, $n)))
+            ELSE array() END""")).as("gram"))
+    grams.groupBy(col("grp"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+      .withColumn("ttr_e6", expr("(1000000 * distinct_ngrams) div total_ngrams"))
+      .withColumnRenamed("grp", groupCol)
+  }
 }
