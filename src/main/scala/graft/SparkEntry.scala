@@ -1759,6 +1759,30 @@ object SparkEntry {
         .orderBy(col("step"))
     }),
 
+    // BPE encoding + fertility: apply q128's learned merges corpus-wide
+    // — a map-only replace chain inlined in the scan stage (nothing
+    // shuffles but the per-doc aggregate) — and report BPE token
+    // counts + tokens-per-word quanta, the tokenizer-efficiency signal.
+    "q129_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val learned = graft.ops.BpeTrain.learnMerges(docs, "text", nMerges = 8)
+      graft.ops.BpeTrain.encodedTokenCounts(docs, "doc_id", "text", learned)
+        .orderBy(col("doc_id"))
+    }),
+
+    // MMR diverse re-ranking (Carbonell & Goldstein 1998): top-50
+    // relevance pool by quantized dot (TakeOrdered — the distributed
+    // cut), then 10 greedy integer-exact λ=0.7 selections trading
+    // relevance vs redundancy. Query vector = q119's integer formula.
+    "q130_mmr_rerank" -> ((s, dir) => {
+      val queryQ = (0 until 64).map(i => (((i * 37 + 11) % 100) - 50).toLong)
+      graft.ops.Retrieval.mmrSelect(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryQ,
+        poolN = 50, k = 10, lambdaNum = 7, lambdaDen = 10)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("step"))
+    }),
+
     // Hybrid retrieval: BM25 micro-unit ranks fused with quantized
     // embedding-dot ranks via reciprocal-rank fusion — every score an
     // exact integer (1e-3-quantized components, integral-division RRF
@@ -1920,11 +1944,13 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
   // DuckDB oracle SQL — same column names, same deterministic arithmetic.
   // ---------------------------------------------------------------------------
-  /** q128's oracle, generated: n unrolled merge stages, each = pair
-    * count over the current symbol table → argmax (cnt desc, pair asc)
-    * → literal sentinel-bracket replace. DuckDB's replace scans
-    * left-to-right non-overlapping exactly like the engine's. */
-  private def bpeOracleSql(n: Int): String = {
+  /** Shared WITH-body for the BPE oracles (q128/q129): n unrolled
+    * merge stages, each = pair count over the current symbol table →
+    * argmax (cnt desc, pair asc) → literal sentinel-bracket replace.
+    * DuckDB's replace scans left-to-right non-overlapping exactly like
+    * the engine's. The chain carries `word` so the final table is a
+    * word → merged-sequence mapping usable for encoding. */
+  private def bpeChainSql(n: Int): String = {
     val (l, r) = ("chr(1)", "chr(2)")
     val stages = (1 to n).map { i =>
       s"""p$i AS (SELECT s.a AS a, s.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -1935,20 +1961,74 @@ object SparkEntry {
                     FROM w${i - 1})
             ) GROUP BY 1, 2),
          t$i AS (SELECT $i AS step, a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-         w$i AS (SELECT replace(seq, $l||a||$r||$l||b||$r, $l||a||b||$r) AS seq, freq
+         w$i AS (SELECT word, replace(seq, $l||a||$r||$l||b||$r, $l||a||b||$r) AS seq, freq
                  FROM w${i - 1} CROSS JOIN t$i)"""
     }.mkString(",\n         ")
-    val union = (1 to n).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ")
-    s"""WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                                    t -> length(t) > 0)) AS word
-                     FROM documents),
-         wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
-         w0 AS (SELECT array_to_string(list_transform(string_split(word, ''),
+    s"""tokd AS (SELECT doc_id,
+                        unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                           t -> length(t) > 0)) AS word
+                 FROM documents),
+         wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tokd GROUP BY 1),
+         w0 AS (SELECT word, array_to_string(list_transform(string_split(word, ''),
                          c -> $l||c||$r), '') AS seq, freq
                 FROM wc),
-         $stages
+         $stages"""
+  }
+
+  private def bpeOracleSql(n: Int): String = {
+    val union = (1 to n).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ")
+    s"""WITH ${bpeChainSql(n)}
          SELECT step, a AS lhs, b AS rhs, cnt FROM ($union) ORDER BY step"""
   }
+
+  /** q130's oracle: the top-poolN quantized-relevance pool (q119's
+    * quantization form verbatim), then k unrolled greedy MMR stages —
+    * stage i cross-joins the i-1 one-row picks, takes GREATEST of the
+    * exact integer dots as the redundancy term, and argmaxes
+    * lamNum·rel − (lamDen−lamNum)·maxsim with id tie-break. */
+  private def mmrOracleSql(k: Int, poolN: Int, lamNum: Int, lamDen: Int): String = {
+    val mu = lamDen - lamNum
+    def dotExpr(s: String) =
+      s"CAST(list_sum(list_transform(range(1, len(c.qe) + 1), " +
+        s"t -> c.qe[CAST(t AS INTEGER)] * $s.qe[CAST(t AS INTEGER)])) AS BIGINT)"
+    val stages = (2 to k).map { i =>
+      val dots = (1 until i).map(j => dotExpr(s"s$j")).mkString(", ")
+      val joins = (1 until i).map(j => s"CROSS JOIN s$j").mkString(" ")
+      val notIn = (1 until i).map(j => s"s$j.id").mkString(", ")
+      s"""s$i AS (SELECT $i AS step, c.id, c.rel,
+                       GREATEST($dots) AS maxsim,
+                       $lamNum * c.rel - $mu * GREATEST($dots) AS mmr, c.qe
+                 FROM pool c $joins
+                 WHERE c.id NOT IN ($notIn)
+                 ORDER BY mmr DESC, c.id LIMIT 1)"""
+    }.mkString(",\n         ")
+    val union = (1 to k).map(i =>
+      s"SELECT step, id, rel, maxsim, mmr FROM s$i").mkString(" UNION ALL ")
+    s"""WITH pool AS (
+           SELECT vec_id AS id,
+                  list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qe,
+                  CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+                       i -> CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000.0) AS BIGINT)
+                            * ((((i - 1) * 37 + 11) % 100) - 50))) AS BIGINT) AS rel
+           FROM embeddings ORDER BY rel DESC, vec_id LIMIT $poolN),
+         s1 AS (SELECT 1 AS step, id, rel, CAST(0 AS BIGINT) AS maxsim,
+                       CAST($lamNum * rel AS BIGINT) AS mmr, qe
+                FROM pool ORDER BY rel DESC, id LIMIT 1),
+         $stages
+         SELECT step, id AS vec_id, CAST(rel AS BIGINT) AS rel,
+                CAST(maxsim AS BIGINT) AS maxsim, CAST(mmr AS BIGINT) AS mmr
+         FROM ($union) ORDER BY step"""
+  }
+
+  private def bpeEncodeOracleSql(n: Int): String =
+    s"""WITH ${bpeChainSql(n)},
+         enc AS (SELECT doc_id, len(seq) - len(replace(seq, chr(1), '')) AS n_sym
+                 FROM tokd JOIN w$n USING (word))
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+                CAST((1000000 * CAST(SUM(n_sym) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS fertility_e6
+         FROM enc GROUP BY 1 ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3783,6 +3863,10 @@ object SparkEntry {
          FROM c GROUP BY 1 ORDER BY source""",
 
     "q128_bpe_merges" -> bpeOracleSql(8),
+
+    "q129_bpe_fertility" -> bpeEncodeOracleSql(8),
+
+    "q130_mmr_rerank" -> mmrOracleSql(10, 50, 7, 10),
 
     // Reproduces both rank lists exactly — the BM25 micro-unit chain is
     // q112's verbatim, the semantic side quantizes each float component

@@ -99,4 +99,29 @@ object BpeTrain {
     import spark.implicits._
     learnMerges(docs, textCol, nMerges).toDF("step", "lhs", "rhs", "cnt")
   }
+
+  /** Apply a learned merge list and report per-document BPE token
+    * counts and fertility (BPE tokens per whitespace word, the
+    * tokenizer-efficiency signal that decides vocab size per language):
+    * (id, n_words, n_bpe_tokens, fertility_e6).
+    *
+    * The merge chain is MAP-ONLY over word instances — each word is
+    * encoded and run through the replace chain inline in the scan
+    * stage (codegen'd string ops; nothing shuffles but the per-doc
+    * aggregate). The symbol count is the sentinel count, a length
+    * difference — the array is never materialised. */
+  def encodedTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                         learned: Seq[Merge]): DataFrame = {
+    val words = docs.select(col(idCol), explode(expr(
+      s"filter(split(lower($textCol), '\\\\s+'), t -> length(t) > 0)")).as("word"))
+    val seqN = learned.foldLeft(encode(col("word"))) { (s, m) =>
+      replace(s, lit(s"$L${m.lhs}$R$L${m.rhs}$R"), lit(s"$L${m.lhs}${m.rhs}$R"))
+    }
+    words
+      .select(col(idCol),
+        (length(seqN) - length(replace(seqN, lit(L), lit("")))).cast("long").as("n_sym"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+      .withColumn("fertility_e6", expr("(1000000 * n_bpe_tokens) div n_words"))
+  }
 }

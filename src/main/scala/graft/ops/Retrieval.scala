@@ -78,6 +78,65 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998): greedily pick k of a top-n candidate pool, trading query
+    * relevance against redundancy with the already-picked set —
+    *   argmax_c  λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)
+    * — the diversity-aware selection used for eval-set construction
+    * and dedup-aware few-shot mining. λ = lambdaNum/lambdaDen stays
+    * integral: mmr = lambdaNum·rel − (lambdaDen−lambdaNum)·maxsim
+    * over exact quantized-dot longs, so selection is engine-exact.
+    *
+    * Scale shape: the DISTRIBUTED part is the candidate cut — a
+    * TakeOrderedAndProject top-n over the full embedding table (never
+    * a global sort; swap in ivfTopK when even one scan is too much).
+    * The greedy selection then runs driver-side on the n-row pool
+    * (model-sized — the kmeans-centroid precedent): k·n integer dots.
+    * Returns (step, id, rel, maxsim, mmr); step 1 is pure relevance
+    * (maxsim = 0 — nothing selected yet). */
+  def mmrSelect(emb: DataFrame, idCol: String, vecCol: String,
+                queryQ: Seq[Long], poolN: Int = 50, k: Int = 10,
+                lambdaNum: Long = 7, lambdaDen: Long = 10): DataFrame = {
+    require(k >= 1 && poolN >= 1, s"need k, poolN >= 1, got k=$k poolN=$poolN")
+    require(lambdaNum > 0 && lambdaNum <= lambdaDen,
+      s"lambda must be in (0,1]: $lambdaNum/$lambdaDen")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = array(queryQ.map(lit): _*)
+    // distributed: quantize + relevance + top-n cut; rows arrive in
+    // (rel desc, id asc) order from the TakeOrdered
+    val pool: Array[(Long, Seq[Long], Long)] = emb
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(1000.0)).cast("long")).as("qe"))
+      .withColumn("rel",
+        aggregate(zip_with(col("qe"), q, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .orderBy(col("rel").desc, col("id").asc).limit(poolN)
+      .as[(Long, Seq[Long], Long)].collect()
+    def dot(a: Seq[Long], b: Seq[Long]): Long = {
+      var s = 0L; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }; s
+    }
+    val mu = lambdaDen - lambdaNum
+    val out = Seq.newBuilder[(Int, Long, Long, Long, Long)]
+    if (pool.nonEmpty) {
+      var picked = pool.head
+      out += ((1, picked._1, picked._3, 0L, lambdaNum * picked._3))
+      var rem = pool.tail.toVector
+      var sims = Map.empty[Long, Long]
+      for (step <- 2 to math.min(k, pool.length)) {
+        sims = rem.map(p =>
+          p._1 -> math.max(sims.getOrElse(p._1, Long.MinValue), dot(p._2, picked._2))).toMap
+        picked = rem.minBy(p => (-(lambdaNum * p._3 - mu * sims(p._1)), p._1))
+        out += ((step, picked._1, picked._3, sims(picked._1),
+          lambdaNum * picked._3 - mu * sims(picked._1)))
+        rem = rem.filterNot(_._1 == picked._1)
+      }
+    }
+    out.result().toDF("step", "id", "rel", "maxsim", "mmr")
+  }
+
   /** End-to-end hybrid search: BM25 micro-unit ranks over `docs` fused
     * with quantized-dot ranks over `emb` (joined on the shared id
     * space). Returns (id, rrf_e6, lex_rank, sem_rank). */

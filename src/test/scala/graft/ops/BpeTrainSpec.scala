@@ -38,6 +38,20 @@ class BpeTrainSpec extends SparkSpecBase {
     assert(merges("abc abc abc") == Seq((1, "a", "b", 3L), (2, "ab", "c", 3L)))
   }
 
+  test("encodedTokenCounts: applied merges shrink token counts; fertility is exact") {
+    val docs = Seq((1L, "ab ab ac"), (2L, "zz")).toDF("id", "text")
+    // one merge (a,b): 'ab'->1 sym, 'ac'->2, 'zz'->2 (z,z never merged)
+    val m1 = BpeTrain.learnMerges(docs, "text", 1)
+    assert(m1 == Seq(BpeTrain.Merge(1, "a", "b", 2L)))
+    val got1 = BpeTrain.encodedTokenCounts(docs, "id", "text", m1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got1 == Map(1L -> ((3L, 4L, 1333333L)), 2L -> ((1L, 2L, 2000000L))))
+    // with no merges every char is a token
+    val got0 = BpeTrain.encodedTokenCounts(docs, "id", "text", Nil)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got0 == Map(1L -> 6L, 2L -> 2L))
+  }
+
   test("merge list is independent of input partitioning") {
     val docs = (1L to 100L).map(i => (i, s"w${i % 5}x w${i % 3}y common common"))
       .toDF("id", "text")

@@ -58,4 +58,33 @@ class RetrievalSpec extends SparkSpecBase {
     assert(a.map(_._1).distinct.size == 10)
     assert(a.sliding(2).forall { case Seq(x, y) => x._2 >= y._2; case _ => true })
   }
+
+  test("mmrSelect: a near-duplicate of the top pick loses to a diverse candidate") {
+    import spark.implicits._
+    // a=(1,0), b≈a (near-dup), c orthogonal; query along x
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.999f, 0.0f)), (3L, Seq(0.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    // weak query (100,0): b's redundancy with a (999·1000) dwarfs its
+    // relevance (999·100), so at λ=1/2 the orthogonal c must win step 2
+    val got = Retrieval.mmrSelect(emb, "vec_id", "embedding",
+        queryQ = Seq(100L, 0L), poolN = 3, k = 3, lambdaNum = 1, lambdaDen = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(x => (x._1, x._2)).toSeq == Seq((1, 1L), (2, 3L), (3, 2L)))
+    val byId = got.map(x => x._2 -> x).toMap
+    assert(byId(1L)._3 == 100000L && byId(1L)._4 == 0L) // rel=1000·100, maxsim 0
+    assert(byId(3L)._4 == 0L)                           // c ⟂ a
+    assert(byId(2L)._4 == 999000L)                      // b·a = 999·1000
+  }
+
+  test("mmrSelect: k caps at pool size; lambda=1 degenerates to pure relevance order") {
+    import spark.implicits._
+    val emb = (1L to 6L).map(i => (i, Seq((10.0f - i) / 10f, i / 10f)))
+      .toDF("vec_id", "embedding")
+    val pure = Retrieval.mmrSelect(emb, "vec_id", "embedding",
+        Seq(1000L, 0L), poolN = 4, k = 10, lambdaNum = 1, lambdaDen = 1)
+      .collect().map(r => r.getLong(1)).toSeq
+    // only 4 candidates in the pool; λ=1 ignores redundancy entirely
+    assert(pure == Seq(1L, 2L, 3L, 4L))
+  }
 }
