@@ -1770,6 +1770,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ANALYZE-style table profile: one-pass per-column row/null/ndv +
+    // native-order min/max over engine-portable projections (dates
+    // pre-formatted, money pre-quantized to cents — float repr never
+    // crosses the wire).
+    "q132_table_profile" -> ((s, dir) => {
+      graft.ops.Profiler.profile(t(s, dir, "orders"), Seq(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_custkey" -> col("o_custkey"),
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_orderpriority" -> col("o_orderpriority"),
+        "order_date" -> date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        "total_cents" -> floor(col("o_totalprice") * 100.0).cast("long")))
+        .orderBy(col("column_name"))
+    }),
+
+    // Declarative data-quality audit (dbt-test family): uniqueness,
+    // two referential-integrity rules, and three predicate
+    // expectations — the publish gate a load pipeline runs before a
+    // ManifestSwap flip.
+    "q133_expectations_audit" -> ((s, dir) => {
+      val E = graft.ops.Expectations
+      E.audit(Seq(
+        E.expectUnique("orders_pk_unique", t(s, dir, "orders"), Seq("o_orderkey")),
+        E.expectRef("lineitem_orderkey_fk", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        E.expectRef("events_user_fk", t(s, dir, "events"), "user_id",
+          t(s, dir, "customer"), "c_custkey"),
+        E.expect("lineitem_qty_le_40", t(s, dir, "lineitem"), col("l_quantity") <= 40),
+        E.expect("orders_price_positive", t(s, dir, "orders"), col("o_totalprice") > 0),
+        E.expect("documents_text_nonempty", t(s, dir, "documents"),
+          length(col("text")) > 0)))
+        .orderBy(col("rule"))
+    }),
+
+    // Temperature-balanced mixture quotas (mT5/XLM-R sampling rule,
+    // τ=1/2): per-source sqrt weights (IEEE-exact — sqrt is correctly
+    // rounded, unlike pow) apportioned over a 1000-doc budget by the
+    // largest-remainder method; Σ quota = budget exactly.
+    "q131_temperature_quotas" -> ((s, dir) => {
+      graft.ops.Mixture.temperatureQuotas(
+        t(s, dir, "documents"), "source", budget = 1000L)
+        .orderBy(col("source"))
+    }),
+
     // MMR diverse re-ranking (Carbonell & Goldstein 1998): top-50
     // relevance pool by quantized dot (TakeOrdered — the distributed
     // cut), then 10 greedy integer-exact λ=0.7 selections trading
@@ -3867,6 +3911,99 @@ object SparkEntry {
     "q129_bpe_fertility" -> bpeEncodeOracleSql(8),
 
     "q130_mmr_rerank" -> mmrOracleSql(10, 50, 7, 10),
+
+    // Per-column stats, one UNION ALL leg per profiled projection;
+    // min/max on native types, stringified last.
+    "q132_table_profile" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                           CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS total_cents
+                    FROM orders)
+         SELECT * FROM (
+           SELECT 'o_orderkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+                  CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+                  CAST(MAX(o_orderkey) AS VARCHAR) AS max_val FROM o
+           UNION ALL
+           SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+                  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+                  CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM o
+           UNION ALL
+           SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+                  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+                  MIN(o_orderstatus), MAX(o_orderstatus) FROM o
+           UNION ALL
+           SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+                  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+                  MIN(o_orderpriority), MAX(o_orderpriority) FROM o
+           UNION ALL
+           SELECT 'order_date', CAST(COUNT(*) AS BIGINT),
+                  CAST(SUM(CASE WHEN order_date IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(COUNT(DISTINCT order_date) AS BIGINT),
+                  MIN(order_date), MAX(order_date) FROM o
+           UNION ALL
+           SELECT 'total_cents', CAST(COUNT(*) AS BIGINT),
+                  CAST(SUM(CASE WHEN total_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(COUNT(DISTINCT total_cents) AS BIGINT),
+                  CAST(MIN(total_cents) AS VARCHAR), CAST(MAX(total_cents) AS VARCHAR) FROM o
+         ) ORDER BY column_name""",
+
+    // Violation semantics: unique = Σ(cnt−1) over dup keys; RI = child
+    // rows with non-null keys missing the parent; predicate = NOT TRUE
+    // counts (null fails). All counts BIGINT.
+    "q133_expectations_audit" ->
+      """SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+           SELECT 'orders_pk_unique' AS rule,
+                  CAST(COALESCE((SELECT SUM(cnt - 1) FROM (
+                    SELECT COUNT(*) AS cnt FROM orders
+                    WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey
+                    HAVING COUNT(*) > 1)), 0) AS BIGINT) AS n_violations
+           UNION ALL
+           SELECT 'lineitem_orderkey_fk',
+                  CAST((SELECT COUNT(*) FROM lineitem l
+                        WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+                          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+           UNION ALL
+           SELECT 'events_user_fk',
+                  CAST((SELECT COUNT(*) FROM events e
+                        WHERE e.user_id IS NOT NULL AND NOT EXISTS
+                          (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS BIGINT)
+           UNION ALL
+           SELECT 'lineitem_qty_le_40',
+                  CAST((SELECT SUM(CASE WHEN l_quantity <= 40 THEN 0 ELSE 1 END)
+                        FROM lineitem) AS BIGINT)
+           UNION ALL
+           SELECT 'orders_price_positive',
+                  CAST((SELECT SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+                        FROM orders) AS BIGINT)
+           UNION ALL
+           SELECT 'documents_text_nonempty',
+                  CAST((SELECT SUM(CASE WHEN length(text) > 0 THEN 0 ELSE 1 END)
+                        FROM documents) AS BIGINT)
+         ) t ORDER BY rule""",
+
+    // sqrt + multiply are IEEE-correctly-rounded in both engines; the
+    // apportionment is pure integer arithmetic.
+    "q131_temperature_quotas" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM documents WHERE source IS NOT NULL GROUP BY 1),
+         w AS (SELECT source, n_docs,
+                      CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_e6
+               FROM c),
+         b AS (SELECT source, n_docs, w_e6,
+                      (1000 * w_e6) // SUM(w_e6) OVER () AS base,
+                      (1000 * w_e6) % SUM(w_e6) OVER () AS rem
+               FROM w),
+         r AS (SELECT *, 1000 - SUM(base) OVER () AS leftover,
+                      row_number() OVER (ORDER BY rem DESC, source) AS rk
+               FROM b)
+         SELECT source, n_docs, w_e6,
+                CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+         FROM r ORDER BY source""",
 
     // Reproduces both rank lists exactly — the BM25 micro-unit chain is
     // q112's verbatim, the semantic side quantizes each float component

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style table profiling: per-column row/null/distinct counts
+  * and min/max — the statistics that drive pruning, join ordering, and
+  * data-quality drift alerts at warehouse scale.
+  *
+  * Callers pass NORMALIZED projections (string-safe: integers, strings,
+  * dates formatted explicitly) so min/max stringification is
+  * engine-portable — float repr is NOT, so continuous columns should
+  * arrive pre-quantized (the q112 discipline applied to metadata).
+  *
+  * Plan shape: ONE pass over the table — all metrics ride a single
+  * aggregate; the exact multi-column distinct uses Spark's native
+  * Expand (one shuffle carrying (col-id, value) pairs), not one scan
+  * per column. At 100 TB swap exact ndv for the HLL in [[Sketches]];
+  * the surface stays the same. The wide 1-row aggregate is then
+  * unpivoted driver-side (columns are model-sized). */
+object Profiler {
+
+  /** (column, n_rows, n_nulls, ndv, min_val, max_val) per named
+    * projection, in the caller's column order. */
+  def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    // min/max aggregate on the NATIVE type (numeric order, not string
+    // order) and stringify only for the unpivot
+    val base = df.select(cols.map { case (n, c) => c.as(n) }: _*)
+    val aggs = cols.flatMap { case (n, _) =>
+      Seq(
+        sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"__nulls_$n"),
+        countDistinct(col(n)).as(s"__ndv_$n"),
+        min(col(n)).as(s"__min_$n"),
+        max(col(n)).as(s"__max_$n"))
+    }
+    // one job computes every metric; the 1-row wide result is pinned
+    // (localCheckpoint) so the per-column unpivot never re-scans the
+    // table
+    val wide = base.agg(count(lit(1)).as("__rows"), aggs: _*).localCheckpoint()
+    cols.map { case (n, _) =>
+      wide.select(lit(n).as("column_name"),
+        col("__rows").as("n_rows"),
+        col(s"__nulls_$n").cast("long").as("n_nulls"),
+        col(s"__ndv_$n").cast("long").as("ndv"),
+        col(s"__min_$n").cast("string").as("min_val"),
+        col(s"__max_$n").cast("string").as("max_val"))
+    }.reduce(_ unionByName _)
+  }
+}
