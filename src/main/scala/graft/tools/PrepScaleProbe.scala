@@ -56,9 +56,17 @@ object PrepScaleProbe {
       val (tDs, nDs) = time(graft.ops.Dsir.scoreDocs(
         docs, docs.filter(col("doc_id") < CopyStride && col("lang") === "en"),
         "doc_id", "text").count())
+      // BPE learns over the distinct-word table: the copy-suffixed
+      // tokens grow the vocab k×, the worst case for merge iteration
+      val (tBpe, nBpe) = time(
+        graft.ops.BpeTrain.learnMerges(docs, "text", nMerges = 4).size.toLong)
+      val (tAud, nAud) = time(graft.ops.Expectations.audit(Seq(
+        graft.ops.Expectations.expectUnique("u", docs, Seq("doc_id")),
+        graft.ops.Expectations.expect("q", docs, length(col("text")) > 0))).count())
       println(f"[prep-scale] k=$k%-2d orders=${orders0.count() * k}%-8d " +
         f"zorder=$tZ%6.2fs($nZ) bigramlm=$tLm%6.2fs($nLm) " +
-        f"shards=$tSh%6.2fs($nSh) dsir=$tDs%6.2fs($nDs)")
+        f"shards=$tSh%6.2fs($nSh) dsir=$tDs%6.2fs($nDs) " +
+        f"bpe4=$tBpe%6.2fs($nBpe) audit=$tAud%6.2fs($nAud)")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()

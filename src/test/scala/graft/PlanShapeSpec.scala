@@ -267,6 +267,18 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Scan parquet"), "no re-scan of raw documents")
   }
 
+  test("table profile unpivot reads the checkpointed 1-row aggregate, not the table") {
+    val p = plan("q132_table_profile")
+    assert(!p.contains("Scan parquet"),
+      "per-column legs must not re-scan the source table:\n" + p.take(2000))
+  }
+
+  test("expectations audit: anti-join RI, no cartesian anywhere") {
+    val p = plan("q133_expectations_audit")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("dsir weights broadcast and the raw bucket shuffle is reused at runtime") {
     val df = SparkEntry.queries("q126_dsir_importance")(spark, sf0001)
     df.collect()
