@@ -1770,6 +1770,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Offline retrieval evaluation: hits/precision/recall@{5,10,20} +
+    // MRR of the q119 hybrid list against a deterministic qrel (docs
+    // containing all three query terms as tokens) — micro-unit exact.
+    "q134_retrieval_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val queryQ = (0 until 64).map(i => (((i * 37 + 11) % 100) - 50).toLong)
+      val hybrid = graft.ops.Retrieval.hybridSearch(
+        t(s, dir, "documents"), "doc_id", "text",
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        Seq("spark", "hash", "join"), queryQ, n = 50, kRrf = 60, topK = 20)
+      val ranked = hybrid.select(col("id"),
+        row_number().over(Window.orderBy(col("rrf_e6").desc, col("id").asc))
+          .cast("long").as("rank"))
+      val rel = t(s, dir, "documents")
+        .filter(col("text").rlike("(^|\\s)spark(\\s|$)") &&
+          col("text").rlike("(^|\\s)hash(\\s|$)") &&
+          col("text").rlike("(^|\\s)join(\\s|$)"))
+        .select(col("doc_id").as("id"))
+      graft.ops.Retrieval.evaluateRanking(ranked, rel, Seq(5, 10, 20))
+        .orderBy(col("k"))
+    }),
+
     // ANALYZE-style table profile: one-pass per-column row/null/ndv +
     // native-order min/max over engine-portable projections (dates
     // pre-formatted, money pre-quantized to cents — float repr never
@@ -1800,7 +1822,9 @@ object SparkEntry {
         E.expect("lineitem_qty_le_40", t(s, dir, "lineitem"), col("l_quantity") <= 40),
         E.expect("orders_price_positive", t(s, dir, "orders"), col("o_totalprice") > 0),
         E.expect("documents_text_nonempty", t(s, dir, "documents"),
-          length(col("text")) > 0)))
+          length(col("text")) > 0),
+        E.expectKAnonymity("customer_k8_anonymity", t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 8)))
         .orderBy(col("rule"))
     }),
 
@@ -3984,6 +4008,12 @@ object SparkEntry {
            SELECT 'documents_text_nonempty',
                   CAST((SELECT SUM(CASE WHEN length(text) > 0 THEN 0 ELSE 1 END)
                         FROM documents) AS BIGINT)
+           UNION ALL
+           SELECT 'customer_k8_anonymity',
+                  CAST(COALESCE((SELECT SUM(cnt) FROM (
+                    SELECT COUNT(*) AS cnt FROM customer
+                    GROUP BY c_nationkey, c_mktsegment
+                    HAVING COUNT(*) < 8)), 0) AS BIGINT)
          ) t ORDER BY rule""",
 
     // sqrt + multiply are IEEE-correctly-rounded in both engines; the
@@ -4010,7 +4040,12 @@ object SparkEntry {
     // to 1e-3 units with the same IEEE double multiply+floor — then
     // fuses with integral-division RRF contributions. All emitted
     // aggregates CAST to BIGINT (HUGEINT lint).
-    "q119_hybrid_rrf" ->
+    "q119_hybrid_rrf" -> hybridRrfOracleSql,
+
+    "q134_retrieval_eval" -> retrievalEvalOracleSql)
+
+  /** q119's oracle, shared with q134's evaluation wrapper. */
+  private val hybridRrfOracleSql: String =
       """WITH terms AS (SELECT doc_id,
                                unnest(list_filter(string_split_regex(text, '\s+'),
                                                   x -> length(x) > 0)) AS term
@@ -4053,5 +4088,39 @@ object SparkEntry {
                 CAST(MAX(CASE WHEN src = 'lex' THEN rank END) AS BIGINT) AS lex_rank,
                 CAST(MAX(CASE WHEN src = 'sem' THEN rank END) AS BIGINT) AS sem_rank
          FROM u GROUP BY id
-         ORDER BY rrf_e6 DESC, doc_id LIMIT 20""")
+         ORDER BY rrf_e6 DESC, doc_id LIMIT 20"""
+
+  /** q134's oracle: wraps the q119 hybrid list, derives the
+    * deterministic qrel (docs containing all three query terms as
+    * whitespace tokens), and computes micro-unit exact
+    * hits/precision/recall@k + MRR. */
+  private def retrievalEvalOracleSql: String = {
+    val metricLeg = (k: Int) =>
+      s"""SELECT $k AS k, h$k AS hits,
+                 CAST((1000000 * h$k) // $k AS BIGINT) AS precision_e6,
+                 CAST(CASE WHEN nrel = 0 THEN 0
+                           ELSE (1000000 * h$k) // nrel END AS BIGINT) AS recall_e6,
+                 CAST(COALESCE(1000000 // firstr, 0) AS BIGINT) AS rr_e6,
+                 nrel AS n_relevant
+          FROM agg"""
+    s"""WITH hybrid AS ($hybridRrfOracleSql),
+         ranked AS (SELECT doc_id AS id,
+                           CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rank
+                    FROM hybrid),
+         rel AS (SELECT doc_id AS id FROM documents
+                 WHERE regexp_matches(text, '(^|\\s)spark(\\s|$$)')
+                   AND regexp_matches(text, '(^|\\s)hash(\\s|$$)')
+                   AND regexp_matches(text, '(^|\\s)join(\\s|$$)')),
+         m AS (SELECT r.rank, CASE WHEN rel.id IS NULL THEN 0 ELSE 1 END AS isrel
+               FROM ranked r LEFT JOIN rel ON r.id = rel.id),
+         agg AS (SELECT
+                   CAST(COALESCE(SUM(CASE WHEN rank <= 5 THEN isrel END), 0) AS BIGINT) AS h5,
+                   CAST(COALESCE(SUM(CASE WHEN rank <= 10 THEN isrel END), 0) AS BIGINT) AS h10,
+                   CAST(COALESCE(SUM(CASE WHEN rank <= 20 THEN isrel END), 0) AS BIGINT) AS h20,
+                   MIN(CASE WHEN isrel = 1 THEN rank END) AS firstr,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM rel) AS nrel
+                 FROM m)
+         SELECT * FROM (${Seq(5, 10, 20).map(metricLeg).mkString(" UNION ALL ")})
+         ORDER BY k"""
+  }
 }

@@ -46,6 +46,21 @@ object Expectations {
           Seq(childKey), "left_anti")
         .agg(count(lit(1)).as("n")))
 
+  /** k-anonymity: rows whose quasi-identifier combination appears in
+    * fewer than k records — each is re-identifiable within its
+    * equivalence class (Sweeney 2002). Null quasi-identifier values
+    * form their own class (NULL-safe grouping, the SQL GROUP BY rule).
+    * One hash aggregate + a count rollup; at 100 TB the class table is
+    * the aggregate output, never the raw rows. */
+  def expectKAnonymity(name: String, df: DataFrame, quasiCols: Seq[String],
+                       k: Long): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    result(name,
+      df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") < k)
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n")))
+  }
+
   /** Rows where the predicate is not TRUE (null = violation). */
   def expect(name: String, df: DataFrame, predicate: Column): DataFrame =
     result(name,

@@ -137,6 +137,43 @@ object Retrieval {
     out.result().toDF("step", "id", "rel", "maxsim", "mmr")
   }
 
+  /** Offline ranking evaluation: hits/precision/recall@k and
+    * reciprocal rank of the first relevant hit, all micro-unit exact
+    * integers (1e6·hits div k, 1e6·hits div |rel|, 1e6 div firstRank —
+    * never a float). One row per cutoff k.
+    *
+    * Plan shape: the ranked list is top-k sized (model-sized) and the
+    * relevance mark rides a join against the qrel set; every metric is
+    * a conditional aggregate over that marked list, computed in ONE
+    * wide aggregate and unpivoted per cutoff (the Profiler pattern).
+    * The qrel count arrives as a broadcast 1-row cross join, so
+    * nothing here scales with the corpus — only qrel derivation
+    * upstream does. */
+  def evaluateRanking(ranked: DataFrame, relevant: DataFrame,
+                      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"cutoffs must be >= 1: $ks")
+    val rel = relevant.select(col("id")).distinct()
+    val marked = ranked.select(col("id"), col("rank").cast("long").as("rank"))
+      .join(rel.withColumn("__rel", lit(1L)), Seq("id"), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0L)))
+    val aggs =
+      ks.map(k => sum(when(col("rank") <= k, col("__rel"))).as(s"__hits_$k")) :+
+        min(when(col("__rel") === 1L, col("rank"))).as("__first")
+    val wide = marked.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(rel.agg(count(lit(1)).as("__nrel"))))
+      .localCheckpoint()
+    ks.map { k =>
+      wide.select(lit(k).as("k"),
+        coalesce(col(s"__hits_$k"), lit(0L)).as("hits"),
+        expr(s"(1000000 * coalesce(__hits_$k, 0L)) div ${k}L").as("precision_e6"),
+        when(col("__nrel") === 0, lit(0L))
+          .otherwise(expr(s"(1000000 * coalesce(__hits_$k, 0L)) div __nrel"))
+          .as("recall_e6"),
+        coalesce(expr("1000000 div __first"), lit(0L)).as("rr_e6"),
+        col("__nrel").as("n_relevant"))
+    }.reduce(_ unionByName _)
+  }
+
   /** End-to-end hybrid search: BM25 micro-unit ranks over `docs` fused
     * with quantized-dot ranks over `emb` (joined on the shared id
     * space). Returns (id, rrf_e6, lex_rank, sem_rank). */

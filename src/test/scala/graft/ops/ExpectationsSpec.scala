@@ -32,6 +32,16 @@ class ExpectationsSpec extends SparkSpecBase {
       (("p", 0L, true)))
   }
 
+  test("expectKAnonymity counts rows in sub-k equivalence classes; nulls group") {
+    val df = Seq(("de", "a"), ("de", "a"), ("de", "a"), ("fr", "b"),
+      (null.asInstanceOf[String], "b")).toDF("nation", "seg")
+    // classes: (de,a)=3 ok at k=3; (fr,b)=1 and (null,b)=1 violate
+    assert(row(Expectations.expectKAnonymity("k", df, Seq("nation", "seg"), 3)) ==
+      (("k", 2L, false)))
+    assert(row(Expectations.expectKAnonymity("k", df, Seq("nation", "seg"), 1)) ==
+      (("k", 0L, true)))
+  }
+
   test("audit unions rule results in order") {
     val df = Seq(1L, 1L).toDF("k")
     val out = Expectations.audit(Seq(

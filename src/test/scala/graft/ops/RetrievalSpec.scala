@@ -77,6 +77,28 @@ class RetrievalSpec extends SparkSpecBase {
     assert(byId(2L)._4 == 999000L)                      // b·a = 999·1000
   }
 
+  test("evaluateRanking: hand-computed hits/precision/recall/MRR") {
+    import spark.implicits._
+    // ranks 1..6; relevant = {rank2, rank5, plus an unranked doc}
+    val ranked = (1L to 6L).map(i => (i * 10, i)).toDF("id", "rank")
+    val rel = Seq(20L, 50L, 999L).toDF("id")
+    val got = Retrieval.evaluateRanking(ranked, rel, Seq(2, 5))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // @2: 1 hit -> p=500000, recall=1/3=333333; first rel rank=2 -> rr=500000
+    assert(got(2) == ((1L, 500000L, 333333L, 500000L, 3L)))
+    // @5: 2 hits -> p=400000, recall=666666
+    assert(got(5) == ((2L, 400000L, 666666L, 500000L, 3L)))
+  }
+
+  test("evaluateRanking: empty qrels and no hits degrade to zeros, not errors") {
+    import spark.implicits._
+    val ranked = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val none = Retrieval.evaluateRanking(ranked, Seq.empty[Long].toDF("id"), Seq(2)).head()
+    assert((none.getLong(1), none.getLong(2), none.getLong(3), none.getLong(4)) ==
+      ((0L, 0L, 0L, 0L)))
+  }
+
   test("mmrSelect: k caps at pool size; lambda=1 degenerates to pure relevance order") {
     import spark.implicits._
     val emb = (1L to 6L).map(i => (i, Seq((10.0f - i) / 10f, i / 10f)))
