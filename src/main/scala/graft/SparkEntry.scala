@@ -1770,6 +1770,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental aggregate maintenance (IVM, Gupta–Mumick): state
+    // from the base slice, CDC delta (inserts + deletes) applied by
+    // arithmetic merge. The gate proves merge(agg(base), delta) ==
+    // agg(base − D + I) bit-exactly — the oracle recomputes from
+    // scratch while the Spark plan never touches the base again.
+    "q135_incremental_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .withColumn("cents", floor(col("o_totalprice") * 100.0).cast("long"))
+      val base = orders.filter(col("o_orderkey") % 10 =!= 0)
+      val state = graft.ops.IncrementalAgg.aggState(
+        base, Seq("o_orderpriority"), "cents")
+      val delta = orders.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderpriority"), col("cents"), lit("I").as("op"))
+        .unionByName(base.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderpriority"), col("cents"), lit("D").as("op")))
+      graft.ops.IncrementalAgg.mergeDelta(
+          state, delta, Seq("o_orderpriority"), "cents", "op")
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Cohort retention matrix: first-activity cohorts × bucket
+    // offsets, distinct active users per cell; buckets are epoch-day
+    // div N (no calendar rules — identical arithmetic in every
+    // engine). Daily buckets here — the fixture spans one month.
+    "q136_cohort_retention" -> ((s, dir) => {
+      graft.ops.TimeSeries.cohortRetention(t(s, dir, "events"), "user_id", "ts",
+          bucketDays = 1)
+        .orderBy(col("cohort_bucket"), col("bucket_offset"))
+    }),
+
     // Offline retrieval evaluation: hits/precision/recall@{5,10,20} +
     // MRR of the q119 hybrid list against a deterministic qrel (docs
     // containing all three query terms as tokens) — micro-unit exact.
@@ -4042,7 +4072,31 @@ object SparkEntry {
     // aggregates CAST to BIGINT (HUGEINT lint).
     "q119_hybrid_rrf" -> hybridRrfOracleSql,
 
-    "q134_retrieval_eval" -> retrievalEvalOracleSql)
+    "q134_retrieval_eval" -> retrievalEvalOracleSql,
+
+    // Recomputes the maintained aggregate FROM SCRATCH over the
+    // post-delta row set — the gate is incremental == recompute.
+    "q135_incremental_agg" ->
+      """WITH f AS (SELECT o_orderpriority,
+                           CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+                    FROM orders
+                    WHERE (o_orderkey % 10 = 0)
+                       OR (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0))
+         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+                CAST(SUM(cents) AS BIGINT) AS total
+         FROM f GROUP BY 1 ORDER BY o_orderpriority""",
+
+    "q136_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         w AS (SELECT user_id, date_diff('day', DATE '1970-01-01', d) // 1 AS bucket FROM e),
+         f AS (SELECT user_id, MIN(bucket) AS cohort_bucket FROM w GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, bucket FROM w)
+         SELECT CAST(f.cohort_bucket AS BIGINT) AS cohort_bucket,
+                CAST(a.bucket - f.cohort_bucket AS BIGINT) AS bucket_offset,
+                CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+         FROM a JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_bucket, bucket_offset""")
 
   /** q119's oracle, shared with q134's evaluation wrapper. */
   private val hybridRrfOracleSql: String =

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance (the IVM kernel): keep a grouped
+  * count/sum aggregate current under a CDC delta WITHOUT rescanning
+  * the base table — the only viable refresh strategy when the base is
+  * 100 TB and the delta is a day's arrivals.
+  *
+  * Count and sum are the self-maintainable aggregates (Gupta &
+  * Mumick's classic result): state (group, cnt, total) merges with a
+  * delta by pure arithmetic — inserts add, deletes subtract, an update
+  * is the standard D+I pair — so the refresh is one hash aggregate
+  * over the DELTA plus a full-outer merge join against state on the
+  * group key. min/max are NOT self-maintainable under deletes (a
+  * deleted extremum forces a rescan); callers needing them keep the
+  * [[Profiler]]/recompute path.
+  *
+  * Correctness contract (the q135 gate): merge(aggregate(base), delta)
+  * ≡ aggregate(base − deletes + inserts), bit-exactly — totals ride
+  * DECIMAL(38,0)-exact long arithmetic, groups whose count reaches 0
+  * leave the state (so repeated maintenance never accretes dead
+  * groups).
+  *
+  * Scale shape: state is aggregate-sized (groups, not rows); the delta
+  * agg is map-side combined; the merge joins aggregate-sized frames on
+  * the group key — AQE broadcasts whichever side is small. The base
+  * table appears NOWHERE in the maintenance plan.
+  */
+object IncrementalAgg {
+
+  /** Build the initial state: (group..., cnt, total). */
+  def aggState(base: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol).cast("long")).as("total"))
+
+  /** Apply a CDC delta: `opCol` is 'I' (insert) or 'D' (delete); an
+    * update arrives as its D+I pair. Returns the refreshed state. */
+  def mergeDelta(state: DataFrame, delta: DataFrame, groupCols: Seq[String],
+                 valueCol: String, opCol: String): DataFrame = {
+    // fail closed on an unknown op — silently skipping a malformed CDC
+    // row would corrupt the state forever
+    val sign = when(col(opCol) === "I", 1L)
+      .when(col(opCol) === "D", -1L)
+      .otherwise(raise_error(concat(lit("unknown CDC op: "), col(opCol).cast("string")))
+        .cast("long"))
+    val d = delta
+      .withColumn("__sign", sign)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__sign")).as("__dcnt"),
+        sum(col("__sign") * col(valueCol).cast("long")).as("__dtotal"))
+    state.join(d, groupCols, "full_outer")
+      .select(groupCols.map(col) ++ Seq(
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("__dcnt"), lit(0L))).as("cnt"),
+        (coalesce(col("total"), lit(0L)) + coalesce(col("__dtotal"), lit(0L))).as("total")): _*)
+      .filter(col("cnt") =!= 0L)
+  }
+}

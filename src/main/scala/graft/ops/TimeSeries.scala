@@ -128,4 +128,34 @@ object TimeSeries {
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
   }
+
+  /** Cohort retention matrix — the classic product-analytics rollup:
+    * users grouped by first-activity bucket (cohort), each later
+    * bucket of activity counted at its offset, cells = distinct active
+    * users. Buckets are integer epoch-day div `bucketDays` (no
+    * calendar/locale rules — the same arithmetic in every engine);
+    * offset 0 is the cohort bucket itself, so cell(c, 0) = cohort
+    * size. bucketDays = 7 gives the classic weekly matrix.
+    *
+    * Plan shape: first-seen is a (user) hash agg; activity weeks a
+    * (user, week) hash agg; the offset join keys on user (fact-fact
+    * shuffle, AQE-sized) and the final cell agg is a standard partial
+    * distinct. Nothing is windowed — at 100 TB every stage is a plain
+    * combine-friendly aggregate. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      bucketDays: Int = 7): DataFrame = {
+    require(bucketDays >= 1, s"bucketDays must be positive, got $bucketDays")
+    val withWeek = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__d", col(tsCol).cast("date"))
+      .withColumn("__week",
+        expr(s"datediff(__d, DATE '1970-01-01') div $bucketDays").cast("long"))
+    val firstSeen = withWeek.groupBy(col(userCol))
+      .agg(min(col("__week")).as("cohort_bucket"))
+    val active = withWeek.select(col(userCol), col("__week")).distinct()
+    active.join(firstSeen, Seq(userCol))
+      .withColumn("bucket_offset", (col("__week") - col("cohort_bucket")).cast("long"))
+      .groupBy(col("cohort_bucket"), col("bucket_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
 }

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class IncrementalAggSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val base = Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("g", "v")
+
+  test("merge(aggState, delta) == recompute over the post-delta rows") {
+    val state = IncrementalAgg.aggState(base, Seq("g"), "v")
+    val delta = Seq(("a", 7L, "I"), ("b", 5L, "D"), ("c", 3L, "I"))
+      .toDF("g", "v", "op")
+    val got = IncrementalAgg.mergeDelta(state, delta, Seq("g"), "v", "op")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // post-delta rows: a:{10,20,7}, c:{3}; b fully deleted -> gone
+    assert(got == Map("a" -> ((3L, 37L)), "c" -> ((1L, 3L))))
+  }
+
+  test("an update (D+I pair) moves the value without touching the count") {
+    val state = IncrementalAgg.aggState(base, Seq("g"), "v")
+    val upd = Seq(("a", 10L, "D"), ("a", 11L, "I")).toDF("g", "v", "op")
+    val got = IncrementalAgg.mergeDelta(state, upd, Seq("g"), "v", "op")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("a") == ((2L, 31L)))
+  }
+
+  test("repeated maintenance equals one-shot recompute (associativity)") {
+    val d1 = Seq(("a", 1L, "I"), ("d", 2L, "I")).toDF("g", "v", "op")
+    val d2 = Seq(("d", 2L, "D"), ("a", 20L, "D")).toDF("g", "v", "op")
+    val twoStep = IncrementalAgg.mergeDelta(
+      IncrementalAgg.mergeDelta(IncrementalAgg.aggState(base, Seq("g"), "v"),
+        d1, Seq("g"), "v", "op"),
+      d2, Seq("g"), "v", "op")
+    val oneShot = IncrementalAgg.aggState(
+      Seq(("a", 10L), ("a", 1L), ("b", 5L)).toDF("g", "v"), Seq("g"), "v")
+    assert(twoStep.orderBy("g").collect().toSeq ==
+      oneShot.orderBy("g").collect().toSeq)
+  }
+
+  test("unknown CDC ops fail loudly, never silently skip") {
+    val state = IncrementalAgg.aggState(base, Seq("g"), "v")
+    val bad = Seq(("a", 1L, "X")).toDF("g", "v", "op")
+    val e = intercept[Exception] {
+      IncrementalAgg.mergeDelta(state, bad, Seq("g"), "v", "op").collect()
+    }
+    assert(e.getMessage != null)
+  }
+}

@@ -96,4 +96,29 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(out.length == 1)
     assert(out(0).getAs[java.sql.Timestamp]("bucket") == ts("2024-01-01 06:00:00"))
   }
+
+  test("cohortRetention: first-bucket cohorts, offsets, distinct users per cell") {
+    import spark.implicits._
+    // u1 active days 0,1,8 (weekly buckets 0,0,1); u2 day 7 (bucket 1);
+    // u3 days 0 and 14 (buckets 0,2)
+    val ev = Seq((1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-09"),
+      (2L, "2024-01-08"), (3L, "2024-01-01"), (3L, "2024-01-15"))
+      .toDF("user_id", "d")
+      .select(col("user_id"), col("d").cast("timestamp").as("ts"))
+    val got = TimeSeries.cohortRetention(ev, "user_id", "ts", bucketDays = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w0 = 19723 / 7 // epoch-day of 2024-01-01, floored to weeks
+    assert(got == Map(
+      (w0.toLong, 0L) -> 2L,      // u1+u3 in cohort w0 week 0
+      (w0.toLong, 1L) -> 1L,      // u1 returns next week
+      (w0.toLong, 2L) -> 1L,      // u3 returns two weeks later
+      ((w0 + 1).toLong, 0L) -> 1L // u2's own cohort
+    ))
+    // null users dropped
+    val withNull = ev.union(Seq((null.asInstanceOf[java.lang.Long], "2024-01-01"))
+      .toDF("user_id", "d")
+      .select(col("user_id"), col("d").cast("timestamp").as("ts")))
+    assert(TimeSeries.cohortRetention(withNull, "user_id", "ts", 7)
+      .agg(sum("n_users")).head().getLong(0) == 5L)
+  }
 }
