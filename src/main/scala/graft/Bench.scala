@@ -100,7 +100,12 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     // Full record to file: complete 114-query map + raw runs + loadavg.
     val fullRecords = finished.sortBy(_._1).map { case (n, dt, rule, rs) =>
-      val raw = rs.map { case (ok, t) => if (ok) f"$t%.4f" else s""""FAIL"""" }.mkString("[", ",", "]")
+      // Locale.ROOT: a comma-decimal default locale would render the
+      // runs array as unparseable JSON
+      val raw = rs.map { case (ok, t) =>
+        if (ok) String.format(java.util.Locale.ROOT, "%.4f", Double.box(t))
+        else s""""FAIL""""
+      }.mkString("[", ",", "]")
       s"""  "$n": {"sec": $dt, "rule": "$rule", "runs": $raw}"""
     }.mkString(",\n")
     val full =

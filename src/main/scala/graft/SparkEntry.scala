@@ -2059,8 +2059,11 @@ object SparkEntry {
                     FROM w${i - 1})
             ) GROUP BY 1, 2),
          t$i AS (SELECT $i AS step, a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-         w$i AS (SELECT word, replace(seq, $l||a||$r||$l||b||$r, $l||a||b||$r) AS seq, freq
-                 FROM w${i - 1} CROSS JOIN t$i)"""
+         w$i AS (SELECT word,
+                        CASE WHEN t$i.a IS NULL THEN seq
+                             ELSE replace(seq, $l||a||$r||$l||b||$r, $l||a||b||$r) END AS seq,
+                        freq
+                 FROM w${i - 1} LEFT JOIN t$i ON TRUE)"""
     }.mkString(",\n         ")
     s"""tokd AS (SELECT doc_id,
                         unnest(list_filter(string_split_regex(lower(text), '\\s+'),

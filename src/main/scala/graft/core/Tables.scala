@@ -91,7 +91,10 @@ object Tables {
     * [1e17, 5e18]; epoch-µs peaks ~4e15, ms ~4e12, s ~4e9 — the bands
     * are 100× apart, so a range check is unambiguous. */
   private def requireEpochNanos(raw: DataFrame, dir: String): Unit =
-    if (nsCheckedDirs.add(dir)) {
+    // mark the dir checked only AFTER validation passes — marking
+    // before would let a second read of a failed dir skip the check
+    // and silently apply the ÷1000 nanos assumption
+    if (!nsCheckedDirs.contains(dir)) {
       val row = raw.agg(min(col("ts")), max(col("ts"))).head()
       if (!row.isNullAt(0)) {
         val (lo, hi) = (row.getLong(0), row.getLong(1))
@@ -102,6 +105,7 @@ object Tables {
             "generation changed (epoch-µs/ms/s?). Extend Tables.events " +
             "rather than letting ts div 1000 silently shift every event.")
       }
+      nsCheckedDirs.add(dir)
     }
 
   def events(spark: SparkSession, dir: String): DataFrame = {

@@ -50,8 +50,17 @@ object IncrementalAgg {
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("__sign")).as("__dcnt"),
         sum(col("__sign") * col(valueCol).cast("long")).as("__dtotal"))
-    state.join(d, groupCols, "full_outer")
-      .select(groupCols.map(col) ++ Seq(
+    // NULL group keys are one SQL GROUP BY group, so the merge join
+    // must be null-safe (<=>) — a plain equi-join would keep a NULL
+    // state row and a NULL delta row apart and accrete duplicates.
+    // Explicit aliases: state and delta routinely share lineage (both
+    // derived from the same table), which an unqualified condition
+    // trips as an ambiguous self-join.
+    val cond = groupCols
+      .map(c => col(s"__ivm_s.$c") <=> col(s"__ivm_d.$c")).reduce(_ && _)
+    state.alias("__ivm_s").join(d.alias("__ivm_d"), cond, "full_outer")
+      .select(groupCols.map(c =>
+        coalesce(col(s"__ivm_s.$c"), col(s"__ivm_d.$c")).as(c)) ++ Seq(
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("__dcnt"), lit(0L))).as("cnt"),
         (coalesce(col("total"), lit(0L)) + coalesce(col("__dtotal"), lit(0L))).as("total")): _*)
       .filter(col("cnt") =!= 0L)

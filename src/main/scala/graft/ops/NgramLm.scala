@@ -50,8 +50,9 @@ object NgramLm {
       .agg(count(lit(1)).as("tf"))
 
   /** The trained model: (bg, c2, c1, q) — bigram count, head count, and
-    * the 10^6-quantized conditional. */
-  def model(docBg: DataFrame, idCol: String): DataFrame = {
+    * the 10^6-quantized conditional. Operates purely on the (bg, tf)
+    * table — deliberately doc-independent. */
+  def model(docBg: DataFrame): DataFrame = {
     val c2 = docBg.groupBy(col("bg")).agg(sum(col("tf")).as("c2"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
@@ -75,7 +76,7 @@ object NgramLm {
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
                 materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     val docBg = materialize(docBigrams(docs, idCol, textCol))
-    docBg.join(model(docBg, idCol).select(col("bg"), col("q")), "bg")
+    docBg.join(model(docBg).select(col("bg"), col("q")), "bg")
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_bigrams"),
         sum(col("tf") * col("q")).as("score_sum"))

@@ -39,6 +39,18 @@ class IncrementalAggSpec extends SparkSpecBase {
       oneShot.orderBy("g").collect().toSeq)
   }
 
+  test("NULL group keys merge as ONE group (null-safe join), never accrete") {
+    val nullBase = Seq((Some("a"), 1L), (None, 10L), (None, 20L))
+      .toDF("g", "v")
+    val state = IncrementalAgg.aggState(nullBase, Seq("g"), "v")
+    val delta = Seq((None, 5L, "I"), (None, 10L, "D"), (Some("a"), 2L, "I"))
+      .map { case (g, v, op) => (g.orNull, v, op) }.toDF("g", "v", "op")
+    val got = IncrementalAgg.mergeDelta(state, delta, Seq("g"), "v", "op")
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    // post-delta NULL rows: {20, 5} -> cnt 2, total 25 — one row, not two
+    assert(got == Map(Option("a") -> ((2L, 3L)), None -> ((2L, 25L))))
+  }
+
   test("unknown CDC ops fail loudly, never silently skip") {
     val state = IncrementalAgg.aggState(base, Seq("g"), "v")
     val bad = Seq(("a", 1L, "X")).toDF("g", "v", "op")

@@ -16,7 +16,7 @@ class NgramLmSpec extends SparkSpecBase {
   }
 
   test("model: conditional quanta are floor((1e6*c2)/c1) over bigram heads") {
-    val m = NgramLm.model(NgramLm.docBigrams(corpus, "id", "text"), "id")
+    val m = NgramLm.model(NgramLm.docBigrams(corpus, "id", "text"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     // c2: "a b"->3, "b a"->1, "b c"->1; heads: a->3, b->2
     assert(m("a b") == ((3L, 3L, 1000000L)))

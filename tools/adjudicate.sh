@@ -19,9 +19,11 @@ trap 'rm -rf "$out"' EXIT
 # VerifySubset crash surfaces as a run failure instead of masquerading
 # as "no query matched" under pipefail.
 runlog="$out/verify_subset.log"
-if ! SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" ./run_local.sh \
-    graft.tools.VerifySubset "$sf" "$out" "$rx" >"$runlog" 2>&1; then
-  echo "VerifySubset FAILED (exit $?); last 30 lines:"; tail -30 "$runlog"; exit 3
+st=0
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" ./run_local.sh \
+    graft.tools.VerifySubset "$sf" "$out" "$rx" >"$runlog" 2>&1 || st=$?
+if [ "$st" -ne 0 ]; then
+  echo "VerifySubset FAILED (exit $st); last 30 lines:"; tail -30 "$runlog"; exit 3
 fi
 grep '\[subset\]' "$runlog" || {
   echo "no query matched regex '$rx' (note: full-match semantics)"; exit 2; }
