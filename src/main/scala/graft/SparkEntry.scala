@@ -1770,6 +1770,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic synchronous label propagation (Raghavan 2007)
+    // over the co-purchase graph: 3 rounds, most-frequent neighbor
+    // label with smallest-label tie-break — bit-identical communities.
+    "q137_label_propagation" -> ((s, dir) => {
+      val edges = graft.ops.BasketEdges.edges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      graft.ops.LabelProp.labelPropagation(edges, "src", "dst", iterations = 3)
+        .withColumnRenamed("id", "part")
+        .orderBy(col("part"))
+    }),
+
     // Incremental aggregate maintenance (IVM, Gupta–Mumick): state
     // from the base slice, CDC delta (inserts + deletes) applied by
     // arithmetic merge. The gate proves merge(agg(base), delta) ==
@@ -4076,6 +4087,28 @@ object SparkEntry {
     "q119_hybrid_rrf" -> hybridRrfOracleSql,
 
     "q134_retrieval_eval" -> retrievalEvalOracleSql,
+
+    // Three unrolled synchronous rounds; mode + min-label tie via
+    // QUALIFY row_number. The pairs CTE is q93's (already symmetric
+    // and irreflexive).
+    "q137_label_propagation" ->
+      """WITH pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                        FROM lineitem a JOIN lineitem b
+                          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         l0 AS (SELECT DISTINCT src AS id, src AS label FROM pairs),
+         c1 AS (SELECT e.src, l.label, COUNT(*) AS n
+                FROM pairs e JOIN l0 l ON e.dst = l.id GROUP BY 1, 2),
+         l1 AS (SELECT src AS id, label FROM c1
+                QUALIFY row_number() OVER (PARTITION BY src ORDER BY n DESC, label) = 1),
+         c2 AS (SELECT e.src, l.label, COUNT(*) AS n
+                FROM pairs e JOIN l1 l ON e.dst = l.id GROUP BY 1, 2),
+         l2 AS (SELECT src AS id, label FROM c2
+                QUALIFY row_number() OVER (PARTITION BY src ORDER BY n DESC, label) = 1),
+         c3 AS (SELECT e.src, l.label, COUNT(*) AS n
+                FROM pairs e JOIN l2 l ON e.dst = l.id GROUP BY 1, 2),
+         l3 AS (SELECT src AS id, label FROM c3
+                QUALIFY row_number() OVER (PARTITION BY src ORDER BY n DESC, label) = 1)
+         SELECT id AS part, CAST(label AS BIGINT) AS label FROM l3 ORDER BY part""",
 
     // Recomputes the maintained aggregate FROM SCRATCH over the
     // post-delta row set — the gate is incremental == recompute.

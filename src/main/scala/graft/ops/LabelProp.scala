@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation community detection (Raghavan et al.
+  * 2007), made deterministic: every node starts as its own label, and
+  * each round every node adopts the most frequent label among its
+  * neighbors with ties broken by SMALLEST label — the synchronous
+  * variant with a total tie order, so the result after a fixed number
+  * of rounds is bit-identical on any engine (async/random-order LPA,
+  * the common formulation, is not gateable).
+  *
+  * Fixed iterations rather than convergence: synchronous LPA can
+  * oscillate on bipartite-ish structures, so production runs cap
+  * rounds anyway (GraphFrames does the same); the caller picks the
+  * budget and the gate pins the exact state after k rounds.
+  *
+  * Scale shape, per round: one join edges⋈labels on the neighbor id
+  * (labels are |V| rows — AQE broadcasts them when they fit, else a
+  * co-partitioned shuffle), one (node, label) hash agg with map-side
+  * combine, one per-node window argmax (partitioned by node — never a
+  * global window). Label lineage cut each round (`materialize`), the
+  * q93 PageRank discipline. */
+object LabelProp {
+
+  /** (id, label) after `iterations` synchronous rounds over the
+    * UNDIRECTED graph of `edges0` (both directions are added here;
+    * self-loops dropped). */
+  def labelPropagation(edges0: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int,
+                       materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val dir = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val edges = materialize(
+      dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    val w = Window.partitionBy(col("src")).orderBy(col("n").desc, col("label").asc)
+    for (_ <- 1 to iterations) {
+      labels = materialize(
+        edges.join(labels.withColumnRenamed("id", "__nid"), col("dst") === col("__nid"))
+          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("src").as("id"), col("label")))
+    }
+    labels
+  }
+}
