@@ -1776,7 +1776,8 @@ object SparkEntry {
     "q137_label_propagation" -> ((s, dir) => {
       val edges = graft.ops.BasketEdges.edges(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
-      graft.ops.LabelProp.labelPropagation(edges, "src", "dst", iterations = 3)
+      graft.ops.LabelProp.labelPropagation(edges, "src", "dst", iterations = 3,
+          assumeSymmetric = true) // BasketEdges contract: symmetric, distinct
         .withColumnRenamed("id", "part")
         .orderBy(col("part"))
     }),

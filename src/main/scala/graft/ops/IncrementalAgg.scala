@@ -74,37 +74,63 @@ object IncrementalAgg {
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** COMMITTED generation ids only (job-commit `_SUCCESS` marker, the
+    * CorpusIngest scanRoot rule) — a torn directory from a crash
+    * mid-write can neither poison a read nor count as landed. */
   private def genIds(spark: org.apache.spark.sql.SparkSession,
                      root: String): Seq[Long] = {
     val fs = fsOf(spark, root)
     val p = new org.apache.hadoop.fs.Path(root)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("state_gen=")).map(_.stripPrefix("state_gen=").toLong)
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("state_gen=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("state_gen=").toLong)
       .sorted
   }
 
-  private def emptyState(spark: org.apache.spark.sql.SparkSession,
-                         like: DataFrame, groupCols: Seq[String]): DataFrame =
+  private def emptyState(like: DataFrame, groupCols: Seq[String]): DataFrame =
     like.select(groupCols.map(col) ++ Seq(
         lit(0L).as("cnt"), lit(0L).as("total")): _*)
       .limit(0)
 
-  /** Apply one CDC micro-batch: merge into the newest state generation
-    * STRICTLY OLDER than `batchId` and (over)write generation
-    * `batchId`. Re-delivery of a batch id recomputes from the same
-    * prior generation and overwrites the same directory — idempotent
-    * under Structured Streaming's at-least-once foreachBatch
+  /** Apply one CDC micro-batch: merge into the newest COMMITTED state
+    * generation STRICTLY OLDER than `batchId` and (over)write
+    * generation `batchId`. Re-delivery of a batch id recomputes from
+    * the same prior generation and overwrites the same directory —
+    * idempotent under Structured Streaming's at-least-once foreachBatch
     * contract, the CorpusIngest `batch=<id>` landing rule applied to
-    * aggregate state. */
+    * aggregate state.
+    *
+    * stateRoot and the stream's checkpoint must live and die together:
+    * a generation NEWER than the delivered batch id means the
+    * checkpoint was reset against surviving state (batch ids restart
+    * at 0 and would re-aggregate on top of a previous run) — that is
+    * refused loudly rather than double-counted. Generations older than
+    * the prior actually read are no longer needed for replay (only the
+    * newest batch can be re-delivered) and are swept, so retention is
+    * two generations, not O(batches). */
   def applyBatch(batch: DataFrame, batchId: Long, groupCols: Seq[String],
                  valueCol: String, opCol: String, stateRoot: String): Unit = {
     val spark = batch.sparkSession
-    val prior = genIds(spark, stateRoot).filter(_ < batchId).lastOption
+    val ids = genIds(spark, stateRoot)
+    require(ids.forall(_ <= batchId),
+      s"state root $stateRoot holds generation ${ids.last} ahead of batch $batchId — " +
+        "the stream checkpoint was reset against surviving state; clear stateRoot " +
+        "or restore the matching checkpoint (stateRoot and checkpointLocation " +
+        "must live and die together)")
+    val priorId = ids.filter(_ < batchId).lastOption
+    val prior = priorId
       .map(id => spark.read.parquet(stateDir(stateRoot, id)))
-      .getOrElse(emptyState(spark, batch, groupCols))
+      .getOrElse(emptyState(batch, groupCols))
     mergeDelta(prior, batch, groupCols, valueCol, opCol)
       .write.mode("overwrite").parquet(stateDir(stateRoot, batchId))
+    // replay can only re-deliver THIS batch, which reads priorId —
+    // everything older is dead weight
+    val fs = fsOf(spark, stateRoot)
+    ids.filter(id => priorId.exists(id < _)).foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(stateDir(stateRoot, id)), true)
+    }
   }
 
   /** The maintained aggregate as of the newest committed generation

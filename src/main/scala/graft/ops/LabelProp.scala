@@ -26,15 +26,19 @@ import org.apache.spark.sql.functions._
 object LabelProp {
 
   /** (id, label) after `iterations` synchronous rounds over the
-    * UNDIRECTED graph of `edges0` (both directions are added here;
-    * self-loops dropped). */
+    * UNDIRECTED graph of `edges0`. By default both directions are
+    * added and self-loops/duplicates dropped; pass
+    * `assumeSymmetric = true` when the input already satisfies that
+    * contract (e.g. [[BasketEdges.edges]]) to skip the redundant
+    * symmetrize+distinct shuffle. */
   def labelPropagation(edges0: DataFrame, srcCol: String, dstCol: String,
-                       iterations: Int,
+                       iterations: Int, assumeSymmetric: Boolean = false,
                        materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val dir = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val edges = materialize(
-      dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      if (assumeSymmetric) dir
+      else dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct())
     var labels = edges.select(col("src").as("id")).distinct()

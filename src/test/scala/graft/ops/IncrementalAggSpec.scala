@@ -74,6 +74,16 @@ class IncrementalAggSpec extends SparkSpecBase {
       val again = IncrementalAgg.readState(spark, root)
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
       assert(again == got)
+      // a reset checkpoint (batch ids restarting at 0 against surviving
+      // state) is refused, not double-counted
+      val e = intercept[IllegalArgumentException] {
+        IncrementalAgg.applyBatch(replay, 0L, Seq("g"), "v", "op", root)
+      }
+      assert(e.getMessage.contains("checkpoint was reset"))
+      // retention: only the replayable window (prior + current) is kept
+      val gens = new java.io.File(root).listFiles()
+        .map(_.getName).filter(_.startsWith("state_gen=")).sorted
+      assert(gens.length <= 2, gens.toSeq)
     } finally q.stop()
   }
 

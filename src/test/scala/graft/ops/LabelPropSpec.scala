@@ -25,6 +25,15 @@ class LabelPropSpec extends SparkSpecBase {
     assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 3L, 6L -> 3L))
   }
 
+  test("assumeSymmetric on pre-symmetrized edges equals the default path") {
+    val sym = bridged.union(bridged.select($"dst".as("src"), $"src".as("dst")))
+    val fast = LabelProp.labelPropagation(sym, "src", "dst", 3, assumeSymmetric = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = LabelProp.labelPropagation(bridged, "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+  }
+
   test("a clique keeps one community containing the smallest id") {
     val clique = (for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j))
       .toDF("src", "dst")
