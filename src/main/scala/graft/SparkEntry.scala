@@ -1835,16 +1835,17 @@ object SparkEntry {
     }),
 
     // ANALYZE-style table profile: one-pass per-column row/null/ndv +
-    // native-order min/max over engine-portable projections (dates
-    // pre-formatted, money pre-quantized to cents — float repr never
-    // crosses the wire).
+    // native-order min/max over engine-portable projections (dates via
+    // the date->string cast fast path — same 'yyyy-MM-dd' text in both
+    // engines without per-row ICU pattern formatting; money
+    // pre-quantized to cents — float repr never crosses the wire).
     "q132_table_profile" -> ((s, dir) => {
       graft.ops.Profiler.profile(t(s, dir, "orders"), Seq(
         "o_orderkey" -> col("o_orderkey"),
         "o_custkey" -> col("o_custkey"),
         "o_orderstatus" -> col("o_orderstatus"),
         "o_orderpriority" -> col("o_orderpriority"),
-        "order_date" -> date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        "order_date" -> col("o_orderdate").cast("date").cast("string"),
         "total_cents" -> floor(col("o_totalprice") * 100.0).cast("long")))
         .orderBy(col("column_name"))
     }),
@@ -3985,7 +3986,7 @@ object SparkEntry {
     // min/max on native types, stringified last.
     "q132_table_profile" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
-                           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
                            CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS total_cents
                     FROM orders)
          SELECT * FROM (

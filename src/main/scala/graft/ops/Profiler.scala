@@ -26,7 +26,16 @@ object Profiler {
     require(cols.nonEmpty, "need at least one column to profile")
     // min/max aggregate on the NATIVE type (numeric order, not string
     // order) and stringify only for the unpivot
-    val base = df.select(cols.map { case (n, c) => c.as(n) }: _*)
+    val projected = df.select(cols.map { case (n, c) => c.as(n) }: _*)
+    // a single-file table would otherwise run the 25-buffer partial
+    // aggregate on one task (measured 6 s vs 1.6 s at sf0.1); the
+    // multi-distinct Expand shuffles these projected rows anyway, so
+    // pre-spreading them costs one narrow pass and buys parallelism
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    val base =
+      if (projected.rdd.getNumPartitions * 2 < parallelism)
+        projected.repartition(parallelism)
+      else projected
     val aggs = cols.flatMap { case (n, _) =>
       Seq(
         sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"__nulls_$n"),
