@@ -1770,6 +1770,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact equi-depth decile binning of documents by length: bin
+    // sizes within 1 row of n/10 regardless of ties (rank-based, not
+    // percentile-cut); the rank is the chunked prefix-sum.
+    "q138_equidepth_bins" -> ((s, dir) => {
+      graft.ops.Sampling.equiDepthBins(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", bins = 10)
+        .select(col("doc_id"), col("n_chars"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic synchronous label propagation (Raghavan 2007)
     // over the co-purchase graph: 3 rounds, most-frequent neighbor
     // label with smallest-label tie-break — bit-identical communities.
@@ -4089,6 +4100,15 @@ object SparkEntry {
     "q119_hybrid_rrf" -> hybridRrfOracleSql,
 
     "q134_retrieval_eval" -> retrievalEvalOracleSql,
+
+    "q138_equidepth_bins" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+                    row_number() OVER (ORDER BY n_chars,
+                                       md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk,
+                    COUNT(*) OVER () AS n
+             FROM documents)
+         SELECT doc_id, n_chars, CAST((rk * 10) // n AS INTEGER) AS bin
+         FROM r ORDER BY doc_id""",
 
     // Three unrolled synchronous rounds; mode + min-label tie via
     // QUALIFY row_number. The pairs CTE is q93's (already symmetric

@@ -372,6 +372,28 @@ object Sampling {
       .drop("__rank0")
   }
 
+  /** Exact equi-depth (quantile) binning: bin b of `bins` holds the
+    * rows ranked [b·n/bins, (b+1)·n/bins) under (value asc, md5+key
+    * tie-break) — every bin's size is within 1 row of n/bins REGARDLESS
+    * of the value distribution, which approximate percentile cuts
+    * cannot promise under heavy ties. The rank is [[globalRank]]
+    * (chunked prefix-sum — no single-reducer sort); the bin is pure
+    * integer arithmetic on it, so assignment is engine-exact. Null
+    * keys/values drop (family rule). */
+  def equiDepthBins(df: DataFrame, keyCol: String, valueCol: String,
+                    bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be positive, got $bins")
+    require(!df.columns.contains("bin"), "input must not already contain bin")
+    val ord = Seq(col(valueCol).asc, md5(col(keyCol).cast("string")).asc,
+      col(keyCol).asc)
+    val ranked = globalRank(
+      df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull),
+      ord, out = "__rank")
+    ranked.crossJoin(broadcast(ranked.agg(max(col("__rank")).as("__n"))))
+      .withColumn("bin", expr(s"CAST(((__rank - 1) * $bins) DIV __n AS INT)"))
+      .drop("__rank", "__n")
+  }
+
   def trainingOrder(df: DataFrame, keyCol: String, shards: Int): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
     require(!df.columns.exists(Set("shard", "pos", "global_rank")),

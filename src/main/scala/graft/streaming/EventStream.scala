@@ -61,6 +61,28 @@ object EventStream {
       .drop(fp)
   }
 
+  /** Stream-stream event correlation (attribution): inner-join two
+    * live streams on a key with an event-time INTERVAL condition —
+    * response events within (0, `withinSeconds`] after their trigger.
+    * Both sides carry watermarks, so Spark bounds the join state to the
+    * interval plus the allowed lateness and drops buffered rows once
+    * the watermark passes — the attribution join (impression→click,
+    * send→failure) over unbounded streams with bounded memory; an
+    * unwatermarked stream-stream join would buffer forever. */
+  def correlateStreams(trigger: DataFrame, response: DataFrame,
+                       keyCol: String, triggerTs: String, responseTs: String,
+                       withinSeconds: Long,
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(withinSeconds > 0, s"window must be positive, got $withinSeconds")
+    val l = trigger.withWatermark(triggerTs, watermarkDelay).alias("t")
+    val r = response.withWatermark(responseTs, watermarkDelay).alias("r")
+    l.join(r,
+      col(s"t.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$responseTs") > col(s"t.$triggerTs") &&
+        col(s"r.$responseTs") <=
+          col(s"t.$triggerTs") + expr(s"INTERVAL $withinSeconds SECONDS"))
+  }
+
   /** Event-time sessionization as a streaming operator — the native
     * `session_window` form of the batch lag+cumsum query (q34): events
     * for a key that arrive within `gap` of each other merge into one

@@ -336,6 +336,28 @@ class SamplingSpec extends SparkSpecBase {
     }
   }
 
+  test("equiDepthBins: sizes within 1 of n/bins even under total ties") {
+    val skewed = (1L to 103L).map(i => (i, if (i <= 90) 7L else i)).toDF("id", "v")
+    val sizes = Sampling.equiDepthBins(skewed, "id", "v", 10)
+      .groupBy("bin").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0 until 10).toSet)
+    assert(sizes.values.forall(c => c == 10L || c == 11L), sizes)
+    // values are non-decreasing across bins despite the tie mass
+    val byBin = Sampling.equiDepthBins(skewed, "id", "v", 10)
+      .groupBy("bin").agg(min("v").as("lo"), max("v").as("hi"))
+      .orderBy("bin").collect().map(r => (r.getLong(1), r.getLong(2)))
+    byBin.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+    // deterministic under partitioning
+    val a = Sampling.equiDepthBins(skewed, "id", "v", 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val b = Sampling.equiDepthBins(skewed.repartition(9), "id", "v", 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(a == b)
+  }
+
   test("balancedShards: linear costs over full blocks balance EXACTLY") {
     // serpentine pairs block 2k with reversed block 2k+1, so any
     // cost sequence linear in rank sums identically on every shard —

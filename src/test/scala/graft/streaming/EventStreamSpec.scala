@@ -248,4 +248,32 @@ class EventStreamSpec extends SparkSpecBase {
     assert(out2 == Seq(RetryAction("84393", "r-new", "classify_and_retry")))
     assert(!s2.exists)
   }
+
+  test("stream-stream interval join attributes responses within the window only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imp = MemoryStream[(Long, Timestamp)]
+    val clk = MemoryStream[(Long, Timestamp)]
+    val joined = EventStream.correlateStreams(
+      imp.toDF().toDF("user_id", "imp_ts"),
+      clk.toDF().toDF("user_id", "clk_ts"),
+      "user_id", "imp_ts", "clk_ts", withinSeconds = 600)
+      .selectExpr("t.user_id", "imp_ts", "clk_ts")
+    val q = joined.writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    try {
+      imp.addData((1L, Timestamp.valueOf("2026-01-01 00:00:00")),
+        (2L, Timestamp.valueOf("2026-01-01 00:00:00")),
+        (3L, Timestamp.valueOf("2026-01-01 00:00:00")))
+      clk.addData(
+        (1L, Timestamp.valueOf("2026-01-01 00:05:00")), // in window
+        (2L, Timestamp.valueOf("2026-01-01 00:30:00")), // outside 10 min
+        (3L, Timestamp.valueOf("2025-12-31 23:59:00")), // before trigger
+        (9L, Timestamp.valueOf("2026-01-01 00:01:00"))) // no impression
+      q.processAllAvailable()
+      val rows = spark.table("attrib_out")
+        .select("user_id").as[Long].collect().toSeq
+      assert(rows == Seq(1L), s"only the in-window click attributes: $rows")
+    } finally q.stop()
+  }
 }
