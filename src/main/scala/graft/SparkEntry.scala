@@ -1770,6 +1770,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Offline CUSUM changepoint per user (Page 1954): S_k = n·P_k −
+    // k·T keeps the mean-centered running sum integer (cents, ×n
+    // cleared — no division); changepoint = argmax |S_k|, earliest tie.
+    "q139_cusum_changepoint" -> ((s, dir) => {
+      graft.ops.TimeSeries.cusumChangepoint(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        floor(col("value") * 100.0))
+        .orderBy(col("user_id"))
+    }),
+
     // Exact equi-depth decile binning of documents by length: bin
     // sizes within 1 row of n/10 regardless of ties (rank-based, not
     // percentile-cut); the rank is the chunked prefix-sum.
@@ -4100,6 +4110,29 @@ object SparkEntry {
     "q119_hybrid_rrf" -> hybridRrfOracleSql,
 
     "q134_retrieval_eval" -> retrievalEvalOracleSql,
+
+    // Window prefix sums + per-key totals; argmax via QUALIFY with the
+    // explicit (sk DESC, k ASC) tie order (arg_max's ties are
+    // engine-unspecified). All emitted aggregates BIGINT.
+    "q139_cusum_changepoint" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+                           CAST(FLOOR(value * 100.0) AS BIGINT) AS x
+                    FROM events
+                    WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+         w AS (SELECT user_id,
+                      SUM(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS p,
+                      COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS k,
+                      COUNT(*) OVER (PARTITION BY user_id) AS n,
+                      SUM(x) OVER (PARTITION BY user_id) AS t
+               FROM e),
+         s AS (SELECT user_id, k, n, abs(n * p - k * t) AS sk FROM w)
+         SELECT user_id, CAST(n AS BIGINT) AS n_points, CAST(k AS BIGINT) AS cp_pos,
+                CAST(sk AS BIGINT) AS cusum_abs_max
+         FROM s
+         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY sk DESC, k ASC) = 1
+         ORDER BY user_id""",
 
     "q138_equidepth_bins" ->
       """WITH r AS (SELECT doc_id, n_chars,

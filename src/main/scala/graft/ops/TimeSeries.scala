@@ -158,4 +158,41 @@ object TimeSeries {
       .groupBy(col("cohort_bucket"), col("bucket_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
+
+  /** Offline CUSUM changepoint estimate per key (Page 1954, the
+    * classic single-changepoint location statistic): with integer
+    * observations x_1..x_n in event order, the mean-centered running
+    * sum S_k = Σ_{i≤k}(x_i − x̄) = n·P_k − k·T (P_k prefix sum, T the
+    * series total — the ×n clearing keeps EVERYTHING integer, no mean
+    * division anywhere), and the estimated changepoint is
+    * argmax_k |S_k| with smallest-k ties. Emits per key:
+    * (key, n_points, cp_pos, cusum_abs_max) where cusum_abs_max is
+    * max |S_k| in the ×n units.
+    *
+    * Plan shape: ONE window pass per key (prefix sum + position + the
+    * per-key n/T as unbounded-frame aggregates in the same pass), then
+    * a per-key max_by argmax aggregate — no self-join, no global
+    * window; per-key data never leaves its partition between the two. */
+  def cusumChangepoint(events: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, valueCol: Column): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events
+      .withColumn("__x", valueCol.cast("long"))
+      // null ts would sort NULLS FIRST here but NULLS LAST in other
+      // engines — excluded rather than engine-ambiguous
+      .filter(col(keyCol).isNotNull && col("__x").isNotNull &&
+        col(tsCol).isNotNull)
+      .withColumn("__p", sum(col("__x")).over(wOrd))
+      .withColumn("__k", count(lit(1)).over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__t", sum(col("__x")).over(wAll))
+      .withColumn("__s", abs(col("__n") * col("__p") - col("__k") * col("__t")))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n_points"),
+        max_by(col("__k"), struct(col("__s"), -col("__k"))).as("cp_pos"),
+        max(col("__s")).as("cusum_abs_max"))
+  }
 }

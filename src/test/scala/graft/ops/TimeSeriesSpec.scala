@@ -97,6 +97,29 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(out(0).getAs[java.sql.Timestamp]("bucket") == ts("2024-01-01 06:00:00"))
   }
 
+  test("cusumChangepoint locates a planted mean shift; flat series tie to position 1") {
+    import spark.implicits._
+    def series(key: String, xs: Seq[Long]) = xs.zipWithIndex.map { case (x, i) =>
+      (key, java.sql.Timestamp.valueOf(f"2026-01-01 00:${i}%02d:00"), i.toLong, x)
+    }
+    val df = (series("shift", Seq(0L, 0L, 0L, 0L, 10L, 10L, 10L, 10L)) ++
+      series("flat", Seq(5L, 5L, 5L)) ++
+      series("spike", Seq(0L, 100L, 0L, 0L)))
+      .toDF("k", "ts", "tie", "x")
+    val got = TimeSeries.cusumChangepoint(df, "k", "ts", "tie", col("x"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // S_k = n·P_k − k·T; shift: max |S| at the true break k=4 (|S|=160)
+    assert(got("shift") == ((8L, 4L, 160L)))
+    // flat: all S_k = 0 -> earliest position wins the tie
+    assert(got("flat") == ((3L, 1L, 0L)))
+    // spike at 2: S = [-100, 200, 100]... argmax k=2
+    assert(got("spike") == ((4L, 2L, 200L)))
+    // determinism under partitioning
+    val re = TimeSeries.cusumChangepoint(df.repartition(7), "k", "ts", "tie", col("x"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(re == got)
+  }
+
   test("cohortRetention: first-bucket cohorts, offsets, distinct users per cell") {
     import spark.implicits._
     // u1 active days 0,1,8 (weekly buckets 0,0,1); u2 day 7 (bucket 1);
