@@ -1770,6 +1770,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Flesch reading-ease per document, exact milli-units: both ratios
+    // integer floor divisions; vowel-group syllables, floored-at-1
+    // sentences. Classic readability gate for corpus curation.
+    "q141_readability" -> ((s, dir) => {
+      graft.ops.TextProfile.readability(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Dominant periodicity per user: autocorrelation numerator at lags
+    // 1..4 with the mean cleared by ×n (exact long terms, DECIMAL sum);
+    // best lag by argmax with smallest-lag ties.
+    "q140_periodicity" -> ((s, dir) => {
+      graft.ops.TimeSeries.periodicity(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        floor(col("value") * 100.0), maxLag = 4)
+        .orderBy(col("user_id"))
+    }),
+
     // Offline CUSUM changepoint per user (Page 1954): S_k = n·P_k −
     // k·T keeps the mean-centered running sum integer (cents, ×n
     // cleared — no division); changepoint = argmax |S_k|, earliest tie.
@@ -4110,6 +4128,51 @@ object SparkEntry {
     "q119_hybrid_rrf" -> hybridRrfOracleSql,
 
     "q134_retrieval_eval" -> retrievalEvalOracleSql,
+
+    "q141_readability" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+                CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+                CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+                CAST(206835
+                     - (1015 * len(regexp_extract_all(text, '\S+')))
+                       // greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                     - (84600 * len(regexp_extract_all(lower(text), '[aeiouy]+')))
+                       // len(regexp_extract_all(text, '\S+')) AS BIGINT) AS flesch_e3
+         FROM documents
+         WHERE len(regexp_extract_all(text, '\S+')) > 0
+         ORDER BY doc_id""",
+
+    // Same ×n-clearing as q139; the R(ℓ) magnitudes stay internal
+    // (HUGEINT-compared in the QUALIFY, never emitted).
+    "q140_periodicity" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+                           CAST(FLOOR(value * 100.0) AS BIGINT) AS x
+                    FROM events
+                    WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+         w AS (SELECT user_id, ts, event_id, x,
+                      COUNT(*) OVER (PARTITION BY user_id) AS n,
+                      SUM(x) OVER (PARTITION BY user_id) AS t
+               FROM e),
+         c AS (SELECT user_id, ts, event_id, n, n * x - t AS cv FROM w),
+         l AS (SELECT user_id, n, cv,
+                      lead(cv, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l1,
+                      lead(cv, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l2,
+                      lead(cv, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l3,
+                      lead(cv, 4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l4
+               FROM c),
+         terms AS (
+           SELECT user_id, n, 1 AS lag, cv * l1 AS term FROM l WHERE l1 IS NOT NULL
+           UNION ALL SELECT user_id, n, 2, cv * l2 FROM l WHERE l2 IS NOT NULL
+           UNION ALL SELECT user_id, n, 3, cv * l3 FROM l WHERE l3 IS NOT NULL
+           UNION ALL SELECT user_id, n, 4, cv * l4 FROM l WHERE l4 IS NOT NULL),
+         r AS (SELECT user_id, lag, MAX(n) AS n, SUM(term) AS rr
+               FROM terms GROUP BY 1, 2)
+         SELECT user_id, CAST(n AS BIGINT) AS n_points,
+                CAST(lag AS INTEGER) AS best_lag, rr > 0 AS r_positive
+         FROM r
+         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY rr DESC, lag ASC) = 1
+         ORDER BY user_id""",
 
     // Window prefix sums + per-key totals; argmax via QUALIFY with the
     // explicit (sk DESC, k ASC) tie order (arg_max's ties are

@@ -88,6 +88,25 @@ object TextProfile {
       .withColumn("dup_rate",
         lit(1.0) - col("n_unique").cast("double") / col("n_docs"))
 
+  /** Per-document Flesch reading-ease (Flesch 1948) in exact
+    * milli-units: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), scaled ×1000 with both ratios as integer
+    * floor divisions — no float anywhere, so the score is
+    * engine-identical. Syllables are approximated by vowel-group runs
+    * ([aeiouy]+, the standard cheap estimator) and sentences by
+    * terminal-punctuation runs, floored at 1 so fragments still score.
+    * Map-only codegen'd regex counting; empty documents drop. */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_words"),
+        greatest(regexp_count(col(textCol), lit("[.!?]+")).cast("long"), lit(1L))
+          .as("n_sentences"),
+        regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long")
+          .as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch_e3", expr(
+        "206835 - (1015 * n_words) div n_sentences - (84600 * n_syllables) div n_words"))
+
   /** Per-group n-gram lexical diversity (the corpus-level type-token
     * ratio used to flag mode-collapsed/synthetic slices — a shrinking
     * distinct-share under a growing token count is the collapse

@@ -195,4 +195,51 @@ object TimeSeries {
         max_by(col("__k"), struct(col("__s"), -col("__k"))).as("cp_pos"),
         max(col("__s")).as("cusum_abs_max"))
   }
+
+  /** Dominant periodicity per key via the autocorrelation numerator at
+    * lags 1..maxLag: R(ℓ) = Σ_{i≤n−ℓ} (n·x_i − T)(n·x_{i+ℓ} − T) —
+    * mean-centering cleared by ×n (the [[cusumChangepoint]] trick), so
+    * each term is an exact long product; the SUM rides DECIMAL(38,0)
+    * because Σ over a long series exceeds long range (n·|x| ~ 8·10⁷
+    * per factor at sf0.1 → term ~ 6·10¹⁵, sum ~ 10¹⁹+). Output per
+    * key: (key, n_points, best_lag, r_positive) with best_lag =
+    * argmax_ℓ R(ℓ), smallest-ℓ ties — the magnitudes stay internal
+    * (they compare exactly in any engine's wide-integer type but do
+    * not fit an emitted BIGINT).
+    *
+    * Plan: ONE window pass computes all maxLag leads + n + T, a
+    * map-only unpivot emits (key, lag, term) rows, then a hash agg
+    * per (key, lag) and a per-key argmax — no self-join per lag. */
+  def periodicity(events: DataFrame, keyCol: String, tsCol: String,
+                  tieCol: String, valueCol: Column, maxLag: Int = 4): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be positive, got $maxLag")
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val wAll = Window.partitionBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val base = events
+      .withColumn("__x", valueCol.cast("long"))
+      .filter(col(keyCol).isNotNull && col("__x").isNotNull &&
+        col(tsCol).isNotNull)
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__t", sum(col("__x")).over(wAll))
+      .withColumn("__c", col("__n") * col("__x") - col("__t"))
+    val withLeads = (1 to maxLag).foldLeft(base) { (df, l) =>
+      df.withColumn(s"__lead$l", lead(col("__c"), l).over(wOrd))
+    }
+    val terms = withLeads.select(col(keyCol), col("__n"),
+      explode(array((1 to maxLag).map(l =>
+        struct(lit(l).as("lag"),
+          (col("__c") * col(s"__lead$l")).as("term"))): _*)).as("p"))
+      .select(col(keyCol), col("__n"), col("p.lag"), col("p.term"))
+      .filter(col("term").isNotNull)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    terms.groupBy(col(keyCol), col("lag"))
+      .agg(max(col("__n")).as("__n"), sum(col("term").cast(dec)).as("__r"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n_points"),
+        max_by(col("lag"), struct(col("__r"), -col("lag"))).as("best_lag"),
+        max(col("__r")).as("__rbest"))
+      .withColumn("r_positive", col("__rbest") > 0)
+      .drop("__rbest")
+  }
 }

@@ -31,6 +31,23 @@ class TextProfileDiversitySpec extends SparkSpecBase {
     assert(ttr("dull") < ttr("varied"))
   }
 
+  test("readability: hand-computed Flesch milli-units; fragments floor sentences at 1") {
+    val docs = Seq((1L, "The cat sat. The dog ran!"), (2L, "no terminal punctuation here"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val got = TextProfile.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc1: W=6 S=2 Y=6 -> 206835 - 3045 - 84600 = 119190
+    assert(got(1L) == ((6L, 2L, 6L, 119190L)))
+    // doc2: W=4 S=1 (floored) Y: o,ua,io,e,e... count vowel runs:
+    // "no"(o) "terminal"(e,i,a) "punctuation"(u,ua,io) "here"(e,e) = 9
+    assert(got(2L)._2 == 1L && got(2L)._1 == 4L)
+    assert(got(2L)._4 ==
+      206835L - (1015L * 4) / 1 - (84600L * got(2L)._3) / 4)
+    // blank doc drops
+    assert(!got.contains(3L))
+  }
+
   test("groups are independent of partitioning; case folds") {
     val docs = Seq((1L, "A b C", "s"), (2L, "a B c", "s")).toDF("doc_id", "text", "source")
     val one = TextProfile.ngramDiversity(docs, "source", "text").head()

@@ -120,6 +120,22 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(re == got)
   }
 
+  test("periodicity: planted period-2 signal wins lag 2; flat ties to lag 1") {
+    import spark.implicits._
+    def series(key: String, xs: Seq[Long]) = xs.zipWithIndex.map { case (x, i) =>
+      (key, java.sql.Timestamp.valueOf(f"2026-01-01 00:${i}%02d:00"), i.toLong, x)
+    }
+    val df = (series("p2", Seq(0L, 10L, 0L, 10L, 0L, 10L)) ++
+      series("flat", Seq(4L, 4L, 4L, 4L, 4L)))
+      .toDF("k", "ts", "tie", "x")
+    val got = TimeSeries.periodicity(df, "k", "ts", "tie", col("x"), maxLag = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2), r.getBoolean(3))).toMap
+    // hand-computed R: lag1 = -4500, lag2 = +3600, lag3 = -2700, lag4 = +1800
+    assert(got("p2") == ((6L, 2, true)))
+    // all-centered-zero: every R = 0 -> smallest lag, not positive
+    assert(got("flat") == ((5L, 1, false)))
+  }
+
   test("cohortRetention: first-bucket cohorts, offsets, distinct users per cell") {
     import spark.implicits._
     // u1 active days 0,1,8 (weekly buckets 0,0,1); u2 day 7 (bucket 1);
