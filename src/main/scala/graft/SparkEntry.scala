@@ -4202,7 +4202,8 @@ object SparkEntry {
                     row_number() OVER (ORDER BY n_chars,
                                        md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk,
                     COUNT(*) OVER () AS n
-             FROM documents)
+             FROM documents
+             WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL)
          SELECT doc_id, n_chars, CAST((rk * 10) // n AS INTEGER) AS bin
          FROM r ORDER BY doc_id""",
 

@@ -49,14 +49,13 @@ object Layout {
     val z = df
       .filter(col(idCol).isNotNull && col(xCol).isNotNull && col(yCol).isNotNull)
       .withColumn("zval", zValue(col(xCol), col(yCol), bits))
-    val ranked = Sampling.globalRank(z, Seq(col("zval").asc, col(idCol).asc),
-      out = "__rank")
-    // total row count = max rank; reuses the checkpointed rank input,
-    // one tiny agg, broadcast back — no second pass over the source
-    val n = ranked.agg(max(col("__rank")).as("__n"))
-    ranked.crossJoin(broadcast(n))
+    // the total row count rides out of the rank's own tiny offsets
+    // frame — re-aggregating the ranked output would repeat the whole
+    // rank pass (window + broadcast join) a second time
+    Sampling.globalRank(z, Seq(col("zval").asc, col(idCol).asc),
+        out = "__rank", withTotal = true)
       .withColumn("file_id",
-        expr(s"CAST(((__rank - 1) * $numFiles) DIV __n AS INT)"))
+        expr(s"CAST(((__rank - 1) * $numFiles) DIV __total AS INT)"))
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),

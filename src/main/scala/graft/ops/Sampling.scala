@@ -324,23 +324,31 @@ object Sampling {
     * `materialize` pins the partition assignment between the rank pass
     * and the offset pass (same contract as [[budgetSelect]]). */
   def globalRank(df: DataFrame, ord: Seq[Column], out: String = "global_rank",
+                 withTotal: Boolean = false,
                  materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     require(ord.nonEmpty, "globalRank needs at least one order column")
-    require(!df.columns.contains(out) && !df.columns.contains("__pid"),
-      s"input must not already contain $out/__pid")
+    require(!df.columns.contains(out) && !df.columns.contains("__pid") &&
+      !(withTotal && df.columns.contains("__total")),
+      s"input must not already contain $out/__pid/__total")
     import org.apache.spark.sql.expressions.Window
     val nChunks = df.sparkSession.sessionState.conf.numShufflePartitions
     val parted = materialize(df
       .repartitionByRange(nChunks, ord: _*)
       .withColumn("__pid", spark_partition_id()))
     val wLocal = Window.partitionBy(col("__pid")).orderBy(ord: _*)
-    // one row per partition: the unpartitioned window is over ≤ nChunks rows
+    // one row per partition: the unpartitioned windows are over ≤ nChunks rows
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // the total row count falls out of the same tiny offsets frame —
+    // callers needing n (file deals, bin widths) must NOT re-aggregate
+    // the ranked output, which would repeat the whole rank pass
     val offsets = parted.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("__off"))
+      .withColumn("__total", sum(col("__n")).over(wAll))
+      .select(col("__pid") +: col("__off") +:
+        (if (withTotal) Seq(col("__total")) else Nil): _*)
     parted.join(broadcast(offsets), Seq("__pid"))
       .withColumn(out, col("__off") + row_number().over(wLocal).cast("long"))
       .drop("__pid", "__off")
@@ -383,15 +391,16 @@ object Sampling {
   def equiDepthBins(df: DataFrame, keyCol: String, valueCol: String,
                     bins: Int): DataFrame = {
     require(bins >= 1, s"bins must be positive, got $bins")
-    require(!df.columns.contains("bin"), "input must not already contain bin")
+    require(!df.columns.exists(Set("bin", "__rank", "__total")),
+      "input must not already contain bin/__rank/__total")
     val ord = Seq(col(valueCol).asc, md5(col(keyCol).cast("string")).asc,
       col(keyCol).asc)
-    val ranked = globalRank(
-      df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull),
-      ord, out = "__rank")
-    ranked.crossJoin(broadcast(ranked.agg(max(col("__rank")).as("__n"))))
-      .withColumn("bin", expr(s"CAST(((__rank - 1) * $bins) DIV __n AS INT)"))
-      .drop("__rank", "__n")
+    // n rides out of the rank's own offsets frame — re-aggregating the
+    // ranked output would repeat the whole rank pass
+    globalRank(df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull),
+        ord, out = "__rank", withTotal = true)
+      .withColumn("bin", expr(s"CAST(((__rank - 1) * $bins) DIV __total AS INT)"))
+      .drop("__rank", "__total")
   }
 
   def trainingOrder(df: DataFrame, keyCol: String, shards: Int): DataFrame = {

@@ -77,10 +77,13 @@ object EventStream {
     val l = trigger.withWatermark(triggerTs, watermarkDelay).alias("t")
     val r = response.withWatermark(responseTs, watermarkDelay).alias("r")
     l.join(r,
-      col(s"t.$keyCol") === col(s"r.$keyCol") &&
-        col(s"r.$responseTs") > col(s"t.$triggerTs") &&
-        col(s"r.$responseTs") <=
-          col(s"t.$triggerTs") + expr(s"INTERVAL $withinSeconds SECONDS"))
+        col(s"t.$keyCol") === col(s"r.$keyCol") &&
+          col(s"r.$responseTs") > col(s"t.$triggerTs") &&
+          col(s"r.$responseTs") <=
+            col(s"t.$triggerTs") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      // one key column out — the duplicate response-side key would make
+      // the bare name ambiguous for every downstream select/groupBy
+      .drop(col(s"r.$keyCol"))
   }
 
   /** Event-time sessionization as a streaming operator — the native

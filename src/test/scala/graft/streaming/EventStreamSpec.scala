@@ -258,7 +258,7 @@ class EventStreamSpec extends SparkSpecBase {
       imp.toDF().toDF("user_id", "imp_ts"),
       clk.toDF().toDF("user_id", "clk_ts"),
       "user_id", "imp_ts", "clk_ts", withinSeconds = 600)
-      .selectExpr("t.user_id", "imp_ts", "clk_ts")
+      .selectExpr("user_id", "imp_ts", "clk_ts")
     val q = joined.writeStream.format("memory").queryName("attrib_out")
       .outputMode("append").start()
     try {
