@@ -33,6 +33,7 @@ object PrepScaleProbe {
 
     val docs0 = graft.core.Tables.table(spark, dir, "documents")
     val orders0 = graft.core.Tables.table(spark, dir, "orders")
+    val events0 = graft.core.Tables.table(spark, dir, "events")
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
@@ -63,10 +64,21 @@ object PrepScaleProbe {
       val (tAud, nAud) = time(graft.ops.Expectations.audit(Seq(
         graft.ops.Expectations.expectUnique("u", docs, Seq("doc_id")),
         graft.ops.Expectations.expect("q", docs, length(col("text")) > 0))).count())
+      // event-time window family: user count grows k× (copies get
+      // disjoint user ranges), per-key series length constant — the
+      // per-key-window shape should scale with total events
+      val events = copies(events0, k, "event_id",
+        (d, i) => d.withColumn("user_id", col("user_id") + lit(i.toLong * CopyStride)))
+        .localCheckpoint(true)
+      val (tCu, nCu) = time(graft.ops.TimeSeries.cusumChangepoint(
+        events, "user_id", "ts", "event_id", floor(col("value") * 100.0)).count())
+      val (tPer, nPer) = time(graft.ops.TimeSeries.periodicity(
+        events, "user_id", "ts", "event_id", floor(col("value") * 100.0)).count())
       println(f"[prep-scale] k=$k%-2d orders=${orders0.count() * k}%-8d " +
         f"zorder=$tZ%6.2fs($nZ) bigramlm=$tLm%6.2fs($nLm) " +
         f"shards=$tSh%6.2fs($nSh) dsir=$tDs%6.2fs($nDs) " +
-        f"bpe4=$tBpe%6.2fs($nBpe) audit=$tAud%6.2fs($nAud)")
+        f"bpe4=$tBpe%6.2fs($nBpe) audit=$tAud%6.2fs($nAud) " +
+        f"cusum=$tCu%6.2fs($nCu) acf=$tPer%6.2fs($nPer)")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
