@@ -1770,6 +1770,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Record linkage: a deterministically-corrupted feed (one char
+    // deleted for key%3==0) linked back to the part master via
+    // prefix+suffix blocking, levenshtein<=2 verify, argmin winner.
+    "q142_entity_link" -> ((s, dir) => {
+      val part = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val feed = part.select(
+        (col("p_partkey") + 1000000L).as("feed_id"),
+        when(col("p_partkey") % 3 === 0,
+          concat(
+            substring(col("p_name"), lit(1),
+              (col("p_partkey") % length(col("p_name"))).cast("int")),
+            col("p_name").substr(
+              (col("p_partkey") % length(col("p_name"))).cast("int") + 2,
+              length(col("p_name")))))
+          .otherwise(col("p_name")).as("name"))
+      graft.ops.EntityMatch.linkRecords(
+        feed, "feed_id", "name", part, "p_partkey", "p_name",
+        maxDist = 2, blockChars = 3)
+        .orderBy(col("feed_id"))
+    }),
+
     // Flesch reading-ease per document, exact milli-units: both ratios
     // integer floor divisions; vowel-group syllables, floored-at-1
     // sentences. Classic readability gate for corpus curation.
@@ -4128,6 +4149,29 @@ object SparkEntry {
     "q119_hybrid_rrf" -> hybridRrfOracleSql,
 
     "q134_retrieval_eval" -> retrievalEvalOracleSql,
+
+    // Deletion perturbation + two blocking passes + exact levenshtein
+    // + QUALIFY argmin with the same (dist, mid) tie order.
+    "q142_entity_link" ->
+      """WITH m AS (SELECT p_partkey AS mid, p_name AS name FROM part),
+         feed AS (SELECT p_partkey + 1000000 AS fid,
+                         CASE WHEN p_partkey % 3 = 0 THEN
+                           substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER)) ||
+                           substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
+                         ELSE p_name END AS name
+                  FROM part),
+         cand AS (
+           SELECT DISTINCT f.fid, f.name AS fname, m.mid, m.name AS mname
+           FROM feed f JOIN m ON substr(f.name, 1, 3) = substr(m.name, 1, 3)
+           UNION
+           SELECT DISTINCT f.fid, f.name, m.mid, m.name
+           FROM feed f JOIN m ON right(f.name, 3) = right(m.name, 3)),
+         v AS (SELECT fid, mid, levenshtein(fname, mname) AS dist FROM cand
+               WHERE levenshtein(fname, mname) <= 2)
+         SELECT fid AS feed_id, mid AS p_partkey, CAST(dist AS INTEGER) AS dist
+         FROM v
+         QUALIFY row_number() OVER (PARTITION BY fid ORDER BY dist, mid) = 1
+         ORDER BY feed_id""",
 
     "q141_readability" ->
       """SELECT doc_id,

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Record linkage (entity resolution) of a dirty feed against a clean
+  * master: multi-pass BLOCKING to generate candidates, edit-distance
+  * verification, best-match selection — the Fellegi–Sunter pipeline
+  * shape with deterministic arithmetic throughout (levenshtein is
+  * exact; the winner is argmin by (distance, master id)).
+  *
+  * Blocking is the scale lever (the q26 inverted-index discipline
+  * applied to linkage): never all-pairs — candidates come from the
+  * UNION of equi-joins on cheap keys (here name prefix and suffix,
+  * so a single-character corruption anywhere still shares at least
+  * one key with its source unless it hits both ends). Each pass is a
+  * plain key join that AQE broadcasts when the master is
+  * dimension-sized and skew-splits on hot blocks; the quadratic
+  * verify runs per block, never per corpus.
+  */
+object EntityMatch {
+
+  /** Best master match per feed record within `maxDist` edits:
+    * (feedId, masterId, dist). Feed records with no candidate within
+    * the threshold are absent (callers left-join if they need the
+    * unmatched set). Null names/ids drop. */
+  def linkRecords(feed: DataFrame, feedId: String, feedName: String,
+                  master: DataFrame, masterId: String, masterName: String,
+                  maxDist: Int = 2, blockChars: Int = 3): DataFrame = {
+    require(maxDist >= 0 && blockChars >= 1,
+      s"need maxDist >= 0 and blockChars >= 1, got $maxDist/$blockChars")
+    val f = feed.select(col(feedId).as("__fid"), col(feedName).as("__fname"))
+      .filter(col("__fid").isNotNull && col("__fname").isNotNull)
+    val m = master.select(col(masterId).as("__mid"), col(masterName).as("__mname"))
+      .filter(col("__mid").isNotNull && col("__mname").isNotNull)
+    def blocked(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      f.withColumn("__k", key(col("__fname")))
+        .join(m.withColumn("__k", key(col("__mname"))), "__k")
+        .select(col("__fid"), col("__fname"), col("__mid"), col("__mname"))
+    val cands = blocked(substring(_, 1, blockChars))
+      .union(blocked(substring(_, -blockChars, blockChars)))
+      .distinct()
+    val w = Window.partitionBy(col("__fid"))
+      .orderBy(col("dist").asc, col("__mid").asc)
+    cands
+      .withColumn("dist", levenshtein(col("__fname"), col("__mname")))
+      .filter(col("dist") <= maxDist)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__fid").as(feedId), col("__mid").as(masterId), col("dist"))
+  }
+}

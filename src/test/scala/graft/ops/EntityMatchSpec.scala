@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpecBase
+
+class EntityMatchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val master = Seq((1L, "acme corp"), (2L, "zenith ltd"), (3L, "acme corp"))
+    .toDF("mid", "name")
+
+  test("links within maxDist and picks the smallest-id master on ties") {
+    val feed = Seq((10L, "acme crop"), (11L, "zenith ltd"), (12L, "totally other thing"))
+      .toDF("fid", "name")
+    val got = EntityMatch.linkRecords(feed, "fid", "name", master, "mid", "name")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // transposed 'crop' is 2 edits from both acme masters -> id 1 wins
+    assert(got == Map(10L -> ((1L, 2)), 11L -> ((2L, 0))))
+    assert(!got.contains(12L), "nothing within 2 edits must stay unmatched")
+  }
+
+  test("suffix blocking pass recovers a corruption at the name's front") {
+    // first char deleted: prefix block misses, suffix block must catch
+    val feed = Seq((20L, "cme corp")).toDF("fid", "name")
+    val got = EntityMatch.linkRecords(feed, "fid", "name", master, "mid", "name")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got == Map(20L -> ((1L, 1))))
+  }
+
+  test("deterministic under partitioning; null names drop") {
+    val feed = Seq((Some(10L), Some("acme crop")), (Some(13L), None))
+      .map { case (a, b) => (a.get, b.orNull) }.toDF("fid", "name")
+    val a = EntityMatch.linkRecords(feed, "fid", "name", master, "mid", "name")
+      .collect().toSeq
+    val b = EntityMatch.linkRecords(feed.repartition(5), "fid", "name",
+      master.repartition(3), "mid", "name").collect().toSeq
+    assert(a == b && a.map(_.getLong(0)).toSet == Set(10L))
+  }
+}
