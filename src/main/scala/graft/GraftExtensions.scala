@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{NormalizeNfc, VecDot}
+import graft.functions.{DeflateLen, NormalizeNfc, VecDot}
 
 /** Session-extensions entry point — the deployment-grade way to load the
   * engine's native expressions on every session of a cluster:
@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NormalizeNfc].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NormalizeNfc(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (exprs: Seq[Expression]) => DeflateLen(exprs.head)))
     // the composed text/vector/sampling library (SqlSurface): same
     // Catalyst trees the Scala API builds, exposed by name to SQL
     graft.functions.SqlSurface.functions.foreach { case (name, fb) =>

@@ -54,12 +54,74 @@ object NormalizeNfc {
   }
 }
 
+/** Deflate-compressed byte length of a string's UTF-8 bytes — the
+  * kernel behind compression-ratio quality filtering (the
+  * Gopher/RefinedWeb-family signal: highly repetitive or templated
+  * text compresses far below prose, random noise barely at all).
+  * Level 6, no dictionary, one Deflater per eval via the static
+  * kernel; deterministic for a given input on any JVM shipping
+  * standard zlib semantics — but NOT reproducible in SQL engines, so
+  * this stays SPEC-gated (the HMAC precedent), never oracle-gated.
+  * Codegen'd like [[NormalizeNfc]]: stays inside whole-stage codegen,
+  * no UDF boxing. */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "deflate_len"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"deflate_len needs a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateLen.deflatedLength(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DeflateLen.deflatedLength($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DeflateLen {
+  /** Static kernel shared by eval and generated code. */
+  def deflatedLength(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+}
+
 object TextExpressions {
-  /** Register `nfc_normalize` for call_function access (same pattern as
-    * [[VecExpressions.register]]). */
-  def register(spark: SparkSession): Unit =
+  /** Register `nfc_normalize`/`deflate_len` for call_function access
+    * (same pattern as [[VecExpressions.register]]). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NormalizeNfc(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "deflate_len", exprs => DeflateLen(exprs.head), "built-in")
+  }
 
   def nfcNormalize(c: Column): Column = call_function("nfc_normalize", c)
+
+  /** Compression quality signal: (deflated_bytes ×1000) div raw_bytes
+    * — integer milli-ratio; low = templated/repetitive, ~1000+ =
+    * incompressible. Null-safe; empty strings yield null (no ratio). */
+  def compressionRatioE3(c: Column): Column = {
+    val raw = org.apache.spark.sql.functions.octet_length(c).cast("long")
+    val scaled = call_function("deflate_len", c).cast("long") * 1000L
+    // (a − a mod b) / b: the numerator is an exact multiple of b, so
+    // the double division is exact — integer floor division without
+    // leaving the Column API
+    org.apache.spark.sql.functions.when(raw > 0,
+      ((scaled - (scaled % raw)) / raw).cast("long"))
+  }
 }

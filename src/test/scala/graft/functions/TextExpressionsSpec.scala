@@ -44,4 +44,25 @@ class TextExpressionsSpec extends SparkSpecBase {
     val out = spark.sql("SELECT nfc_normalize('cafe\\u0301') AS n").head().getString(0)
     assert(out == composed)
   }
+
+  test("deflate_len: repetitive text compresses far below prose; noise barely") {
+    TextExpressions.register(spark)
+    val rep = "the same line over and over " * 50
+    val prose = "A reasonably varied sentence with many distinct words and shapes, " +
+      "followed by different content entirely, numbers 12345 and punctuation!"
+    val noise = (1 to 600).map(i => ((scala.util.hashing.MurmurHash3.stringHash(i.toString) & 0x7fffffff) % 93 + 33).toChar).mkString
+    val df = Seq((1L, rep), (2L, prose), (3L, noise), (4L, ""), (5L, null))
+      .toDF("id", "t")
+      .select($"id", TextExpressions.compressionRatioE3($"t").as("r"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(1L).get < 100, s"repetition must compress hard: ${rows(1L)}")
+    assert(rows(2L).get > rows(1L).get && rows(2L).get < 1000)
+    assert(rows(3L).get > 700, s"noise barely compresses: ${rows(3L)}")
+    assert(rows(4L).isEmpty && rows(5L).isEmpty) // empty/null -> no ratio
+    // stable across partitioning and repeat evaluation
+    val again = Seq((1L, rep)).toDF("id", "t").repartition(3)
+      .select(TextExpressions.compressionRatioE3($"t")).head().getLong(0)
+    assert(rows(1L).get == again)
+  }
 }
