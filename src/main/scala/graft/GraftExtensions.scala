@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DeflateLen, NormalizeNfc, VecDot}
+import graft.functions.{DeflateLen, DeflateRatioE3, NormalizeNfc, VecDot}
 
 /** Session-extensions entry point — the deployment-grade way to load the
   * engine's native expressions on every session of a cluster:
@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("deflate_len"),
       new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
       (exprs: Seq[Expression]) => DeflateLen(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("deflate_ratio_e3"),
+      new ExpressionInfo(classOf[DeflateRatioE3].getName, "deflate_ratio_e3"),
+      (exprs: Seq[Expression]) => DeflateRatioE3(exprs.head)))
     // the composed text/vector/sampling library (SqlSurface): same
     // Catalyst trees the Scala API builds, exposed by name to SQL
     graft.functions.SqlSurface.functions.foreach { case (name, fb) =>

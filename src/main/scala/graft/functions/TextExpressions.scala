@@ -86,18 +86,62 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
 }
 
 object DeflateLen {
+  // one native Deflater per task thread, reset() per row — a fresh
+  // Deflater would deflateInit a ~256 KB native workspace per ROW
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+
   /** Static kernel shared by eval and generated code. */
   def deflatedLength(s: UTF8String): Int = {
-    val bytes = s.getBytes
-    val d = new java.util.zip.Deflater(6, true)
-    try {
-      d.setInput(bytes); d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = local.get()
+    d.reset()
+    d.setInput(s.getBytes); d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
+
+  /** (deflated ×1000) div raw bytes, or null for empty input — ONE
+    * kernel call per row (both lengths known inside it), exact
+    * integer division. */
+  def ratioE3(s: UTF8String): java.lang.Long = {
+    val raw = s.numBytes()
+    if (raw == 0) null
+    else java.lang.Long.valueOf(deflatedLength(s).toLong * 1000L / raw)
+  }
+}
+
+/** Milli-ratio form of [[DeflateLen]] in a single kernel call (the
+  * Column-level quotient would deflate twice without CSE). Null for
+  * empty strings — no ratio is defined. */
+case class DeflateRatioE3(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "deflate_ratio_e3"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"deflate_ratio_e3 needs a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateLen.ratioE3(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val v = ctx.freshName("ratio")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long $v = graft.functions.DeflateLen.ratioE3($c);
+      if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.longValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object TextExpressions {
@@ -108,20 +152,15 @@ object TextExpressions {
       "nfc_normalize", exprs => NormalizeNfc(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "deflate_len", exprs => DeflateLen(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "deflate_ratio_e3", exprs => DeflateRatioE3(exprs.head), "built-in")
   }
 
   def nfcNormalize(c: Column): Column = call_function("nfc_normalize", c)
 
   /** Compression quality signal: (deflated_bytes ×1000) div raw_bytes
     * — integer milli-ratio; low = templated/repetitive, ~1000+ =
-    * incompressible. Null-safe; empty strings yield null (no ratio). */
-  def compressionRatioE3(c: Column): Column = {
-    val raw = org.apache.spark.sql.functions.octet_length(c).cast("long")
-    val scaled = call_function("deflate_len", c).cast("long") * 1000L
-    // (a − a mod b) / b: the numerator is an exact multiple of b, so
-    // the double division is exact — integer floor division without
-    // leaving the Column API
-    org.apache.spark.sql.functions.when(raw > 0,
-      ((scaled - (scaled % raw)) / raw).cast("long"))
-  }
+    * incompressible. Null-safe; empty strings yield null (no ratio).
+    * One kernel call per row ([[DeflateRatioE3]]). */
+  def compressionRatioE3(c: Column): Column = call_function("deflate_ratio_e3", c)
 }

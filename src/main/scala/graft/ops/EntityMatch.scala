@@ -24,22 +24,38 @@ object EntityMatch {
   /** Best master match per feed record within `maxDist` edits:
     * (feedId, masterId, dist). Feed records with no candidate within
     * the threshold are absent (callers left-join if they need the
-    * unmatched set). Null names/ids drop. */
+    * unmatched set). Null names/ids drop.
+    *
+    * Recall contract: for names of at least 2·blockChars characters, a
+    * single corruption leaves the prefix or the suffix key intact
+    * (they don't overlap). SHORTER names get first/last-CHARACTER
+    * blocks instead (an interior edit keeps both, an end edit keeps
+    * the other) — without this the prefix and suffix overlap and one
+    * interior deletion can shift both 3-char keys at once. */
   def linkRecords(feed: DataFrame, feedId: String, feedName: String,
                   master: DataFrame, masterId: String, masterName: String,
                   maxDist: Int = 2, blockChars: Int = 3): DataFrame = {
     require(maxDist >= 0 && blockChars >= 1,
       s"need maxDist >= 0 and blockChars >= 1, got $maxDist/$blockChars")
+    require(feedId != masterId && feedId != "dist" && masterId != "dist",
+      s"output columns must be distinct: $feedId/$masterId/dist")
     val f = feed.select(col(feedId).as("__fid"), col(feedName).as("__fname"))
       .filter(col("__fid").isNotNull && col("__fname").isNotNull)
     val m = master.select(col(masterId).as("__mid"), col(masterName).as("__mname"))
       .filter(col("__mid").isNotNull && col("__mname").isNotNull)
-    def blocked(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-      f.withColumn("__k", key(col("__fname")))
-        .join(m.withColumn("__k", key(col("__mname"))), "__k")
+    val short = (c: org.apache.spark.sql.Column) => length(c) < 2 * blockChars
+    def blocked(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                onlyShort: Boolean) = {
+      val fs = if (onlyShort) f.filter(short(col("__fname"))) else f
+      val ms = if (onlyShort) m.filter(short(col("__mname"))) else m
+      fs.withColumn("__k", key(col("__fname")))
+        .join(ms.withColumn("__k", key(col("__mname"))), "__k")
         .select(col("__fid"), col("__fname"), col("__mid"), col("__mname"))
-    val cands = blocked(substring(_, 1, blockChars))
-      .union(blocked(substring(_, -blockChars, blockChars)))
+    }
+    val cands = blocked(substring(_, 1, blockChars), onlyShort = false)
+      .union(blocked(substring(_, -blockChars, blockChars), onlyShort = false))
+      .union(blocked(substring(_, 1, 1), onlyShort = true))
+      .union(blocked(substring(_, -1, 1), onlyShort = true))
       .distinct()
     val w = Window.partitionBy(col("__fid"))
       .orderBy(col("dist").asc, col("__mid").asc)

@@ -26,6 +26,22 @@ class EntityMatchSpec extends SparkSpecBase {
     assert(got == Map(20L -> ((1L, 1))))
   }
 
+  test("short names fall back to single-char blocks: interior deletion still found") {
+    // "abcde" -> "abde": both 3-char keys shift, the short-name
+    // single-char passes must recover the pair
+    val m = Seq((1L, "abcde")).toDF("mid", "name")
+    val feed = Seq((30L, "abde")).toDF("fid", "name")
+    val got = EntityMatch.linkRecords(feed, "fid", "name", m, "mid", "name")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got == Map(30L -> ((1L, 1))))
+  }
+
+  test("colliding output column names are refused") {
+    intercept[IllegalArgumentException] {
+      EntityMatch.linkRecords(master, "mid", "name", master, "mid", "name")
+    }
+  }
+
   test("deterministic under partitioning; null names drop") {
     val feed = Seq((Some(10L), Some("acme crop")), (Some(13L), None))
       .map { case (a, b) => (a.get, b.orNull) }.toDF("fid", "name")
