@@ -1770,12 +1770,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // Record linkage: a deterministically-corrupted feed (one char
-    // deleted for key%3==0) linked back to the part master via
-    // prefix+suffix blocking, levenshtein<=2 verify, argmin winner.
+    // Record linkage: a deterministically-corrupted feed slice (every
+    // 20th part, one char deleted for key%3==0) linked back to the
+    // full part master via prefix+suffix blocking, levenshtein<=2
+    // verify, argmin winner — the dirty-feed-vs-master shape (a
+    // full-corpus self-link against this fixture's 64-name vocabulary
+    // would be all-pairs in disguise; real masters cap hot blocks via
+    // maxBlockRows).
     "q142_entity_link" -> ((s, dir) => {
       val part = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
-      val feed = part.select(
+      val feed = part.filter(col("p_partkey") % 20 === 0).select(
         (col("p_partkey") + 1000000L).as("feed_id"),
         when(col("p_partkey") % 3 === 0,
           concat(
@@ -4159,7 +4163,7 @@ object SparkEntry {
                            substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER)) ||
                            substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
                          ELSE p_name END AS name
-                  FROM part),
+                  FROM part WHERE p_partkey % 20 = 0),
          cand AS (
            SELECT DISTINCT f.fid, f.name AS fname, m.mid, m.name AS mname
            FROM feed f JOIN m ON substr(f.name, 1, 3) = substr(m.name, 1, 3)

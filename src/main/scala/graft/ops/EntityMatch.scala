@@ -34,9 +34,11 @@ object EntityMatch {
     * interior deletion can shift both 3-char keys at once. */
   def linkRecords(feed: DataFrame, feedId: String, feedName: String,
                   master: DataFrame, masterId: String, masterName: String,
-                  maxDist: Int = 2, blockChars: Int = 3): DataFrame = {
-    require(maxDist >= 0 && blockChars >= 1,
-      s"need maxDist >= 0 and blockChars >= 1, got $maxDist/$blockChars")
+                  maxDist: Int = 2, blockChars: Int = 3,
+                  maxBlockRows: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 0 && blockChars >= 1 && maxBlockRows >= 1,
+      s"need maxDist >= 0, blockChars >= 1, maxBlockRows >= 1: " +
+        s"$maxDist/$blockChars/$maxBlockRows")
     require(feedId != masterId && feedId != "dist" && masterId != "dist",
       s"output columns must be distinct: $feedId/$masterId/dist")
     val f = feed.select(col(feedId).as("__fid"), col(feedName).as("__fname"))
@@ -44,12 +46,25 @@ object EntityMatch {
     val m = master.select(col(masterId).as("__mid"), col(masterName).as("__mname"))
       .filter(col("__mid").isNotNull && col("__mname").isNotNull)
     val short = (c: org.apache.spark.sql.Column) => length(c) < 2 * blockChars
+    // the df-cap discipline (jaccardPairs / BasketEdges): a key shared
+    // by more than maxBlockRows master rows generates a quadratic
+    // candidate blow-up at a hot block — drop the key (recall falls
+    // back to the other passes), as a real-vocabulary master only hits
+    // this on degenerate keys. The gate leaves the cap off (fixture
+    // blocks are small); callers set it at production scale.
     def blocked(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                 onlyShort: Boolean) = {
       val fs = if (onlyShort) f.filter(short(col("__fname"))) else f
-      val ms = if (onlyShort) m.filter(short(col("__mname"))) else m
+      val ms0 = if (onlyShort) m.filter(short(col("__mname"))) else m
+      val msk = ms0.withColumn("__k", key(col("__mname")))
+      val ms =
+        if (maxBlockRows == Int.MaxValue) msk
+        else msk.join(
+          msk.groupBy(col("__k")).agg(count(lit(1)).as("__bn"))
+            .filter(col("__bn") <= maxBlockRows).select(col("__k")),
+          "__k")
       fs.withColumn("__k", key(col("__fname")))
-        .join(ms.withColumn("__k", key(col("__mname"))), "__k")
+        .join(ms, "__k")
         .select(col("__fid"), col("__fname"), col("__mid"), col("__mname"))
     }
     val cands = blocked(substring(_, 1, blockChars), onlyShort = false)

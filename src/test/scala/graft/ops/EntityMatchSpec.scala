@@ -36,6 +36,23 @@ class EntityMatchSpec extends SparkSpecBase {
     assert(got == Map(30L -> ((1L, 1))))
   }
 
+  test("maxBlockRows drops hot blocks; recall falls back to the other passes") {
+    // ten masters share the prefix block "aaa"; suffixes differ, so
+    // with the prefix block capped the suffix pass still links
+    val hot = (1L to 10L).map(i => (i, s"aaa name$i")).toDF("mid", "name")
+    val feed = Seq((50L, "aaa name7x")).toDF("fid", "name")
+    val capped = EntityMatch.linkRecords(feed, "fid", "name", hot, "mid", "name",
+        maxDist = 2, blockChars = 3, maxBlockRows = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.isEmpty, "suffix 'e7x' matches no master — capped prefix block gone")
+    // front-corrupted record shares master 7's suffix block
+    val feed3 = Seq((52L, "aa name7")).toDF("fid", "name")
+    val viaSuffix = EntityMatch.linkRecords(feed3, "fid", "name", hot, "mid", "name",
+        maxDist = 2, blockChars = 3, maxBlockRows = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSuffix == Set((52L, 7L)), "suffix pass links despite the capped prefix block")
+  }
+
   test("colliding output column names are refused") {
     intercept[IllegalArgumentException] {
       EntityMatch.linkRecords(master, "mid", "name", master, "mid", "name")
