@@ -74,11 +74,30 @@ object PrepScaleProbe {
         events, "user_id", "ts", "event_id", floor(col("value") * 100.0)).count())
       val (tPer, nPer) = time(graft.ops.TimeSeries.periodicity(
         events, "user_id", "ts", "event_id", floor(col("value") * 100.0)).count())
+      // record linkage: master grows k× with copy-tagged names at BOTH
+      // ends (prefix and suffix blocks disjoint across copies — block
+      // SIZES stay constant, block COUNT grows), feed stays copy 0's
+      // slice with an interior deletion (prefix key intact): cost must
+      // track the master scan, never a cross against the grown master
+      val parts0 = graft.core.Tables.table(spark, dir, "part")
+        .select(col("p_partkey"), col("p_name"))
+      val masters = copies(parts0, k, "p_partkey",
+        (d, i) => d.withColumn("p_name",
+          concat(lit(s"z$i"), col("p_name"), lit(s"z$i"))))
+        .localCheckpoint(true)
+      val feedK = masters.filter(col("p_partkey") < CopyStride && col("p_partkey") % 20 === 0)
+        .select((col("p_partkey") + 1000000L).as("fid"),
+          concat(substring(col("p_name"), 1, 4),
+            col("p_name").substr(lit(6), length(col("p_name")))).as("name"))
+      val (tLink, nLink) = time(graft.ops.EntityMatch.linkRecords(
+        feedK, "fid", "name", masters, "p_partkey", "p_name",
+        maxDist = 2, blockChars = 3).count())
       println(f"[prep-scale] k=$k%-2d orders=${orders0.count() * k}%-8d " +
         f"zorder=$tZ%6.2fs($nZ) bigramlm=$tLm%6.2fs($nLm) " +
         f"shards=$tSh%6.2fs($nSh) dsir=$tDs%6.2fs($nDs) " +
         f"bpe4=$tBpe%6.2fs($nBpe) audit=$tAud%6.2fs($nAud) " +
-        f"cusum=$tCu%6.2fs($nCu) acf=$tPer%6.2fs($nPer)")
+        f"cusum=$tCu%6.2fs($nCu) acf=$tPer%6.2fs($nPer) " +
+        f"link=$tLink%6.2fs($nLink)")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
