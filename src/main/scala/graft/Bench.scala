@@ -5,19 +5,54 @@ import org.apache.spark.sql.SparkSession
   * ALSO writes the full per-query record (every run's timing, the
   * aggregation rule used, and /proc/loadavg before and after) to
   * BENCH_FULL.json — the driver's stdout tail capture truncates about
-  * half of the 114-query map, and round-over-round adjudication needs
+  * half of the per-query map, and round-over-round adjudication needs
   * both the complete series and the ambient-load context (PLANS.md
   * documents drift bands that track machine load, not code changes).
+  *
+  * Self-adjudication under load (the q93 phantom-regression lesson —
+  * r10 spent an adjudication cycle proving a 5.8→8.8 s "regression"
+  * was ambient loadavg 2.9→8.5, not code): before any work the bench
+  * spin-waits up to [[quiesceMaxSec]] for the 1-min loadavg to drop
+  * under [[ambientThreshold]]; if it never does, the WHOLE run is
+  * stamped `ambient_noisy` and every query carries `noisy: true`.
+  * Mid-run interference is indistinguishable from our own local[32]
+  * load in /proc/loadavg, so per-query noise is detected from the
+  * run-to-run SPREAD instead ((max−min)/min > 0.5 across a query's
+  * own warm runs — GC jitter sits far below that band). Both flags
+  * ride the stdout JSON line, so a drifted number arrives already
+  * adjudicated.
   */
 object Bench {
+  private val ambientThreshold = 2.0
+  private val quiesceMaxSec = 120
+
   private def loadavg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
     catch { case _: Throwable => "unavailable" }
+
+  private def loadavg1(): Double =
+    try loadavg().split("\\s+")(0).toDouble catch { case _: Throwable => -1.0 }
+
+  /** Wait (up to quiesceMaxSec) for ambient quiescence; returns
+    * (1-min loadavg when timing begins, seconds waited). */
+  private def quiesce(): (Double, Int) = {
+    var waited = 0
+    var l = loadavg1()
+    while (l > ambientThreshold && waited < quiesceMaxSec) {
+      System.err.println(f"[bench] ambient loadavg $l%.2f > $ambientThreshold — waiting for quiescence (${waited}s)")
+      Thread.sleep(5000); waited += 5; l = loadavg1()
+    }
+    (l, waited)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    val (ambientStart, quiesceWait) = quiesce()
+    val ambientNoisy = ambientStart > ambientThreshold
+    if (ambientNoisy) System.err.println(
+      f"[bench] STILL loaded after ${quiesceWait}s (loadavg $ambientStart%.2f) — run stamped ambient_noisy")
     val loadBefore = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -89,29 +124,40 @@ object Bench {
         else if (good.size >= 3) good(good.size / 2)
         else good.head
       val rule = if (good.size >= 3) "median3" else "min2"
+      // run-to-run spread on an already-warm plan is GC/OS jitter
+      // (well under 50%); beyond that something else was running
+      val spreadNoisy = good.size >= 2 && good.head > 0 &&
+        (good.last - good.head) / good.head > 0.5
+      val noisy = ambientNoisy || spreadNoisy
       System.err.println(
-        if (dt >= 0) f"[bench] $name%-28s $dt%8.2fs ($rule)" else f"[bench] $name%-28s FAILED")
-      (name, dt, rule, rs)
+        if (dt >= 0) f"[bench] $name%-28s $dt%8.2fs ($rule)${if (noisy) " NOISY" else ""}"
+        else f"[bench] $name%-28s FAILED")
+      (name, dt, rule, rs, noisy)
     }
     val loadAfter = loadavg()
-    val results = finished.map { case (n, dt, _, _) => n -> dt }.toMap
+    val results = finished.map { case (n, dt, _, _, _) => n -> dt }.toMap
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    // Full record to file: complete 114-query map + raw runs + loadavg.
-    val fullRecords = finished.sortBy(_._1).map { case (n, dt, rule, rs) =>
+    val noisyQueries = finished.collect { case (n, _, _, _, true) => n }.sorted
+    val noisyJson = noisyQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Full record to file: the complete per-query map (every catalog
+    // query) + raw runs + loadavg + noise flags.
+    val fullRecords = finished.sortBy(_._1).map { case (n, dt, rule, rs, noisy) =>
       // Locale.ROOT: a comma-decimal default locale would render the
       // runs array as unparseable JSON
       val raw = rs.map { case (ok, t) =>
         if (ok) String.format(java.util.Locale.ROOT, "%.4f", Double.box(t))
         else s""""FAIL""""
       }.mkString("[", ",", "]")
-      s"""  "$n": {"sec": $dt, "rule": "$rule", "runs": $raw}"""
+      s"""  "$n": {"sec": $dt, "rule": "$rule", "noisy": $noisy, "runs": $raw}"""
     }.mkString(",\n")
     val full =
       s"""{
          |"sf": "$sfDir", "cpus": $cpus,
          |"loadavg_before": "$loadBefore", "loadavg_after": "$loadAfter",
+         |"ambient_load_start": $ambientStart, "quiesce_wait_sec": $quiesceWait,
+         |"ambient_noisy": $ambientNoisy, "noisy_queries": $noisyJson,
          |"total_sec": $total,
          |"queries": {
          |$fullRecords
@@ -123,7 +169,7 @@ object Bench {
       System.err.println(s"[bench] full per-query record -> $outPath")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","ambient_load_start":$ambientStart,"quiesce_wait_sec":$quiesceWait,"ambient_noisy":$ambientNoisy,"noisy_queries":$noisyJson}""")
     spark.stop()
   }
 }

@@ -1703,7 +1703,11 @@ object SparkEntry {
       graft.ops.Layout.zorderFileStats(
         t(s, dir, "orders").select(col("o_orderkey"),
           col("o_custkey").as("x"),
-          datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))
+          // epoch at the data minimum (TPC-H orders span 1992-1998) so
+          // y >= 0, keeping the interleave inside zValue's documented
+          // non-negative contract — a negative y sets high bits and
+          // sorts above every positive one, wrecking the envelope
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("timestamp"))
             .cast("long").as("y")),
         "o_orderkey", "x", "y", numFiles = 16)
         .orderBy(col("file_id"))
@@ -3946,7 +3950,7 @@ object SparkEntry {
     // floor(rank0·16/n). All emitted aggregates CAST to BIGINT.
     "q123_zorder_layout" ->
       """WITH z AS (SELECT o_orderkey AS id, o_custkey AS x,
-                    CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS y
+                    CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS y
              FROM orders),
          zz AS (SELECT id, x, y,
                 list_sum([((x >> b) & 1) * (1::BIGINT << (2*b)) +
@@ -4154,8 +4158,14 @@ object SparkEntry {
 
     "q134_retrieval_eval" -> retrievalEvalOracleSql,
 
-    // Deletion perturbation + two blocking passes + exact levenshtein
-    // + QUALIFY argmin with the same (dist, mid) tie order.
+    // Deletion perturbation + ALL FOUR blocking passes — prefix-3 /
+    // suffix-3 plus the short-name (< 2·blockChars) first/last-char
+    // legs, mirroring EntityMatch.linkRecords exactly so the operator
+    // and oracle stay behaviorally identical even on a fixture with
+    // short names (TPC-H p_name is always >= 6 chars, so the short
+    // legs are empty here — but now verified empty, not assumed) —
+    // + exact levenshtein + QUALIFY argmin with the same (dist, mid)
+    // tie order.
     "q142_entity_link" ->
       """WITH m AS (SELECT p_partkey AS mid, p_name AS name FROM part),
          feed AS (SELECT p_partkey + 1000000 AS fid,
@@ -4169,7 +4179,15 @@ object SparkEntry {
            FROM feed f JOIN m ON substr(f.name, 1, 3) = substr(m.name, 1, 3)
            UNION
            SELECT DISTINCT f.fid, f.name, m.mid, m.name
-           FROM feed f JOIN m ON right(f.name, 3) = right(m.name, 3)),
+           FROM feed f JOIN m ON right(f.name, 3) = right(m.name, 3)
+           UNION
+           SELECT DISTINCT f.fid, f.name, m.mid, m.name
+           FROM feed f JOIN m ON substr(f.name, 1, 1) = substr(m.name, 1, 1)
+           WHERE length(f.name) < 6 AND length(m.name) < 6
+           UNION
+           SELECT DISTINCT f.fid, f.name, m.mid, m.name
+           FROM feed f JOIN m ON right(f.name, 1) = right(m.name, 1)
+           WHERE length(f.name) < 6 AND length(m.name) < 6),
          v AS (SELECT fid, mid, levenshtein(fname, mname) AS dist FROM cand
                WHERE levenshtein(fname, mname) <= 2)
          SELECT fid AS feed_id, mid AS p_partkey, CAST(dist AS INTEGER) AS dist

@@ -86,16 +86,39 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
 }
 
 object DeflateLen {
+  // ended flag lives beside the Deflater: the completion listener
+  // normally runs on the task's own thread (remove() then suffices),
+  // but if Spark ever fires it elsewhere the flag still marks this
+  // holder dead so the owning thread re-creates instead of calling
+  // reset() on an end()ed native handle
+  private final class Holder {
+    val d = new java.util.zip.Deflater(6, true)
+    @volatile var ended = false
+  }
+
   // one native Deflater per task thread, reset() per row — a fresh
-  // Deflater would deflateInit a ~256 KB native workspace per ROW
-  private val local = new ThreadLocal[java.util.zip.Deflater] {
-    override def initialValue(): java.util.zip.Deflater =
-      new java.util.zip.Deflater(6, true)
+  // Deflater would deflateInit a ~256 KB native workspace per ROW.
+  // The workspace is released at TASK completion (end() + remove()):
+  // one deflateInit per task instead of per row, and no unbounded
+  // native retention on large or recycled executor thread pools.
+  // Driver-side use (no TaskContext: local eval in tests) keeps the
+  // JVM-lifetime deflater — driver threads are few and bounded.
+  private val local: ThreadLocal[Holder] = new ThreadLocal[Holder] {
+    override def initialValue(): Holder = {
+      val h = new Holder
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        h.ended = true; h.d.end(); local.remove()
+      }
+      h
+    }
   }
 
   /** Static kernel shared by eval and generated code. */
   def deflatedLength(s: UTF8String): Int = {
-    val d = local.get()
+    var h = local.get()
+    if (h.ended) { local.remove(); h = local.get() }
+    val d = h.d
     d.reset()
     d.setInput(s.getBytes); d.finish()
     val buf = new Array[Byte](8192)
