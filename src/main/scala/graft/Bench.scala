@@ -125,9 +125,13 @@ object Bench {
         else good.head
       val rule = if (good.size >= 3) "median3" else "min2"
       // run-to-run spread on an already-warm plan is GC/OS jitter
-      // (well under 50%); beyond that something else was running
+      // (well under 50%); beyond that something else was running. The
+      // 0.5 s absolute screen (the round-adjudication ">30%/>0.5s"
+      // rule) keeps sub-second queries from tripping on noise-floor
+      // deltas that are large only in relative terms.
       val spreadNoisy = good.size >= 2 && good.head > 0 &&
-        (good.last - good.head) / good.head > 0.5
+        (good.last - good.head) / good.head > 0.5 &&
+        good.last - good.head > 0.5
       val noisy = ambientNoisy || spreadNoisy
       System.err.println(
         if (dt >= 0) f"[bench] $name%-28s $dt%8.2fs ($rule)${if (noisy) " NOISY" else ""}"

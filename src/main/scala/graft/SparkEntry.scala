@@ -1918,6 +1918,24 @@ object SparkEntry {
         .orderBy(col("column_name"))
     }),
 
+    // The same profile through the 100 TB path: ndv from the portable
+    // HLL sketch (approxNdv mode — no Expand in the plan, register
+    // partials map-side-combine to ≤ cols·256 rows per partition
+    // before the exchange; PlanShapeSpec-pinned). Fully oracle-gated:
+    // the estimate's every bit, linear-counting correction included,
+    // reproduces in DuckDB.
+    "q145_profile_ndv_sketch" -> ((s, dir) => {
+      graft.ops.Profiler.profile(t(s, dir, "orders"), Seq(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_custkey" -> col("o_custkey"),
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_orderpriority" -> col("o_orderpriority"),
+        "order_date" -> col("o_orderdate").cast("date").cast("string"),
+        "total_cents" -> floor(col("o_totalprice") * 100.0).cast("long")),
+        approxNdv = true)
+        .orderBy(col("column_name"))
+    }),
+
     // Declarative data-quality audit (dbt-test family): uniqueness,
     // two referential-integrity rules, and three predicate
     // expectations — the publish gate a load pipeline runs before a
@@ -2211,6 +2229,55 @@ object SparkEntry {
                 CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
                 CAST((1000000 * CAST(SUM(n_sym) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS fertility_e6
          FROM enc GROUP BY 1 ORDER BY doc_id"""
+
+  /** The m=256 linear-counting lookup as a DuckDB list literal — the
+    * exact integers Sketches.linearCountTable(256) embeds in the Spark
+    * plan (single source of truth: the correction's ln is evaluated
+    * once in this JVM and never by either engine's libm). */
+  private lazy val hllLc256Sql: String =
+    graft.ops.Sketches.linearCountTable(256).mkString("list_value(", ", ", ")")
+
+  /** q145's oracle: one UNION ALL leg per profiled projection, each
+    * recomputing the portable HLL (q92's SQL pattern, LC-corrected)
+    * plus rows/nulls/native-order min-max over the same normalized
+    * projections as q132 — the approx-NDV profile is therefore
+    * hash-gated end to end, not tolerance-checked. */
+  private def profileApproxOracleSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "order_date", "total_cents")
+    val chains = cols.map { n =>
+      s"""h_$n AS (SELECT md5(CAST($n AS VARCHAR)) AS hx FROM o WHERE $n IS NOT NULL),
+         b_$n AS (SELECT CAST(('0x' || substr(hx,1,15)) AS BIGINT) % 256 AS bucket, substr(hx,16,15) AS w FROM h_$n),
+         r_$n AS (SELECT bucket,
+                      CASE WHEN length(regexp_extract(w,'^0*')) = 15 THEN 61
+                           ELSE length(regexp_extract(w,'^0*')) * 4
+                                + CASE WHEN CAST(('0x' || substr(w, length(regexp_extract(w,'^0*'))+1, 1)) AS BIGINT) >= 8 THEN 0
+                                       WHEN CAST(('0x' || substr(w, length(regexp_extract(w,'^0*'))+1, 1)) AS BIGINT) >= 4 THEN 1
+                                       WHEN CAST(('0x' || substr(w, length(regexp_extract(w,'^0*'))+1, 1)) AS BIGINT) >= 2 THEN 2
+                                       ELSE 3 END + 1 END AS rnk
+                  FROM b_$n),
+         g_$n AS (SELECT bucket, MAX(rnk) AS mr FROM r_$n GROUP BY 1),
+         a_$n AS (SELECT COUNT(*) AS used, SUM(CAST(1::BIGINT << (61 - mr) AS HUGEINT)) AS s_occ FROM g_$n),
+         e_$n AS (SELECT used,
+                      CAST((7213::HUGEINT * 1000 * 256 * 256 * 256 * (1::HUGEINT << 61))
+                           // ((10000::HUGEINT * (1000*256 + 1079)) * (s_occ + (256 - used) * (1::HUGEINT << 61))) AS BIGINT) AS raw
+                  FROM a_$n),
+         n_$n AS (SELECT CASE WHEN used < 256 AND raw <= 640 THEN ($hllLc256Sql)[256 - used] ELSE raw END AS ndv FROM e_$n)"""
+    }.mkString(",\n         ")
+    val legs = cols.map { n =>
+      s"""SELECT '$n' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CASE WHEN $n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                CAST((SELECT ndv FROM n_$n) AS BIGINT) AS ndv,
+                CAST(MIN($n) AS VARCHAR) AS min_val, CAST(MAX($n) AS VARCHAR) AS max_val
+         FROM o"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                          CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+                          CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS total_cents
+                   FROM orders),
+         $chains
+         SELECT * FROM ($legs) ORDER BY column_name"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3349,8 +3416,12 @@ object SparkEntry {
          SELECT h.doc_id, h.n_flagged, s.n_shingles
          FROM hits h JOIN sizes s USING (doc_id) ORDER BY h.doc_id""",
 
+    // n_hll recomputed with the same linear-counting switch as
+    // Sketches.withHllEstimate; the LC lookup list is interpolated
+    // from the SAME JVM-computed table the Spark plan embeds, so the
+    // ln never crosses an engine boundary.
     "q92_hll_user_days" ->
-      """WITH v AS (SELECT event_type, user_id || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS v FROM events),
+      s"""WITH v AS (SELECT event_type, user_id || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS v FROM events),
          h AS (SELECT event_type, v, md5(v) AS hx FROM v),
          b AS (SELECT event_type, v, CAST(('0x' || substr(hx,1,15)) AS BIGINT) % 256 AS bucket,
                       substr(hx,16,15) AS w FROM h),
@@ -3366,12 +3437,17 @@ object SparkEntry {
                   FROM r GROUP BY 1, 2),
          agg AS (SELECT event_type, COUNT(*) AS used, SUM(du) AS n_exact,
                         SUM(CAST(1::BIGINT << (61 - mr) AS HUGEINT)) AS s_occ
-                 FROM regs GROUP BY 1)
+                 FROM regs GROUP BY 1),
+         est AS (SELECT event_type, used, n_exact,
+                        CAST((7213::HUGEINT * 1000 * 256 * 256 * 256 * (1::HUGEINT << 61))
+                             // ((10000::HUGEINT * (1000*256 + 1079)) * (s_occ + (256 - used) * (1::HUGEINT << 61))) AS BIGINT) AS raw
+                 FROM agg)
          SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
-                CAST((7213::HUGEINT * 1000 * 256 * 256 * 256 * (1::HUGEINT << 61))
-                     // ((10000::HUGEINT * (1000*256 + 1079)) * (s_occ + (256 - used) * (1::HUGEINT << 61))) AS BIGINT) AS n_hll,
+                CAST(CASE WHEN used < 256 AND raw <= 640
+                          THEN ($hllLc256Sql)[256 - used]
+                          ELSE raw END AS BIGINT) AS n_hll,
                 used AS used_buckets
-         FROM agg ORDER BY event_type""",
+         FROM est ORDER BY event_type""",
 
     "q93_copurchase_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -4157,6 +4233,8 @@ object SparkEntry {
     "q119_hybrid_rrf" -> hybridRrfOracleSql,
 
     "q134_retrieval_eval" -> retrievalEvalOracleSql,
+
+    "q145_profile_ndv_sketch" -> profileApproxOracleSql,
 
     // Deletion perturbation + ALL FOUR blocking passes — prefix-3 /
     // suffix-3 plus the short-name (< 2·blockChars) first/last-char

@@ -15,6 +15,8 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Sketches {
 
+  private val dec = DecimalType(38, 0)
+
   /** Flajolet-style HLL register index + rank from one md5 evaluation:
     * bucket from hex digits 1-15, rank (position of the first 1-bit,
     * 1-based) from the disjoint digits 16-30 — 60 independent bits,
@@ -24,20 +26,67 @@ object Sketches {
   private def hexLeadingZeros(w: Column): Column =
     length(regexp_extract(w, "^0*", 0))
 
+  /** The (bucket, rank) register struct for one value; a NULL value
+    * yields a null bucket (HLL ignores nulls, matching countDistinct).
+    * The duplicated md5 subtree collapses under whole-stage codegen's
+    * common-subexpression elimination. */
+  def hllRegister(value: Column, m: Int): Column = {
+    val hx = md5(value.cast("string"))
+    val bucket = conv(substring(hx, 1, 15), 16, 10).cast("long") % m
+    val w = substring(hx, 16, 15)
+    val z = hexLeadingZeros(w)
+    val firstNz = conv(w.substr(z + 1, lit(1)), 16, 10).cast("int")
+    val extra = when(firstNz >= 8, 0).when(firstNz >= 4, 1)
+      .when(firstNz >= 2, 2).otherwise(3)
+    val rank = when(z === 15, lit(61)).otherwise(z * 4 + extra + 1)
+    struct(bucket.as("bucket"), rank.as("rank"))
+  }
+
+  /** ⌊m·ln(m/V)⌉ linear-counting estimates, indexed by V = number of
+    * EMPTY registers, for V = 1..m. Computed ONCE in this JVM and
+    * embedded as integer literals in BOTH the Spark plan and the
+    * generated oracle SQL (SparkEntry interpolates this very sequence
+    * into the DuckDB text), so the `ln` never crosses an engine
+    * boundary and last-ulp libm behaviour cannot break bit-parity. */
+  def linearCountTable(m: Int): IndexedSeq[Long] =
+    (1 to m).map(v => Math.round(m * Math.log(m.toDouble / v)))
+
+  /** Append the corrected estimate `n_hll` to a register-aggregate
+    * frame holding `__stot` (Σ 2^(61-max_rank) over all m registers,
+    * empty ones contributing 2^61, as DECIMAL(38,0)) and
+    * `used_buckets`. Raw harmonic-mean estimate when the range is
+    * large; the classic linear-counting switch (raw ≤ 2.5·m and at
+    * least one empty register) below it — the small-range regime where
+    * the raw estimator is badly biased (a 3-distinct column would
+    * read ~180 under raw at m=256; LC reads 3). Both branches are
+    * exact integer arithmetic + one table lookup. */
+  private[graft] def withHllEstimate(df: DataFrame, m: Int): DataFrame = {
+    // alpha_m·m² scaled by 2^61 and the exact rational alpha
+    // denominators: 7213·1000m / (10⁴·(1000m+1079)) — numerator
+    // ≤ ~3e32 < 10^38 for p ≤ 8, so nothing overflows, nothing rounds
+    val num = BigDecimal(BigInt(7213) * 1000 * m * m * m * BigInt(2).pow(61))
+    val denScale = 10000L * (1000L * m + 1079L)
+    df.withColumn("__num", lit(num.bigDecimal).cast(dec))
+      .withColumn("__den", lit(denScale).cast(dec) * col("__stot"))
+      .withColumn("__raw", expr("__num DIV __den"))
+      .withColumn("__v", (lit(m) - col("used_buckets")).cast("int"))
+      .withColumn("n_hll",
+        when(col("__v") > 0 && col("__raw") <= lit(5L * m / 2),
+          element_at(typedLit(linearCountTable(m)), col("__v")))
+          .otherwise(col("__raw")))
+      .drop("__num", "__den", "__raw", "__v")
+  }
+
   /** Portable HyperLogLog distinct count per group.
     *
     * `p` register-index bits (m = 2^p registers; rsd ≈ 1.04/√m). The
-    * estimate is the RAW HLL harmonic mean — deliberately no
-    * small-range linear-counting correction, because that needs `ln`,
-    * whose last-ulp behaviour is libm-specific and would break
-    * bit-parity; callers should size p so expected cardinality exceeds
-    * 2.5·m, where the raw estimator is the recommended one anyway.
+    * estimate is the HLL harmonic mean with the linear-counting
+    * small-range correction — and the correction's `ln` enters as a
+    * precomputed integer lookup ([[linearCountTable]]) shared verbatim
+    * with the oracle SQL, so even the correction is bit-portable.
     * All arithmetic to the final floor division is exact integer work
     * in DECIMAL(38,0): registers hold max-rank integers, the harmonic
-    * sum is Σ 2^(61-rank) (empty registers contribute 2^61), and
-    * alpha_m = 0.7213/(1 + 1.079/m) enters as the exact rational
-    * 7213·1000m / (10⁴·(1000m+1079)) — numerator ≤ ~3e32 < 10^38 for
-    * p ≤ 8, so nothing overflows and nothing rounds.
+    * sum is Σ 2^(61-rank) (empty registers contribute 2^61).
     *
     * Output: groupCols, n_exact (exact distinct, from the same pass:
     * the register index is a function of the value, so per-register
@@ -53,21 +102,13 @@ object Sketches {
                   p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 8, s"p must be in [4,8] (m=16..256, overflow-proven), got $p")
     val m = 1 << p
-    val dec = DecimalType(38, 0)
-    val hx = md5(value.cast("string"))
-    val bucket = (conv(substring(hx, 1, 15), 16, 10).cast("long") % m).as("__bucket")
-    val w = substring(hx, 16, 15)
-    val z = hexLeadingZeros(w)
-    val firstNz = conv(w.substr(z + 1, lit(1)), 16, 10).cast("int")
-    val extra = when(firstNz >= 8, 0).when(firstNz >= 4, 1)
-      .when(firstNz >= 2, 2).otherwise(3)
-    val rank = when(z === 15, lit(61)).otherwise(z * 4 + extra + 1)
     val grp = groupCols.map(col)
-    // alpha_m * m^2, scaled by 2^61 and the exact-rational alpha denominators
-    val num = BigDecimal(BigInt(7213) * 1000 * m * m * m * BigInt(2).pow(61))
-    val denScale = 10000L * (1000L * m + 1079L)
     val emptyTerm = lit(BigDecimal(BigInt(2).pow(61)).bigDecimal).cast(dec)
-    df.select(grp :+ bucket :+ rank.as("__rank") :+ value.cast("string").as("__v"): _*)
+    val regs = df
+      .select(grp :+ hllRegister(value, m).as("__r")
+        :+ value.cast("string").as("__v"): _*)
+      .select(grp ++ Seq(col("__r.bucket").as("__bucket"),
+        col("__r.rank").as("__rank"), col("__v")): _*)
       .groupBy(grp :+ col("__bucket"): _*)
       .agg(max(col("__rank")).as("__mr"), countDistinct(col("__v")).as("__du"))
       .groupBy(grp: _*)
@@ -75,9 +116,44 @@ object Sketches {
         sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - __mr) AS DECIMAL(38,0))")).as("__s"))
       .withColumn("__stot",
         col("__s") + (lit(m) - col("used_buckets")).cast(dec) * emptyTerm)
-      .withColumn("__num", lit(num.bigDecimal).cast(dec))
-      .withColumn("__den", lit(denScale).cast(dec) * col("__stot"))
-      .withColumn("n_hll", expr("__num DIV __den"))
+    withHllEstimate(regs, m)
       .select(grp ++ Seq(col("n_exact"), col("n_hll"), col("used_buckets")): _*)
+  }
+
+  /** Per-column HLL distinct estimates for a profiling pass:
+    * (cid, used_buckets, n_hll) for each (index, value-expression) in
+    * `cols`, all columns sketched in ONE scan. NULL values are ignored
+    * per column (countDistinct semantics); a column with no non-null
+    * value simply has no output row.
+    *
+    * Scale shape — and the reason [[Profiler]] offers this as its
+    * `approxNdv` mode: exact multi-column distinct needs Spark's
+    * Expand, whose shuffle carries one (col-id, VALUE) pair per cell
+    * with NO map-side reduction (distinct partials must keep the
+    * values). Here the per-cell explode is map-side CPU only — the
+    * partial aggregate on (cid, bucket) collapses every partition to
+    * at most cols·m register rows before the exchange, so the shuffle
+    * is O(partitions · cols · m), independent of row count. */
+  def hllProfile(df: DataFrame, cols: Seq[(Int, Column)], p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 8, s"p must be in [4,8] (m=16..256, overflow-proven), got $p")
+    val m = 1 << p
+    val emptyTerm = lit(BigDecimal(BigInt(2).pow(61)).bigDecimal).cast(dec)
+    val regStructs = array(cols.map { case (i, c) =>
+      struct(lit(i).as("cid"), hllRegister(c, m).as("r"))
+    }: _*)
+    val regs = df
+      .select(explode(regStructs).as("e"))
+      .select(col("e.cid").as("__cid"), col("e.r.bucket").as("__bucket"),
+        col("e.r.rank").as("__rank"))
+      .filter(col("__bucket").isNotNull)
+      .groupBy(col("__cid"), col("__bucket"))
+      .agg(max(col("__rank")).as("__mr"))
+      .groupBy(col("__cid"))
+      .agg(count(lit(1)).as("used_buckets"),
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - __mr) AS DECIMAL(38,0))")).as("__s"))
+      .withColumn("__stot",
+        col("__s") + (lit(m) - col("used_buckets")).cast(dec) * emptyTerm)
+    withHllEstimate(regs, m)
+      .select(col("__cid").as("cid"), col("used_buckets"), col("n_hll"))
   }
 }

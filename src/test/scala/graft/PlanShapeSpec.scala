@@ -106,6 +106,35 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("approx-NDV profile has NO Expand — the exact profile's scale-killer is gone") {
+    // exact multi-column distinct rides Spark's Expand, whose shuffle
+    // carries one (col-id, VALUE) pair per cell with no map-side
+    // reduction; the HLL mode must not contain it anywhere — its
+    // register partials combine to ≤ cols·256 rows per partition.
+    // profile() checkpoints eagerly, so pin the two internal plans
+    // (the wide metadata aggregate and the register sketch) directly.
+    import org.apache.spark.sql.functions.col
+    val orders = graft.core.Tables.orders(spark, sf0001)
+    val cols = Seq("o_orderkey" -> col("o_orderkey"),
+      "o_custkey" -> col("o_custkey"), "o_orderstatus" -> col("o_orderstatus"))
+    val projected = orders.select(cols.map { case (n, c) => c.as(n) }: _*)
+    def phys(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    val approxWide = phys(graft.ops.Profiler.metadataAgg(projected, cols, approxNdv = true))
+    assert(!approxWide.contains("Expand"), approxWide.take(3000))
+    val sketch = phys(graft.ops.Sketches.hllProfile(projected,
+      cols.zipWithIndex.map { case ((n, _), i) => (i, col(n)) }))
+    assert(!sketch.contains("Expand"), sketch.take(3000))
+    // the register sketch must PARTIALLY aggregate before its exchange
+    // (that map-side combine is the whole scale argument)
+    assert(sketch.contains("Exchange hashpartitioning"), sketch.take(3000))
+    assert(sketch.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_max")), sketch.take(3000))
+    // and the exact mode still rides Expand (the contrast this records)
+    val exactWide = phys(graft.ops.Profiler.metadataAgg(projected, cols, approxNdv = false))
+    assert(exactWide.contains("Expand"), exactWide.take(3000))
+  }
+
   test("grouping sets compute all four levels in one Expand pass") {
     // a single Expand feeding one aggregate — NOT a union of four
     // scans/aggregates; at 100 TB that's one read + one shuffle for the

@@ -64,6 +64,28 @@ class ApproxAggSpec extends SparkSpecBase {
     }
   }
 
+  test("portable HLL linear-counting: tiny cardinalities read near-exact") {
+    import spark.implicits._
+    // raw harmonic mean at ndv=3 / m=256 would read ~180 (the classic
+    // small-range bias); the LC switch (integer lookup table, no libm)
+    // must bring it back to the true value ±1 (a same-bucket md5
+    // collision can cost one used register)
+    val df = (1L to 900L).map(i => ("g", i % 3)).toDF("g", "v")
+    val r = Sketches.hllDistinct(df, Seq("g"), col("v"), p = 8).head()
+    assert(r.getLong(1) == 3, "n_exact")
+    assert(math.abs(r.getLong(2) - 3L) <= 1, s"LC estimate ${r.getLong(2)} far from 3")
+  }
+
+  test("portable HLL linear-counting: mid-range (LC regime) within tolerance") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => ("g", i % 150)).toDF("g", "v")
+    val r = Sketches.hllDistinct(df, Seq("g"), col("v"), p = 8).head()
+    assert(r.getLong(1) == 150, "n_exact")
+    // LC rsd at V≈141/m=256 is ~2-3%; allow 10%
+    assert(math.abs(r.getLong(2) - 150.0) / 150.0 <= 0.10,
+      s"LC estimate ${r.getLong(2)} off from 150")
+  }
+
   test("portable HLL is bit-deterministic across partitionings and duplication") {
     import spark.implicits._
     val df = (1L to 3000L).map(i => (s"g${i % 3}", i % 700)).toDF("g", "v")
