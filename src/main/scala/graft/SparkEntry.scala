@@ -1936,6 +1936,38 @@ object SparkEntry {
         .orderBy(col("column_name"))
     }),
 
+    // IVM min/max under a delete-heavy CDC stream (the non-self-
+    // maintainable aggregates, r10 directive #2): k=3 bounded reserves,
+    // batch 1 deletes ALL of every group's top-3 quantities (drains the
+    // hi reserve → per-group eviction → broadcast-semi-join rescan),
+    // batch 2 is a mixed D+I delta (lo-reserve shrink without eviction;
+    // inserts entering above the hi threshold). Gate: the maintained
+    // (cnt, total, min, max) == the oracle's from-scratch GROUP BY over
+    // base − deletes + inserts.
+    "q143_ivm_minmax" -> ((s, dir) => {
+      val M = graft.ops.IncrementalMinMax
+      val base = t(s, dir, "lineitem").select(
+        (col("l_partkey") % 100).as("g"),
+        col("l_quantity").cast("long").as("v"),
+        col("l_orderkey"))
+      val s0 = M.aggState(base, Seq("g"), "v", k = 3)
+      val d1 = base.filter(col("v") >= 48)
+        .select(col("g"), col("v"), lit("D").as("op"))
+      val base1 = base.filter(col("v") < 48)
+      val s1 = M.mergeDelta(s0, d1, Seq("g"), "v", "op", k = 3,
+        currentBase = Some(base1))
+      val inserts = base1.filter(col("l_orderkey") % 10 === 0)
+        .select(col("g"), (col("v") + 20).as("v"), lit("I").as("op"))
+      val d2 = base1.filter(col("v") <= 2)
+        .select(col("g"), col("v"), lit("D").as("op"))
+        .unionByName(inserts)
+      val base2 = base1.filter(col("v") > 2).select(col("g"), col("v"))
+        .unionByName(inserts.select(col("g"), col("v")))
+      val s2 = M.mergeDelta(s1, d2, Seq("g"), "v", "op", k = 3,
+        currentBase = Some(base2))
+      M.currentAgg(s2, Seq("g")).orderBy(col("g"))
+    }),
+
     // Declarative data-quality audit (dbt-test family): uniqueness,
     // two referential-integrity rules, and three predicate
     // expectations — the publish gate a load pipeline runs before a
@@ -4235,6 +4267,22 @@ object SparkEntry {
     "q134_retrieval_eval" -> retrievalEvalOracleSql,
 
     "q145_profile_ndv_sketch" -> profileApproxOracleSql,
+
+    // From-scratch recompute over base − deletes + inserts: final rows
+    // = quantities in (2, 48) plus the +20-shifted inserts from every
+    // 10th order. The Spark side reaches the same relation through two
+    // incremental reserve merges (including a full hi-side eviction +
+    // rescan in batch 1) — the gate proves incremental == recompute.
+    "q143_ivm_minmax" ->
+      """WITH li AS (SELECT l_partkey % 100 AS g, CAST(l_quantity AS BIGINT) AS v,
+                            l_orderkey
+                     FROM lineitem),
+         fin AS (SELECT g, v FROM li WHERE v < 48 AND v > 2
+                 UNION ALL
+                 SELECT g, v + 20 AS v FROM li WHERE v < 48 AND l_orderkey % 10 = 0)
+         SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(v) AS BIGINT) AS total,
+                CAST(MIN(v) AS BIGINT) AS min_val, CAST(MAX(v) AS BIGINT) AS max_val
+         FROM fin GROUP BY g ORDER BY g""",
 
     // Deletion perturbation + ALL FOUR blocking passes — prefix-3 /
     // suffix-3 plus the short-name (< 2·blockChars) first/last-char

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * is the standard D+I pair — so the refresh is one hash aggregate
   * over the DELTA plus a full-outer merge join against state on the
   * group key. min/max are NOT self-maintainable under deletes (a
-  * deleted extremum forces a rescan); callers needing them keep the
-  * [[Profiler]]/recompute path.
+  * deleted extremum can force a rescan); [[IncrementalMinMax]] keeps
+  * them incremental via bounded per-group reserves with a per-group
+  * rescan only on the rare reserve eviction.
   *
   * Correctness contract (the q135 gate): merge(aggregate(base), delta)
   * ≡ aggregate(base − deletes + inserts), bit-exactly — totals ride
@@ -68,16 +69,16 @@ object IncrementalAgg {
 
   // ---- streaming maintenance -----------------------------------------------
 
-  private def stateDir(root: String, id: Long) = f"$root/state_gen=$id%019d"
+  private[ops] def stateDir(root: String, id: Long) = f"$root/state_gen=$id%019d"
 
-  private def fsOf(spark: org.apache.spark.sql.SparkSession, root: String) =
+  private[ops] def fsOf(spark: org.apache.spark.sql.SparkSession, root: String) =
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** COMMITTED generation ids only (job-commit `_SUCCESS` marker, the
     * CorpusIngest scanRoot rule) — a torn directory from a crash
     * mid-write can neither poison a read nor count as landed. */
-  private def genIds(spark: org.apache.spark.sql.SparkSession,
+  private[ops] def genIds(spark: org.apache.spark.sql.SparkSession,
                      root: String): Seq[Long] = {
     val fs = fsOf(spark, root)
     val p = new org.apache.hadoop.fs.Path(root)
