@@ -1936,6 +1936,45 @@ object SparkEntry {
         .orderBy(col("column_name"))
     }),
 
+    // Multi-field Fellegi–Sunter linkage (r10 directive #4): every
+    // 10th part becomes a dirty feed row — name char-deleted for
+    // key%3==0, type char-deleted for key%3==1, brand wrong for
+    // key%5==0 — linked back by weighted integer milli-score agreement
+    // (name 2000/−1500 lev≤2, type 1500/−1200 lev≤2, brand 400/−300
+    // exact, non-blocking) over name+type prefix/suffix blocking with
+    // the 3000-row hot-block cap ON: at sf0.1 p_type's six shared
+    // prefix families (~3380 rows each) exceed the cap and drop while
+    // the name blocks (~2570) stay under it, so the cap is a live
+    // code path at the scale SF and recall survives via the name
+    // passes — the FS answer: a record corrupted or capped out of one
+    // field's blocks still arrives through another field's. (At the
+    // driver's sf0.01 every block is under the cap and all passes run.)
+    "q144_fs_linkage" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      def delCh(c: Column, k: Column) = concat(
+        substring(c, lit(1), (k % length(c)).cast("int")),
+        c.substr((k % length(c)).cast("int") + 2, length(c)))
+      val key = col("p_partkey")
+      val feed = part.filter(key % 10 === 0).select(
+        (key + 9000000L).as("feed_id"),
+        when(key % 3 === 0, delCh(col("p_name"), key))
+          .otherwise(col("p_name")).as("name"),
+        when(key % 3 === 1, delCh(col("p_type"), key))
+          .otherwise(col("p_type")).as("ptype"),
+        when(key % 5 === 0,
+          when(col("p_brand") === "Brand#11", lit("Brand#12")).otherwise(lit("Brand#11")))
+          .otherwise(col("p_brand")).as("brand"))
+      val master = part.select(col("p_partkey"), col("p_name"),
+        col("p_type"), col("p_brand"))
+      val E = graft.ops.EntityMatch
+      E.linkRecordsMulti(feed, "feed_id", master, "p_partkey", Seq(
+        E.LinkField("name", "p_name", 2000L, -1500L, maxDist = 2),
+        E.LinkField("ptype", "p_type", 1500L, -1200L, maxDist = 2),
+        E.LinkField("brand", "p_brand", 400L, -300L, maxDist = 0, block = false)),
+        minScoreMilli = 1000L, maxBlockRows = 3000)
+        .orderBy(col("feed_id"))
+    }),
+
     // IVM min/max under a delete-heavy CDC stream (the non-self-
     // maintainable aggregates, r10 directive #2): k=3 bounded reserves,
     // batch 1 deletes ALL of every group's top-3 quantities (drains the
@@ -4267,6 +4306,60 @@ object SparkEntry {
     "q134_retrieval_eval" -> retrievalEvalOracleSql,
 
     "q145_profile_ndv_sketch" -> profileApproxOracleSql,
+
+    // Mirrors linkRecordsMulti pass-for-pass: the same feed
+    // perturbation, four blocking legs (name/type × prefix/suffix-3)
+    // each with the 3000-row master-side block cap, per-field CASE
+    // milli-scores, threshold, QUALIFY argmax with (score desc, mid)
+    // tie order.
+    "q144_fs_linkage" ->
+      """WITH mst AS (SELECT p_partkey AS mid, p_name AS m0, p_type AS m1,
+                             p_brand AS m2 FROM part),
+         feed AS (SELECT p_partkey + 9000000 AS fid,
+                         CASE WHEN p_partkey % 3 = 0 THEN
+                           substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER)) ||
+                           substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
+                         ELSE p_name END AS f0,
+                         CASE WHEN p_partkey % 3 = 1 THEN
+                           substr(p_type, 1, CAST(p_partkey % length(p_type) AS INTEGER)) ||
+                           substr(p_type, CAST(p_partkey % length(p_type) AS INTEGER) + 2)
+                         ELSE p_type END AS f1,
+                         CASE WHEN p_partkey % 5 = 0 THEN
+                           CASE WHEN p_brand = 'Brand#11' THEN 'Brand#12' ELSE 'Brand#11' END
+                         ELSE p_brand END AS f2
+                  FROM part WHERE p_partkey % 10 = 0),
+         k0p AS (SELECT substr(m0, 1, 3) AS k FROM mst GROUP BY 1 HAVING COUNT(*) <= 3000),
+         k0s AS (SELECT right(m0, 3) AS k FROM mst GROUP BY 1 HAVING COUNT(*) <= 3000),
+         k1p AS (SELECT substr(m1, 1, 3) AS k FROM mst GROUP BY 1 HAVING COUNT(*) <= 3000),
+         k1s AS (SELECT right(m1, 3) AS k FROM mst GROUP BY 1 HAVING COUNT(*) <= 3000),
+         cand AS (
+           SELECT f.fid, f.f0, f.f1, f.f2, m.mid, m.m0, m.m1, m.m2
+           FROM feed f JOIN mst m ON substr(f.f0, 1, 3) = substr(m.m0, 1, 3)
+           JOIN k0p ON k0p.k = substr(m.m0, 1, 3)
+           UNION
+           SELECT f.fid, f.f0, f.f1, f.f2, m.mid, m.m0, m.m1, m.m2
+           FROM feed f JOIN mst m ON right(f.f0, 3) = right(m.m0, 3)
+           JOIN k0s ON k0s.k = right(m.m0, 3)
+           UNION
+           SELECT f.fid, f.f0, f.f1, f.f2, m.mid, m.m0, m.m1, m.m2
+           FROM feed f JOIN mst m ON substr(f.f1, 1, 3) = substr(m.m1, 1, 3)
+           JOIN k1p ON k1p.k = substr(m.m1, 1, 3)
+           UNION
+           SELECT f.fid, f.f0, f.f1, f.f2, m.mid, m.m0, m.m1, m.m2
+           FROM feed f JOIN mst m ON right(f.f1, 3) = right(m.m1, 3)
+           JOIN k1s ON k1s.k = right(m.m1, 3)),
+         scored AS (SELECT fid, mid,
+                      (CASE WHEN f0 IS NULL OR m0 IS NULL THEN 0
+                            WHEN levenshtein(f0, m0) <= 2 THEN 2000 ELSE -1500 END
+                     + CASE WHEN f1 IS NULL OR m1 IS NULL THEN 0
+                            WHEN levenshtein(f1, m1) <= 2 THEN 1500 ELSE -1200 END
+                     + CASE WHEN f2 IS NULL OR m2 IS NULL THEN 0
+                            WHEN levenshtein(f2, m2) <= 0 THEN 400 ELSE -300 END) AS score_milli
+                    FROM cand)
+         SELECT fid AS feed_id, mid AS p_partkey, CAST(score_milli AS BIGINT) AS score_milli
+         FROM scored WHERE score_milli >= 1000
+         QUALIFY row_number() OVER (PARTITION BY fid ORDER BY score_milli DESC, mid) = 1
+         ORDER BY feed_id""",
 
     // From-scratch recompute over base − deletes + inserts: final rows
     // = quantities in (2, 48) plus the +20-shifted inserts from every

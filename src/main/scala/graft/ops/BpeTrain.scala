@@ -60,36 +60,87 @@ object BpeTrain {
     * rhs asc) in binary string order — deterministic across engines
     * for BMP text. Stops early if no pair remains.
     *
-    * Replaces are map-only, so intermediate steps stay pure lineage
-    * and only every `checkpointInterval`-th table is materialised —
-    * one argmax job per step plus nMerges/interval cuts, instead of a
-    * write-out per merge (a replace recompute over the vocab table is
-    * far cheaper than materialising it). */
+    * Pair counts are DELTA-MAINTAINED (the IncrementalAgg discipline
+    * applied to BPE): the full pair aggregate runs ONCE at init; each
+    * merge step then recounts only the AFFECTED words — those whose
+    * symbol string contains the merged pair's literal (a map-only
+    * filter; a merge can only change adjacencies inside words it
+    * rewrites) — and folds the after−before delta into the maintained
+    * count table. The per-step argmax reads the maintained table
+    * (pair-vocab-sized) instead of re-aggregating the whole word
+    * table, so per-step cost tracks the affected-word mass: at a real
+    * 32K-merge vocab, late merges touch tiny slices and cost
+    * accordingly, instead of 32K full aggregates over the word table
+    * (PrepScaleProbe records the 64/256-merge series).
+    *
+    * Word-table replaces stay map-only pure lineage with a cut every
+    * `checkpointInterval` steps; the maintained counts (small)
+    * materialise every step — that is the delta fold. */
   def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
                   checkpointInterval: Int = 4,
-                  materialize: DataFrame => DataFrame = _.localCheckpoint()): Seq[Merge] = {
+                  materialize: DataFrame => DataFrame = _.localCheckpoint()): Seq[Merge] =
+    learnLoop(docs, textCol, nMerges, checkpointInterval, materialize,
+      collectStats = false)._1
+
+  /** One learned step's probe record: the merge, how many distinct
+    * words its delta recount touched, and the step's wall time. */
+  final case class StepStat(step: Int, affectedWords: Long, sec: Double)
+
+  /** [[learnMerges]] with per-step instrumentation (affected-word mass
+    * + wall time) — the PrepScaleProbe/BpeMergeProbe surface proving
+    * per-step cost tracks the affected slice, not the word table. */
+  def learnMergesInstrumented(docs: DataFrame, textCol: String, nMerges: Int,
+                              checkpointInterval: Int = 4,
+                              materialize: DataFrame => DataFrame = _.localCheckpoint())
+      : (Seq[Merge], Seq[StepStat]) =
+    learnLoop(docs, textCol, nMerges, checkpointInterval, materialize,
+      collectStats = true)
+
+  private def learnLoop(docs: DataFrame, textCol: String, nMerges: Int,
+                        checkpointInterval: Int,
+                        materialize: DataFrame => DataFrame,
+                        collectStats: Boolean): (Seq[Merge], Seq[StepStat]) = {
     require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
     require(checkpointInterval >= 1, s"interval must be positive, got $checkpointInterval")
     var words = materialize(
       wordCounts(docs, textCol).select(encode(col("word")).as("seq"), col("freq")))
+    // the ONE full pair aggregate; everything after is deltas
+    var counts = materialize(pairCounts(words))
     val out = Seq.newBuilder[Merge]
+    val stats = Seq.newBuilder[StepStat]
     var step = 1
     var done = false
     while (step <= nMerges && !done) {
-      val top = pairCounts(words)
+      val t0 = System.nanoTime()
+      val top = counts
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
       if (top.isEmpty) done = true
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += Merge(step, a, b, c)
-        words = words.withColumn("seq",
-          replace(col("seq"), lit(s"$L$a$R$L$b$R"), lit(s"$L$a$b$R")))
+        val pat = s"$L$a$R$L$b$R"
+        val rep = s"$L$a$b$R"
+        // affected = words that actually contain the merged pair;
+        // materialised once so the before/after recounts don't re-run
+        // the word-table filter twice
+        val affected = materialize(words.filter(col("seq").contains(pat)))
+        val after = affected.withColumn("seq", replace(col("seq"), lit(pat), lit(rep)))
+        counts = materialize(
+          counts
+            .unionByName(pairCounts(after))
+            .unionByName(pairCounts(affected)
+              .select(col("a"), col("b"), (-col("cnt")).as("cnt")))
+            .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("cnt"))
+            .filter(col("cnt") > 0))
+        words = words.withColumn("seq", replace(col("seq"), lit(pat), lit(rep)))
         if (step % checkpointInterval == 0) words = materialize(words)
+        if (collectStats)
+          stats += StepStat(step, affected.count(), (System.nanoTime() - t0) / 1e9)
         step += 1
       }
     }
-    out.result()
+    (out.result(), stats.result())
   }
 
   /** The learned merge list as a DataFrame (step, lhs, rhs, cnt) —

@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object EntityMatch {
 
+  /** One comparison field of a multi-attribute linkage: string columns
+    * on each side, integer MILLI-weights (the Fellegi–Sunter
+    * log-likelihood ratios ln(m/u) / ln((1−m)/(1−u)), quantized
+    * offline by the caller — weights stay integers so scoring is
+    * engine-exact), agreement = levenshtein ≤ `maxDist` (0 = exact),
+    * and whether the field contributes blocking passes. A null on
+    * either side contributes weight 0 (FS missing-value convention:
+    * neither evidence for nor against). */
+  final case class LinkField(feedCol: String, masterCol: String,
+      agreeMilli: Long, disagreeMilli: Long, maxDist: Int = 0,
+      block: Boolean = true, blockChars: Int = 3)
+
   /** Best master match per feed record within `maxDist` edits:
     * (feedId, masterId, dist). Feed records with no candidate within
     * the threshold are absent (callers left-join if they need the
@@ -80,5 +92,77 @@ object EntityMatch {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("__fid").as(feedId), col("__mid").as(masterId), col("dist"))
+  }
+
+  /** Multi-attribute Fellegi–Sunter linkage: weighted agreement over
+    * several fields — the shape real dirty-feed resolution needs
+    * (name + address + region), where any single attribute may be
+    * corrupted or plain wrong but the weight SUM still separates
+    * matches from co-blocked strangers.
+    *
+    * Candidates = UNION of prefix-`blockChars` and suffix-`blockChars`
+    * equi-join passes over every blocking field — a record corrupted
+    * in one field still blocks through another, and a deletion
+    * anywhere except a string's last chars keeps that field's suffix
+    * key. `maxBlockRows` caps hot blocks on the MASTER side per pass
+    * (the q26 df-cap discipline): a key shared by more master rows
+    * than the cap generates a quadratic candidate blow-up, so the key
+    * is dropped and recall falls back to the other passes — with a
+    * constant-prefix id scheme (TPC-H's `Customer#...`) this is the
+    * NORMAL path, not a degenerate one, which is why q144 gates the
+    * cap on.
+    *
+    * Score = Σ per-field CASE: null on either side → 0, levenshtein ≤
+    * maxDist → agreeMilli, else disagreeMilli — all integer, so the
+    * winner (argmax score, master-id tie-break) and the
+    * `minScoreMilli` accept threshold are engine-exact. Output:
+    * (feedId, masterId, score_milli); feed records whose best
+    * candidate scores under the threshold are absent (non-matches). */
+  def linkRecordsMulti(feed: DataFrame, feedId: String,
+                       master: DataFrame, masterId: String,
+                       fields: Seq[LinkField], minScoreMilli: Long,
+                       maxBlockRows: Int = Int.MaxValue): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    require(fields.exists(_.block), "need at least one blocking field")
+    require(fields.forall(f => f.maxDist >= 0 && f.blockChars >= 1),
+      "maxDist >= 0 and blockChars >= 1 for every field")
+    require(maxBlockRows >= 1, s"maxBlockRows must be >= 1, got $maxBlockRows")
+    require(feedId != masterId && feedId != "score_milli" && masterId != "score_milli",
+      s"output columns must be distinct: $feedId/$masterId/score_milli")
+    val fi = fields.zipWithIndex
+    val f = feed.select(col(feedId).as("__fid") +:
+        fi.map { case (fl, i) => col(fl.feedCol).as(s"__f$i") }: _*)
+      .filter(col("__fid").isNotNull)
+    val m = master.select(col(masterId).as("__mid") +:
+        fi.map { case (fl, i) => col(fl.masterCol).as(s"__m$i") }: _*)
+      .filter(col("__mid").isNotNull)
+    def pass(i: Int, key: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+      val fk = f.filter(col(s"__f$i").isNotNull).withColumn("__k", key(col(s"__f$i")))
+      val mk0 = m.filter(col(s"__m$i").isNotNull).withColumn("__k", key(col(s"__m$i")))
+      val mk =
+        if (maxBlockRows == Int.MaxValue) mk0
+        else mk0.join(
+          mk0.groupBy(col("__k")).agg(count(lit(1)).as("__bn"))
+            .filter(col("__bn") <= maxBlockRows).select(col("__k")),
+          "__k")
+      fk.join(mk, "__k").drop("__k")
+    }
+    val cands = fi.filter(_._1.block).flatMap { case (fl, i) =>
+      Seq(pass(i, substring(_, 1, fl.blockChars)),
+        pass(i, c => substring(c, -fl.blockChars, fl.blockChars)))
+    }.reduce(_ unionByName _).distinct()
+    val score = fi.map { case (fl, i) =>
+      when(col(s"__f$i").isNull || col(s"__m$i").isNull, 0L)
+        .when(levenshtein(col(s"__f$i"), col(s"__m$i")) <= fl.maxDist, fl.agreeMilli)
+        .otherwise(fl.disagreeMilli)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("__fid"))
+      .orderBy(col("score_milli").desc, col("__mid").asc)
+    cands
+      .withColumn("score_milli", score)
+      .filter(col("score_milli") >= minScoreMilli)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__fid").as(feedId), col("__mid").as(masterId), col("score_milli"))
   }
 }

@@ -89,6 +89,30 @@ object CosineRecallProbe {
         else (plantedTruth & got).size.toDouble / plantedTruth.size
       println(f"IVF  planted t=0.85 nprobe=$np%2d     planted=${plantedTruth.size}%5d recall=$rec%.3f")
     }
+
+    // ---- IVF SEARCH recall@k vs brute force (r10 directive #7) ----
+    // The q30-family top-k path: recall@k = |ivf ∩ brute| / |brute|
+    // over a deterministic query slice, at the k-means quantizer the
+    // shipped q30 uses, across the nprobe ladder. This is the ANN
+    // quality/cost trade-off as a recorded number: each +probe
+    // multiplies the scanned bucket volume by ~nprobe/C while recall
+    // climbs toward 1.
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val kk = 10
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(rw => (rw.getLong(0), rw.getLong(1))).toSet
+    val truthK = topSet(VF.bruteForceTopK(queries, emb, "vec_id", "embedding", kk))
+    val km = VF.kmeansCentroids(emb, "vec_id", "embedding", k = 16, iters = 3)
+      .localCheckpoint()
+    for (np <- Seq(1, 2, 4, 8)) {
+      val t0 = System.nanoTime()
+      val got = topSet(VF.ivfTopK(queries, emb, km, "vec_id", "embedding", kk, np))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rec = if (truthK.isEmpty) 1.0 else (truthK & got).size.toDouble / truthK.size
+      println(f"IVF-topk k=$kk nprobe=$np%2d queries=${queries.count()}%4d " +
+        f"recall@$kk=$rec%.3f sec=$sec%6.2f")
+    }
     spark.stop()
   }
 }

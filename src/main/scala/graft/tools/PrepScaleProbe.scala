@@ -45,7 +45,8 @@ object PrepScaleProbe {
         .localCheckpoint(true)
       val orders = copies(orders0, k, "o_orderkey", (d, _) => d)
         .select(col("o_orderkey"), col("o_custkey").as("x"),
-          datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))
+          // epoch at the data minimum: zValue's non-negative contract
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("timestamp"))
             .cast("long").as("y"))
         .localCheckpoint(true)
 
@@ -92,12 +93,39 @@ object PrepScaleProbe {
       val (tLink, nLink) = time(graft.ops.EntityMatch.linkRecords(
         feedK, "fid", "name", masters, "p_partkey", "p_name",
         maxDist = 2, blockChars = 3).count())
+      // multi-field FS linkage under the same regime: master grows k×
+      // with copy-tagged name AND type (per-copy blocks disjoint —
+      // block sizes constant, block count grows), feed fixed at copy
+      // 0's slice with an interior name deletion; the type prefix
+      // blocks are genuinely hot (6 shared type families) and the cap
+      // drops them, so cost must track the NAME-block candidate
+      // volume + the master scan — flat as the master grows
+      val mastersMf = copies(graft.core.Tables.table(spark, dir, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_brand")),
+          k, "p_partkey",
+        (d, i) => d
+          .withColumn("p_name", concat(lit(s"z$i"), col("p_name"), lit(s"z$i")))
+          .withColumn("p_type", concat(lit(s"z$i"), col("p_type"), lit(s"z$i"))))
+        .localCheckpoint(true)
+      val feedMf = mastersMf
+        .filter(col("p_partkey") < CopyStride && col("p_partkey") % 10 === 0)
+        .select((col("p_partkey") + 9000000L).as("fid"),
+          concat(substring(col("p_name"), 1, 4),
+            col("p_name").substr(lit(6), length(col("p_name")))).as("name"),
+          col("p_type").as("ptype"), col("p_brand").as("brand"))
+      val FS = graft.ops.EntityMatch.LinkField
+      val (tFs, nFs) = time(graft.ops.EntityMatch.linkRecordsMulti(
+        feedMf, "fid", mastersMf, "p_partkey", Seq(
+          FS("name", "p_name", 2000L, -1500L, maxDist = 2),
+          FS("ptype", "p_type", 1500L, -1200L, maxDist = 2),
+          FS("brand", "p_brand", 400L, -300L, maxDist = 0, block = false)),
+        minScoreMilli = 1000L, maxBlockRows = 3000).count())
       println(f"[prep-scale] k=$k%-2d orders=${orders0.count() * k}%-8d " +
         f"zorder=$tZ%6.2fs($nZ) bigramlm=$tLm%6.2fs($nLm) " +
         f"shards=$tSh%6.2fs($nSh) dsir=$tDs%6.2fs($nDs) " +
         f"bpe4=$tBpe%6.2fs($nBpe) audit=$tAud%6.2fs($nAud) " +
         f"cusum=$tCu%6.2fs($nCu) acf=$tPer%6.2fs($nPer) " +
-        f"link=$tLink%6.2fs($nLink)")
+        f"link=$tLink%6.2fs($nLink) fslink=$tFs%6.2fs($nFs)")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()

@@ -68,4 +68,82 @@ class EntityMatchSpec extends SparkSpecBase {
       master.repartition(3), "mid", "name").collect().toSeq
     assert(a == b && a.map(_.getLong(0)).toSet == Set(10L))
   }
+
+  // ---- multi-field Fellegi–Sunter -------------------------------------------
+
+  private val F = EntityMatch.LinkField
+  private val fsFields = Seq(
+    F("name", "m_name", 2000L, -1500L, maxDist = 2),
+    F("city", "m_city", 1500L, -1200L, maxDist = 1),
+    F("seg", "m_seg", 400L, -300L, maxDist = 0, block = false))
+  private val fsMaster = Seq(
+    (1L, "acme corporation", "springfield", "retail"),
+    (2L, "acme corporatian", "shelbyville", "retail"), // near-dup name, other city
+    (3L, "zenith logistics", "springfield", "bulk"))
+    .toDF("mid", "m_name", "m_city", "m_seg")
+
+  test("FS weight sum separates a match from a co-blocked stranger") {
+    // name corrupted (1 deletion), city exact, segment WRONG: the
+    // weighted sum 2000+1500−300=3200 must beat master 2 (name still
+    // within lev 2, city/seg disagree: 2000−1200−300=500) and master 3
+    // (name disagree, city+seg agree: −1500+1500+400=400) — a
+    // single-field name argmin could not separate 1 from 2 (lev 1 vs
+    // 2, both within threshold); the weighted sum is what disambiguates
+    val feed = Seq((10L, "acme corporaton", "springfield", "bulk"))
+      .toDF("fid", "name", "city", "seg")
+    val out = EntityMatch.linkRecordsMulti(feed, "fid", fsMaster, "mid",
+        fsFields, minScoreMilli = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((10L, 1L, 3200L)))
+  }
+
+  test("FS: a null field contributes zero, neither agree nor disagree") {
+    val feed = Seq((11L, "acme corporation", null: String, "retail"))
+      .toDF("fid", "name", "city", "seg")
+    val out = EntityMatch.linkRecordsMulti(feed, "fid", fsMaster, "mid",
+        fsFields, minScoreMilli = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 2000 (name) + 0 (null city) + 400 (seg) = 2400, master 1 by
+    // (score desc, mid asc) over the equal-scoring master 2? no —
+    // master 2's name is 1 edit away too (agree), city null → 0,
+    // seg agree → same 2400; the id tie-break must pick 1
+    assert(out.toSeq == Seq((11L, 1L, 2400L)))
+  }
+
+  test("FS: sub-threshold best candidate is a non-match, absent from output") {
+    val feed = Seq((12L, "acme corporation", "shelbyville", "bulk"))
+      .toDF("fid", "name", "city", "seg")
+    // best candidate is master 2 at 2000+1500−300 = 3200; a 3500 bar
+    // rejects it — sub-threshold best candidates are non-matches
+    val out = EntityMatch.linkRecordsMulti(feed, "fid", fsMaster, "mid",
+      fsFields, minScoreMilli = 3500L)
+    assert(out.collect().isEmpty)
+  }
+
+  test("FS: a capped hot block on one field falls back to the other field's passes") {
+    // every master shares the name prefix AND suffix (hot blocks of 6
+    // > cap 3); the city field's blocks are small and carry the link
+    val m = (1L to 6L).map(i => (i, s"acme division $i", s"city$i", "x"))
+      .toDF("mid", "m_name", "m_city", "m_seg")
+    val feed = Seq((20L, "acme division 4x", "city4", "x"))
+      .toDF("fid", "name", "city", "seg")
+    val out = EntityMatch.linkRecordsMulti(feed, "fid", m, "mid", Seq(
+        F("name", "m_name", 2000L, -1500L, maxDist = 2),
+        F("city", "m_city", 1500L, -1200L, maxDist = 0),
+        F("seg", "m_seg", 400L, -300L, maxDist = 0, block = false)),
+        minScoreMilli = 1000L, maxBlockRows = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((20L, 4L, 3900L)))
+  }
+
+  test("FS is deterministic under partitioning") {
+    val feed = Seq((10L, "acme corporaton", "springfield", "bulk"),
+      (11L, "zenith logistics", "springfeld", "bulk"))
+      .toDF("fid", "name", "city", "seg")
+    val a = EntityMatch.linkRecordsMulti(feed, "fid", fsMaster, "mid",
+      fsFields, 1000L).collect().toSeq
+    val b = EntityMatch.linkRecordsMulti(feed.repartition(7), "fid",
+      fsMaster.repartition(3), "mid", fsFields, 1000L).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

@@ -155,19 +155,34 @@ class EventStreamSpec extends SparkSpecBase {
   // --- batch-equivalence gates for the streaming twins -----------------------
   // The driver's oracle has no stream surface, so the streaming forms are
   // gated here instead: run each stream over a parquet file topic of the
-  // REAL sf0.001 corpus with Trigger.AvailableNow and assert the result
-  // equals the batch query it twins (q25 / q34), computed on the same rows.
+  // REAL sf0.1 corpus (r10 directive #6 — graduated from sf0.001 so the
+  // state store holds non-trivial volume) with Trigger.AvailableNow and
+  // assert BOTH that the result equals the batch query it twins (q25 /
+  // q34), computed on the same rows, AND that the recorded state-store
+  // rows stay bounded by the operator's state model (fingerprints /
+  // sessions — never raw input rows).
 
-  test("dedupDocumentsStream == batch exact dedup (q25 twin) on the sf0.001 corpus") {
+  private def maxStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+
+  private def stateMemBytes(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+      .foldLeft(0L)(math.max)
+
+  test("dedupDocumentsStream == batch exact dedup (q25 twin) at sf0.1, state bounded") {
     import org.apache.spark.sql.functions._
     val topic = Files.createTempDirectory("graft-docs-topic").toString
-    val docs = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val docs = graft.core.Tables.table(spark, "/root/testdata/sf0.1", "documents")
       .select($"doc_id", $"text",
         lit("2026-01-01 00:00:00").cast("timestamp").as("event_ts"))
-    docs.write.mode("overwrite").parquet(topic)
+    // several files + a small per-trigger cap: the dedup must hold its
+    // fingerprint state ACROSS micro-batches, not within one
+    docs.repartition(6).write.mode("overwrite").parquet(topic)
 
     val stream = spark.readStream
       .schema("doc_id LONG, text STRING, event_ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "2")
       .parquet(topic)
     val q = EventStream.dedupDocumentsStream(stream, "text", "event_ts")
       .writeStream.format("memory").queryName("dedup_twin_out")
@@ -187,12 +202,20 @@ class EventStreamSpec extends SparkSpecBase {
     val expFps = batch.select($"fingerprint").as[String].collect().sorted.toSeq
     assert(gotFps.distinct.size == gotFps.size, "streaming emitted a duplicate fingerprint")
     assert(gotFps == expFps)
+    // state model: one row per distinct fingerprint inside the
+    // watermark — never per input row
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"expected multi-batch arrival, got $batches")
+    assert(maxStateRows(q) <= expFps.size,
+      s"state rows ${maxStateRows(q)} exceed distinct fingerprints ${expFps.size}")
+    info(s"sf0.1 dedup stream: ${expFps.size} fingerprints over $batches batches, " +
+      s"max state rows ${maxStateRows(q)}, max state mem ${stateMemBytes(q)} B")
   }
 
-  test("sessionized == batch lag+cumsum sessionization (q34 twin) on sf0.001 events") {
+  test("sessionized == batch lag+cumsum sessionization (q34 twin) at sf0.1, state bounded") {
     import org.apache.spark.sql.functions._
     val topic = Files.createTempDirectory("graft-events-topic").toString
-    val ev = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val ev = graft.core.Tables.table(spark, "/root/testdata/sf0.1", "events")
       .select($"user_id", $"ts")
     // sentinel straggler one day past the corpus: advances the watermark
     // past every real session's close so append mode flushes them all
@@ -227,6 +250,19 @@ class EventStreamSpec extends SparkSpecBase {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
 
     assert(got.nonEmpty && got == exp)
+    // state model: rows ≤ total sessions (+ the sentinel's open one),
+    // never raw events; after the sentinel's watermark flush the final
+    // snapshot must hold only still-open sessions
+    val totalSessions = exp.values.map(_._1).sum
+    assert(maxStateRows(q) <= totalSessions + 1,
+      s"state rows ${maxStateRows(q)} exceed total sessions $totalSessions")
+    val finalState = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).map(_.stateOperators.map(_.numRowsTotal).sum)
+    assert(finalState.exists(_ <= 5),
+      s"post-flush state not drained: $finalState rows")
+    info(s"sf0.1 sessionized stream: ${ev.count()} events → $totalSessions sessions, " +
+      s"max state rows ${maxStateRows(q)}, max state mem ${stateMemBytes(q)} B, " +
+      s"final snapshot ${finalState.getOrElse(-1L)} rows")
   }
 
   test("retryArbiter arms on failure, supersedes with newer run, fires on timeout") {
