@@ -1936,6 +1936,32 @@ object SparkEntry {
         .orderBy(col("column_name"))
     }),
 
+    // IVM algebraic moments: avg + population variance maintained
+    // under a mixed D/I CDC stream with NO rescan machinery — count,
+    // Σv and Σv² are all sums (Gupta & Mumick's algebraic class), so
+    // two delta merges reproduce the from-scratch stats bit-exactly;
+    // the variance is exact integer work, (n·Σv²−(Σv)²) DIV n² in
+    // DECIMAL(38,0) 10⁻⁶ quanta (no float accumulation anywhere).
+    "q146_ivm_moments" -> ((s, dir) => {
+      val A = graft.ops.IncrementalAgg
+      val ev = t(s, dir, "events").select(
+        col("event_type").as("g"),
+        floor(col("value") * 100.0).cast("long").as("v"),
+        col("event_id"))
+      val s0 = A.aggStateMoments(ev, Seq("g"), "v")
+      val d1 = ev.filter(col("event_id") % 7 === 0)
+        .select(col("g"), col("v"), lit("D").as("op"))
+      val s1 = A.mergeDeltaMoments(s0, d1, Seq("g"), "v", "op")
+      val rem = ev.filter(col("event_id") % 7 =!= 0)
+      val d2 = rem.filter(col("event_id") % 11 === 0)
+        .select(col("g"), (col("v") + 500L).as("v"), lit("I").as("op"))
+      val s2 = A.mergeDeltaMoments(s1, d2, Seq("g"), "v", "op")
+      A.momentStats(s2, Seq("g"))
+        .withColumn("avg_milli", col("avg_milli").cast("long"))
+        .withColumn("var_e6", col("var_e6").cast("long"))
+        .orderBy(col("g"))
+    }),
+
     // Multi-field Fellegi–Sunter linkage (r10 directive #4): every
     // 10th part becomes a dirty feed row — name char-deleted for
     // key%3==0, type char-deleted for key%3==1, brand wrong for
@@ -4306,6 +4332,24 @@ object SparkEntry {
     "q134_retrieval_eval" -> retrievalEvalOracleSql,
 
     "q145_profile_ndv_sketch" -> profileApproxOracleSql,
+
+    // From-scratch recompute of the moments over base − deletes +
+    // inserts; the same exact-integer mean/variance quanta in HUGEINT.
+    "q146_ivm_moments" ->
+      """WITH e AS (SELECT event_type AS g, CAST(FLOOR(value * 100.0) AS BIGINT) AS v,
+                           event_id
+                    FROM events),
+         fin AS (SELECT g, v FROM e WHERE event_id % 7 <> 0
+                 UNION ALL
+                 SELECT g, v + 500 AS v FROM e
+                 WHERE event_id % 7 <> 0 AND event_id % 11 = 0)
+         SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(COUNT(v) AS BIGINT) AS nval,
+                CAST(SUM(v) AS BIGINT) AS total,
+                CAST((1000 * CAST(SUM(v) AS HUGEINT)) // CAST(COUNT(v) AS HUGEINT) AS BIGINT) AS avg_milli,
+                CAST((1000000 * (CAST(COUNT(v) AS HUGEINT) * SUM(CAST(v AS HUGEINT) * v)
+                                 - CAST(SUM(v) AS HUGEINT) * CAST(SUM(v) AS HUGEINT)))
+                     // (CAST(COUNT(v) AS HUGEINT) * CAST(COUNT(v) AS HUGEINT)) AS BIGINT) AS var_e6
+         FROM fin GROUP BY g ORDER BY g""",
 
     // Mirrors linkRecordsMulti pass-for-pass: the same feed
     // perturbation, four blocking legs (name/type × prefix/suffix-3)

@@ -67,6 +67,73 @@ object IncrementalAgg {
       .filter(col("cnt") =!= 0L)
   }
 
+  // ---- algebraic moments (avg / variance) -----------------------------------
+
+  private val dec38 = "DECIMAL(38,0)"
+
+  /** Moments state: (group..., cnt, nval, total, totalsq) — row count,
+    * non-null value count, Σv, Σv² — ALL self-maintainable under
+    * inserts AND deletes (they are sums, Gupta & Mumick's algebraic
+    * class), so avg and variance stay incremental with no reserve or
+    * rescan machinery at all. Σv² rides DECIMAL(38,0): quantized
+    * values square into magnitudes a long cannot carry at warehouse
+    * row counts, and decimal overflow fails loudly instead of
+    * wrapping. */
+  def aggStateMoments(base: DataFrame, groupCols: Seq[String],
+                      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), count(v).as("nval"),
+        sum(v).as("total"),
+        sum((v.cast(dec38) * v).cast(dec38)).as("totalsq"))
+  }
+
+  /** Apply a CDC delta to a moments state — the [[mergeDelta]] kernel
+    * with the two extra sums. */
+  def mergeDeltaMoments(state: DataFrame, delta: DataFrame, groupCols: Seq[String],
+                        valueCol: String, opCol: String): DataFrame = {
+    val sign = when(col(opCol) === "I", 1L)
+      .when(col(opCol) === "D", -1L)
+      .otherwise(raise_error(concat(lit("unknown CDC op: "), col(opCol).cast("string")))
+        .cast("long"))
+    val v = col(valueCol).cast("long")
+    val d = delta
+      .withColumn("__sign", sign)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__sign")).as("__dcnt"),
+        sum(when(v.isNotNull, col("__sign")).otherwise(0L)).as("__dnval"),
+        sum(col("__sign") * v).as("__dtotal"),
+        sum((col("__sign").cast(dec38) * v.cast(dec38) * v).cast(dec38)).as("__dtotalsq"))
+    val cond = groupCols
+      .map(c => col(s"__ivm_s.$c") <=> col(s"__ivm_d.$c")).reduce(_ && _)
+    state.alias("__ivm_s").join(d.alias("__ivm_d"), cond, "full_outer")
+      .select(groupCols.map(c =>
+        coalesce(col(s"__ivm_s.$c"), col(s"__ivm_d.$c")).as(c)) ++ Seq(
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("__dcnt"), lit(0L))).as("cnt"),
+        (coalesce(col("nval"), lit(0L)) + coalesce(col("__dnval"), lit(0L))).as("nval"),
+        (coalesce(col("total"), lit(0L)) + coalesce(col("__dtotal"), lit(0L))).as("total"),
+        (coalesce(col("totalsq"), lit(0L).cast(dec38)) +
+          coalesce(col("__dtotalsq"), lit(0L).cast(dec38))).cast(dec38).as("totalsq")): _*)
+      .filter(col("cnt") =!= 0L)
+  }
+
+  /** The maintained algebraic view: (group..., cnt, nval, total,
+    * avg_milli, var_e6) — population mean in exact milli-quanta and
+    * population variance in exact 10⁻⁶ quanta, both by integer floor
+    * division over the maintained sums (n·Σv² − (Σv)²) / n², so the
+    * incremental view hash-matches a from-scratch recompute. Groups
+    * with no non-null value emit null stats. */
+  def momentStats(state: DataFrame, groupCols: Seq[String]): DataFrame =
+    state.select(groupCols.map(col) ++ Seq(
+      col("cnt"), col("nval"), col("total"),
+      when(col("nval") > 0,
+        expr(s"(1000 * CAST(total AS $dec38)) DIV CAST(nval AS $dec38)")).as("avg_milli"),
+      when(col("nval") > 0, expr(
+        s"""(1000000 * (CAST(nval AS $dec38) * totalsq
+            |- CAST(total AS $dec38) * CAST(total AS $dec38)))
+            |DIV (CAST(nval AS $dec38) * CAST(nval AS $dec38))""".stripMargin))
+        .as("var_e6")): _*)
+
   // ---- streaming maintenance -----------------------------------------------
 
   private[ops] def stateDir(root: String, id: Long) = f"$root/state_gen=$id%019d"

@@ -51,6 +51,44 @@ class IncrementalAggSpec extends SparkSpecBase {
     assert(got == Map(Option("a") -> ((2L, 3L)), None -> ((2L, 25L))))
   }
 
+  test("moments: two delta merges equal a from-scratch recompute, exact quanta") {
+    val b = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 5L)).toDF("g", "v")
+    val s0 = IncrementalAgg.aggStateMoments(b, Seq("g"), "v")
+    val d1 = Seq(("a", 30L, "D"), ("b", 7L, "I")).toDF("g", "v", "op")
+    val d2 = Seq(("a", 40L, "I"), ("a", 10L, "D"), ("a", 12L, "I")).toDF("g", "v", "op")
+    val s2 = IncrementalAgg.mergeDeltaMoments(
+      IncrementalAgg.mergeDeltaMoments(s0, d1, Seq("g"), "v", "op"),
+      d2, Seq("g"), "v", "op")
+    val got = IncrementalAgg.momentStats(s2, Seq("g")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+    // a: {20, 40, 12} — mean 24, deviations (-4, 16, -12) →
+    // var = (16+256+144)/3 = 138.666…, floor-quantized to 1e-6
+    assert(got("a") == ((3L, 3L, 72L, 24000L, 138666666L)))
+    // b: {5, 7} -> avg 6, var = 1
+    assert(got("b") == ((2L, 2L, 12L, 6000L, 1000000L)))
+    // from-scratch equality on the same final multiset
+    val fin = Seq(("a", 20L), ("a", 40L), ("a", 12L), ("b", 5L), ("b", 7L)).toDF("g", "v")
+    val scratch = IncrementalAgg.momentStats(
+      IncrementalAgg.aggStateMoments(fin, Seq("g"), "v"), Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+    assert(got == scratch)
+  }
+
+  test("moments: null values count rows but not stats; all-null group has null stats") {
+    val b = Seq((Some("a"), Option(4L)), (Some("a"), None), (Some("c"), None))
+      .toDF("g", "v")
+    val s = IncrementalAgg.momentStats(
+      IncrementalAgg.aggStateMoments(b, Seq("g"), "v"), Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.isNullAt(4), r.isNullAt(5))).toMap
+    assert(s("a") == ((2L, 1L, false, false)))
+    assert(s("c") == ((1L, 0L, true, true)))
+  }
+
   test("streaming maintenance: per-batch IVM equals batch recompute; replay idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
