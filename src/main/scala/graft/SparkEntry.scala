@@ -1963,7 +1963,7 @@ object SparkEntry {
     }),
 
     // Multi-field Fellegi–Sunter linkage (r10 directive #4): every
-    // 10th part becomes a dirty feed row — name char-deleted for
+    // 20th part becomes a dirty feed row — name char-deleted for
     // key%3==0, type char-deleted for key%3==1, brand wrong for
     // key%5==0 — linked back by weighted integer milli-score agreement
     // (name 2000/−1500 lev≤2, type 1500/−1200 lev≤2, brand 400/−300
@@ -1981,7 +1981,7 @@ object SparkEntry {
         substring(c, lit(1), (k % length(c)).cast("int")),
         c.substr((k % length(c)).cast("int") + 2, length(c)))
       val key = col("p_partkey")
-      val feed = part.filter(key % 10 === 0).select(
+      val feed = part.filter(key % 20 === 0).select(
         (key + 9000000L).as("feed_id"),
         when(key % 3 === 0, delCh(col("p_name"), key))
           .otherwise(col("p_name")).as("name"),
@@ -4352,10 +4352,12 @@ object SparkEntry {
          FROM fin GROUP BY g ORDER BY g""",
 
     // Mirrors linkRecordsMulti pass-for-pass: the same feed
-    // perturbation, four blocking legs (name/type × prefix/suffix-3)
-    // each with the 3000-row master-side block cap, per-field CASE
-    // milli-scores, threshold, QUALIFY argmax with (score desc, mid)
-    // tie order.
+    // perturbation, ALL EIGHT blocking legs — name/type ×
+    // prefix/suffix-3 plus the short-value (< 2·blockChars)
+    // first/last-char legs (empty on this fixture's ≥6-char fields,
+    // but verified empty, the q142 discipline) — each with the
+    // 3000-row master-side block cap, per-field CASE milli-scores,
+    // threshold, QUALIFY argmax with (score desc, mid) tie order.
     "q144_fs_linkage" ->
       """WITH mst AS (SELECT p_partkey AS mid, p_name AS m0, p_type AS m1,
                              p_brand AS m2 FROM part),
@@ -4371,11 +4373,15 @@ object SparkEntry {
                          CASE WHEN p_partkey % 5 = 0 THEN
                            CASE WHEN p_brand = 'Brand#11' THEN 'Brand#12' ELSE 'Brand#11' END
                          ELSE p_brand END AS f2
-                  FROM part WHERE p_partkey % 10 = 0),
+                  FROM part WHERE p_partkey % 20 = 0),
          k0p AS (SELECT substr(m0, 1, 3) AS k FROM mst GROUP BY 1 HAVING COUNT(*) <= 3000),
          k0s AS (SELECT right(m0, 3) AS k FROM mst GROUP BY 1 HAVING COUNT(*) <= 3000),
          k1p AS (SELECT substr(m1, 1, 3) AS k FROM mst GROUP BY 1 HAVING COUNT(*) <= 3000),
          k1s AS (SELECT right(m1, 3) AS k FROM mst GROUP BY 1 HAVING COUNT(*) <= 3000),
+         k0p1 AS (SELECT substr(m0, 1, 1) AS k FROM mst WHERE length(m0) < 6 GROUP BY 1 HAVING COUNT(*) <= 3000),
+         k0s1 AS (SELECT right(m0, 1) AS k FROM mst WHERE length(m0) < 6 GROUP BY 1 HAVING COUNT(*) <= 3000),
+         k1p1 AS (SELECT substr(m1, 1, 1) AS k FROM mst WHERE length(m1) < 6 GROUP BY 1 HAVING COUNT(*) <= 3000),
+         k1s1 AS (SELECT right(m1, 1) AS k FROM mst WHERE length(m1) < 6 GROUP BY 1 HAVING COUNT(*) <= 3000),
          cand AS (
            SELECT f.fid, f.f0, f.f1, f.f2, m.mid, m.m0, m.m1, m.m2
            FROM feed f JOIN mst m ON substr(f.f0, 1, 3) = substr(m.m0, 1, 3)
@@ -4391,7 +4397,27 @@ object SparkEntry {
            UNION
            SELECT f.fid, f.f0, f.f1, f.f2, m.mid, m.m0, m.m1, m.m2
            FROM feed f JOIN mst m ON right(f.f1, 3) = right(m.m1, 3)
-           JOIN k1s ON k1s.k = right(m.m1, 3)),
+           JOIN k1s ON k1s.k = right(m.m1, 3)
+           UNION
+           SELECT f.fid, f.f0, f.f1, f.f2, m.mid, m.m0, m.m1, m.m2
+           FROM feed f JOIN mst m ON substr(f.f0, 1, 1) = substr(m.m0, 1, 1)
+           JOIN k0p1 ON k0p1.k = substr(m.m0, 1, 1)
+           WHERE length(f.f0) < 6 AND length(m.m0) < 6
+           UNION
+           SELECT f.fid, f.f0, f.f1, f.f2, m.mid, m.m0, m.m1, m.m2
+           FROM feed f JOIN mst m ON right(f.f0, 1) = right(m.m0, 1)
+           JOIN k0s1 ON k0s1.k = right(m.m0, 1)
+           WHERE length(f.f0) < 6 AND length(m.m0) < 6
+           UNION
+           SELECT f.fid, f.f0, f.f1, f.f2, m.mid, m.m0, m.m1, m.m2
+           FROM feed f JOIN mst m ON substr(f.f1, 1, 1) = substr(m.m1, 1, 1)
+           JOIN k1p1 ON k1p1.k = substr(m.m1, 1, 1)
+           WHERE length(f.f1) < 6 AND length(m.m1) < 6
+           UNION
+           SELECT f.fid, f.f0, f.f1, f.f2, m.mid, m.m0, m.m1, m.m2
+           FROM feed f JOIN mst m ON right(f.f1, 1) = right(m.m1, 1)
+           JOIN k1s1 ON k1s1.k = right(m.m1, 1)
+           WHERE length(f.f1) < 6 AND length(m.m1) < 6),
          scored AS (SELECT fid, mid,
                       (CASE WHEN f0 IS NULL OR m0 IS NULL THEN 0
                             WHEN levenshtein(f0, m0) <= 2 THEN 2000 ELSE -1500 END

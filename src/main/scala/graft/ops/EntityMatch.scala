@@ -33,6 +33,17 @@ object EntityMatch {
       agreeMilli: Long, disagreeMilli: Long, maxDist: Int = 0,
       block: Boolean = true, blockChars: Int = 3)
 
+  /** The df-cap discipline (jaccardPairs / BasketEdges) shared by both
+    * linkage forms: a `__k` key held by more than `maxBlockRows`
+    * master rows generates a quadratic candidate blow-up at a hot
+    * block — drop the key; recall falls back to the other passes. */
+  private def capBlocks(keyed: DataFrame, maxBlockRows: Int): DataFrame =
+    if (maxBlockRows == Int.MaxValue) keyed
+    else keyed.join(
+      keyed.groupBy(col("__k")).agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBlockRows).select(col("__k")),
+      "__k")
+
   /** Best master match per feed record within `maxDist` edits:
     * (feedId, masterId, dist). Feed records with no candidate within
     * the threshold are absent (callers left-join if they need the
@@ -58,23 +69,11 @@ object EntityMatch {
     val m = master.select(col(masterId).as("__mid"), col(masterName).as("__mname"))
       .filter(col("__mid").isNotNull && col("__mname").isNotNull)
     val short = (c: org.apache.spark.sql.Column) => length(c) < 2 * blockChars
-    // the df-cap discipline (jaccardPairs / BasketEdges): a key shared
-    // by more than maxBlockRows master rows generates a quadratic
-    // candidate blow-up at a hot block — drop the key (recall falls
-    // back to the other passes), as a real-vocabulary master only hits
-    // this on degenerate keys. The gate leaves the cap off (fixture
-    // blocks are small); callers set it at production scale.
     def blocked(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                 onlyShort: Boolean) = {
       val fs = if (onlyShort) f.filter(short(col("__fname"))) else f
       val ms0 = if (onlyShort) m.filter(short(col("__mname"))) else m
-      val msk = ms0.withColumn("__k", key(col("__mname")))
-      val ms =
-        if (maxBlockRows == Int.MaxValue) msk
-        else msk.join(
-          msk.groupBy(col("__k")).agg(count(lit(1)).as("__bn"))
-            .filter(col("__bn") <= maxBlockRows).select(col("__k")),
-          "__k")
+      val ms = capBlocks(ms0.withColumn("__k", key(col("__mname"))), maxBlockRows)
       fs.withColumn("__k", key(col("__fname")))
         .join(ms, "__k")
         .select(col("__fid"), col("__fname"), col("__mid"), col("__mname"))
@@ -136,20 +135,29 @@ object EntityMatch {
     val m = master.select(col(masterId).as("__mid") +:
         fi.map { case (fl, i) => col(fl.masterCol).as(s"__m$i") }: _*)
       .filter(col("__mid").isNotNull)
-    def pass(i: Int, key: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
-      val fk = f.filter(col(s"__f$i").isNotNull).withColumn("__k", key(col(s"__f$i")))
-      val mk0 = m.filter(col(s"__m$i").isNotNull).withColumn("__k", key(col(s"__m$i")))
-      val mk =
-        if (maxBlockRows == Int.MaxValue) mk0
-        else mk0.join(
-          mk0.groupBy(col("__k")).agg(count(lit(1)).as("__bn"))
-            .filter(col("__bn") <= maxBlockRows).select(col("__k")),
-          "__k")
+    def pass(i: Int, key: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+             onlyShort: Boolean, blockChars: Int) = {
+      val short = (c: org.apache.spark.sql.Column) => length(c) < 2 * blockChars
+      val fs = if (onlyShort) f.filter(short(col(s"__f$i"))) else f
+      val ms0 = if (onlyShort) m.filter(short(col(s"__m$i"))) else m
+      val fk = fs.filter(col(s"__f$i").isNotNull).withColumn("__k", key(col(s"__f$i")))
+      val mk = capBlocks(
+        ms0.filter(col(s"__m$i").isNotNull).withColumn("__k", key(col(s"__m$i"))),
+        maxBlockRows)
       fk.join(mk, "__k").drop("__k")
     }
+    // same recall contract per field as linkRecords: prefix+suffix
+    // passes for values of at least 2·blockChars (the keys can't
+    // overlap, so one corruption leaves one intact), first/last-CHAR
+    // passes for SHORTER values, where prefix and suffix overlap and a
+    // single interior edit can shift both multi-char keys at once
     val cands = fi.filter(_._1.block).flatMap { case (fl, i) =>
-      Seq(pass(i, substring(_, 1, fl.blockChars)),
-        pass(i, c => substring(c, -fl.blockChars, fl.blockChars)))
+      Seq(
+        pass(i, substring(_, 1, fl.blockChars), onlyShort = false, fl.blockChars),
+        pass(i, c => substring(c, -fl.blockChars, fl.blockChars),
+          onlyShort = false, fl.blockChars),
+        pass(i, substring(_, 1, 1), onlyShort = true, fl.blockChars),
+        pass(i, c => substring(c, -1, 1), onlyShort = true, fl.blockChars))
     }.reduce(_ unionByName _).distinct()
     val score = fi.map { case (fl, i) =>
       when(col(s"__f$i").isNull || col(s"__m$i").isNull, 0L)

@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   * ≡ aggregate(base − deletes + inserts), bit-exactly — totals ride
   * DECIMAL(38,0)-exact long arithmetic, groups whose count reaches 0
   * leave the state (so repeated maintenance never accretes dead
-  * groups).
+  * groups). One documented deviation: a group whose values are ALL
+  * null carries total = 0 after a merge where SQL SUM says NULL — the
+  * plain (cnt, total) state cannot tell "sums to zero" from "no
+  * values". Callers needing SUM-null fidelity use the moments state,
+  * whose `nval` disambiguates ([[momentStats]] nulls such totals).
   *
   * Scale shape: state is aggregate-sized (groups, not rows); the delta
   * agg is map-side combined; the merge joins aggregate-sized frames on
@@ -122,10 +126,14 @@ object IncrementalAgg {
     * population variance in exact 10⁻⁶ quanta, both by integer floor
     * division over the maintained sums (n·Σv² − (Σv)²) / n², so the
     * incremental view hash-matches a from-scratch recompute. Groups
-    * with no non-null value emit null stats. */
+    * with no non-null value emit null total and null stats (SQL SUM
+    * semantics — the merge arithmetic carries 0 internally for such
+    * groups; nval is exactly the signal that distinguishes "sums to
+    * zero" from "no values", which the plain count/sum state cannot). */
   def momentStats(state: DataFrame, groupCols: Seq[String]): DataFrame =
     state.select(groupCols.map(col) ++ Seq(
-      col("cnt"), col("nval"), col("total"),
+      col("cnt"), col("nval"),
+      when(col("nval") > 0, col("total")).as("total"),
       when(col("nval") > 0,
         expr(s"(1000 * CAST(total AS $dec38)) DIV CAST(nval AS $dec38)")).as("avg_milli"),
       when(col("nval") > 0, expr(

@@ -91,10 +91,16 @@ object IncrementalMinMax {
   }
 
   /** The maintained aggregate: (group..., cnt, total, min_val,
-    * max_val) — min/max null when every value in the group is null. */
+    * max_val) — total/min/max null when every value in the group is
+    * null (SQL SUM/MIN/MAX semantics; the merge arithmetic carries a
+    * 0 total internally for such groups — an empty untruncated lo
+    * reserve is the exact no-non-null-value condition by the reserve
+    * invariant, so the view nulls it back out and hash-matches a
+    * from-scratch recompute). */
   def currentAgg(state: DataFrame, groupCols: Seq[String]): DataFrame =
     state.select(groupCols.map(col) ++ Seq(
-      col("cnt"), col("total"),
+      col("cnt"),
+      when(size(col("lo")) > 0, col("total")).as("total"),
       when(size(col("lo")) > 0, element_at(col("lo"), 1).getField("v")).as("min_val"),
       when(size(col("hi")) > 0, element_at(col("hi"), 1).getField("v")).as("max_val")): _*)
 
@@ -182,8 +188,7 @@ object IncrementalMinMax {
         coalesce(col(s"__mm_s.$c"), col(s"__mm_d.$c")).as(c)) ++ Seq(
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("__dcnt"), lit(0L))).as("cnt"),
         (coalesce(col("total"), lit(0L)) + coalesce(col("__dtotal"), lit(0L))).as("total"),
-        col("lo_trunc").as("__was_lo_trunc"), col("hi_trunc").as("__was_hi_trunc"),
-        col("__mm_s.cnt").isNotNull.as("__had_state")): _*)
+        col("lo_trunc").as("__was_lo_trunc"), col("hi_trunc").as("__was_hi_trunc")): _*)
       .filter(col("cnt") =!= 0L)
     val rCond = groupCols.map(c => col(s"__mm_g.$c") <=> col(s"__mm_n.$c")).reduce(_ && _)
     val stitched = groupLevel.alias("__mm_g").join(newRes.alias("__mm_n"), rCond, "left_outer")

@@ -44,12 +44,23 @@ object GraphSf1Probe {
           (col("l_partkey") + i * stride).as("l_partkey"))
       }.reduce(_ unionByName _).localCheckpoint(true)
 
+    // the listener bus is asynchronous: stage-completed events can
+    // still be queued when the action returns, which would leak one
+    // operator's tail stages into the next measurement — poll until
+    // the counter stops moving before reading it
+    def settledStages(): Int = {
+      var prev = -1
+      var cur = stages.get()
+      while (cur != prev) { Thread.sleep(300); prev = cur; cur = stages.get() }
+      cur
+    }
+
     def measure(name: String, k: Int)(f: => Long): Unit = {
-      val s0 = stages.get()
+      val s0 = settledStages()
       val t0 = System.nanoTime()
       val n = f
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[graph-sf1] k=$k%-3d $name%-10s ${sec}%8.2fs rows=$n%-9d stages=${stages.get() - s0}")
+      println(f"[graph-sf1] k=$k%-3d $name%-10s ${sec}%8.2fs rows=$n%-9d stages=${settledStages() - s0}")
     }
 
     for (k <- Seq(1, 10)) {

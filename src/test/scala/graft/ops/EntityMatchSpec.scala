@@ -136,6 +136,21 @@ class EntityMatchSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((20L, 4L, 3900L)))
   }
 
+  test("FS: short field values (< 2·blockChars) block by first/last char") {
+    // 'abcde' → 'abde' (one interior deletion): prefix-3 'abd'≠'abc'
+    // AND suffix-3 'bde'≠'cde' both shift, so without the short legs
+    // the true match would never be a candidate — the linkRecords
+    // short-name contract, now mirrored field-by-field
+    val m = Seq((1L, "abcde", "x"), (2L, "zzzzz", "x")).toDF("mid", "m_name", "m_seg")
+    val feed = Seq((30L, "abde", "x")).toDF("fid", "name", "seg")
+    val out = EntityMatch.linkRecordsMulti(feed, "fid", m, "mid", Seq(
+        F("name", "m_name", 2000L, -1500L, maxDist = 2),
+        F("seg", "m_seg", 400L, -300L, maxDist = 0, block = false)),
+        minScoreMilli = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((30L, 1L, 2400L)))
+  }
+
   test("FS is deterministic under partitioning") {
     val feed = Seq((10L, "acme corporaton", "springfield", "bulk"),
       (11L, "zenith logistics", "springfeld", "bulk"))

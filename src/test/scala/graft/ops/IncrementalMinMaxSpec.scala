@@ -9,7 +9,8 @@ class IncrementalMinMaxSpec extends SparkSpecBase {
   private def agg(state: org.apache.spark.sql.DataFrame) =
     IncrementalMinMax.currentAgg(state, Seq("g")).collect()
       .map(r => Option(r.get(0)).map(_.toString).orNull ->
-        (r.getLong(1), r.getLong(2),
+        (r.getLong(1),
+          if (r.isNullAt(2)) null else Long.box(r.getLong(2)),
           if (r.isNullAt(3)) null else Long.box(r.getLong(3)),
           if (r.isNullAt(4)) null else Long.box(r.getLong(4)))).toMap
 
@@ -18,15 +19,15 @@ class IncrementalMinMaxSpec extends SparkSpecBase {
       .toDF("g", "v")
     val s0 = IncrementalMinMax.aggState(base, Seq("g"), "v", k = 2)
     assert(agg(s0) == Map(
-      "a" -> ((4L, 14L, Long.box(1L), Long.box(9L))),
-      "b" -> ((1L, 5L, Long.box(5L), Long.box(5L)))))
+      "a" -> ((4L, Long.box(14L), Long.box(1L), Long.box(9L))),
+      "b" -> ((1L, Long.box(5L), Long.box(5L), Long.box(5L)))))
     // delete one of the duplicated 2s (min unchanged), delete the 9
     // (max falls back to the in-reserve 2), insert 7 into b (new max)
     val d = Seq(("a", 2L, "D"), ("a", 9L, "D"), ("b", 7L, "I")).toDF("g", "v", "op")
     val s1 = IncrementalMinMax.mergeDelta(s0, d, Seq("g"), "v", "op", k = 2)
     assert(agg(s1) == Map(
-      "a" -> ((2L, 3L, Long.box(1L), Long.box(2L))),
-      "b" -> ((2L, 12L, Long.box(5L), Long.box(7L)))))
+      "a" -> ((2L, Long.box(3L), Long.box(1L), Long.box(2L))),
+      "b" -> ((2L, Long.box(12L), Long.box(5L), Long.box(7L)))))
   }
 
   test("thresholds: out-of-reserve values are irrelevant until they must matter") {
@@ -38,11 +39,11 @@ class IncrementalMinMaxSpec extends SparkSpecBase {
     // reserve; min/max stay exact
     val s1 = IncrementalMinMax.mergeDelta(s0,
       Seq(("a", 4L, "I")).toDF("g", "v", "op"), Seq("g"), "v", "op", k = 1)
-    assert(agg(s1)("a") == ((4L, 19L, Long.box(1L), Long.box(9L))))
+    assert(agg(s1)("a") == ((4L, Long.box(19L), Long.box(1L), Long.box(9L))))
     // inserting 0 (below the lo threshold) must enter and become min
     val s2 = IncrementalMinMax.mergeDelta(s1,
       Seq(("a", 0L, "I")).toDF("g", "v", "op"), Seq("g"), "v", "op", k = 1)
-    assert(agg(s2)("a") == ((5L, 19L, Long.box(0L), Long.box(9L))))
+    assert(agg(s2)("a") == ((5L, Long.box(19L), Long.box(0L), Long.box(9L))))
   }
 
   test("eviction rebuilds only from currentBase; without it the batch fails loudly") {
@@ -53,8 +54,8 @@ class IncrementalMinMaxSpec extends SparkSpecBase {
     val s1 = IncrementalMinMax.mergeDelta(s0, d, Seq("g"), "v", "op", k = 1,
       currentBase = Some(after))
     assert(agg(s1) == Map(
-      "a" -> ((2L, 6L, Long.box(1L), Long.box(5L))),
-      "b" -> ((1L, 3L, Long.box(3L), Long.box(3L)))))
+      "a" -> ((2L, Long.box(6L), Long.box(1L), Long.box(5L))),
+      "b" -> ((1L, Long.box(3L), Long.box(3L), Long.box(3L)))))
     val e = intercept[Exception] {
       IncrementalMinMax.mergeDelta(s0, d, Seq("g"), "v", "op", k = 1).collect()
     }
@@ -76,17 +77,18 @@ class IncrementalMinMaxSpec extends SparkSpecBase {
       (None, Option(8L)), (None, Option(6L))).toDF("g", "v")
     val s0 = IncrementalMinMax.aggState(base, Seq("g"), "v", k = 2)
     assert(agg(s0) == Map(
-      "a" -> ((2L, 3L, Long.box(3L), Long.box(3L))),
-      (null: String) -> ((2L, 14L, Long.box(6L), Long.box(8L)))))
+      "a" -> ((2L, Long.box(3L), Long.box(3L), Long.box(3L))),
+      (null: String) -> ((2L, Long.box(14L), Long.box(6L), Long.box(8L)))))
     // delta against the NULL group must merge into it, not duplicate it
     val d = Seq((Option.empty[String], Option(4L), "I")).toDF("g", "v", "op")
     val s1 = IncrementalMinMax.mergeDelta(s0, d, Seq("g"), "v", "op", k = 2)
-    assert(agg(s1)((null: String)) == ((3L, 18L, Long.box(4L), Long.box(8L))))
+    assert(agg(s1)((null: String)) == ((3L, Long.box(18L), Long.box(4L), Long.box(8L))))
     // deleting a group's only non-null value leaves a null-only group:
-    // cnt survives, min/max go null
+    // cnt survives, total/min/max go null (SQL SUM/MIN/MAX semantics —
+    // the view nulls the internal 0 back out via the empty-lo signal)
     val d2 = Seq((Option("a"), Option(3L), "D")).toDF("g", "v", "op")
     val s2 = IncrementalMinMax.mergeDelta(s1, d2, Seq("g"), "v", "op", k = 2)
-    assert(agg(s2)("a") == ((1L, 0L, null, null)))
+    assert(agg(s2)("a") == ((1L, null, null, null)))
   }
 
   test("an update is its D+I pair; incremental equals recompute over a mixed run") {
@@ -110,7 +112,8 @@ class IncrementalMinMaxSpec extends SparkSpecBase {
       count(lit(1)).as("cnt"), sum($"v").as("total"),
       min($"v").as("min_val"), max($"v").as("max_val"))
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), Long.box(r.getLong(3)), Long.box(r.getLong(4)))).toMap
+        (r.getLong(1), Long.box(r.getLong(2)), Long.box(r.getLong(3)),
+          Long.box(r.getLong(4)))).toMap
     assert(agg(state) == expect)
   }
 
@@ -129,9 +132,9 @@ class IncrementalMinMaxSpec extends SparkSpecBase {
       q.processAllAvailable()
       val got = agg(IncrementalMinMax.readState(spark, root))
       assert(got == Map(
-        "a" -> ((2L, 30L, Long.box(10L), Long.box(20L))),
-        "b" -> ((2L, 7L, Long.box(2L), Long.box(5L))),
-        "c" -> ((1L, 7L, Long.box(7L), Long.box(7L)))))
+        "a" -> ((2L, Long.box(30L), Long.box(10L), Long.box(20L))),
+        "b" -> ((2L, Long.box(7L), Long.box(2L), Long.box(5L))),
+        "c" -> ((1L, Long.box(7L), Long.box(7L), Long.box(7L)))))
       // re-delivery of the last batch id reads the same prior
       // generation and overwrites the same directory — idempotent
       val replay = Seq(("a", 30L, "D"), ("b", 2L, "I"), ("c", 7L, "I"))
