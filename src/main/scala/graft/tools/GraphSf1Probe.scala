@@ -46,12 +46,19 @@ object GraphSf1Probe {
 
     // the listener bus is asynchronous: stage-completed events can
     // still be queued when the action returns, which would leak one
-    // operator's tail stages into the next measurement — poll until
-    // the counter stops moving before reading it
+    // operator's tail stages into the next measurement — require the
+    // counter to hold still across THREE consecutive 300 ms windows
+    // (a single quiet window can be a bus stall / GC pause mid-drain,
+    // not a drained queue)
     def settledStages(): Int = {
       var prev = -1
+      var stable = 0
       var cur = stages.get()
-      while (cur != prev) { Thread.sleep(300); prev = cur; cur = stages.get() }
+      while (stable < 3) {
+        Thread.sleep(300)
+        prev = cur; cur = stages.get()
+        stable = if (cur == prev) stable + 1 else 0
+      }
       cur
     }
 
