@@ -40,29 +40,36 @@ object IncrementalAgg {
     base.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"), sum(col(valueCol).cast("long")).as("total"))
 
+  /** 'I'/'D' → ±1, failing closed on an unknown op — silently skipping
+    * a malformed CDC row would corrupt the state forever. The sign
+    * kernel shared by every IVM merge ([[mergeDelta]],
+    * [[mergeDeltaMoments]], [[IncrementalMinMax.mergeDelta]]). */
+  private[ops] def cdcSign(opCol: String): Column =
+    when(col(opCol) === "I", 1L)
+      .when(col(opCol) === "D", -1L)
+      .otherwise(raise_error(concat(lit("unknown CDC op: "), col(opCol).cast("string")))
+        .cast("long"))
+
+  /** Null-safe (<=>) equi-condition between two aliased frames over
+    * the group key. NULL group keys are one SQL GROUP BY group, so
+    * every IVM merge join must be null-safe — a plain equi-join would
+    * keep a NULL state row and a NULL delta row apart and accrete
+    * duplicates. Explicit aliases because state and delta routinely
+    * share lineage (both derived from the same table), which an
+    * unqualified condition trips as an ambiguous self-join. */
+  private[ops] def keyCond(left: String, right: String, cols: Seq[String]): Column =
+    cols.map(c => col(s"$left.$c") <=> col(s"$right.$c")).reduce(_ && _)
+
   /** Apply a CDC delta: `opCol` is 'I' (insert) or 'D' (delete); an
     * update arrives as its D+I pair. Returns the refreshed state. */
   def mergeDelta(state: DataFrame, delta: DataFrame, groupCols: Seq[String],
                  valueCol: String, opCol: String): DataFrame = {
-    // fail closed on an unknown op — silently skipping a malformed CDC
-    // row would corrupt the state forever
-    val sign = when(col(opCol) === "I", 1L)
-      .when(col(opCol) === "D", -1L)
-      .otherwise(raise_error(concat(lit("unknown CDC op: "), col(opCol).cast("string")))
-        .cast("long"))
     val d = delta
-      .withColumn("__sign", sign)
+      .withColumn("__sign", cdcSign(opCol))
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("__sign")).as("__dcnt"),
         sum(col("__sign") * col(valueCol).cast("long")).as("__dtotal"))
-    // NULL group keys are one SQL GROUP BY group, so the merge join
-    // must be null-safe (<=>) — a plain equi-join would keep a NULL
-    // state row and a NULL delta row apart and accrete duplicates.
-    // Explicit aliases: state and delta routinely share lineage (both
-    // derived from the same table), which an unqualified condition
-    // trips as an ambiguous self-join.
-    val cond = groupCols
-      .map(c => col(s"__ivm_s.$c") <=> col(s"__ivm_d.$c")).reduce(_ && _)
+    val cond = keyCond("__ivm_s", "__ivm_d", groupCols)
     state.alias("__ivm_s").join(d.alias("__ivm_d"), cond, "full_outer")
       .select(groupCols.map(c =>
         coalesce(col(s"__ivm_s.$c"), col(s"__ivm_d.$c")).as(c)) ++ Seq(
@@ -96,20 +103,15 @@ object IncrementalAgg {
     * with the two extra sums. */
   def mergeDeltaMoments(state: DataFrame, delta: DataFrame, groupCols: Seq[String],
                         valueCol: String, opCol: String): DataFrame = {
-    val sign = when(col(opCol) === "I", 1L)
-      .when(col(opCol) === "D", -1L)
-      .otherwise(raise_error(concat(lit("unknown CDC op: "), col(opCol).cast("string")))
-        .cast("long"))
     val v = col(valueCol).cast("long")
     val d = delta
-      .withColumn("__sign", sign)
+      .withColumn("__sign", cdcSign(opCol))
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("__sign")).as("__dcnt"),
         sum(when(v.isNotNull, col("__sign")).otherwise(0L)).as("__dnval"),
         sum(col("__sign") * v).as("__dtotal"),
         sum((col("__sign").cast(dec38) * v.cast(dec38) * v).cast(dec38)).as("__dtotalsq"))
-    val cond = groupCols
-      .map(c => col(s"__ivm_s.$c") <=> col(s"__ivm_d.$c")).reduce(_ && _)
+    val cond = keyCond("__ivm_s", "__ivm_d", groupCols)
     state.alias("__ivm_s").join(d.alias("__ivm_d"), cond, "full_outer")
       .select(groupCols.map(c =>
         coalesce(col(s"__ivm_s.$c"), col(s"__ivm_d.$c")).as(c)) ++ Seq(
@@ -187,7 +189,18 @@ object IncrementalAgg {
     * newest batch can be re-delivered) and are swept, so retention is
     * two generations, not O(batches). */
   def applyBatch(batch: DataFrame, batchId: Long, groupCols: Seq[String],
-                 valueCol: String, opCol: String, stateRoot: String): Unit = {
+                 valueCol: String, opCol: String, stateRoot: String): Unit =
+    landBatch(batch, batchId, stateRoot, emptyState(batch, groupCols),
+      prior => mergeDelta(prior, batch, groupCols, valueCol, opCol))
+
+  /** The generation-landing kernel shared by every streaming IVM shape
+    * ([[applyBatch]], [[IncrementalMinMax.applyBatch]]): read the
+    * newest COMMITTED generation strictly older than `batchId` (or the
+    * caller's empty state), apply `merge`, (over)write generation
+    * `batchId`, sweep generations older than the one read. */
+  private[ops] def landBatch(batch: DataFrame, batchId: Long, stateRoot: String,
+                             empty: => DataFrame,
+                             merge: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
     val ids = genIds(spark, stateRoot)
     require(ids.forall(_ <= batchId),
@@ -198,9 +211,8 @@ object IncrementalAgg {
     val priorId = ids.filter(_ < batchId).lastOption
     val prior = priorId
       .map(id => spark.read.parquet(stateDir(stateRoot, id)))
-      .getOrElse(emptyState(batch, groupCols))
-    mergeDelta(prior, batch, groupCols, valueCol, opCol)
-      .write.mode("overwrite").parquet(stateDir(stateRoot, batchId))
+      .getOrElse(empty)
+    merge(prior).write.mode("overwrite").parquet(stateDir(stateRoot, batchId))
     // replay can only re-deliver THIS batch, which reads priorId —
     // everything older is dead weight
     val fs = fsOf(spark, stateRoot)

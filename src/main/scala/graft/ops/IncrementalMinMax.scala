@@ -79,8 +79,7 @@ object IncrementalMinMax {
     * groups whose values are all null get empty untruncated reserves. */
   private def joinReserves(ct: DataFrame, res: DataFrame,
                            groupCols: Seq[String]): DataFrame = {
-    val cond = groupCols
-      .map(c => col(s"__mm_c.$c") <=> col(s"__mm_r.$c")).reduce(_ && _)
+    val cond = IncrementalAgg.keyCond("__mm_c", "__mm_r", groupCols)
     ct.alias("__mm_c").join(res.alias("__mm_r"), cond, "left_outer")
       .select(groupCols.map(c => col(s"__mm_c.$c").as(c)) ++ Seq(
         col("cnt"), col("total"),
@@ -122,11 +121,7 @@ object IncrementalMinMax {
                  currentBase: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"reserve size k must be >= 1, got $k")
     val grp = groupCols.map(col)
-    val sign = when(col(opCol) === "I", 1L)
-      .when(col(opCol) === "D", -1L)
-      .otherwise(raise_error(concat(lit("unknown CDC op: "), col(opCol).cast("string")))
-        .cast("long"))
-    val d = delta.withColumn("__sign", sign)
+    val d = delta.withColumn("__sign", IncrementalAgg.cdcSign(opCol))
     // group-level self-maintainable parts (the IncrementalAgg kernel)
     val dAgg = d.groupBy(grp: _*)
       .agg(sum(col("__sign")).as("__dcnt"),
@@ -140,7 +135,7 @@ object IncrementalMinMax {
     val thr = state.select(grp ++ Seq(
       when(col("lo_trunc"), element_at(col("lo"), size(col("lo"))).getField("v")).as("__lo_thr"),
       when(col("hi_trunc"), element_at(col("hi"), size(col("hi"))).getField("v")).as("__hi_thr")): _*)
-    val thrCond = groupCols.map(c => col(s"__mm_v.$c") <=> col(s"__mm_t.$c")).reduce(_ && _)
+    val thrCond = IncrementalAgg.keyCond("__mm_v", "__mm_t", groupCols)
     val dWithThr = dVal.alias("__mm_v").join(thr.alias("__mm_t"), thrCond, "left_outer")
       .select(groupCols.map(c => col(s"__mm_v.$c").as(c)) ++ Seq(
         col("__v"), col("__dc"), col("__lo_thr"), col("__hi_thr")): _*)
@@ -182,7 +177,7 @@ object IncrementalMinMax {
         max(when(col("__side") === 1, col("__r")).otherwise(0)).as("__nhi"))
     // stitch group-level parts: state ⟗ delta-agg (groups may appear
     // in either), then the merged reserves
-    val gCond = groupCols.map(c => col(s"__mm_s.$c") <=> col(s"__mm_d.$c")).reduce(_ && _)
+    val gCond = IncrementalAgg.keyCond("__mm_s", "__mm_d", groupCols)
     val groupLevel = state.alias("__mm_s").join(dAgg.alias("__mm_d"), gCond, "full_outer")
       .select(groupCols.map(c =>
         coalesce(col(s"__mm_s.$c"), col(s"__mm_d.$c")).as(c)) ++ Seq(
@@ -190,7 +185,7 @@ object IncrementalMinMax {
         (coalesce(col("total"), lit(0L)) + coalesce(col("__dtotal"), lit(0L))).as("total"),
         col("lo_trunc").as("__was_lo_trunc"), col("hi_trunc").as("__was_hi_trunc")): _*)
       .filter(col("cnt") =!= 0L)
-    val rCond = groupCols.map(c => col(s"__mm_g.$c") <=> col(s"__mm_n.$c")).reduce(_ && _)
+    val rCond = IncrementalAgg.keyCond("__mm_g", "__mm_n", groupCols)
     val stitched = groupLevel.alias("__mm_g").join(newRes.alias("__mm_n"), rCond, "left_outer")
       .select(groupCols.map(c => col(s"__mm_g.$c").as(c)) ++ Seq(
         col("cnt"), col("total"),
@@ -224,7 +219,7 @@ object IncrementalMinMax {
         // pin it so the merge plan runs once.
         val pinned = stitched.localCheckpoint()
         val evictedKeys = pinned.filter(col("__evicted")).select(grp: _*)
-        val eCond = groupCols.map(c => col(s"__mm_b.$c") <=> col(s"__mm_e.$c")).reduce(_ && _)
+        val eCond = IncrementalAgg.keyCond("__mm_b", "__mm_e", groupCols)
         val rebuilt = aggState(
           base.alias("__mm_b").join(broadcast(evictedKeys.alias("__mm_e")), eCond, "left_semi"),
           groupCols, valueCol, k)
@@ -248,25 +243,9 @@ object IncrementalMinMax {
     * [[mergeDelta]]. */
   def applyBatch(batch: DataFrame, batchId: Long, groupCols: Seq[String],
                  valueCol: String, opCol: String, stateRoot: String,
-                 k: Int = 4, currentBase: Option[DataFrame] = None): Unit = {
-    val spark = batch.sparkSession
-    val ids = IncrementalAgg.genIds(spark, stateRoot)
-    require(ids.forall(_ <= batchId),
-      s"state root $stateRoot holds generation ${ids.last} ahead of batch $batchId — " +
-        "the stream checkpoint was reset against surviving state; clear stateRoot " +
-        "or restore the matching checkpoint (stateRoot and checkpointLocation " +
-        "must live and die together)")
-    val priorId = ids.filter(_ < batchId).lastOption
-    val prior = priorId
-      .map(id => spark.read.parquet(IncrementalAgg.stateDir(stateRoot, id)))
-      .getOrElse(emptyState(batch, groupCols))
-    mergeDelta(prior, batch, groupCols, valueCol, opCol, k, currentBase)
-      .write.mode("overwrite").parquet(IncrementalAgg.stateDir(stateRoot, batchId))
-    val fs = IncrementalAgg.fsOf(spark, stateRoot)
-    ids.filter(id => priorId.exists(id < _)).foreach { id =>
-      fs.delete(new org.apache.hadoop.fs.Path(IncrementalAgg.stateDir(stateRoot, id)), true)
-    }
-  }
+                 k: Int = 4, currentBase: Option[DataFrame] = None): Unit =
+    IncrementalAgg.landBatch(batch, batchId, stateRoot, emptyState(batch, groupCols),
+      prior => mergeDelta(prior, batch, groupCols, valueCol, opCol, k, currentBase))
 
   /** The maintained reserve state as of the newest committed
     * generation (feed to [[currentAgg]] for the aggregate view). */

@@ -42,6 +42,19 @@ object Sketches {
     struct(bucket.as("bucket"), rank.as("rank"))
   }
 
+  /** Σ 2^(61−max_rank) over USED registers — the harmonic-sum term a
+    * register aggregate carries into [[withHllEstimate]]. */
+  private val rankTerm =
+    expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - __mr) AS DECIMAL(38,0))")
+
+  /** Complete a register aggregate (used_buckets, __s) with the empty
+    * registers' 2^61 contributions → `__stot`, the estimate input. */
+  private def withStot(df: DataFrame, m: Int): DataFrame = {
+    val emptyTerm = lit(BigDecimal(BigInt(2).pow(61)).bigDecimal).cast(dec)
+    df.withColumn("__stot",
+      col("__s") + (lit(m) - col("used_buckets")).cast(dec) * emptyTerm)
+  }
+
   /** ⌊m·ln(m/V)⌉ linear-counting estimates, indexed by V = number of
     * EMPTY registers, for V = 1..m. Computed ONCE in this JVM and
     * embedded as integer literals in BOTH the Spark plan and the
@@ -103,7 +116,6 @@ object Sketches {
     require(p >= 4 && p <= 8, s"p must be in [4,8] (m=16..256, overflow-proven), got $p")
     val m = 1 << p
     val grp = groupCols.map(col)
-    val emptyTerm = lit(BigDecimal(BigInt(2).pow(61)).bigDecimal).cast(dec)
     val regs = df
       .select(grp :+ hllRegister(value, m).as("__r")
         :+ value.cast("string").as("__v"): _*)
@@ -113,10 +125,8 @@ object Sketches {
       .agg(max(col("__rank")).as("__mr"), countDistinct(col("__v")).as("__du"))
       .groupBy(grp: _*)
       .agg(count(lit(1)).as("used_buckets"), sum(col("__du")).as("n_exact"),
-        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - __mr) AS DECIMAL(38,0))")).as("__s"))
-      .withColumn("__stot",
-        col("__s") + (lit(m) - col("used_buckets")).cast(dec) * emptyTerm)
-    withHllEstimate(regs, m)
+        sum(rankTerm).as("__s"))
+    withHllEstimate(withStot(regs, m), m)
       .select(grp ++ Seq(col("n_exact"), col("n_hll"), col("used_buckets")): _*)
   }
 
@@ -137,7 +147,6 @@ object Sketches {
   def hllProfile(df: DataFrame, cols: Seq[(Int, Column)], p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 8, s"p must be in [4,8] (m=16..256, overflow-proven), got $p")
     val m = 1 << p
-    val emptyTerm = lit(BigDecimal(BigInt(2).pow(61)).bigDecimal).cast(dec)
     val regStructs = array(cols.map { case (i, c) =>
       struct(lit(i).as("cid"), hllRegister(c, m).as("r"))
     }: _*)
@@ -149,11 +158,8 @@ object Sketches {
       .groupBy(col("__cid"), col("__bucket"))
       .agg(max(col("__rank")).as("__mr"))
       .groupBy(col("__cid"))
-      .agg(count(lit(1)).as("used_buckets"),
-        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - __mr) AS DECIMAL(38,0))")).as("__s"))
-      .withColumn("__stot",
-        col("__s") + (lit(m) - col("used_buckets")).cast(dec) * emptyTerm)
-    withHllEstimate(regs, m)
+      .agg(count(lit(1)).as("used_buckets"), sum(rankTerm).as("__s"))
+    withHllEstimate(withStot(regs, m), m)
       .select(col("__cid").as("cid"), col("used_buckets"), col("n_hll"))
   }
 }
