@@ -1936,6 +1936,15 @@ object SparkEntry {
         .orderBy(col("column_name"))
     }),
 
+    // Gopher quality rules (Rae et al. 2021 Table A1), exact-integer
+    // form — every ratio threshold cross-multiplied, so the complete
+    // per-document rule vector hash-matches the SQL recomputation.
+    // Map-only over the corpus: the canonical pre-dedup ingest gate.
+    "q147_gopher_rules" -> ((s, dir) => {
+      graft.ops.TextProfile.gopherRules(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // IVM algebraic moments: avg + population variance maintained
     // under a mixed D/I CDC stream with NO rescan machinery — count,
     // Σv and Σv² are all sums (Gupta & Mumick's algebraic class), so
@@ -4332,6 +4341,36 @@ object SparkEntry {
     "q134_retrieval_eval" -> retrievalEvalOracleSql,
 
     "q145_profile_ndv_sketch" -> profileApproxOracleSql,
+
+    // Same regex census, same cross-multiplied thresholds; RE2 and
+    // Java regex agree on every pattern used ((?m) anchors, \S, \b,
+    // literal classes).
+    "q147_gopher_rules" ->
+      """WITH c AS (SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS w,
+           length(regexp_replace(text, '\s', '', 'g')) AS ch,
+           len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS sym,
+           len(string_split(text, chr(10))) AS ln,
+           len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS bl,
+           len(regexp_extract_all(text, '(?m)\.\.\.$')) AS el,
+           len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS aw,
+           (regexp_matches(lower(text), '\bthe\b')::INT + regexp_matches(lower(text), '\bbe\b')::INT
+            + regexp_matches(lower(text), '\bto\b')::INT + regexp_matches(lower(text), '\bof\b')::INT
+            + regexp_matches(lower(text), '\band\b')::INT + regexp_matches(lower(text), '\bthat\b')::INT
+            + regexp_matches(lower(text), '\bhave\b')::INT + regexp_matches(lower(text), '\bwith\b')::INT) AS sw
+         FROM documents)
+         SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+                (w >= 50 AND w <= 100000) AS r_word_count,
+                (ch >= w * 3 AND ch <= w * 10) AS r_mean_word_len,
+                (sym * 10 <= w) AS r_symbol_ratio,
+                (bl * 10 <= ln * 9) AS r_bullet_lines,
+                (el * 10 <= ln * 3) AS r_ellipsis_lines,
+                (aw * 5 >= w * 4) AS r_alpha_words,
+                (sw >= 2) AS r_stopwords,
+                ((w >= 50 AND w <= 100000) AND (ch >= w * 3 AND ch <= w * 10)
+                 AND (sym * 10 <= w) AND (bl * 10 <= ln * 9)
+                 AND (el * 10 <= ln * 3) AND (aw * 5 >= w * 4) AND (sw >= 2)) AS pass
+         FROM c ORDER BY doc_id""",
 
     // From-scratch recompute of the moments over base − deletes +
     // inserts; the same exact-integer mean/variance quanta in HUGEINT.

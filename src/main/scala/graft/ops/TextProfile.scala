@@ -16,6 +16,54 @@ import graft.functions.TextFunctions
   */
 object TextProfile {
 
+  /** The Gopher document-quality rule set (Rae et al. 2021, Table A1),
+    * exact-integer form: every ratio threshold is cross-multiplied so
+    * the decision needs no division and no floats, making the full
+    * rule vector hash-gateable against a SQL engine.
+    *
+    *   1. word count within [minWords, maxWords]
+    *   2. mean word length within [3, 10] chars (3·W ≤ C ≤ 10·W over
+    *      non-whitespace chars C)
+    *   3. symbol-to-word ratio ('#' and '...') ≤ 0.1  (10·S ≤ W)
+    *   4. ≤ 90% of lines start with a bullet  (10·B ≤ 9·L)
+    *   5. ≤ 30% of lines end with an ellipsis (10·E ≤ 3·L)
+    *   6. ≥ 80% of words contain an alphabetic char (5·A ≥ 4·W)
+    *   7. ≥ 2 of Gopher's 8 indicator stopwords present
+    *
+    * One map-only projection per document — regexp counts inside the
+    * scan stage, no shuffle at all until a caller aggregates; the
+    * canonical pre-dedup quality gate of the Gopher/MassiveText
+    * pipeline, run corpus-wide at ingest. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got $minWords/$maxWords")
+    val t = col(textCol)
+    val nWords = regexp_count(t, lit("\\S+"))
+    val nWchars = length(regexp_replace(t, "\\s", ""))
+    val nSym = regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))
+    val nLines = size(split(t, "\n"))
+    val nBullet = regexp_count(t, lit("(?m)^[ \\t]*[-*•]"))
+    val nEllEnd = regexp_count(t, lit("(?m)\\.\\.\\.$"))
+    val nAlphaW = regexp_count(t, lit("\\S*[A-Za-z]\\S*"))
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => when(lower(t).rlike(s"\\b$w\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+    docs.select(col(idCol),
+      nWords.cast("long").as("n_words"),
+      (nWords >= minWords && nWords <= maxWords).as("r_word_count"),
+      (nWchars >= nWords * 3 && nWchars <= nWords * 10).as("r_mean_word_len"),
+      (nSym * 10 <= nWords).as("r_symbol_ratio"),
+      (nBullet * 10 <= nLines * 9).as("r_bullet_lines"),
+      (nEllEnd * 10 <= nLines * 3).as("r_ellipsis_lines"),
+      (nAlphaW * 5 >= nWords * 4).as("r_alpha_words"),
+      (stopHits >= 2).as("r_stopwords"))
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+          col("r_bullet_lines") && col("r_ellipsis_lines") &&
+          col("r_alpha_words") && col("r_stopwords"))
+  }
+
   /** Per-document repetition signals:
     *   - n_tokens / n_distinct_tokens   (duplicate-token share)
     *   - n_bigrams / top_bigram_n       (most-frequent-2-gram share)

@@ -43,4 +43,30 @@ class TextProfileSpec extends SparkSpecBase {
     assert(out("web") == ((3L, 34L, 7.0 / 3, 2L, 1.0 - 2.0 / 3)))
     assert(out("book") == ((2L, 20L, 2.0, 2L, 0.0)))
   }
+
+  test("gopherRules: each rule trips on its own violation, clean doc passes") {
+    val clean = ("the data and the model have that shape with more " * 6).trim
+    val docs = Seq(
+      (1L, clean),                                   // all rules pass
+      (2L, "the and of to be"),                      // too few words
+      (3L, ("a b c " * 20).trim + " the and"),       // mean word length < 3
+      (4L, (("### " * 30) + clean)),                 // symbol ratio > 0.1
+      (5L, (1 to 10).map(i => s"- item the and of with $i").mkString("\n")), // all lines bulleted
+      (6L, (1 to 10).map(i => s"line the and of with $i...").mkString("\n")), // all lines ellipsis-ended
+      (7L, ("123 456 789 0 1 2 3 4 5 6 " * 6).trim + " the and"), // < 80% alphabetic words
+      (8L, ("lorem ipsum dolor sit amet foo bar baz qux quux " * 6).trim)) // < 2 stopwords
+      .toDF("doc_id", "text")
+    val out = TextProfile.gopherRules(docs, "doc_id", "text", minWords = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9))).toMap
+    assert(out(1L) == ((true, true, true, true, true, true, true, true)), "clean")
+    assert(!out(2L)._1 && !out(2L)._8, "word count")
+    assert(!out(3L)._2 && !out(3L)._8, "mean word length")
+    assert(!out(4L)._3 && !out(4L)._8, "symbol ratio")
+    assert(!out(5L)._4 && !out(5L)._8, "bullet lines")
+    assert(!out(6L)._5 && !out(6L)._8, "ellipsis lines")
+    assert(!out(7L)._6 && !out(7L)._8, "alpha words")
+    assert(!out(8L)._7 && !out(8L)._8, "stopwords")
+  }
 }
