@@ -1936,6 +1936,25 @@ object SparkEntry {
         .orderBy(col("column_name"))
     }),
 
+    // Within-document duplicate-line removal (the in-doc half of the
+    // repetition handling; q72 is the cross-doc half): documents are
+    // re-lined into 4-token lines (the tiny fixture vocabulary makes
+    // real line collisions), then each doc keeps every distinct line's
+    // first occurrence in order. Emits the cleaned text's md5 (the
+    // fingerprint discipline — the gate hashes rebuild order exactly).
+    "q148_doc_line_dedup" -> ((s, dir) => {
+      val ml = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, '\\\\s+'), t -> length(t) > 0)").as("toks"))
+        .select(col("doc_id"),
+          expr("""array_join(transform(sequence(0, CAST((size(toks) - 1) DIV 4 AS INT)),
+                  i -> concat_ws(' ', slice(toks, i * 4 + 1, 4))), '\n')""").as("text"))
+      graft.ops.Dedup.dedupDocLines(ml, "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher quality rules (Rae et al. 2021 Table A1), exact-integer
     // form — every ratio threshold cross-multiplied, so the complete
     // per-document rule vector hash-matches the SQL recomputation.
@@ -4341,6 +4360,31 @@ object SparkEntry {
     "q134_retrieval_eval" -> retrievalEvalOracleSql,
 
     "q145_profile_ndv_sketch" -> profileApproxOracleSql,
+
+    // Same 4-token re-lining (1-based inclusive list slices), then
+    // first-occurrence keep via MIN(pos) and an ORDER BY pos rebuild;
+    // md5 of the identical newline-joined reconstruction.
+    "q148_doc_line_dedup" ->
+      """WITH tk AS (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 t -> length(t) > 0) AS toks
+              FROM documents),
+         ml AS (SELECT doc_id,
+                       array_to_string(list_transform(
+                         range(0, (len(toks) - 1) // 4 + 1),
+                         i -> array_to_string(toks[i * 4 + 1 : i * 4 + 4], ' ')),
+                         chr(10)) AS text
+                FROM tk),
+         ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM ml),
+         l AS (SELECT doc_id, ls[CAST(i AS INTEGER)] AS line, i AS pos
+               FROM ls, UNNEST(range(1, len(ls) + 1)) AS r(i)),
+         f AS (SELECT doc_id, line, MIN(pos) AS pos FROM l GROUP BY 1, 2),
+         k AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                      md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+               FROM f GROUP BY 1),
+         n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM l GROUP BY 1)
+         SELECT n.doc_id, n.n_lines, k.n_kept, k.clean_md5
+         FROM n JOIN k USING (doc_id) ORDER BY doc_id""",
 
     // Same regex census, same cross-multiplied thresholds; RE2 and
     // Java regex agree on every pattern used ((?m) anchors, \S, \b,

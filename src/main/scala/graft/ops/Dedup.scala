@@ -384,6 +384,35 @@ object Dedup {
       .select(col("id"), col("clean_text"), col("n_kept"), col("n_lines"))
   }
 
+  /** WITHIN-document duplicate-line removal — the in-doc half of the
+    * Gopher/MassiveText repetition handling ([[dropBoilerplateLines]]
+    * is the cross-doc half; Rae et al. 2021 filter both): each
+    * document keeps every distinct line's FIRST occurrence in original
+    * order and drops its repeats — repeated navigation stubs, chorus
+    * lines, template rows.
+    *
+    * Shape: split once below the generator, explode, (doc, line) hash
+    * agg to first positions, per-doc reassembly from the position-
+    * sorted survivors. Shuffles key on (doc, line) then doc — per-doc
+    * state is doc-sized (the same class as every per-doc text op), no
+    * corpus-wide structure at all, so the plan is embarrassingly
+    * data-parallel at any corpus size. Output: (id, n_lines, n_kept,
+    * clean_text). */
+  def dedupDocLines(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    ensureParallelism(docs)
+      .select(col(idCol).as("id"), split(col(textCol), "\n").as("__ls"))
+      .select(col("id"), size(col("__ls")).cast("long").as("n_lines"),
+        posexplode(col("__ls")).as(Seq("pos", "line")))
+      .groupBy(col("id"), col("n_lines"), col("line"))
+      .agg(min(col("pos")).as("pos"))
+      .groupBy(col("id"), col("n_lines"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
+      .select(col("id").as(idCol), col("n_lines"), col("n_kept"), col("clean_text"))
+
   /** Substring-level exact dedup at token-window granularity — the
     * within-document counterpart of whole-document dedup ("Deduplicating
     * Training Data Makes Language Models Better", Lee et al. 2022:

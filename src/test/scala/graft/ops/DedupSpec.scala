@@ -107,6 +107,25 @@ class DedupSpec extends SparkSpecBase {
     assert(o2 == Map(1L -> "a", 2L -> "b"))
   }
 
+  test("dedupDocLines: first occurrence kept in order; unique docs unchanged") {
+    val docs = Seq(
+      (1L, "chorus\nverse one\nchorus\nverse two\nchorus"),
+      (2L, "a\nb\nc"), // no repeats
+      (3L, "x\n\nx\n\ny")) // duplicate empty lines collapse too
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupDocLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((5L, 3L, "chorus\nverse one\nverse two")))
+    assert(out(2L) == ((3L, 3L, "a\nb\nc")))
+    assert(out(3L) == ((5L, 3L, "x\n\ny")))
+    // deterministic under partitioning
+    val again = Dedup.dedupDocLines(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(again == out)
+  }
+
   test("duplicateWindowSpans: cross-doc and within-doc repeats merge into maximal spans") {
     val d = Seq(
       (1L, "p q r s t u"),                 // shares "p q r","q r s" with 2 and 6
