@@ -1936,6 +1936,25 @@ object SparkEntry {
         .orderBy(col("column_name"))
     }),
 
+    // CCNet-style per-language LM-score terciles (Wenzek et al. 2020):
+    // q124's corpus-trained bigram scores bucketed head/middle/tail
+    // PER LANGUAGE by exact rank — negated score so bin 0 = highest
+    // quality = head. No bare-language window: groupEquiDepthBins
+    // rides the chunked global rank, so a dominant language costs
+    // nothing extra (the 100 TB skew case).
+    "q149_ccnet_terciles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = graft.ops.NgramLm.scoreDocs(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("neg_q", -col("avg_q"))
+      graft.ops.Sampling.groupEquiDepthBins(scored, "lang", "doc_id", "neg_q", 3)
+        .select(col("doc_id"), col("lang"), col("avg_q"),
+          col("bin").cast("int").as("bin"),
+          when(col("bin") === 0, "head").when(col("bin") === 1, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Within-document duplicate-line removal (the in-doc half of the
     // repetition handling; q72 is the cross-doc half): documents are
     // re-lined into 4-token lines (the tiny fixture vocabulary makes
@@ -4360,6 +4379,40 @@ object SparkEntry {
     "q134_retrieval_eval" -> retrievalEvalOracleSql,
 
     "q145_profile_ndv_sketch" -> profileApproxOracleSql,
+
+    // q124's score chain verbatim, then per-language rank under the
+    // SAME total order ((lang, −avg_q, md5(id), id) — within a
+    // language partition the rank orders identically) and the same
+    // rank0·3 DIV n tercile arithmetic.
+    "q149_ccnet_terciles" ->
+      """WITH tk AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 t -> length(t) > 0) AS toks
+              FROM documents),
+         bg AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM tk),
+         tf AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS tf FROM bg GROUP BY 1, 2),
+         c2 AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1),
+         c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+                FROM c2 GROUP BY 1),
+         m AS (SELECT bg, (1000000 * c2) // c1 AS q
+               FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1),
+         sc AS (SELECT tf.doc_id,
+                       CAST(CAST(SUM(tf * q) AS BIGINT) // CAST(SUM(tf) AS BIGINT) AS BIGINT) AS avg_q
+                FROM tf JOIN m USING (bg) GROUP BY 1),
+         j AS (SELECT sc.doc_id, d.lang, sc.avg_q, -sc.avg_q AS neg_q
+               FROM sc JOIN documents d USING (doc_id)),
+         r AS (SELECT doc_id, lang, avg_q,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY neg_q, md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk,
+                      COUNT(*) OVER (PARTITION BY lang) AS n
+               FROM j)
+         SELECT doc_id, lang, avg_q, CAST((rk * 3) // n AS INTEGER) AS bin,
+                CASE (rk * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM r ORDER BY doc_id""",
 
     // Same 4-token re-lining (1-based inclusive list slices), then
     // first-occurrence keep via MIN(pos) and an ORDER BY pos rebuild;

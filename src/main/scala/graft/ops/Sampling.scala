@@ -403,6 +403,40 @@ object Sampling {
       .drop("__rank", "__total")
   }
 
+  /** PER-GROUP exact equi-depth binning — [[equiDepthBins]] inside
+    * each group (the CCNet shape: head/middle/tail perplexity terciles
+    * PER LANGUAGE, Wenzek et al. 2020), with no bare-group window
+    * anywhere: under the total order (group, value, md5(key), key)
+    * every group occupies a CONTIGUOUS global-rank range, so the
+    * within-group rank is `global rank − group's min rank`, recovered
+    * from a group-count aggregate that is broadcast back (groups are
+    * model-sized; the rows ride [[globalRank]]'s chunked prefix-sum).
+    * A dominant group therefore costs nothing extra — exactly the
+    * skew that kills the naive `Window.partitionBy(group)` plan at
+    * 100 TB, where one language can be half the corpus.
+    *
+    * Bin sizes within each group differ by at most 1 regardless of
+    * ties (rank-based, not value-cut); null key/value rows drop
+    * (family rule), null GROUPS are one group (SQL semantics). The
+    * ranked frame is pinned before the extent aggregate so the rank
+    * pass runs once. */
+  def groupEquiDepthBins(df: DataFrame, groupCol: String, keyCol: String,
+                         valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be positive, got $bins")
+    require(!df.columns.exists(Set("bin", "__grank", "__g0", "__gn")),
+      "input must not already contain bin/__grank/__g0/__gn")
+    val ord = Seq(col(groupCol).asc_nulls_first, col(valueCol).asc,
+      md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    val ranked = globalRank(
+      df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull),
+      ord, out = "__grank").localCheckpoint()
+    val extents = ranked.groupBy(col(groupCol))
+      .agg(min(col("__grank")).as("__g0"), count(lit(1)).as("__gn"))
+    ranked.join(broadcast(extents), Seq(groupCol))
+      .withColumn("bin", expr(s"CAST(((__grank - __g0) * $bins) DIV __gn AS INT)"))
+      .drop("__grank", "__g0", "__gn")
+  }
+
   def trainingOrder(df: DataFrame, keyCol: String, shards: Int): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
     require(!df.columns.exists(Set("shard", "pos", "global_rank")),

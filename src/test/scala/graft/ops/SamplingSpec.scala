@@ -336,6 +336,40 @@ class SamplingSpec extends SparkSpecBase {
     }
   }
 
+  test("groupEquiDepthBins: per-group sizes within 1, dominant group included") {
+    // group a dominates (90 rows) — exactly the skew the bare-group
+    // window would serialize; group b is tiny; group c has total ties
+    val df = ((1L to 90L).map(i => ("a", i, i * 7 % 50)) ++
+      (91L to 95L).map(i => ("b", i, i)) ++
+      (96L to 101L).map(i => ("c", i, 4L))).toDF("g", "id", "v")
+    val out = Sampling.groupEquiDepthBins(df, "g", "id", "v", 3)
+    val sizes = out.groupBy("g", "bin").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert((0 until 3).map(b => sizes(("a", b))).forall(_ == 30L), sizes)
+    assert((0 until 3).map(b => sizes(("b", b))).sorted == Seq(1L, 2L, 2L), sizes)
+    assert((0 until 3).map(b => sizes(("c", b))).forall(c => c == 2L), sizes)
+    // within each group, bins are value-ordered (non-decreasing)
+    val aBins = out.filter($"g" === "a").groupBy("bin")
+      .agg(min("v").as("lo"), max("v").as("hi")).orderBy("bin")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    aBins.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+    // a single-group input matches the ungrouped equiDepthBins
+    val single = df.filter($"g" === "a")
+    val grouped = Sampling.groupEquiDepthBins(single, "g", "id", "v", 3)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    val flat = Sampling.equiDepthBins(single.select($"id", $"v"), "id", "v", 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(grouped == flat)
+    // deterministic under partitioning
+    val again = Sampling.groupEquiDepthBins(df.repartition(7), "g", "id", "v", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
+    assert(again == out.collect().map(r =>
+      (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap)
+  }
+
   test("equiDepthBins: sizes within 1 of n/bins even under total ties") {
     val skewed = (1L to 103L).map(i => (i, if (i <= 90) 7L else i)).toDF("id", "v")
     val sizes = Sampling.equiDepthBins(skewed, "id", "v", 10)
