@@ -1936,6 +1936,21 @@ object SparkEntry {
         .orderBy(col("column_name"))
     }),
 
+    // Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    // algorithm): k=4-shingle hashes → w=5-window minima → the
+    // selected set per document, which provably shares a member with
+    // any document containing the same ≥ (w+k−1)-token run. Map-only
+    // per doc; gate emits per-doc selection count + the md5 of the
+    // numerically-sorted selection.
+    "q150_winnowing" -> ((s, dir) => {
+      graft.ops.Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_selected"),
+          md5(array_join(transform(sort_array(collect_list(col("fingerprint"))),
+            x => x.cast("string")), ",")).as("winnow_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style per-language LM-score terciles (Wenzek et al. 2020):
     // q124's corpus-trained bigram scores bucketed head/middle/tail
     // PER LANGUAGE by exact rank — negated score so bin 0 = highest
@@ -4379,6 +4394,26 @@ object SparkEntry {
     "q134_retrieval_eval" -> retrievalEvalOracleSql,
 
     "q145_profile_ndv_sketch" -> profileApproxOracleSql,
+
+    // Same shingle hashing (md5-hex-prefix 60-bit ints), same window
+    // minima via 1-based inclusive list slices, same sorted-selection
+    // md5.
+    "q150_winnowing" ->
+      """WITH tk AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 t -> length(t) > 0) AS toks
+              FROM documents),
+         hs AS (SELECT doc_id,
+                       list_transform(range(0, len(toks) - 4 + 1),
+                         i -> CAST(('0x' || substr(md5(array_to_string(toks[CAST(i AS INTEGER)+1 : CAST(i AS INTEGER)+4], ' ')), 1, 15)) AS BIGINT)) AS hs
+                FROM tk WHERE len(toks) >= 4),
+         fp AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(range(0, len(hs) - 5 + 1),
+                         i -> list_min(hs[CAST(i AS INTEGER)+1 : CAST(i AS INTEGER)+5])))) AS fp
+                FROM hs WHERE len(hs) >= 5)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_selected,
+                md5(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY fp)) AS winnow_md5
+         FROM fp GROUP BY 1 ORDER BY doc_id""",
 
     // q124's score chain verbatim, then per-language rank under the
     // SAME total order ((lang, −avg_q, md5(id), id) — within a

@@ -413,6 +413,39 @@ object Dedup {
           "\n").as("clean_text"))
       .select(col("id").as(idCol), col("n_lines"), col("n_kept"), col("clean_text"))
 
+  /** Winnowing fingerprints (Schleimer et al. 2003 — the MOSS
+    * algorithm): hash every k-token shingle, then keep each length-`w`
+    * window's MINIMUM hash. The selected set is position-independent
+    * and guarantees that any shared token run of length ≥ w + k − 1
+    * between two documents shares at least one selected fingerprint —
+    * the local-fingerprint detection guarantee MinHash (global,
+    * probabilistic) and SimHash (similarity, not containment) don't
+    * give. Density is ~2/(w+1) of all shingles, so the index is a
+    * tunable fraction of corpus token volume.
+    *
+    * Entirely MAP-ONLY per document (array HOFs inside the scan stage
+    * — no shuffle at all until a caller joins the emitted relation);
+    * hashes are the portable md5-hex-prefix 60-bit integers (the
+    * q91/q92 discipline), so the selection is engine-exact. Output:
+    * (id, fingerprint) — the inverted-index shape [[incrementalNew]]
+    * and the blocked-join family consume. Documents with fewer than
+    * k + w − 1 tokens emit nothing (no complete window). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got $k/$w")
+    docs
+      .select(col(idCol),
+        expr(s"filter(split(lower($textCol), '\\\\s+'), t -> length(t) > 0)").as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .withColumn("__hs", expr(
+        s"""transform(sequence(0, size(__toks) - $k),
+           |  i -> CAST(conv(substring(md5(concat_ws(' ', slice(__toks, i + 1, $k))), 1, 15), 16, 10) AS BIGINT))""".stripMargin))
+      .filter(size(col("__hs")) >= w)
+      .withColumn("__fps", expr(
+        s"array_distinct(transform(sequence(0, size(__hs) - $w), i -> array_min(slice(__hs, i + 1, $w))))"))
+      .select(col(idCol), explode(col("__fps")).as("fingerprint"))
+  }
+
   /** Substring-level exact dedup at token-window granularity — the
     * within-document counterpart of whole-document dedup ("Deduplicating
     * Training Data Makes Language Models Better", Lee et al. 2022:

@@ -126,6 +126,34 @@ class DedupSpec extends SparkSpecBase {
     assert(again == out)
   }
 
+  test("winnowing: a shared >= (w+k-1)-token run always shares a fingerprint") {
+    // k=4, w=5: guarantee threshold is 8 tokens. Docs 1 and 2 share an
+    // exact 8-token run embedded in otherwise disjoint text; doc 3 is
+    // unrelated; doc 4 is below one full window (k+w-1 = 8 tokens
+    // needed for any selection) and must emit nothing.
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three $run four five six"),
+      (2L, s"red orange yellow green $run blue indigo"),
+      (3L, "completely different words everywhere nothing shared at all here now"),
+      (4L, "too short for windows")
+      ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fps.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared run must share a fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty)
+    assert(!byDoc.contains(4L), "sub-window doc emits nothing")
+    // density: ~2/(w+1) of shingles selected, never more than shingles
+    val nShingles1 = docs.filter($"doc_id" === 1L).head().getString(1)
+      .split("\\s+").length - 3
+    assert(byDoc(1L).size <= nShingles1)
+    // deterministic under partitioning
+    val again = Dedup.winnowFingerprints(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(again == fps.toSet)
+  }
+
   test("duplicateWindowSpans: cross-doc and within-doc repeats merge into maximal spans") {
     val d = Seq(
       (1L, "p q r s t u"),                 // shares "p q r","q r s" with 2 and 6
