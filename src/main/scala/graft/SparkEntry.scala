@@ -4474,11 +4474,13 @@ object SparkEntry {
          SELECT n.doc_id, n.n_lines, k.n_kept, k.clean_md5
          FROM n JOIN k USING (doc_id) ORDER BY doc_id""",
 
-    // Same regex census, same cross-multiplied thresholds; RE2 and
-    // Java regex agree on every pattern used ((?m) anchors, \S, \b,
-    // literal classes).
+    // Same regex census, same cross-multiplied thresholds, same
+    // CR-strip first (Java and RE2 disagree on (?m) anchoring at
+    // non-\n terminators; with \r gone both anchor on \n only).
     "q147_gopher_rules" ->
-      """WITH c AS (SELECT doc_id,
+      """WITH d AS (SELECT doc_id, regexp_replace(text, '\r', '', 'g') AS text
+                    FROM documents),
+         c AS (SELECT doc_id,
            len(regexp_extract_all(text, '\S+')) AS w,
            length(regexp_replace(text, '\s', '', 'g')) AS ch,
            len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS sym,
@@ -4490,7 +4492,7 @@ object SparkEntry {
             + regexp_matches(lower(text), '\bto\b')::INT + regexp_matches(lower(text), '\bof\b')::INT
             + regexp_matches(lower(text), '\band\b')::INT + regexp_matches(lower(text), '\bthat\b')::INT
             + regexp_matches(lower(text), '\bhave\b')::INT + regexp_matches(lower(text), '\bwith\b')::INT) AS sw
-         FROM documents)
+         FROM d)
          SELECT doc_id, CAST(w AS BIGINT) AS n_words,
                 (w >= 50 AND w <= 100000) AS r_word_count,
                 (ch >= w * 3 AND ch <= w * 10) AS r_mean_word_len,

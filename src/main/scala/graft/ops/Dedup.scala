@@ -433,7 +433,7 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 4, w: Int = 5): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got $k/$w")
-    docs
+    ensureParallelism(docs)
       .select(col(idCol),
         expr(s"filter(split(lower($textCol), '\\\\s+'), t -> length(t) > 0)").as("__toks"))
       .filter(size(col("__toks")) >= k)

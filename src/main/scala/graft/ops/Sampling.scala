@@ -432,7 +432,13 @@ object Sampling {
       ord, out = "__grank").localCheckpoint()
     val extents = ranked.groupBy(col(groupCol))
       .agg(min(col("__grank")).as("__g0"), count(lit(1)).as("__gn"))
-    ranked.join(broadcast(extents), Seq(groupCol))
+    // null-safe (<=>) extents join: the NULL group is one SQL GROUP BY
+    // group and must match its own extents row — a plain equi-join
+    // would silently drop every NULL-group row (the IVM keyCond rule)
+    ranked.alias("__gb_r")
+      .join(broadcast(extents.alias("__gb_e")),
+        col(s"__gb_r.$groupCol") <=> col(s"__gb_e.$groupCol"))
+      .drop(col(s"__gb_e.$groupCol"))
       .withColumn("bin", expr(s"CAST(((__grank - __g0) * $bins) DIV __gn AS INT)"))
       .drop("__grank", "__g0", "__gn")
   }

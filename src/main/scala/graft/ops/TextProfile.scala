@@ -38,19 +38,25 @@ object TextProfile {
                   minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     require(minWords >= 1 && maxWords >= minWords,
       s"need 1 <= minWords <= maxWords, got $minWords/$maxWords")
-    val t = col(textCol)
-    val nWords = regexp_count(t, lit("\\S+"))
-    val nWchars = length(regexp_replace(t, "\\s", ""))
-    val nSym = regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))
-    val nLines = size(split(t, "\n"))
-    val nBullet = regexp_count(t, lit("(?m)^[ \\t]*[-*•]"))
-    val nEllEnd = regexp_count(t, lit("(?m)\\.\\.\\.$"))
-    val nAlphaW = regexp_count(t, lit("\\S*[A-Za-z]\\S*"))
+    // CR-strip first: Java regex and RE2 disagree on what (?m)'s ^/$
+    // anchor to for non-\n terminators (Java honors \r\n and  …,
+    // RE2 anchors on \n only), so CRLF text would count line rules
+    // differently per engine. \r is \s, so no other census changes.
+    val t = regexp_replace(col(textCol), "\r", "")
+    // counts in LONG: the cross-multiplied thresholds (×10, ×9) must
+    // not wrap for pathological near-2GB documents
+    val nWords = regexp_count(t, lit("\\S+")).cast("long")
+    val nWchars = length(regexp_replace(t, "\\s", "")).cast("long")
+    val nSym = (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))).cast("long")
+    val nLines = size(split(t, "\n")).cast("long")
+    val nBullet = regexp_count(t, lit("(?m)^[ \\t]*[-*•]")).cast("long")
+    val nEllEnd = regexp_count(t, lit("(?m)\\.\\.\\.$")).cast("long")
+    val nAlphaW = regexp_count(t, lit("\\S*[A-Za-z]\\S*")).cast("long")
     val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
       .map(w => when(lower(t).rlike(s"\\b$w\\b"), 1).otherwise(0))
       .reduce(_ + _)
     docs.select(col(idCol),
-      nWords.cast("long").as("n_words"),
+      nWords.as("n_words"),
       (nWords >= minWords && nWords <= maxWords).as("r_word_count"),
       (nWchars >= nWords * 3 && nWchars <= nWords * 10).as("r_mean_word_len"),
       (nSym * 10 <= nWords).as("r_symbol_ratio"),

@@ -368,6 +368,16 @@ class SamplingSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
     assert(again == out.collect().map(r =>
       (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap)
+    // the NULL group is ONE group and keeps its rows (null-safe
+    // extents join) — a plain equi-join would silently drop them
+    val withNull = ((1L to 6L).map(i => (Option("a"), i, i)) ++
+      (7L to 12L).map(i => (Option.empty[String], i, i)))
+      .map { case (g, i, v) => (g.orNull, i, v) }.toDF("g", "id", "v")
+    val ng = Sampling.groupEquiDepthBins(withNull, "g", "id", "v", 3)
+      .filter($"g".isNull)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(ng.keySet == (7L to 12L).toSet, s"null-group rows kept: $ng")
+    assert(ng.values.toSeq.sorted == Seq(0, 0, 1, 1, 2, 2), ng)
   }
 
   test("equiDepthBins: sizes within 1 of n/bins even under total ties") {

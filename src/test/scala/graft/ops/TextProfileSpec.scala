@@ -69,4 +69,16 @@ class TextProfileSpec extends SparkSpecBase {
     assert(!out(7L)._6 && !out(7L)._8, "alpha words")
     assert(!out(8L)._7 && !out(8L)._8, "stopwords")
   }
+
+  test("gopherRules: CRLF text counts line rules like LF text") {
+    val lf = (1 to 10).map(i => s"line the and of with $i...").mkString("\n")
+    val crlf = lf.replace("\n", "\r\n")
+    val out = TextProfile.gopherRules(
+      Seq((1L, lf), (2L, crlf)).toDF("doc_id", "text"), "doc_id", "text",
+      minWords = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), (2 to 9).map(r.getBoolean))).toMap
+    assert(out(1L) == out(2L), "CR must not change any census")
+    assert(!out(1L)._2(4), "all lines ellipsis-ended trips the rule")
+  }
 }
