@@ -135,6 +135,36 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(exactWide.contains("Expand"), exactWide.take(3000))
   }
 
+  test("gopher rules and winnowing are map-only — no keyed exchange anywhere") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.table(spark, sf0001, "documents")
+    def keyedExchanges(p: String) = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    val gp = graft.ops.TextProfile.gopherRules(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(keyedExchanges(gp) == 0, gp.take(2000))
+    // winnowing may pre-spread a single-file input (round-robin), but
+    // must never shuffle on data keys — the HOF pipeline is per-doc
+    val wp = graft.ops.Dedup.winnowFingerprints(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(keyedExchanges(wp) == 0, wp.take(2000))
+  }
+
+  test("per-group equi-depth bins never window by the bare group") {
+    // the dominant-group skew claim: the only windows ride globalRank's
+    // chunked prefix-sum (pinned inside its checkpoint); the returned
+    // plan joins broadcast extents — no group-partitioned window, no
+    // sort-merge join
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val p = graft.ops.Sampling.groupEquiDepthBins(docs, "lang", "doc_id", "n_chars", 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("windowspecdefinition"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("grouping sets compute all four levels in one Expand pass") {
     // a single Expand feeding one aggregate — NOT a union of four
     // scans/aggregates; at 100 TB that's one read + one shuffle for the
