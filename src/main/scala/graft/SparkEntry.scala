@@ -2426,7 +2426,7 @@ object SparkEntry {
     val legs = cols.map { n =>
       s"""SELECT '$n' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
                 CAST(SUM(CASE WHEN $n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-                CAST((SELECT ndv FROM n_$n) AS BIGINT) AS ndv,
+                CAST(COALESCE((SELECT ndv FROM n_$n), 0) AS BIGINT) AS ndv,
                 CAST(MIN($n) AS VARCHAR) AS min_val, CAST(MAX($n) AS VARCHAR) AS max_val
          FROM o"""
     }.mkString("\n         UNION ALL\n         ")

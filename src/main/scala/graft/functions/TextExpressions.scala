@@ -107,7 +107,13 @@ object DeflateLen {
     override def initialValue(): Holder = {
       val h = new Holder
       val tc = org.apache.spark.TaskContext.get()
-      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+      // An already-completed TaskContext fires a new listener
+      // synchronously, which would end() the fresh Deflater before
+      // first use and push the ended-retry into reset()-on-end()ed;
+      // a holder created post-completion gets the driver-style
+      // JVM-lifetime deflater instead (bounded: such threads are
+      // stragglers, not the task pool).
+      if (tc != null && !tc.isCompleted()) tc.addTaskCompletionListener[Unit] { _ =>
         h.ended = true; h.d.end(); local.remove()
       }
       h

@@ -136,8 +136,17 @@ object IncrementalAgg {
     state.select(groupCols.map(col) ++ Seq(
       col("cnt"), col("nval"),
       when(col("nval") > 0, col("total")).as("total"),
+      // FLOOR division, not Spark's truncate-toward-zero DIV: the
+      // q146 oracle uses DuckDB's // (floor), and a group whose
+      // maintained total is negative floors differently under
+      // truncation. pmod(a, b) with b > 0 is in [0, b), so
+      // (a − pmod(a, b)) is exactly divisible and the DIV is the
+      // mathematical floor for either sign of a. var_e6 needs no such
+      // adjustment — its numerator is non-negative by Cauchy-Schwarz.
       when(col("nval") > 0,
-        expr(s"(1000 * CAST(total AS $dec38)) DIV CAST(nval AS $dec38)")).as("avg_milli"),
+        expr(s"""(1000 * CAST(total AS $dec38)
+                |- pmod(1000 * CAST(total AS $dec38), CAST(nval AS $dec38)))
+                |DIV CAST(nval AS $dec38)""".stripMargin)).as("avg_milli"),
       when(col("nval") > 0, expr(
         s"""(1000000 * (CAST(nval AS $dec38) * totalsq
             |- CAST(total AS $dec38) * CAST(total AS $dec38)))

@@ -121,6 +121,11 @@ object Sketches {
         :+ value.cast("string").as("__v"): _*)
       .select(grp ++ Seq(col("__r.bucket").as("__bucket"),
         col("__r.rank").as("__rank"), col("__v")): _*)
+      // NULL values contribute nothing (countDistinct semantics) —
+      // same contract as hllProfile; without this a null value forms
+      // a null __bucket group that inflates used_buckets and shifts
+      // both the harmonic estimate and the LC index V = m − used.
+      .filter(col("__bucket").isNotNull)
       .groupBy(grp :+ col("__bucket"): _*)
       .agg(max(col("__rank")).as("__mr"), countDistinct(col("__v")).as("__du"))
       .groupBy(grp: _*)

@@ -86,6 +86,20 @@ class ApproxAggSpec extends SparkSpecBase {
       s"LC estimate ${r.getLong(2)} off from 150")
   }
 
+  test("portable HLL ignores NULL values (countDistinct semantics, same as hllProfile)") {
+    import spark.implicits._
+    val clean = (1L to 400L).map(i => ("g", Option(i % 37))).toDF("g", "v")
+    val withNulls = clean.union(
+      (1L to 50L).map(_ => ("g", Option.empty[Long])).toDF("g", "v"))
+    val a = Sketches.hllDistinct(clean, Seq("g"), col("v"), p = 8)
+      .collect().map(_.toSeq).toSet
+    val b = Sketches.hllDistinct(withNulls, Seq("g"), col("v"), p = 8)
+      .collect().map(_.toSeq).toSet
+    // nulls must move neither n_exact, n_hll, nor used_buckets (a null
+    // __bucket group would inflate used and shift the LC index)
+    assert(a == b)
+  }
+
   test("portable HLL is bit-deterministic across partitionings and duplication") {
     import spark.implicits._
     val df = (1L to 3000L).map(i => (s"g${i % 3}", i % 700)).toDF("g", "v")

@@ -78,6 +78,16 @@ class IncrementalAggSpec extends SparkSpecBase {
     assert(got == scratch)
   }
 
+  test("moments: avg_milli floors toward -inf for negative totals (DuckDB // parity)") {
+    val b = Seq(("n", 2L), ("n", -1L), ("n", -2L)).toDF("g", "v")
+    val got = IncrementalAgg.momentStats(
+      IncrementalAgg.aggStateMoments(b, Seq("g"), "v"), Seq("g")).head()
+    // total -1, nval 3: -1000 // 3 = -334 under floor division
+    // (truncation would give -333 and break q146's bit-parity claim)
+    assert(got.getLong(3) == -1L)
+    assert(got.getLong(4) == -334L, s"avg_milli=${got.getLong(4)}")
+  }
+
   test("moments: null values count rows but not stats; all-null group has null stats") {
     val b = Seq((Some("a"), Option(4L)), (Some("a"), None), (Some("c"), None))
       .toDF("g", "v")
