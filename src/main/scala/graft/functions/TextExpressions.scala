@@ -173,6 +173,135 @@ case class DeflateRatioE3(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint selection (Schleimer et al. 2003) as a single
+  * codegen'd kernel: token array in, DISTINCT per-window-minimum
+  * 60-bit shingle hashes out. Replaces the interpreted HOF chain
+  * `transform(sequence, i -> conv(substring(md5(concat_ws(slice)))))`
+  * + `transform/slice/array_min` + `array_distinct`, which paid
+  * per-shingle Column-tree interpretation, a fresh md5 buffer and a
+  * hex round-trip per shingle, and O(n·w) window scans — ~10 ms/doc,
+  * the worst constant in the catalog (round-11 verdict). Here: one
+  * reused MessageDigest, token bytes materialized once per document,
+  * a monotonic-deque sliding minimum (O(n) total, not O(n·w)), and a
+  * primitive long array result — all inside whole-stage codegen.
+  *
+  * Bit-parity contract (oracle-pinned by q150): hash k-token shingle
+  * = first 15 hex chars of md5 over the space-joined tokens, parsed
+  * base 16 — i.e. the TOP 60 BITS of the digest, reproduced here as
+  * (first-8-bytes-big-endian >>> 4). Null tokens are skipped with no
+  * separator, exactly `concat_ws(' ', ...)`. Result order is first
+  * occurrence, exactly `array_distinct`. Documents with fewer than
+  * k + w − 1 tokens yield an empty array (explode then emits nothing
+  * — the previous size() pre-filters are subsumed). */
+case class WinnowMins(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got $k/$w")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType,
+      containsNull = false)
+  override def prettyName: String = "winnow_mins"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_mins needs array<string> tokens, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowMins.mins(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowMins.mins($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowMins {
+  /** k/w arrive as SQL literals through the function registry. */
+  private[functions] def litInt(e: Expression, name: String): Int = e match {
+    case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+      lit.value.asInstanceOf[Number].intValue()
+    case other =>
+      throw new IllegalArgumentException(s"winnow_mins $name must be an int literal, got $other")
+  }
+
+  // MessageDigest is stateful; one per thread, digest() resets it.
+  // No task-completion bookkeeping needed (unlike DeflateLen's native
+  // Deflater): this is pure JVM heap, collected with the thread.
+  private val md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Static kernel shared by eval and generated code. */
+  def mins(arr: org.apache.spark.sql.catalyst.util.ArrayData, k: Int,
+           w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val nsh = n - k + 1
+    if (nsh < w)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    // token UTF-8 bytes once per document (each shingle reuses k of
+    // them); null stays null so the concat_ws skip rule applies
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      tb(i) = if (u == null) null else u.getBytes
+      i += 1
+    }
+    val digest = md5.get()
+    val hs = new Array[Long](nsh)
+    i = 0
+    while (i < nsh) {
+      var first = true
+      var j = 0
+      while (j < k) {
+        val b = tb(i + j)
+        if (b != null) {
+          if (!first) digest.update(' '.toByte)
+          digest.update(b)
+          first = false
+        }
+        j += 1
+      }
+      val d = digest.digest() // resets for the next shingle
+      val top =
+        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+        ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      hs(i) = top >>> 4 // first 15 hex chars == top 60 bits
+      i += 1
+    }
+    // sliding minimum via monotonic deque of indices: O(nsh) total
+    val nw = nsh - w + 1
+    val mins = new Array[Long](nw)
+    val dq = new Array[Int](nsh)
+    var head = 0
+    var tail = 0
+    i = 0
+    while (i < nsh) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) mins(i - w + 1) = hs(dq(head))
+      i += 1
+    }
+    // distinct, first-occurrence order (array_distinct parity)
+    val seen = new java.util.HashSet[java.lang.Long](Math.max(8, nw * 2))
+    val out = new Array[Long](nw)
+    var m = 0
+    i = 0
+    while (i < nw) {
+      if (seen.add(mins(i))) { out(m) = mins(i); m += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
+  }
+}
+
 object TextExpressions {
   /** Register `nfc_normalize`/`deflate_len` for call_function access
     * (same pattern as [[VecExpressions.register]]). */
@@ -183,9 +312,19 @@ object TextExpressions {
       "deflate_len", exprs => DeflateLen(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "deflate_ratio_e3", exprs => DeflateRatioE3(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_mins", exprs => WinnowMins(exprs.head,
+        WinnowMins.litInt(exprs(1), "k"), WinnowMins.litInt(exprs(2), "w")),
+      "built-in")
   }
 
   def nfcNormalize(c: Column): Column = call_function("nfc_normalize", c)
+
+  /** Distinct winnowing window-min fingerprints of a token array —
+    * the [[WinnowMins]] kernel (register(spark) first). */
+  def winnowMins(tokens: Column, k: Int, w: Int): Column =
+    call_function("winnow_mins", tokens,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
 
   /** Compression quality signal: (deflated_bytes ×1000) div raw_bytes
     * — integer milli-ratio; low = templated/repetitive, ~1000+ =

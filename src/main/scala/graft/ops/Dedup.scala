@@ -433,17 +433,20 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 4, w: Int = 5): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got $k/$w")
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    // Tokenization stays declarative SQL (split/lower/filter — the
+    // oracle's exact semantics); hashing + window minima + distinct
+    // run in ONE codegen'd kernel ([[graft.functions.WinnowMins]]):
+    // the interpreted per-shingle md5→conv→cast HOF chain this
+    // replaces cost ~10 ms/doc, the catalog's worst constant. The
+    // kernel emits an empty array below k + w − 1 tokens, so explode
+    // subsumes the old size() pre-filters.
     ensureParallelism(docs)
       .select(col(idCol),
         expr(s"filter(split(lower($textCol), '\\\\s+'), t -> length(t) > 0)").as("__toks"))
-      .filter(size(col("__toks")) >= k)
-      .withColumn("__hs", expr(
-        s"""transform(sequence(0, size(__toks) - $k),
-           |  i -> CAST(conv(substring(md5(concat_ws(' ', slice(__toks, i + 1, $k))), 1, 15), 16, 10) AS BIGINT))""".stripMargin))
-      .filter(size(col("__hs")) >= w)
-      .withColumn("__fps", expr(
-        s"array_distinct(transform(sequence(0, size(__hs) - $w), i -> array_min(slice(__hs, i + 1, $w))))"))
-      .select(col(idCol), explode(col("__fps")).as("fingerprint"))
+      .select(col(idCol),
+        explode(graft.functions.TextExpressions.winnowMins(col("__toks"), k, w))
+          .as("fingerprint"))
   }
 
   /** Substring-level exact dedup at token-window granularity — the
