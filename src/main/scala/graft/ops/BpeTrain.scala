@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: everything iterates over the DISTINCT-WORD table
   * (Heaps-law sized — orders of magnitude under the corpus; the one
   * corpus-sized pass is the initial word count, a single hash agg).
-  * Each merge step is one (a,b)-keyed hash agg over the word table +
-  * a driver-side argmax of ONE row (the learned merge — model-sized,
-  * the kmeans-centroid precedent) + a map-only replace, with a
-  * lineage cut per step so plan depth stays constant. 10 merges = 10
-  * small vocab-table jobs, never a corpus re-scan.
+  * Each merge step is ONE Spark job — the affected-word pair-count
+  * delta — plus a driver-memory argmax over the maintained pair map
+  * (model-sized, the kmeans-centroid precedent) and a map-only
+  * replace, with a lineage cut every few steps so plan depth stays
+  * constant. N merges = N small affected-slice jobs, never a corpus
+  * re-scan and never a per-step scheduler round-trip for the argmax.
   */
 object BpeTrain {
 
@@ -66,21 +67,34 @@ object BpeTrain {
     * symbol string contains the merged pair's literal (a map-only
     * filter; a merge can only change adjacencies inside words it
     * rewrites) — and folds the after−before delta into the maintained
-    * count table. The per-step argmax reads the maintained table
-    * (pair-vocab-sized) instead of re-aggregating the whole word
-    * table, so per-step cost tracks the affected-word mass: at a real
-    * 32K-merge vocab, late merges touch tiny slices and cost
-    * accordingly, instead of 32K full aggregates over the word table
-    * (PrepScaleProbe records the 64/256-merge series).
+    * count map in DRIVER memory. The per-step argmax is a driver scan
+    * of that map (no Spark job), so per-step cluster cost tracks the
+    * affected-word mass: at a real 32K-merge vocab, late merges touch
+    * tiny slices and cost accordingly, instead of 32K full aggregates
+    * over the word table (PrepScaleProbe records the 64/256-merge
+    * series).
     *
     * Word-table replaces stay map-only pure lineage with a cut every
-    * `checkpointInterval` steps; the maintained counts (small)
-    * materialise every step — that is the delta fold. */
+    * `checkpointInterval` steps; the per-step delta (affected-slice
+    * pair vocab) is the only thing collected.
+    *
+    * SMALL-CORPUS FAST PATH: when the distinct-word table has at most
+    * `driverWordLimit` rows (one cheap count on the already-cached
+    * table), the ENTIRE merge loop runs in driver memory over the
+    * collected word array — zero Spark jobs per step. Same encode,
+    * same weighted pair counts, same literal left-to-right
+    * non-overlapping replace (Java String.replace == UTF8String
+    * .replace == DuckDB replace), same UTF-8-byte tie order, so the
+    * learned list is bit-identical to the distributed path
+    * (spec-pinned). A gate-scale corpus stops paying per-step
+    * scheduler round-trips; web-scale word tables (tens of millions
+    * of types) exceed the limit and take the distributed path. */
   def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
                   checkpointInterval: Int = 4,
-                  materialize: DataFrame => DataFrame = _.localCheckpoint()): Seq[Merge] =
+                  materialize: DataFrame => DataFrame = _.localCheckpoint(),
+                  driverWordLimit: Long = 200000L): Seq[Merge] =
     learnLoop(docs, textCol, nMerges, checkpointInterval, materialize,
-      collectStats = false)._1
+      collectStats = false, driverWordLimit)._1
 
   /** One learned step's probe record: the merge, how many distinct
     * words its delta recount touched, and the step's wall time. */
@@ -88,51 +102,116 @@ object BpeTrain {
 
   /** [[learnMerges]] with per-step instrumentation (affected-word mass
     * + wall time) — the PrepScaleProbe/BpeMergeProbe surface proving
-    * per-step cost tracks the affected slice, not the word table. */
+    * per-step cost tracks the affected slice, not the word table.
+    * Always takes the DISTRIBUTED path (the thing being measured),
+    * regardless of corpus size. */
   def learnMergesInstrumented(docs: DataFrame, textCol: String, nMerges: Int,
                               checkpointInterval: Int = 4,
                               materialize: DataFrame => DataFrame = _.localCheckpoint())
       : (Seq[Merge], Seq[StepStat]) =
     learnLoop(docs, textCol, nMerges, checkpointInterval, materialize,
-      collectStats = true)
+      collectStats = true, driverWordLimit = 0L)
+
+  /** Deterministic cross-engine pair order for the argmax tie-break:
+    * count desc, then lhs, then rhs in UTF-8 BYTE order — the binary
+    * string collation both engines sort by. (Scala's String compareTo
+    * is UTF-16 code-unit order; identical on BMP text, but the byte
+    * comparator removes the caveat entirely.) */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
 
   private def learnLoop(docs: DataFrame, textCol: String, nMerges: Int,
                         checkpointInterval: Int,
                         materialize: DataFrame => DataFrame,
-                        collectStats: Boolean): (Seq[Merge], Seq[StepStat]) = {
+                        collectStats: Boolean,
+                        driverWordLimit: Long): (Seq[Merge], Seq[StepStat]) = {
     require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
     require(checkpointInterval >= 1, s"interval must be positive, got $checkpointInterval")
     var words = materialize(
       wordCounts(docs, textCol).select(encode(col("word")).as("seq"), col("freq")))
-    // the ONE full pair aggregate; everything after is deltas
-    var counts = materialize(pairCounts(words))
+    if (driverWordLimit > 0 && words.count() <= driverWordLimit) {
+      val arr = words.collect().map(r => (r.getString(0), r.getLong(1)))
+      return (driverLoop(arr, nMerges), Seq.empty)
+    }
+    // The maintained pair-count table lives in DRIVER memory: one full
+    // aggregate at init, then per-step deltas folded into the map.
+    // This is model-sized state, not data: the pair vocab is the
+    // distinct adjacent-pair set of the DISTINCT-WORD table (Heaps-law
+    // on character sequences — low millions even for web-scale
+    // tokenizer training), the same class as the learned merge list
+    // and the kmeans centroids that already ship to the driver. Each
+    // step is then ONE Spark job for the affected-word delta + a
+    // driver argmax, instead of the previous three (argmax job,
+    // affected checkpoint, maintained-table checkpoint) — 256 merges
+    // stop paying 256 scheduler round-trips on a table that never
+    // needed a cluster. This is also the small-vocab fast path: a
+    // tiny gate corpus does one small job per step and nothing else.
+    val counts = new java.util.HashMap[(String, String), Long]()
+    def fold(rows: Array[org.apache.spark.sql.Row]): Unit = {
+      var i = 0
+      while (i < rows.length) {
+        val r = rows(i)
+        val k = (r.getString(0), r.getString(1))
+        val c = counts.getOrDefault(k, 0L) + r.getLong(2)
+        if (c > 0) counts.put(k, c) else counts.remove(k)
+        i += 1
+      }
+    }
+    fold(pairCounts(words).collect())
     val out = Seq.newBuilder[Merge]
     val stats = Seq.newBuilder[StepStat]
     var step = 1
     var done = false
     while (step <= nMerges && !done) {
       val t0 = System.nanoTime()
-      val top = counts
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (top.isEmpty) done = true
+      if (counts.isEmpty) done = true
       else {
-        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        out += Merge(step, a, b, c)
+        // driver argmax over the maintained map — no Spark job
+        var bestK: (String, String) = null
+        var bestC = Long.MinValue
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val k = e.getKey
+          val c = e.getValue
+          if (c > bestC || (c == bestC &&
+              (utf8Lt(k._1, bestK._1) ||
+                (k._1 == bestK._1 && utf8Lt(k._2, bestK._2))))) {
+            bestK = k; bestC = c
+          }
+        }
+        val (a, b) = bestK
+        out += Merge(step, a, b, bestC)
         val pat = s"$L$a$R$L$b$R"
         val rep = s"$L$a$b$R"
-        // affected = words that actually contain the merged pair;
-        // materialised once so the before/after recounts don't re-run
-        // the word-table filter twice
-        val affected = materialize(words.filter(col("seq").contains(pat)))
+        // affected = words that actually contain the merged pair (a
+        // merge can only change adjacencies inside words it rewrites).
+        // Only the instrumented path pins it with a checkpoint (its
+        // count() is the probe metric); the plain path leaves it lazy
+        // — the delta job then re-runs the filter twice against the
+        // CHECKPOINTED word table, which is cheaper than a per-step
+        // localCheckpoint job (one scheduler round-trip per step
+        // instead of two).
+        val affected0 = words.filter(col("seq").contains(pat))
+        val affected = if (collectStats) materialize(affected0) else affected0
         val after = affected.withColumn("seq", replace(col("seq"), lit(pat), lit(rep)))
-        counts = materialize(
-          counts
-            .unionByName(pairCounts(after))
-            .unionByName(pairCounts(affected)
-              .select(col("a"), col("b"), (-col("cnt")).as("cnt")))
-            .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("cnt"))
-            .filter(col("cnt") > 0))
+        // the after−before delta, collected (affected-pair-vocab
+        // sized) and folded into the driver map
+        fold(pairCounts(after)
+          .unionByName(pairCounts(affected)
+            .select(col("a"), col("b"), (-col("cnt")).as("cnt")))
+          .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("cnt"))
+          .collect())
         words = words.withColumn("seq", replace(col("seq"), lit(pat), lit(rep)))
         if (step % checkpointInterval == 0) words = materialize(words)
         if (collectStats)
@@ -141,6 +220,72 @@ object BpeTrain {
       }
     }
     (out.result(), stats.result())
+  }
+
+  /** The small-corpus merge loop: the exact algorithm of the
+    * distributed path over a collected (seq, freq) array — same
+    * sentinel encoding, same weighted adjacent-pair counts, same
+    * argmax comparator, same literal replace. Zero Spark jobs. */
+  private def driverLoop(words0: Array[(String, Long)], nMerges: Int): Seq[Merge] = {
+    val seqs = words0.map(_._1)
+    val freqs = words0.map(_._2)
+    // symbols of one bracketed string: contents between each L..R
+    def syms(s: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        val r = s.indexOf(R, i + 1) // s(i) == L; content holds no R (audited)
+        out += s.substring(i + 1, r)
+        i = r + 1
+      }
+      out.result()
+    }
+    val counts = new java.util.HashMap[(String, String), Long]()
+    def add(s: String, sign: Long, freq: Long): Unit = {
+      val xs = syms(s)
+      var i = 0
+      while (i < xs.length - 1) {
+        val k = (xs(i), xs(i + 1))
+        val c = counts.getOrDefault(k, 0L) + sign * freq
+        if (c > 0) counts.put(k, c) else counts.remove(k)
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < seqs.length) { add(seqs(i), 1L, freqs(i)); i += 1 }
+    val out = Seq.newBuilder[Merge]
+    var step = 1
+    while (step <= nMerges && !counts.isEmpty) {
+      var bestK: (String, String) = null
+      var bestC = Long.MinValue
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val k = e.getKey
+        val c = e.getValue
+        if (c > bestC || (c == bestC &&
+            (utf8Lt(k._1, bestK._1) ||
+              (k._1 == bestK._1 && utf8Lt(k._2, bestK._2))))) {
+          bestK = k; bestC = c
+        }
+      }
+      out += Merge(step, bestK._1, bestK._2, bestC)
+      val pat = s"$L${bestK._1}$R$L${bestK._2}$R"
+      val rep = s"$L${bestK._1}${bestK._2}$R"
+      i = 0
+      while (i < seqs.length) {
+        if (seqs(i).contains(pat)) {
+          // Java String.replace: left-to-right non-overlapping — the
+          // same greedy scan as UTF8String.replace / DuckDB replace
+          add(seqs(i), -1L, freqs(i))
+          seqs(i) = seqs(i).replace(pat, rep)
+          add(seqs(i), 1L, freqs(i))
+        }
+        i += 1
+      }
+      step += 1
+    }
+    out.result()
   }
 
   /** The learned merge list as a DataFrame (step, lhs, rhs, cnt) —

@@ -53,6 +53,14 @@ object BpeMergeProbe {
         }
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
+      // the PRODUCTION surface at this corpus size: learnMerges'
+      // small-corpus driver fast path (zero per-step Spark jobs) —
+      // the number a user of merges()/q128 actually pays
+      val t1 = System.nanoTime()
+      val prod = graft.ops.BpeTrain.learnMerges(docs, "text", nMerges = 256)
+      println(f"[bpe-probe] corpus=$cname nMerges=256 PRODUCTION (driver fast path) " +
+        f"learned=${prod.size}%-4d total=${(System.nanoTime() - t1) / 1e9}%7.2fs")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
   }

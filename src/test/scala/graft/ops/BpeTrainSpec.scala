@@ -52,6 +52,22 @@ class BpeTrainSpec extends SparkSpecBase {
     assert(got0 == Map(1L -> 6L, 2L -> 2L))
   }
 
+  test("driver fast path and distributed path learn bit-identical merge lists") {
+    // meaty enough for repeated symbols, ties, and chained merges;
+    // learnMergesInstrumented pins the distributed path regardless of
+    // size, learnMerges takes the small-corpus driver loop
+    val docs = (1L to 200L).map(i =>
+        (i, s"th${i % 7}e quick br${i % 3}own the the fox f${i % 5}ox"))
+      .toDF("id", "text")
+    val driver = BpeTrain.learnMerges(docs, "text", 12)
+    val (dist, _) = BpeTrain.learnMergesInstrumented(docs, "text", 12)
+    assert(driver == dist)
+    assert(driver.size == 12)
+    // and the limit really gates the path: limit 0 = distributed
+    val forced = BpeTrain.learnMerges(docs, "text", 12, driverWordLimit = 0L)
+    assert(forced == driver)
+  }
+
   test("merge list is independent of input partitioning") {
     val docs = (1L to 100L).map(i => (i, s"w${i % 5}x w${i % 3}y common common"))
       .toDF("id", "text")
