@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
   * frame-sample, feature-extract) runs as partition-parallel batch
   * functions over the binary column.
   *
-  * The actual codecs are NOT in this environment, so the decode kernel
-  * is a clearly-marked deterministic stub — but everything Spark-side
-  * is real and tested: the schema contract, the mapPartitions batch
-  * shape (the Scala analogue of a pandas-batch UDF: one iterator per
-  * partition, streaming, no driver collection), partitioning control
-  * for codec-heavy stages, and the metadata bookkeeping.
+  * The IMAGE codec is real (stock-JDK javax.imageio: PNG/JPEG →
+  * integer luma grid, [[graft.functions.ImageCodec]]); audio/video
+  * codecs are NOT in this environment, so those payloads take a
+  * clearly-marked deterministic stub branch. Everything Spark-side is
+  * real and tested either way: the schema contract, the mapPartitions
+  * batch shape (the Scala analogue of a pandas-batch UDF: one
+  * iterator per partition, streaming, no driver collection),
+  * partitioning control for codec-heavy stages, and the metadata
+  * bookkeeping.
   *
   * Scale notes: binary payloads never pass through a wide shuffle —
   * asset transforms are map-only; only extracted features (small,
@@ -68,17 +71,36 @@ object Multimodal {
     assets.repartition(partitions, col("asset_id"))
 
   // ---------------------------------------------------------------------------
-  // STUB CODEC — deterministic fake standing in for the real image/audio
-  // libraries (not present in this container). Replace the body of
-  // `decodeKernel` with the real codec call; every signature, schema and
-  // batch shape stays identical.
+  // CODEC SEAM — the image path is REAL (stock-JDK javax.imageio via
+  // [[graft.functions.ImageCodec]]: PNG/JPEG decode, integer luma,
+  // deterministic box resize). Audio/video payloads still hit the
+  // clearly-marked deterministic stub below (no JDK codec exists for
+  // them); replace that branch with ffmpeg/javasound and every
+  // signature, schema and batch shape stays identical.
   // ---------------------------------------------------------------------------
 
-  /** Deterministic fake decode: "pixels" derived from payload bytes.
-    * Real implementation would be e.g. ImageIO/ffmpeg here. */
+  /** Decode + resize + featurize one payload into the fixed 8-wide
+    * feature vector.
+    *
+    * Real branch (PNG/JPEG magic, decodable): box-resize to
+    * targetH×targetW integer luma, then an 8-bin luminance histogram
+    * (bin = luma ÷ 32) — pixel counts, so the vector sums to
+    * targetW·targetH. Deterministic for lossless inputs.
+    *
+    * STUB branch (everything else — audio/video/unknown): the original
+    * deterministic byte fold, scaled to the same targetW·targetH mass
+    * so downstream consumers see one envelope. */
   private[ops] def decodeKernel(payload: Array[Byte], targetW: Int, targetH: Int): Array[Float] = {
-    val out = new Array[Float](8) // fixed-width fake feature vector
-    if (payload != null && payload.nonEmpty) {
+    val out = new Array[Float](8)
+    if (payload == null || payload.isEmpty) return out
+    val grid = graft.functions.ImageCodec.lumaGrid(payload, targetH, targetW)
+    if (grid != null) {
+      var i = 0
+      while (i < grid.length) {
+        out(math.min(7, (grid(i) >> 5).toInt)) += 1.0f
+        i += 1
+      }
+    } else {
       var i = 0
       while (i < payload.length) {
         out(i % 8) += (payload(i) & 0xff) / 255.0f
@@ -126,8 +148,9 @@ object Multimodal {
 
   /** Perceptual near-duplicate pairs over image assets (the multimodal
     * analogue of the text SimHash family): fingerprint every payload
-    * with the 60-bit dHash ([[graft.functions.ImageDHash]] — codegen'd,
-    * integer-exact, stub decode documented there), then find all pairs
+    * with the 60-bit dHash ([[graft.functions.ImageDHash]] — codegen'd;
+    * real javax.imageio decode for PNG/JPEG, integer byte-fold
+    * fallback otherwise), then find all pairs
     * within `maxHamming` via [[Dedup.hammingNearDups]]'s pigeonhole
     * combination blocks — candidate generation is bucketed equi-joins,
     * never an all-pairs product, so the shape survives a 100 TB asset
@@ -135,7 +158,7 @@ object Multimodal {
     *
     * Scale notes: the fingerprint is map-only over the binary column
     * (payload bytes never shuffle — only the 8-byte hash plus id flows
-    * into the block join), and a real decoder would slot into
+    * into the block join); the real decode already rides inside
     * [[graft.functions.DHashKernel.hash]] without touching the plan.
     * Returns (id_a, id_b, hamming). */
   def imageNearDups(assets: DataFrame, idCol: String = "asset_id",

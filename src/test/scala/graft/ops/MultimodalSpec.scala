@@ -68,6 +68,84 @@ class MultimodalSpec extends SparkSpecBase {
     assert(DHashKernel.hash(base) >= 0L && DHashKernel.hash(base) < (1L << 60))
   }
 
+  // --- real javax.imageio decode path ---------------------------------------
+
+  /** 22×12 gray gradient: cell (r,c) of the 6×11 dHash grid covers
+    * pixel columns [2c, 2c+2), every pixel in it has luma 20c+10
+    * (gray v → BT.601 luma (299+587+114)v/1000 = v exactly), so the
+    * cell means are 10, 30, …, 210 — strictly increasing left to
+    * right. Hand-verifiable: all 60 gradient bits set. */
+  private def gradientImage(reversed: Boolean = false): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(22, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 22) {
+      val cell = if (reversed) 10 - x / 2 else x / 2
+      val v = cell * 20 + 10
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK cannot encode $fmt")
+    bos.toByteArray
+  }
+
+  test("real PNG decode: dHash computed on true luma, hand-verifiable bits") {
+    import graft.functions.DHashKernel
+    val png = encode(gradientImage(), "png")
+    // PNG magic present, real decode: ascending gradient = all 60 bits
+    assert(DHashKernel.hash(png) == (1L << 60) - 1)
+    // reversed gradient = no bit set (right cells strictly darker)
+    assert(DHashKernel.hash(encode(gradientImage(reversed = true), "png")) == 0L)
+    // decode is what changed the answer: the same bytes WITHOUT the
+    // image magic fall back to the byte fold and hash differently
+    val unmagicked = png.clone(); unmagicked(0) = 0x00
+    assert(DHashKernel.hash(unmagicked) != (1L << 60) - 1)
+  }
+
+  test("real JPEG decode: lossy round-trip preserves the 20-step gradient ordering") {
+    import graft.functions.DHashKernel
+    val jpg = encode(gradientImage(), "jpg")
+    assert(jpg.length >= 3 && (jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+    // 20-luma steps between cell means dwarf JPEG ringing; ordering —
+    // and therefore every gradient bit — survives the lossy codec
+    assert(DHashKernel.hash(jpg) == (1L << 60) - 1)
+  }
+
+  test("real decode path: near-identical images land within Hamming reach, corrupt falls back") {
+    import graft.functions.DHashKernel
+    val base = gradientImage()
+    val perturbed = gradientImage()
+    for (y <- 0 until 12) { // +4 luma on one pixel column: cell means move ≤ 2
+      val v = 0 * 20 + 14
+      perturbed.setRGB(0, y, (v << 16) | (v << 8) | v)
+    }
+    val d = java.lang.Long.bitCount(
+      DHashKernel.hash(encode(base, "png")) ^ DHashKernel.hash(encode(perturbed, "png")))
+    assert(d <= 3, s"near-identical real images moved $d bits")
+    // corrupt stream with valid magic: decoder error → deterministic fallback, no throw
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)
+    assert(DHashKernel.hash(corrupt) >= 0L)
+  }
+
+  test("decodeAndFeaturize real branch: luma histogram over the resized grid") {
+    import spark.implicits._
+    // uniform gray v=100: every resized cell has luma 100 → bin 3;
+    // histogram = all 32×32 pixels in bin 3
+    val img = new java.awt.image.BufferedImage(50, 40,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 40; x <- 0 until 50) img.setRGB(x, y, (100 << 16) | (100 << 8) | 100)
+    val png = encode(img, "png")
+    val df = Seq((1L, png)).toDF("id", "payload")
+    val asset = Multimodal.assetsFromBinary(df, "id", "payload", "image", "png")
+    val feat = Multimodal.decodeAndFeaturize(spark, asset).collect().head
+    assert(feat.ok)
+    assert(feat.feature(3) == 32f * 32f)
+    assert(feat.feature.sum == 32f * 32f)
+  }
+
   test("imageNearDups: blocked pairs equal exact all-pairs Hamming (pigeonhole completeness)") {
     val all = Multimodal.assetsFromBinary(
       Tables.documents(spark, sf0001), "doc_id", "text", "image", "fake")
