@@ -25,7 +25,15 @@ object RestPager {
       status: Int,
       body: String,
       headers: Map[String, String] = Map.empty,
-      links: Map[String, String] = Map.empty)
+      links: Map[String, String] = Map.empty) {
+    /** Case-insensitive header lookup — HTTP header names are
+      * case-insensitive and the JDK client reports them lower-cased,
+      * while fixtures use the wire-typical Train-Case. Exact match
+      * first (no scan on the common path). */
+    def header(name: String): Option[String] =
+      headers.get(name).orElse(
+        headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v })
+  }
 
   /** Pluggable HTTP layer; tests use a fixture-backed fake. One client
     * per executor/partition in the distributed form. */
@@ -94,7 +102,7 @@ object RestPager {
                  totalPagesHeader: String = "X-WP-TotalPages",
                  policy: RetryPolicy = RetryPolicy()): Iterator[String] = {
     val first = checked(t, policy)(url, params ++ Map("per_page" -> perPage.toString, "page" -> "1"))
-    val totalPages = first.headers.get(totalPagesHeader).map(_.toInt).getOrElse(1)
+    val totalPages = first.header(totalPagesHeader).map(_.toInt).getOrElse(1)
     Iterator.single(first.body) ++ (2 to totalPages).iterator.map { p =>
       checked(t, policy)(url, params ++ Map("per_page" -> perPage.toString, "page" -> p.toString)).body
     }
