@@ -265,6 +265,66 @@ class EventStreamSpec extends SparkSpecBase {
       s"final snapshot ${finalState.getOrElse(-1L)} rows")
   }
 
+  test("correlateStreams == batch range join (q43 twin) at sf0.1, multi-batch") {
+    import org.apache.spark.sql.functions._
+    // view → click attribution per user within 30 minutes over the
+    // REAL sf0.1 events — the r11 directive #7 gate: the stream-stream
+    // interval join must emit exactly the pairs the q43 bucketed range
+    // join (pointsInIntervals + key filter) computes on the same rows.
+    val ev = graft.core.Tables.table(spark, "/root/testdata/sf0.1", "events")
+    val trig = ev.filter($"event_type" === "view").select($"user_id", $"ts".as("t_ts"))
+    val resp = ev.filter($"event_type" === "click").select($"user_id", $"ts".as("r_ts"))
+    val trigTopic = Files.createTempDirectory("graft-trig-topic").toString
+    val respTopic = Files.createTempDirectory("graft-resp-topic").toString
+    trig.repartition(6).write.mode("overwrite").parquet(trigTopic)
+    resp.repartition(6).write.mode("overwrite").parquet(respTopic)
+
+    // several files per trigger on BOTH sides: matches must form across
+    // micro-batch boundaries from buffered join state. Arrival order is
+    // not event-time order, so the watermark is set beyond the corpus
+    // span — nothing may be late-dropped or the equality is vacuous
+    // (inner-join EMISSION is eager and unaffected).
+    val sTrig = spark.readStream.schema("user_id LONG, t_ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "2").parquet(trigTopic)
+    val sResp = spark.readStream.schema("user_id LONG, r_ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "2").parquet(respTopic)
+    val q = EventStream.correlateStreams(sTrig, sResp, "user_id", "t_ts", "r_ts",
+        withinSeconds = 1800L, watermarkDelay = "45 days")
+      .writeStream.format("memory").queryName("corr_twin_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+
+    val got = spark.table("corr_twin_out")
+      .select($"user_id", unix_micros($"t_ts"), unix_micros($"r_ts"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+
+    // the q43 operator on the same fixture: response instants as
+    // points, (t, t + 30 min] trigger intervals (strict > ⇒ start
+    // t+1 µs; inclusive ≤ ⇒ exclusive end + 1 µs), key equality after
+    // the bucket join
+    val pts = resp.select($"user_id".as("r_uid"), unix_micros($"r_ts").as("r_us"))
+    val ivs = trig.select($"user_id".as("t_uid"),
+      (unix_micros($"t_ts") + 1L).as("start_us"),
+      (unix_micros($"t_ts") + 1800L * 1000000L + 1L).as("end_us"))
+    val exp = graft.ops.RangeJoin.pointsInIntervals(
+        pts, "r_us", ivs, "start_us", "end_us", bucketWidthUs = 600L * 1000000L)
+      .filter($"r_uid" === $"t_uid")
+      .select($"t_uid", ($"start_us" - 1L), $"r_us")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+
+    assert(exp.nonEmpty, "fixture produced no attributable pairs")
+    assert(got == exp)
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"expected multi-batch arrival, got $batches")
+    // state is both inputs buffered inside the (deliberately uncut)
+    // watermark — bounded by input volume, never by the pair product
+    assert(maxStateRows(q) <= trig.count() + resp.count())
+    info(s"sf0.1 correlate stream: ${got.size} attributed pairs over $batches batches, " +
+      s"max state rows ${maxStateRows(q)}, max state mem ${stateMemBytes(q)} B")
+  }
+
   test("retryArbiter arms on failure, supersedes with newer run, fires on timeout") {
     import org.apache.spark.api.java.Optional
     // arm
