@@ -240,6 +240,74 @@ object VectorFunctions {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
   }
 
+  /** One calibration rung: nprobe tried → recall@k measured. */
+  final case class NprobePoint(nprobe: Int, recall: Double)
+
+  /** A finished calibration: the chosen operating point plus the full
+    * measured ladder (the PLANS.md evidence row). */
+  final case class NprobeCalibration(nprobe: Int, achieved: Double,
+                                     target: Double, ladder: Seq[NprobePoint])
+
+  /** Sampled-recall calibration for [[ivfTopK]]: find the SMALLEST
+    * nprobe whose recall@k meets `targetRecall`, measured on a
+    * deterministic query sample against brute-force ground truth.
+    *
+    * Method: draw `sampleSize` query vectors by the house portable
+    * pseudo-random order (md5(id), id — no engine RNG), compute their
+    * exact top-k with [[bruteForceTopK]] once, then walk nprobe up a
+    * doubling ladder (1, 2, 4, …, capped at the centroid count),
+    * measuring recall = |approx ∩ truth| / |truth| on (query,
+    * neighbor) pairs. Stops at the first rung meeting the target; at
+    * nprobe = C the search IS brute force (every bucket probed), so
+    * the walk always terminates with recall 1.
+    *
+    * Cost/scale: one brute-force pass + one IVF pass per rung, all
+    * with the tiny sample broadcast — each is a corpus scan, nothing
+    * quadratic. At 100 TB calibrate against a corpus SAMPLE (recall
+    * against a uniform subsample is the standard unbiased proxy) and
+    * reuse the chosen nprobe for the full run; the ladder is ≤ log₂C
+    * rungs, a one-off cost amortized over every production query. */
+  def calibrateNprobe(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                      vecCol: String, k: Int, targetRecall: Double,
+                      sampleSize: Int = 50): NprobeCalibration = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0,1], got $targetRecall")
+    require(sampleSize >= 1, s"sampleSize must be positive, got $sampleSize")
+    val sample = corpus
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(sampleSize)
+      .select(col(idCol), col(vecCol))
+      .localCheckpoint() // pin the draw; every rung reuses the same queries
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(bruteForceTopK(sample, corpus, idCol, vecCol, k))
+    val nCentroids = centroids.count().toInt.max(1)
+    val ladder = Seq.newBuilder[NprobePoint]
+    var np = 1
+    while (true) {
+      val got = pairs(ivfTopK(sample, corpus, centroids, idCol, vecCol, k, np))
+      val rec = if (truth.isEmpty) 1.0 else (truth & got).size.toDouble / truth.size
+      ladder += NprobePoint(np, rec)
+      if (rec >= targetRecall || np >= nCentroids)
+        return NprobeCalibration(np, rec, targetRecall, ladder.result())
+      np = math.min(np * 2, nCentroids)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** [[ivfTopK]] with AUTO nprobe: calibrate to `targetRecall` on a
+    * sampled-recall ladder, then run the search at the chosen
+    * operating point (r11 directive #9 — replaces hand-picking from a
+    * manually recorded ladder). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int, targetRecall: Double,
+              sampleSize: Int): DataFrame = {
+    val cal = calibrateNprobe(corpus, centroids, idCol, vecCol, k,
+      targetRecall, sampleSize)
+    ivfTopK(queries, corpus, centroids, idCol, vecCol, k, cal.nprobe)
+  }
+
   /** DataFrame-native Lloyd's k-means for the IVF coarse quantizer.
     *
     * Deterministic AND engine-portable end to end, so the fitted

@@ -113,6 +113,19 @@ object CosineRecallProbe {
       println(f"IVF-topk k=$kk nprobe=$np%2d queries=${queries.count()}%4d " +
         f"recall@$kk=$rec%.3f sec=$sec%6.2f")
     }
+
+    // r11 directive #9: the AUTO operating points — what
+    // calibrateNprobe picks for a target recall, with the measured
+    // sampled-recall ladder it walked (the PLANS.md table)
+    for (target <- Seq(0.5, 0.7, 0.9, 1.0)) {
+      val t0 = System.nanoTime()
+      val cal = VF.calibrateNprobe(emb, km, "vec_id", "embedding",
+        k = kk, targetRecall = target, sampleSize = 50)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val lad = cal.ladder.map(p => f"${p.nprobe}→${p.recall}%.2f").mkString(" ")
+      println(f"IVF-auto target=$target%.2f chosen nprobe=${cal.nprobe}%2d " +
+        f"achieved=${cal.achieved}%.3f calSec=$sec%6.2f ladder: $lad")
+    }
     spark.stop()
   }
 }

@@ -70,6 +70,38 @@ class VectorFunctionsSpec extends SparkSpecBase {
     assert(recall > 0.3, s"recall=$recall") // random labels -> coarse bound
   }
 
+  test("calibrateNprobe: ladder is monotone in coverage, picks the smallest passing rung") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = VectorFunctions.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+    // target 1.0 forces the walk to a rung that reproduces brute force
+    val exactCal = VectorFunctions.calibrateNprobe(
+      emb, cents, "vec_id", "embedding", k = 5, targetRecall = 1.0, sampleSize = 20)
+    assert(exactCal.achieved == 1.0)
+    assert(exactCal.ladder.last.recall == 1.0)
+    // ladder rungs strictly double (capped at C) and never pass early:
+    // every rung before the chosen one is below target
+    assert(exactCal.ladder.map(_.nprobe) ==
+      exactCal.ladder.map(_.nprobe).distinct.sorted)
+    assert(exactCal.ladder.init.forall(_.recall < 1.0 + 1e-12))
+    assert(exactCal.ladder.init.dropRight(0).forall(p =>
+      p.nprobe < exactCal.nprobe))
+
+    // a modest target stops at a cheaper operating point, and the
+    // overload runs at it: its result recall (vs brute force on the
+    // SAME sample draw) meets the target
+    val cal = VectorFunctions.calibrateNprobe(
+      emb, cents, "vec_id", "embedding", k = 5, targetRecall = 0.6, sampleSize = 20)
+    assert(cal.achieved >= 0.6)
+    assert(cal.nprobe <= exactCal.nprobe)
+    val sample = emb.orderBy(md5($"vec_id".cast("string")), $"vec_id").limit(20)
+    val truth = VectorFunctions.bruteForceTopK(sample, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val auto = VectorFunctions.ivfTopK(sample, emb, cents, "vec_id", "embedding",
+        k = 5, targetRecall = 0.6, sampleSize = 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((truth & auto).size.toDouble / truth.size >= 0.6)
+  }
+
   test("assignProbes large-model branch: duplicate rows each get the top-nprobe buckets") {
     // >1024 centroids forces the broadcast-join + window branch; axis-
     // aligned unit centroids make nearest buckets trivially known
