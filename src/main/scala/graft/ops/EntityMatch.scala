@@ -36,11 +36,16 @@ object EntityMatch {
   /** The df-cap discipline (jaccardPairs / BasketEdges) shared by both
     * linkage forms: a `__k` key held by more than `maxBlockRows`
     * master rows generates a quadratic candidate blow-up at a hot
-    * block — drop the key; recall falls back to the other passes. */
-  private def capBlocks(keyed: DataFrame, maxBlockRows: Int): DataFrame =
+    * block — drop the key; recall falls back to the other passes.
+    * `weight` is the number of master ROWS a keyed row stands for
+    * (1 when keyed rows are rows; the per-name count when keyed rows
+    * are collapsed distinct names), so the cap threshold means the
+    * same thing on either representation. */
+  private def capBlocks(keyed: DataFrame, maxBlockRows: Int,
+                        weight: org.apache.spark.sql.Column = lit(1L)): DataFrame =
     if (maxBlockRows == Int.MaxValue) keyed
     else keyed.join(
-      keyed.groupBy(col("__k")).agg(count(lit(1)).as("__bn"))
+      keyed.groupBy(col("__k")).agg(sum(weight).as("__bn"))
         .filter(col("__bn") <= maxBlockRows).select(col("__k")),
       "__k")
 
@@ -68,28 +73,46 @@ object EntityMatch {
       .filter(col("__fid").isNotNull && col("__fname").isNotNull)
     val m = master.select(col(masterId).as("__mid"), col(masterName).as("__mname"))
       .filter(col("__mid").isNotNull && col("__mname").isNotNull)
+    // Every stage below — block keys, candidate generation, the
+    // levenshtein verify, and the (dist, min master id) argmin — is a
+    // pure function of the NAME, not the row, so the whole match runs
+    // over DISTINCT names and winners join back to rows at the end
+    // (dedupe-before-verify, the discipline that keeps the quadratic
+    // verify off the row count: a low-cardinality name column would
+    // otherwise turn row-level blocking into all-pairs in disguise —
+    // O(|feed block|·|master block|) row pairs for the SAME
+    // |fnames|·|mnames| distinct comparisons). Per master name we
+    // carry its row count (feeds the cap, which is defined over master
+    // ROWS) and its min id (the only id the argmin can ever pick:
+    // equal names ⇒ equal dist, and the tie-break is min id).
+    val mn = m.groupBy(col("__mname"))
+      .agg(count(lit(1)).as("__mcnt"), min(col("__mid")).as("__mid"))
+    val fn = f.select(col("__fname")).distinct()
     val short = (c: org.apache.spark.sql.Column) => length(c) < 2 * blockChars
     def blocked(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                 onlyShort: Boolean) = {
-      val fs = if (onlyShort) f.filter(short(col("__fname"))) else f
-      val ms0 = if (onlyShort) m.filter(short(col("__mname"))) else m
-      val ms = capBlocks(ms0.withColumn("__k", key(col("__mname"))), maxBlockRows)
+      val fs = if (onlyShort) fn.filter(short(col("__fname"))) else fn
+      val ms0 = if (onlyShort) mn.filter(short(col("__mname"))) else mn
+      val ms = capBlocks(ms0.withColumn("__k", key(col("__mname"))), maxBlockRows,
+        weight = col("__mcnt"))
       fs.withColumn("__k", key(col("__fname")))
         .join(ms, "__k")
-        .select(col("__fid"), col("__fname"), col("__mid"), col("__mname"))
+        .select(col("__fname"), col("__mid"), col("__mname"))
     }
     val cands = blocked(substring(_, 1, blockChars), onlyShort = false)
       .union(blocked(substring(_, -blockChars, blockChars), onlyShort = false))
       .union(blocked(substring(_, 1, 1), onlyShort = true))
       .union(blocked(substring(_, -1, 1), onlyShort = true))
       .distinct()
-    val w = Window.partitionBy(col("__fid"))
+    val w = Window.partitionBy(col("__fname"))
       .orderBy(col("dist").asc, col("__mid").asc)
-    cands
+    val winners = cands
       .withColumn("dist", levenshtein(col("__fname"), col("__mname")))
       .filter(col("dist") <= maxDist)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
+      .select(col("__fname"), col("__mid"), col("dist"))
+    f.join(winners, "__fname")
       .select(col("__fid").as(feedId), col("__mid").as(masterId), col("dist"))
   }
 
