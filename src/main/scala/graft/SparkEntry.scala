@@ -2611,28 +2611,33 @@ object SparkEntry {
 
     "q26_jaccard_pairs" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
-         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         sh AS MATERIALIZED (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                 FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
          idx AS (SELECT shingle, doc_id FROM sh
                  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
-         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-                   FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id
-                   GROUP BY a.doc_id, b.doc_id)
-         SELECT id_a, id_b, n_common, sa.sz AS size_a, sb.sz AS size_b
-         FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-         WHERE n_common * 10 >= (sa.sz + sb.sz - n_common) * 6
+         isz AS MATERIALIZED (SELECT i.shingle, i.doc_id, s.sz
+                 FROM idx i JOIN sizes s USING (doc_id)),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.sz AS size_a, b.sz AS size_b, COUNT(*) AS n_common
+                   FROM isz a JOIN isz b USING (shingle)
+                   WHERE a.doc_id < b.doc_id
+                     AND a.sz * 6 <= b.sz * 10 AND b.sz * 6 <= a.sz * 10
+                   GROUP BY a.doc_id, b.doc_id, a.sz, b.sz)
+         SELECT id_a, id_b, n_common, size_a, size_b
+         FROM pairs
+         WHERE n_common * 10 >= (size_a + size_b - n_common) * 6
          ORDER BY id_a, id_b""",
 
     "q27_minhash_neardups" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
-         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         sh AS MATERIALIZED (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                 FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
          h AS (SELECT doc_id,
                  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741789 AS h1,
                  CAST(('0x' || substr(md5(shingle), 16, 15)) AS BIGINT) % 1073741789 AS h2
                FROM sh),
-         sig AS (SELECT doc_id, i, MIN((h1 + i * h2) % 1073741789) AS m
+         sig AS MATERIALIZED (SELECT doc_id, i, MIN((h1 + i * h2) % 1073741789) AS m
                  FROM h, UNNEST(range(32)) AS s(i) GROUP BY doc_id, i),
          band AS (SELECT doc_id, i // 4 AS band,
                          string_agg(m::VARCHAR, '_' ORDER BY i) AS band_key
@@ -3031,17 +3036,21 @@ object SparkEntry {
 
     "q44_dup_components" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
-         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         sh AS MATERIALIZED (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                 FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
          idx AS (SELECT shingle, doc_id FROM sh
                  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
-         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-                   FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id
-                   GROUP BY a.doc_id, b.doc_id),
+         isz AS MATERIALIZED (SELECT i.shingle, i.doc_id, s.sz
+                 FROM idx i JOIN sizes s USING (doc_id)),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.sz AS size_a, b.sz AS size_b, COUNT(*) AS n_common
+                   FROM isz a JOIN isz b USING (shingle)
+                   WHERE a.doc_id < b.doc_id
+                     AND a.sz * 6 <= b.sz * 10 AND b.sz * 6 <= a.sz * 10
+                   GROUP BY a.doc_id, b.doc_id, a.sz, b.sz),
          good AS (SELECT id_a, id_b FROM pairs
-                  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-                  WHERE n_common * 10 >= (sa.sz + sb.sz - n_common) * 6),
+                  WHERE n_common * 10 >= (size_a + size_b - n_common) * 6),
          bidir AS (SELECT id_a AS s, id_b AS t FROM good
                    UNION SELECT id_b, id_a FROM good),
          reach(v, r) AS (SELECT s, s FROM bidir
@@ -3051,17 +3060,21 @@ object SparkEntry {
 
     "q58_dedup_corpus" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
-         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         sh AS MATERIALIZED (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                 FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
          idx AS (SELECT shingle, doc_id FROM sh
                  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
-         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-                   FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id
-                   GROUP BY a.doc_id, b.doc_id),
+         isz AS MATERIALIZED (SELECT i.shingle, i.doc_id, s.sz
+                 FROM idx i JOIN sizes s USING (doc_id)),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.sz AS size_a, b.sz AS size_b, COUNT(*) AS n_common
+                   FROM isz a JOIN isz b USING (shingle)
+                   WHERE a.doc_id < b.doc_id
+                     AND a.sz * 6 <= b.sz * 10 AND b.sz * 6 <= a.sz * 10
+                   GROUP BY a.doc_id, b.doc_id, a.sz, b.sz),
          good AS (SELECT id_a, id_b FROM pairs
-                  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-                  WHERE n_common * 10 >= (sa.sz + sb.sz - n_common) * 6),
+                  WHERE n_common * 10 >= (size_a + size_b - n_common) * 6),
          bidir AS (SELECT id_a AS s, id_b AS t FROM good
                    UNION SELECT id_b, id_a FROM good),
          reach(v, r) AS (SELECT s, s FROM bidir
@@ -3127,7 +3140,7 @@ object SparkEntry {
          CAST(((o_orderkey * 7) % 10000) % 100 AS DOUBLE) / 100 AS shipping_tax,
          CAST(((o_orderkey * 97 + 23) % 1000000) + 11 AS DOUBLE) / 100 AS subtotal,
          CAST((o_orderkey * 3) % 1000 AS DOUBLE) / 100 AS subtotal_tax,
-         -(CAST((o_orderkey * 97 + 23) % 1000000 AS DOUBLE) / 100) AS total
+         CAST(-((o_orderkey * 97 + 23) % 1000000) AS DOUBLE) / 100 AS total
          FROM orders ORDER BY refund_number""",
 
     "q65_pack_sequences" ->
@@ -3232,13 +3245,13 @@ object SparkEntry {
 
     "q71_cross_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
-         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         sh AS MATERIALIZED (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                 FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
          h AS (SELECT doc_id,
                  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741789 AS h1,
                  CAST(('0x' || substr(md5(shingle), 16, 15)) AS BIGINT) % 1073741789 AS h2
                FROM sh),
-         sig AS (SELECT doc_id, i, MIN((h1 + i * h2) % 1073741789) AS m
+         sig AS MATERIALIZED (SELECT doc_id, i, MIN((h1 + i * h2) % 1073741789) AS m
                  FROM h, UNNEST(range(32)) AS s(i) GROUP BY doc_id, i),
          band AS (SELECT doc_id, i // 4 AS band,
                          string_agg(m::VARCHAR, '_' ORDER BY i) AS band_key
@@ -3340,13 +3353,13 @@ object SparkEntry {
 
     "q76_corpus_release" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
-         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         sh AS MATERIALIZED (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                 FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
          h AS (SELECT doc_id,
                  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741789 AS h1,
                  CAST(('0x' || substr(md5(shingle), 16, 15)) AS BIGINT) % 1073741789 AS h2
                FROM sh),
-         sig AS (SELECT doc_id, i, MIN((h1 + i * h2) % 1073741789) AS m
+         sig AS MATERIALIZED (SELECT doc_id, i, MIN((h1 + i * h2) % 1073741789) AS m
                  FROM h, UNNEST(range(32)) AS s(i) GROUP BY doc_id, i),
          band AS (SELECT doc_id, i // 4 AS band,
                          string_agg(m::VARCHAR, '_' ORDER BY i) AS band_key
@@ -3881,17 +3894,21 @@ object SparkEntry {
 
     "q111_leakage_safe_split" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
-         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         sh AS MATERIALIZED (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                 FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
          idx AS (SELECT shingle, doc_id FROM sh
                  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
-         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-                   FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id
-                   GROUP BY a.doc_id, b.doc_id),
+         isz AS MATERIALIZED (SELECT i.shingle, i.doc_id, s.sz
+                 FROM idx i JOIN sizes s USING (doc_id)),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.sz AS size_a, b.sz AS size_b, COUNT(*) AS n_common
+                   FROM isz a JOIN isz b USING (shingle)
+                   WHERE a.doc_id < b.doc_id
+                     AND a.sz * 6 <= b.sz * 10 AND b.sz * 6 <= a.sz * 10
+                   GROUP BY a.doc_id, b.doc_id, a.sz, b.sz),
          good AS (SELECT id_a, id_b FROM pairs
-                  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-                  WHERE n_common * 10 >= (sa.sz + sb.sz - n_common) * 6),
+                  WHERE n_common * 10 >= (size_a + size_b - n_common) * 6),
          bidir AS (SELECT id_a AS s, id_b AS t FROM good
                    UNION SELECT id_b, id_a FROM good),
          reach(v, r) AS (SELECT s, s FROM bidir
@@ -3936,17 +3953,21 @@ object SparkEntry {
 
     "q113_dedup_keep_best" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
-         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         sh AS MATERIALIZED (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                 FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
          idx AS (SELECT shingle, doc_id FROM sh
                  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
-         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-                   FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id
-                   GROUP BY a.doc_id, b.doc_id),
+         isz AS MATERIALIZED (SELECT i.shingle, i.doc_id, s.sz
+                 FROM idx i JOIN sizes s USING (doc_id)),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.sz AS size_a, b.sz AS size_b, COUNT(*) AS n_common
+                   FROM isz a JOIN isz b USING (shingle)
+                   WHERE a.doc_id < b.doc_id
+                     AND a.sz * 6 <= b.sz * 10 AND b.sz * 6 <= a.sz * 10
+                   GROUP BY a.doc_id, b.doc_id, a.sz, b.sz),
          good AS (SELECT id_a, id_b FROM pairs
-                  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-                  WHERE n_common * 10 >= (sa.sz + sb.sz - n_common) * 6),
+                  WHERE n_common * 10 >= (size_a + size_b - n_common) * 6),
          bidir AS (SELECT id_a AS s, id_b AS t FROM good
                    UNION SELECT id_b, id_a FROM good),
          reach(v, r) AS (SELECT s, s FROM bidir
@@ -3962,13 +3983,13 @@ object SparkEntry {
 
     "q114_incremental_fuzzy_dedup" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
-         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         sh AS MATERIALIZED (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                 FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
          h AS (SELECT doc_id,
                  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741789 AS h1,
                  CAST(('0x' || substr(md5(shingle), 16, 15)) AS BIGINT) % 1073741789 AS h2
                FROM sh),
-         sig AS (SELECT doc_id, i, MIN((h1 + i * h2) % 1073741789) AS m
+         sig AS MATERIALIZED (SELECT doc_id, i, MIN((h1 + i * h2) % 1073741789) AS m
                  FROM h, UNNEST(range(32)) AS s(i) GROUP BY doc_id, i),
          band AS (SELECT doc_id, i // 4 AS band,
                          string_agg(m::VARCHAR, '_' ORDER BY i) AS band_key

@@ -113,13 +113,27 @@ object Dedup {
           .filter(col("df") <= maxDf).select(col("shingle"))
         perDoc.join(rare, Seq("shingle"))
       }
-    val a = idx.select(col("shingle"), col("id").as("id_a"))
-    val b = idx.select(col("shingle"), col("id").as("id_b"))
-    val common = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), Seq("id_b"))
+    // Postings carry their doc's (unfiltered) set size so the
+    // SIZE-RATIO prefilter can run on the join output BEFORE the
+    // pair-count shuffle: J = c/(a+b−c) with c ≤ min(a,b) gives
+    // J ≤ min/max, so J ≥ num/den forces max·num ≤ min·den — an exact
+    // necessary condition that discards a candidate the moment the two
+    // sizes meet, paying one long per posting instead of a pair-count
+    // row per co-occurrence (AllPairs' length filter; at a fixed
+    // threshold it prunes a size-diverse corpus's candidate volume by
+    // a constant factor and costs nothing when sizes are uniform).
+    // Sizes then ride through the pair groupBy (functionally dependent
+    // on the ids), replacing the two post-aggregation size joins.
+    val ap = idx.join(sizes, Seq("id"))
+      .select(col("shingle"), col("id").as("id_a"), col("sz").as("size_a"))
+    val bp = idx.join(sizes, Seq("id"))
+      .select(col("shingle"), col("id").as("id_b"), col("sz").as("size_b"))
+    ap.join(bp, Seq("shingle"))
+      .filter(col("id_a") < col("id_b") &&
+        col("size_a") * thresholdNum <= col("size_b") * thresholdDen &&
+        col("size_b") * thresholdNum <= col("size_a") * thresholdDen)
+      .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
+      .agg(count(lit(1)).as("n_common"))
       // n_common/(size_a+size_b-n_common) >= num/den, cross-multiplied:
       .filter(col("n_common") * thresholdDen >= (col("size_a") + col("size_b") - col("n_common")) * thresholdNum)
       .select(col("id_a"), col("id_b"), col("n_common"), col("size_a"), col("size_b"))

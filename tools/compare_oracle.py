@@ -16,7 +16,7 @@ for BOTH engines. In --detail mode the per-column canonical repr hashes
 are also COMPARED (not just printed): a repr/dtype divergence counts as
 a failure even when Python `==` passes, matching the driver's
 hash sensitivity."""
-import sys, json, glob, hashlib
+import sys, json, glob, hashlib, tempfile, shutil, atexit
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
@@ -32,6 +32,13 @@ sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
 out_dir = args[1] if len(args) > 1 else "/root/repo/target/verify_out"
 
 con = duckdb.connect()
+# Bound DuckDB so a heavy oracle (sf1-scale minhash/jaccard CTEs) spills
+# to disk instead of dying on the default in-RAM budget; the temp dir is
+# scoped per-run so a crashed compare can't strand tens of GB in /tmp.
+_tmp = tempfile.mkdtemp(prefix="ddb_oracle_")
+atexit.register(lambda: shutil.rmtree(_tmp, ignore_errors=True))
+con.execute(f"SET temp_directory='{_tmp}'")
+con.execute("SET memory_limit='48GB'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
