@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The HLL (bucket, rank) register pair of one value, computed straight
+  * from the md5 DIGEST BYTES — bit-identical to the portable hex-string
+  * derivation the oracle SQL uses (bucket = first-15-hex-chars mod m,
+  * rank = 1 + leading zero bits of hex chars 16–30, all-zero → 61) but
+  * without ever materializing the hex string: the Column-chain form
+  * pays md5-to-hex, two 15-char substrings, a string→long `conv` each,
+  * and a `regexp_extract` per row; this kernel is one digest and a few
+  * shifts. Same Expression-tier preference as [[NormalizeNfc]] /
+  * [[WinnowMins]]: stays inside whole-stage codegen, no UDF boxing.
+  *
+  * Bit-parity argument (pinned by ApproxAggSpec and the q92/q145
+  * gates): hex chars 1–15 are the top 60 bits of digest bytes 0–7, so
+  * `conv(substr(hx,1,15),16,10)` == `(b0..b7 as big-endian long) >>> 4`;
+  * hex chars 16–30 are the low nibble of byte 7 followed by bytes
+  * 8–14, a 60-bit value whose leading-zero HEX count z and first
+  * nonzero digit's high-bit position together encode exactly the
+  * leading-zero BIT count: z·4 + (digit ≥8 → 0, ≥4 → 1, ≥2 → 2,
+  * else 3) = nlz₆₀(v), hence rank = nlz₆₀(v) + 1, and the all-zero
+  * window (z = 15) is the documented rank-61 sentinel. */
+case class HllRegisterExpr(child: Expression, m: Int) extends UnaryExpression {
+  require(m >= 2 && (m & (m - 1)) == 0 && m <= 4096,
+    s"m must be a power of two in [2, 4096], got $m")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("bucket", LongType, nullable = false),
+    StructField("rank", IntegerType, nullable = false)))
+  override def prettyName: String = "hll_register"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hll_register needs a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    HllRegisterExpr.reg(input.asInstanceOf[UTF8String], m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HllRegisterExpr.reg($c, $m)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HllRegisterExpr {
+  private[functions] def litInt(e: Expression, name: String): Int =
+    WinnowMins.litInt(e, name)
+
+  // MessageDigest is stateful; one per thread, digest() resets it.
+  private val md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Static kernel shared by eval and generated code. */
+  def reg(s: UTF8String, m: Int): InternalRow = {
+    val d = md5.get().digest(s.getBytes)
+    val top =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    val bucket = (top >>> 4) % m // hex chars 1-15 mod m
+    // hex chars 16-30: low nibble of byte 7, then bytes 8-14
+    val w =
+      ((d(7) & 0x0fL) << 56) |
+      ((d(8) & 0xffL) << 48) | ((d(9) & 0xffL) << 40) | ((d(10) & 0xffL) << 32) |
+      ((d(11) & 0xffL) << 24) | ((d(12) & 0xffL) << 16) | ((d(13) & 0xffL) << 8) |
+      (d(14) & 0xffL)
+    val rank = if (w == 0L) 61 else java.lang.Long.numberOfLeadingZeros(w) - 3
+    new GenericInternalRow(Array[Any](bucket, rank))
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_register", exprs => HllRegisterExpr(exprs.head,
+        litInt(exprs(1), "m")), "built-in")
+}

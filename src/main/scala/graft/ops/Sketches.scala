@@ -20,27 +20,22 @@ object Sketches {
   /** Flajolet-style HLL register index + rank from one md5 evaluation:
     * bucket from hex digits 1-15, rank (position of the first 1-bit,
     * 1-based) from the disjoint digits 16-30 — 60 independent bits,
-    * far past any realistic register rank. Both pieces are pure
-    * substring/CASE arithmetic on the hex string, so DuckDB reproduces
-    * them verbatim (see the q92 oracle). */
-  private def hexLeadingZeros(w: Column): Column =
-    length(regexp_extract(w, "^0*", 0))
+    * far past any realistic register rank. The ORACLE side keeps the
+    * pure substring/CASE hex arithmetic (so DuckDB reproduces the
+    * registers verbatim, see the q92 oracle); the engine side computes
+    * the same bits from the digest directly. */
 
   /** The (bucket, rank) register struct for one value; a NULL value
     * yields a null bucket (HLL ignores nulls, matching countDistinct).
-    * The duplicated md5 subtree collapses under whole-stage codegen's
-    * common-subexpression elimination. */
-  def hllRegister(value: Column, m: Int): Column = {
-    val hx = md5(value.cast("string"))
-    val bucket = conv(substring(hx, 1, 15), 16, 10).cast("long") % m
-    val w = substring(hx, 16, 15)
-    val z = hexLeadingZeros(w)
-    val firstNz = conv(w.substr(z + 1, lit(1)), 16, 10).cast("int")
-    val extra = when(firstNz >= 8, 0).when(firstNz >= 4, 1)
-      .when(firstNz >= 2, 2).otherwise(3)
-    val rank = when(z === 15, lit(61)).otherwise(z * 4 + extra + 1)
-    struct(bucket.as("bucket"), rank.as("rank"))
-  }
+    * Computed by the codegen'd [[graft.functions.HllRegisterExpr]]
+    * kernel — one md5 digest and a few shifts per value, bit-identical
+    * to the hex-string derivation the oracle SQL keeps (the parity
+    * argument lives on the expression; ApproxAggSpec pins it against
+    * this Column-chain's former output). Callers must have called
+    * [[graft.functions.HllRegisterExpr.register]] on the session
+    * first ([[hllDistinct]]/[[hllProfile]] do). */
+  def hllRegister(value: Column, m: Int): Column =
+    call_function("hll_register", value.cast("string"), lit(m))
 
   /** Σ 2^(61−max_rank) over USED registers — the harmonic-sum term a
     * register aggregate carries into [[withHllEstimate]]. */
@@ -114,6 +109,7 @@ object Sketches {
   def hllDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
                   p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 8, s"p must be in [4,8] (m=16..256, overflow-proven), got $p")
+    graft.functions.HllRegisterExpr.register(df.sparkSession)
     val m = 1 << p
     val grp = groupCols.map(col)
     val regs = df
@@ -151,6 +147,7 @@ object Sketches {
     * is O(partitions · cols · m), independent of row count. */
   def hllProfile(df: DataFrame, cols: Seq[(Int, Column)], p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 8, s"p must be in [4,8] (m=16..256, overflow-proven), got $p")
+    graft.functions.HllRegisterExpr.register(df.sparkSession)
     val m = 1 << p
     val regStructs = array(cols.map { case (i, c) =>
       struct(lit(i).as("cid"), hllRegister(c, m).as("r"))

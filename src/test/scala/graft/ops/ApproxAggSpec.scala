@@ -100,6 +100,41 @@ class ApproxAggSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("digest-byte register kernel is bit-identical to the hex-string derivation") {
+    import spark.implicits._
+    graft.functions.HllRegisterExpr.register(spark)
+    // the pre-codegen Column chain, kept verbatim as the parity pin —
+    // this is also EXACTLY what the oracle SQL computes in DuckDB
+    def hexRegister(value: org.apache.spark.sql.Column,
+                    m: Int): org.apache.spark.sql.Column = {
+      val hx = md5(value.cast("string"))
+      val bucket = conv(substring(hx, 1, 15), 16, 10).cast("long") % m
+      val w = substring(hx, 16, 15)
+      val z = length(regexp_extract(w, "^0*", 0))
+      val firstNz = conv(w.substr(z + 1, lit(1)), 16, 10).cast("int")
+      val extra = when(firstNz >= 8, 0).when(firstNz >= 4, 1)
+        .when(firstNz >= 2, 2).otherwise(3)
+      val rank = when(z === 15, lit(61)).otherwise(z * 4 + extra + 1)
+      struct(bucket.as("bucket"), rank.as("rank"))
+    }
+    // adversarial inputs: empty string, unicode, long strings, plus a
+    // 20k id sweep (rank tail: P(rank > r) = 2^-r, so 20k draws pin
+    // double-digit ranks too)
+    val vals = Seq("", "a", "é", "é́", "0", ":",
+      "x" * 1000) ++ (1 to 20000).map(i => s"user$i:2024-01-${i % 28 + 1}")
+    for (m <- Seq(16, 64, 256)) {
+      val df = vals.toDF("v")
+        .select(Sketches.hllRegister(col("v"), m).as("n"),
+          hexRegister(col("v"), m).as("h"))
+        .filter(col("n.bucket") =!= col("h.bucket") || col("n.rank") =!= col("h.rank"))
+      assert(df.count() == 0, s"register divergence at m=$m")
+    }
+    // null in → null bucket out (the filter contract both sketches use)
+    val nulls = Seq(Option.empty[String], Some("x")).toDF("v")
+      .select(Sketches.hllRegister(col("v"), 256).as("r"))
+    assert(nulls.filter(col("r.bucket").isNull).count() == 1)
+  }
+
   test("portable HLL is bit-deterministic across partitionings and duplication") {
     import spark.implicits._
     val df = (1L to 3000L).map(i => (s"g${i % 3}", i % 700)).toDF("g", "v")
