@@ -23,13 +23,17 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * to re-encoding — and distinguishes this fingerprint from dHash's
   * first-order spatial gradient.
   *
-  * The real decoder/FFT is NOT in this container (same stub boundary as
-  * [[graft.ops.Multimodal.decodeKernel]]): the "energy grid" here is a
-  * deterministic integer fold of the payload bytes — cell k sums the
-  * bytes at positions p ≡ k (mod 78). Swap `AudioFingerprintKernel
-  * .hash`'s grid fill for a real decode+STFT and every plan, schema and
-  * the blocking machinery stays identical. Integer-exact throughout, so
-  * the DuckDB oracle reproduces the hash bit-for-bit.
+  * The grid fill is two-branch (same codec seam as
+  * [[graft.ops.Multimodal.decodeKernel]]): RIFF/WAVE PCM payloads
+  * decode for real ([[AudioCodec]] — stock JDK, hand-rolled RIFF
+  * parse, Goertzel band powers over log-spaced 300–3000 Hz bands), so
+  * real WAV bytes fingerprint on true spectra; anything else takes
+  * the deterministic byte fold — cell k sums the bytes at positions
+  * p ≡ k (mod 78) — which is what the synthetic oracle fixtures hit,
+  * keeping the DuckDB oracle's bit-for-bit reproduction. A full
+  * windowed STFT (or ffmpeg for compressed codecs) slots into the
+  * AudioCodec seam without touching the bit layout or the blocking
+  * machinery.
   *
   * Grid is 6 frames × 13 bands = 78 cells → (6−1) × (13−1) = 60 delta
   * bits, exactly the [[graft.ops.Dedup.SimhashBits]] envelope
@@ -41,14 +45,32 @@ object AudioFingerprintKernel {
   final val Bands = 13 // 12 delta bits per adjacent-frame pair
   final val Cells = Frames * Bands
 
-  /** Static JVM kernel shared by interpreted eval and generated code. */
+  /** Static JVM kernel shared by interpreted eval and generated code.
+    * REAL branch: payloads that parse as RIFF/WAVE PCM
+    * ([[AudioCodec.decodeWav]]) get true Goertzel band energies — the
+    * delta bits then measure actual spectral movement, and a uniform
+    * power-of-two gain provably flips no bit (energies scale by an
+    * exact common factor, see AudioCodecSpec). STUB branch (everything
+    * else, incl. every oracle fixture): the original byte fold. */
   def hash(payload: Array[Byte]): Long = {
-    val energy = new Array[Long](Cells)
+    val pcm = AudioCodec.decodeWav(payload)
+    if (pcm != null && pcm.samples.length >= Frames)
+      return deltaBits(AudioCodec.energyGrid(pcm, Frames, Bands))
+    val energy = new Array[Double](Cells)
     var i = 0
     while (i < payload.length) {
       energy(i % Cells) += (payload(i) & 0xff)
       i += 1
     }
+    deltaBits(energy)
+  }
+
+  /** The Haitsma–Kalker second-order delta bits of a frames×bands
+    * energy grid (row-major). Exact on the stub's integer-valued
+    * energies (doubles hold the byte sums exactly: ≤ 255·2³¹ < 2⁵³),
+    * so the fold branch's bits are unchanged from the all-long
+    * original — the q116/q120 oracles still reproduce them. */
+  private def deltaBits(energy: Array[Double]): Long = {
     var h = 0L
     var f = 1
     while (f < Frames) {

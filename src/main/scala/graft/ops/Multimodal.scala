@@ -73,10 +73,12 @@ object Multimodal {
   // ---------------------------------------------------------------------------
   // CODEC SEAM — the image path is REAL (stock-JDK javax.imageio via
   // [[graft.functions.ImageCodec]]: PNG/JPEG decode, integer luma,
-  // deterministic box resize). Audio/video payloads still hit the
+  // deterministic box resize) and so is uncompressed audio
+  // ([[graft.functions.AudioCodec]]: RIFF/WAVE PCM parse + Goertzel
+  // band energies). Video and compressed-audio payloads still hit the
   // clearly-marked deterministic stub below (no JDK codec exists for
-  // them); replace that branch with ffmpeg/javasound and every
-  // signature, schema and batch shape stays identical.
+  // them); replace that branch with ffmpeg and every signature,
+  // schema and batch shape stays identical.
   // ---------------------------------------------------------------------------
 
   /** Decode + resize + featurize one payload into the fixed 8-wide
@@ -94,11 +96,27 @@ object Multimodal {
     val out = new Array[Float](8)
     if (payload == null || payload.isEmpty) return out
     val grid = graft.functions.ImageCodec.lumaGrid(payload, targetH, targetW)
+    val pcm = if (grid == null) graft.functions.AudioCodec.decodeWav(payload) else null
     if (grid != null) {
       var i = 0
       while (i < grid.length) {
         out(math.min(7, (grid(i) >> 5).toInt)) += 1.0f
         i += 1
+      }
+    } else if (pcm != null && pcm.samples.length >= 8) {
+      // real audio branch: 8 log-spaced Goertzel band energies over the
+      // whole clip (a 1×8 [[graft.functions.AudioCodec.energyGrid]]),
+      // normalized to the image branch's targetW·targetH mass so every
+      // media type shares one feature envelope
+      val e = graft.functions.AudioCodec.energyGrid(pcm, 1, 8)
+      var total = 0.0
+      var j = 0
+      while (j < 8) { total += e(j); j += 1 }
+      if (total > 0) {
+        j = 0
+        while (j < 8) {
+          out(j) = (e(j) / total * (targetW * targetH)).toFloat; j += 1
+        }
       }
     } else {
       var i = 0

@@ -146,6 +146,24 @@ class MultimodalSpec extends SparkSpecBase {
     assert(feat.feature.sum == 32f * 32f)
   }
 
+  test("decodeAndFeaturize audio branch: WAV payloads get a real band profile") {
+    import spark.implicits._
+    val rate = 8000
+    val lowTone = Array.tabulate(4000)(i =>
+      (9000 * StrictMath.sin(2 * Math.PI * 440.0 * i / rate)).toInt)
+    val w = graft.functions.AudioCodecSpec.wavBytes(lowTone, rate)
+    val df = Seq((1L, w)).toDF("id", "payload")
+    val asset = Multimodal.assetsFromBinary(df, "id", "payload", "audio", "wav")
+    val feat = Multimodal.decodeAndFeaturize(spark, asset).collect().head
+    assert(feat.ok)
+    // normalized to the shared 32×32 mass envelope…
+    assert(math.abs(feat.feature.sum - 32f * 32f) < 1e-2)
+    // …and spectrally real: a 440 Hz tone loads the low bands of the
+    // 8-band 300–3000 Hz profile, not a flat byte-fold smear
+    assert(feat.feature.indexOf(feat.feature.max) <= 2,
+      feat.feature.mkString(","))
+  }
+
   test("imageNearDups: blocked pairs equal exact all-pairs Hamming (pigeonhole completeness)") {
     val all = Multimodal.assetsFromBinary(
       Tables.documents(spark, sf0001), "doc_id", "text", "image", "fake")
