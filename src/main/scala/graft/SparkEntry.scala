@@ -1942,6 +1942,63 @@ object SparkEntry {
     // any document containing the same ≥ (w+k−1)-token run. Map-only
     // per doc; gate emits per-doc selection count + the md5 of the
     // numerically-sorted selection.
+    // Hard-negative mining for contrastive/embedding training: per
+    // query vector, the top-k most-similar corpus vectors whose LABEL
+    // DIFFERS — q29's broadcast-scan shape with the label-inequality
+    // applied at the join (a positive never reaches scoring).
+    "q151_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VF.hardNegatives(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", "label", k = 5)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Centroid-based silhouette audit of the label clustering — the
+    // O(n·C) clustering-quality sweep (classic pairwise silhouette is
+    // O(n²)). Centroids are the exact integer-sum label means (q30's
+    // quantizer discipline), per-point s quantized to milli-units, so
+    // every output integer is engine-exact.
+    "q152_silhouette" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VF.silhouetteAudit(emb, "vec_id", "embedding", "label",
+        VF.centroidsByLabel(emb, "label", "embedding"))
+        .orderBy(col("cluster"))
+    }),
+
+    // Cross-source contamination matrix: distinct 4-gram shingle-hash
+    // overlap between every source pair (shared content a mixture
+    // would double-count). Pair rows per shingle are bounded by
+    // sources², not corpus size.
+    "q153_source_overlap" -> ((s, dir) => {
+      graft.ops.Dedup.sourceOverlapMatrix(t(s, dir, "documents"), "text", "source", n = 4)
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Counting join-view IVM (Gupta/Mumick): maintain per-partkey
+    // |lineitem ⋈ part| under two-sided CDC deltas by delta arithmetic
+    // alone — the gate is incremental == from-scratch recompute over
+    // the post-delta bases (the q135/q143/q146 contract extended to
+    // JOIN views; neither base appears in the maintenance plan).
+    "q154_ivm_join" -> ((s, dir) => {
+      import graft.ops.IncrementalAgg
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("partkey"), col("l_orderkey"))
+      val pt = t(s, dir, "part").select(col("p_partkey").as("partkey"))
+      val state0 = IncrementalAgg.joinViewState(li, pt, Seq("partkey"))
+      val dR = li.filter(col("l_orderkey") % 13 === 0)
+        .select(col("partkey"), lit("D").as("op"))
+        .unionByName(li.filter(col("l_orderkey") % 17 === 0)
+          .select(col("partkey"), lit("I").as("op")))
+      val dS = pt.filter(col("partkey") % 7 === 0)
+        .select(col("partkey"), lit("D").as("op"))
+        .unionByName(pt.filter(col("partkey") % 5 === 0)
+          .select(col("partkey"), lit("I").as("op")))
+      val merged = IncrementalAgg.mergeDeltaJoinView(state0, dR, dS, Seq("partkey"), "op")
+      IncrementalAgg.joinViewPairs(merged, Seq("partkey"))
+        .orderBy(col("partkey"))
+    }),
+
     "q150_winnowing" -> ((s, dir) => {
       graft.ops.Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text")
         .groupBy(col("doc_id"))
@@ -4419,6 +4476,91 @@ object SparkEntry {
     // Same shingle hashing (md5-hex-prefix 60-bit ints), same window
     // minima via 1-based inclusive list slices, same sorted-selection
     // md5.
+    "q151_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT query_id, c.vec_id AS neighbor_id, c.label AS nl,
+             list_sum(list_transform(list_zip(qv, c.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             AS sim
+           FROM q, embeddings c WHERE c.label <> ql),
+         ranked AS (SELECT query_id, neighbor_id, nl, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+                CAST(nl AS INTEGER) AS neighbor_label, round(sim, 6) AS cosine_sim
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // Centroids replicated with the exact decimal-sum rule (the q75
+    // CTE), cosine = (dot / ||c||) / ||v|| in the engine's exact
+    // division order, then the same milli-floor and rollup.
+    "q152_silhouette" ->
+      """WITH e AS (SELECT vec_id, embedding, label FROM embeddings WHERE label IS NOT NULL),
+         c AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+                 SELECT label AS cid, i AS pos,
+                   CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824) AS DECIMAL(38,0))) AS DOUBLE) AS m
+                 FROM e, UNNEST(range(1, len(embedding)+1)) AS r(i)
+                 GROUP BY label, i) GROUP BY cid),
+         n AS (SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nrm FROM c),
+         sims AS (SELECT e.vec_id, e.label, n.cid,
+                    list_sum(list_transform(list_zip(e.embedding, n.cv),
+                      x -> CAST(x[1] AS DOUBLE) * x[2])) / n.nrm
+                    / sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cs
+                  FROM e, n),
+         pt AS (SELECT vec_id, label,
+                       MAX(CASE WHEN cid = label THEN cs END) AS own,
+                       MAX(CASE WHEN cid <> label THEN cs ELSE -2.0 END) AS oth
+                FROM sims GROUP BY 1, 2),
+         sv AS (SELECT vec_id, label,
+                       CAST(floor(CASE WHEN greatest(1.0 - own, 1.0 - oth) > 0
+                                       THEN ((1.0 - oth) - (1.0 - own))
+                                            / greatest(1.0 - own, 1.0 - oth)
+                                       ELSE 0.0 END * 1000.0) AS BIGINT) AS s_milli
+                FROM pt WHERE own IS NOT NULL)
+         SELECT CAST(label AS BIGINT) AS cluster,
+                CAST(COUNT(*) AS BIGINT) AS n_points,
+                CAST(SUM(s_milli) AS BIGINT) AS sum_s_milli,
+                CAST(SUM(CASE WHEN s_milli < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned
+         FROM sv GROUP BY 1 ORDER BY cluster""",
+
+    "q153_source_overlap" ->
+      """WITH tk AS (SELECT source, regexp_extract_all(text, '\S+') AS ws
+                     FROM documents WHERE source IS NOT NULL),
+         sh AS (SELECT DISTINCT source AS src,
+                  CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 15)) AS BIGINT) AS h
+                FROM tk, UNNEST(range(1, len(ws) - 2)) AS r(i) WHERE len(ws) >= 4),
+         sizes AS (SELECT src, COUNT(*) AS sz FROM sh GROUP BY 1),
+         p AS (SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared
+               FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src GROUP BY 1, 2)
+         SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+                CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+                CAST((n_shared * 1000) // (sa.sz + sb.sz - n_shared) AS BIGINT) AS jaccard_milli
+         FROM p JOIN sizes sa ON sa.src = p.src_a
+                JOIN sizes sb ON sb.src = p.src_b
+         ORDER BY src_a, src_b""",
+
+    // From-scratch recompute over the post-delta multisets — per-key
+    // counts adjusted arithmetically (a row matching both the delete
+    // and insert predicates nets to its base count, exactly like the
+    // D+I pair on the incremental side).
+    "q154_ivm_join" ->
+      """WITH r AS (SELECT l_partkey AS partkey,
+                           COUNT(*) - COUNT(*) FILTER (WHERE l_orderkey % 13 = 0)
+                                    + COUNT(*) FILTER (WHERE l_orderkey % 17 = 0) AS cnt_r
+                    FROM lineitem GROUP BY 1),
+         s AS (SELECT p_partkey AS partkey,
+                      COUNT(*) - COUNT(*) FILTER (WHERE p_partkey % 7 = 0)
+                               + COUNT(*) FILTER (WHERE p_partkey % 5 = 0) AS cnt_s
+               FROM part GROUP BY 1)
+         SELECT r.partkey, CAST(cnt_r AS BIGINT) AS cnt_r, CAST(cnt_s AS BIGINT) AS cnt_s,
+                CAST(cnt_r * cnt_s AS BIGINT) AS n_pairs
+         FROM r JOIN s ON r.partkey = s.partkey
+         WHERE cnt_r > 0 AND cnt_s > 0
+         ORDER BY r.partkey""",
+
     "q150_winnowing" ->
       """WITH tk AS (SELECT doc_id,
                      list_filter(string_split_regex(lower(text), '\s+'),

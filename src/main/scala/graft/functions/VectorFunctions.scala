@@ -396,4 +396,91 @@ object VectorFunctions {
         array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m").cast("double")).as("centroid_vec"))
   }
+
+  /** Hard-negative mining for contrastive/embedding training: per query
+    * vector, the top-k most-similar corpus vectors whose LABEL DIFFERS
+    * from the query's — the highest-loss negatives an InfoNCE / triplet
+    * objective can be fed, and the standard way a retrieval-training
+    * pipeline turns a labeled corpus into training triples.
+    *
+    * Plan shape is [[bruteForceTopK]]'s: the (small) query set
+    * broadcasts, the corpus streams through executors partition-parallel
+    * with no shuffle, and only the per-query top-k window shuffles (k ×
+    * |queries| rows). The label inequality is applied AT THE JOIN — a
+    * same-label (positive) row never reaches scoring. Rows with a NULL
+    * label on either side are excluded (an unlabeled row is neither a
+    * positive nor a safe negative). Deterministic tiebreak on
+    * (cosine desc, corpus id asc).
+    *
+    * Scale path: for corpora too large for a per-query full scan,
+    * compose with the IVF machinery — tag corpus with [[assignBuckets]],
+    * probe with [[assignProbes]], and apply the same label-inequality
+    * join filter; the mining then costs ~nprobe/C of the scan exactly
+    * like [[ivfTopK]]. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("__ql"),
+      col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("neighbor_label"),
+      col(vecCol).as("__cv"))
+    val scored = c.join(broadcast(q), col("__ql") =!= col("neighbor_label"))
+      .withColumn("cosine_sim", cosineFor(corpus, vecCol)(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neighbor_label"), col("cosine_sim"))
+  }
+
+  /** Centroid-based (simplified) silhouette audit of a clustering /
+    * labeling — the O(n·C) variant of Rousseeuw's silhouette that
+    * production pipelines use because the classic pairwise form is
+    * O(n²): per point, a = cosine distance to the OWN cluster's
+    * centroid, b = distance to the NEAREST OTHER centroid, s = (b − a)
+    * / max(a, b) ∈ [−1, 1]. s < 0 means the point sits closer to a
+    * foreign centroid — a misassigned point.
+    *
+    * Returns one audit row per cluster: (cluster, n_points,
+    * sum_s_milli, n_misassigned), ordered by cluster. Per-point s is
+    * quantized to exact milli-units (floor(s·1000)) and SUMMED — an
+    * integer, so the rollup is associative and engine-portable; no
+    * floating mean ever crosses a partition boundary. Points with a
+    * NULL label are excluded.
+    *
+    * Plan shape: centroids collect to a driver model (same contract as
+    * [[assignBuckets]] — quantizer-sized, like an MLlib model) and
+    * inline into codegen; the corpus is scanned ONCE with a per-row
+    * literal loop over centroids (no join, no explode), then one hash
+    * aggregate on the cluster id. Map-side combine makes the shuffle
+    * clusters-sized. At 100 TB: a single pass over the corpus. */
+  def silhouetteAudit(points: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, centroids: DataFrame): DataFrame = {
+    VecExpressions.register(points.sparkSession)
+    val model = collectCentroids(centroids)
+    require(model.size >= 2, "silhouette needs at least 2 centroids")
+    // true cosine to centroid c (scaled score / own norm, as inertia)
+    def cosTo(cv: Seq[Double]): Column =
+      centroidScore(col(vecCol), cv) / l2NormNative(col(vecCol))
+    val ownCos = model.map { case (id, cv) =>
+      when(col(labelCol) === id, cosTo(cv))
+    }.reduce(coalesce(_, _))
+    val otherCos = greatest(model.map { case (id, cv) =>
+      when(col(labelCol) =!= id, cosTo(cv)).otherwise(lit(-2.0))
+    }: _*)
+    val a = lit(1.0) - col("__own")
+    val b = lit(1.0) - col("__oth")
+    val s = when(greatest(a, b) > 0.0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
+    points.filter(col(labelCol).isNotNull)
+      .withColumn("__own", ownCos).withColumn("__oth", otherCos)
+      // a label with no centroid row leaves __own null — drop rather
+      // than fold a half-defined s into the sums (callers deriving
+      // centroids FROM the labels, the normal path, never hit this)
+      .filter(col("__own").isNotNull)
+      .withColumn("__s_milli", floor(s * 1000.0).cast("long"))
+      .groupBy(col(labelCol).cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("__s_milli")).as("sum_s_milli"),
+        sum(when(col("__s_milli") < 0L, 1L).otherwise(0L)).as("n_misassigned"))
+  }
 }

@@ -463,6 +463,50 @@ object Dedup {
           .as("fingerprint"))
   }
 
+  /** Cross-source contamination matrix: for every pair of sources, how
+    * much n-gram content they SHARE — the corpus-curation audit that
+    * answers "which feeds copy from each other / from a common
+    * upstream" before mixing weights are assigned (a source pair with
+    * high shingle overlap double-counts its content under independent
+    * sampling). Exact-duplicate matrices under-report this (a mirrored
+    * feed with boilerplate wrappers shares no whole-doc fingerprint);
+    * shingle overlap is the containment-sensitive version.
+    *
+    * Per source: the set of DISTINCT n-token shingle hashes across all
+    * its documents. Per source pair (sa < sb): n_shared = |A ∩ B| and
+    * jaccard_milli = 1000·|A ∩ B| / |A ∪ B| (integer floor — exact,
+    * engine-portable). Shingle hashes are the house 60-bit md5 values.
+    *
+    * Scale shape: the (source, hash) relation dedups with one hash
+    * aggregate (map-side combined), the pair join keys on the shingle
+    * hash, and a shingle shared by d sources emits d·(d−1)/2 rows —
+    * bounded by the SOURCE count squared, not the corpus, so the
+    * matrix costs one shuffle of the distinct-shingle relation however
+    * large the corpus grows (sources are dozens-to-hundreds in real
+    * mixtures). Output is sources² rows — driver-trivial. */
+  def sourceOverlapMatrix(docs: DataFrame, textCol: String, srcCol: String,
+                          n: Int = 4): DataFrame = {
+    val sh = ensureParallelism(docs)
+      .filter(col(srcCol).isNotNull)
+      .select(col(srcCol).as("src"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("src"),
+        explode(array_distinct(TextFunctions.shinglesFromTokens(col("__toks"), n))).as("sh"))
+      .select(col("src"), TextFunctions.md5Long(col("sh")).as("h"))
+      .distinct()
+    val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("sz"))
+    val pairs = sh.select(col("h"), col("src").as("src_a"))
+      .join(sh.select(col("h"), col("src").as("src_b")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("src").as("src_a"), col("sz").as("sz_a")), Seq("src_a"))
+      .join(sizes.select(col("src").as("src_b"), col("sz").as("sz_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("sz_a"), col("sz_b"),
+        // all terms non-negative, so truncating DIV == floor == DuckDB //
+        expr("CAST((n_shared * 1000) DIV (sz_a + sz_b - n_shared) AS BIGINT)")
+          .as("jaccard_milli"))
+  }
+
   /** Substring-level exact dedup at token-window granularity — the
     * within-document counterpart of whole-document dedup ("Deduplicating
     * Training Data Makes Language Models Better", Lee et al. 2022:

@@ -153,6 +153,72 @@ object IncrementalAgg {
             |DIV (CAST(nval AS $dec38) * CAST(nval AS $dec38))""".stripMargin))
         .as("var_e6")): _*)
 
+  // ---- join-view maintenance ------------------------------------------------
+
+  /** Join-view state for V = R ⋈ₖ S under the counting algorithm
+    * (Gupta/Mumick/Subrahmanian 1993): per join key, the tuple COUNTS
+    * of each side — (key..., cnt_r, cnt_s). Each count is a
+    * self-maintainable sum, so the join view refreshes from DELTAS
+    * ALONE; a key's contribution to |V| is cnt_r·cnt_s
+    * ([[joinViewPairs]]). Keys alive on only ONE side stay in the
+    * state with the other count 0 — a later insert on the empty side
+    * revives the join row, which is exactly the case that makes naive
+    * "store only view rows" maintenance wrong. */
+  def joinViewState(r: DataFrame, s: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val cr = r.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt_r"))
+      .withColumn("cnt_s", lit(0L))
+    val cs = s.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt_s"))
+      .withColumn("cnt_r", lit(0L))
+    cr.unionByName(cs)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("cnt_r")).as("cnt_r"), sum(col("cnt_s")).as("cnt_s"))
+  }
+
+  /** A maintained count floored at raise_error: a negative means the
+    * CDC stream deleted tuples the state never saw — fail closed, the
+    * [[IncrementalMinMax]] divergence rule. */
+  private def nonNegative(c: Column, name: String): Column =
+    when(c < 0L, raise_error(concat(
+      lit(s"negative $name after join-view merge — CDC deletes exceed maintained "),
+      lit("inserts (state/stream divergence)"))).cast("long"))
+      .otherwise(c)
+
+  /** Apply one CDC delta per side ('I'/'D' rows keyed like the bases;
+    * either may be empty — pass a `limit(0)` frame). Pure arithmetic:
+    * each delta hash-aggregates to net per-key counts (map-side
+    * combined), unions with the state, and one hash aggregate on the
+    * join key re-forms it — NO join in the maintenance plan and
+    * neither base table anywhere. Cost: O(|ΔR| + |ΔS| + |state keys|)
+    * however large R and S are — the only viable refresh when the
+    * bases are 100 TB and a day's CDC is gigabytes. Keys whose both
+    * counts reach 0 leave the state. */
+  def mergeDeltaJoinView(state: DataFrame, deltaR: DataFrame, deltaS: DataFrame,
+                         keyCols: Seq[String], opCol: String): DataFrame = {
+    def netted(delta: DataFrame, mine: String, other: String): DataFrame = delta
+      .withColumn("__sign", cdcSign(opCol))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__sign")).as(mine))
+      .withColumn(other, lit(0L))
+    state.select(keyCols.map(col) :+ col("cnt_r") :+ col("cnt_s"): _*)
+      .unionByName(netted(deltaR, "cnt_r", "cnt_s"))
+      .unionByName(netted(deltaS, "cnt_s", "cnt_r"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("cnt_r")).as("__r"), sum(col("cnt_s")).as("__s"))
+      .select(keyCols.map(col) ++ Seq(
+        nonNegative(col("__r"), "cnt_r").as("cnt_r"),
+        nonNegative(col("__s"), "cnt_s").as("cnt_s")): _*)
+      .filter(col("cnt_r") =!= 0L || col("cnt_s") =!= 0L)
+  }
+
+  /** The materialized view the state maintains: per join key present on
+    * BOTH sides, the join cardinality n_pairs = cnt_r·cnt_s (the
+    * COUNT-projected equi-join; a general SPJ view maintains per-tuple
+    * multiplicities with the same ± arithmetic). */
+  def joinViewPairs(state: DataFrame, keyCols: Seq[String]): DataFrame =
+    state.filter(col("cnt_r") > 0L && col("cnt_s") > 0L)
+      .select(keyCols.map(col) ++ Seq(col("cnt_r"), col("cnt_s"),
+        (col("cnt_r") * col("cnt_s")).as("n_pairs")): _*)
+
   // ---- streaming maintenance -----------------------------------------------
 
   private[ops] def stateDir(root: String, id: Long) = f"$root/state_gen=$id%019d"

@@ -120,4 +120,74 @@ class VectorFunctionsSpec extends SparkSpecBase {
     assert(out.count(_._2 == 0) == 2 && out.count(_._2 == 4) == 2,
       s"got ${out.mkString(",")}")
   }
+
+  test("hardNegatives: same-label rows never surface, null labels excluded, tiebreak by id") {
+    // query 1 points at axis 0 with label 0. Corpus: id 2 is the exact
+    // SAME direction but SAME label (a positive — must not appear);
+    // id 3 slightly off-axis with label 1 (the true hard negative);
+    // id 4 orthogonal label 1; id 5 has a NULL label (excluded).
+    val rows = Seq(
+      (1L, Some(0), Seq(1.0f, 0.0f)),
+      (2L, Some(0), Seq(1.0f, 0.0f)),
+      (3L, Some(1), Seq(1.0f, 0.1f)),
+      (4L, Some(1), Seq(0.0f, 1.0f)),
+      (5L, None, Seq(1.0f, 0.0f))).toDF("id", "label", "v")
+    val out = VectorFunctions.hardNegatives(
+      rows.filter($"id" === 1L), rows, "id", "v", "label", k = 3)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 4L))
+    assert(out.map(_.getAs[Int]("neighbor_label")).toSeq == Seq(1, 1))
+    assert(out.head.getAs[Double]("cosine_sim") > out(1).getAs[Double]("cosine_sim"))
+  }
+
+  test("hardNegatives tiebreak: equal similarity orders by neighbor id") {
+    val rows = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)),
+      (7L, 1, Seq(2.0f, 0.0f)),   // same direction, same cosine
+      (6L, 1, Seq(3.0f, 0.0f))).toDF("id", "label", "v")
+    val out = VectorFunctions.hardNegatives(
+      rows.filter($"id" === 1L), rows, "id", "v", "label", k = 2)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(6L, 7L))
+  }
+
+  test("silhouetteAudit: separated clusters score positive, a swapped point flags misassigned") {
+    val centroids = Seq(
+      (0, Seq(1.0, 0.0)),
+      (1, Seq(0.0, 1.0))).toDF("centroid_id", "centroid_vec")
+    val pts = Seq(
+      (1L, Some(0), Seq(1.0f, 0.0f)),  // on own centroid: a=0, b=1, s=1
+      (2L, Some(0), Seq(1.0f, 0.0f)),
+      (3L, Some(1), Seq(0.0f, 1.0f)),
+      (4L, Some(0), Seq(0.0f, 1.0f)), // sits ON the foreign centroid: s=-1
+      (5L, None, Seq(1.0f, 0.0f)))     // null label: excluded
+      .toDF("id", "label", "v")
+    val got = VectorFunctions.silhouetteAudit(pts, "id", "v", "label", centroids)
+      .orderBy($"cluster").collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_points"),
+        r.getAs[Long]("sum_s_milli"), r.getAs[Long]("n_misassigned"))).toSeq
+    // cluster 0: points 1,2 at s=1000 each, point 4 at s=-1000
+    assert(got == Seq((0L, 3L, 1000L, 1L), (1L, 1L, 1000L, 0L)))
+  }
+
+  test("silhouetteAudit requires at least two centroids") {
+    val one = Seq((0, Seq(1.0, 0.0))).toDF("centroid_id", "centroid_vec")
+    val pts = Seq((1L, 0, Seq(1.0f, 0.0f))).toDF("id", "label", "v")
+    intercept[IllegalArgumentException] {
+      VectorFunctions.silhouetteAudit(pts, "id", "v", "label", one)
+    }
+  }
+
+  test("silhouetteAudit on the fixture labels: own-centroid affinity dominates") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val audit = VectorFunctions.silhouetteAudit(emb, "vec_id", "embedding", "label",
+      VectorFunctions.centroidsByLabel(emb, "label", "embedding")).collect()
+    val n = audit.map(_.getAs[Long]("n_points")).sum
+    assert(n == emb.filter($"label".isNotNull).count())
+    // every cluster row is internally consistent
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_misassigned") <= r.getAs[Long]("n_points"))
+      assert(math.abs(r.getAs[Long]("sum_s_milli")) <= r.getAs[Long]("n_points") * 1000L)
+    }
+  }
 }

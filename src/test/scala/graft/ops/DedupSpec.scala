@@ -412,4 +412,25 @@ class DedupSpec extends SparkSpecBase {
       all.sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("sourceOverlapMatrix: shared 4-gram counts and floor-jaccard per source pair") {
+    val docs = Seq(
+      (1L, "s1", "a b c d e"),   // shingles: "a b c d", "b c d e"
+      (2L, "s2", "a b c d x"),   // shingles: "a b c d", "b c d x"
+      (3L, "s3", "p q r s"),     // one shingle, disjoint
+      (4L, "s1", "a b c d e"),   // same content as doc 1: distinct-set unchanged
+      (5L, null.asInstanceOf[String], "a b c d e")) // null source: excluded
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlapMatrix(docs, "text", "source", n = 4)
+      .collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("n_shared"), r.getAs[Long]("sz_a"), r.getAs[Long]("sz_b"),
+        r.getAs[Long]("jaccard_milli"))).toSeq
+    // only the overlapping pair appears; J = 1/(2+2-1) = 0.333 -> 333
+    assert(got == Seq(("s1", "s2", 1L, 2L, 2L, 333L)))
+  }
+
+  test("sourceOverlapMatrix: sub-shingle docs contribute nothing") {
+    val docs = Seq((1L, "s1", "a b c"), (2L, "s2", "a b c")).toDF("doc_id", "source", "text")
+    assert(Dedup.sourceOverlapMatrix(docs, "text", "source", n = 4).count() == 0L)
+  }
 }

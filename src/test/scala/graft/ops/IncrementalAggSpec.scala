@@ -143,4 +143,70 @@ class IncrementalAggSpec extends SparkSpecBase {
     }
     assert(e.getMessage != null)
   }
+
+  // ---- join-view maintenance -----------------------------------------------
+
+  private def jvMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[String]("k") ->
+      ((r.getAs[Long]("cnt_r"), r.getAs[Long]("cnt_s")))).toMap
+
+  test("joinViewState counts both sides and keeps one-sided keys at zero") {
+    val r = Seq("a", "a", "b").toDF("k")
+    val s = Seq("a", "c").toDF("k")
+    val st = jvMap(IncrementalAgg.joinViewState(r, s, Seq("k")))
+    assert(st == Map("a" -> ((2L, 1L)), "b" -> ((1L, 0L)), "c" -> ((0L, 1L))))
+  }
+
+  test("mergeDeltaJoinView == from-scratch state over the post-delta bases") {
+    val r = Seq("a", "a", "b").toDF("k")
+    val s = Seq("a", "c").toDF("k")
+    val st = IncrementalAgg.joinViewState(r, s, Seq("k"))
+    // delete one a from R, add an S row under b (revives the one-sided
+    // key), delete c entirely from S, insert a brand-new key d on R
+    val dR = Seq(("a", "D"), ("d", "I")).toDF("k", "op")
+    val dS = Seq(("b", "I"), ("c", "D")).toDF("k", "op")
+    val merged = IncrementalAgg.mergeDeltaJoinView(st, dR, dS, Seq("k"), "op")
+    val scratch = IncrementalAgg.joinViewState(
+      Seq("a", "b", "d").toDF("k"), Seq("a", "b").toDF("k"), Seq("k"))
+    assert(jvMap(merged) == jvMap(scratch))
+    // and the view: only keys alive on BOTH sides, pairs = product
+    val pairs = IncrementalAgg.joinViewPairs(merged, Seq("k")).collect()
+      .map(r2 => r2.getAs[String]("k") -> r2.getAs[Long]("n_pairs")).toMap
+    assert(pairs == Map("a" -> 1L, "b" -> 1L))
+  }
+
+  test("a key whose both counts reach zero leaves the join-view state") {
+    val st = IncrementalAgg.joinViewState(Seq("a").toDF("k"), Seq("a").toDF("k"), Seq("k"))
+    val dR = Seq(("a", "D")).toDF("k", "op")
+    val dS = Seq(("a", "D")).toDF("k", "op")
+    val merged = IncrementalAgg.mergeDeltaJoinView(st, dR, dS, Seq("k"), "op")
+    assert(merged.count() == 0L)
+  }
+
+  test("join-view over-delete fails closed (CDC/state divergence)") {
+    val st = IncrementalAgg.joinViewState(Seq("a").toDF("k"), Seq("a").toDF("k"), Seq("k"))
+    val dR = Seq(("a", "D"), ("a", "D")).toDF("k", "op")
+    val empty = Seq.empty[(String, String)].toDF("k", "op")
+    val e = intercept[Exception] {
+      IncrementalAgg.mergeDeltaJoinView(st, dR, empty, Seq("k"), "op").collect()
+    }
+    assert(e.getMessage.contains("divergence") ||
+      (e.getCause != null && e.getCause.getMessage.contains("divergence")))
+  }
+
+  test("join-view maintenance is associative across delta batches") {
+    val r = Seq("a", "b", "b").toDF("k")
+    val s = Seq("a", "b").toDF("k")
+    val st = IncrementalAgg.joinViewState(r, s, Seq("k"))
+    val d1R = Seq(("b", "D")).toDF("k", "op")
+    val d1S = Seq(("a", "I")).toDF("k", "op")
+    val d2R = Seq(("a", "I")).toDF("k", "op")
+    val d2S = Seq(("b", "D")).toDF("k", "op")
+    val twoStep = IncrementalAgg.mergeDeltaJoinView(
+      IncrementalAgg.mergeDeltaJoinView(st, d1R, d1S, Seq("k"), "op"),
+      d2R, d2S, Seq("k"), "op")
+    val scratch = IncrementalAgg.joinViewState(
+      Seq("a", "b", "a").toDF("k"), Seq("a", "a").toDF("k"), Seq("k"))
+    assert(jvMap(twoStep) == jvMap(scratch))
+  }
 }
