@@ -1999,6 +1999,31 @@ object SparkEntry {
         .orderBy(col("partkey"))
     }),
 
+    // Bradley–Terry preference ratings (Hunter's MM, 3 rounds) over
+    // A/B outcomes derived from consecutive event pairs: the variant
+    // with the higher value wins (ties to the even-id event). Integer-
+    // exact per the q93 PageRank discipline — scaled DECIMAL(38,0)
+    // floor divisions, renormalized per round, bit-identical to the
+    // DuckDB HUGEINT re-derivation.
+    "q155_bradley_terry" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+      val a = e.filter(col("event_id") % 2 === 0)
+        .select(col("event_id").as("__ida"), col("event_type").as("__ta"), col("value").as("__va"))
+      val b = e.filter(col("event_id") % 2 === 1)
+        .select(col("event_id").as("__idb"), col("event_type").as("__tb"), col("value").as("__vb"))
+      val g = a.join(b, col("__idb") === col("__ida") + 1)
+        .filter(col("__ta") =!= col("__tb"))
+        .select(
+          when(col("__va") > col("__vb"), col("__ta"))
+            .when(col("__va") < col("__vb"), col("__tb"))
+            .otherwise(col("__ta")).as("winner"),
+          when(col("__va") > col("__vb"), col("__tb"))
+            .when(col("__va") < col("__vb"), col("__ta"))
+            .otherwise(col("__tb")).as("loser"))
+      graft.ops.Preference.bradleyTerry(g, "winner", "loser", iterations = 3)
+        .orderBy(col("item"))
+    }),
+
     "q150_winnowing" -> ((s, dir) => {
       graft.ops.Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text")
         .groupBy(col("doc_id"))
@@ -4560,6 +4585,57 @@ object SparkEntry {
          FROM r JOIN s ON r.partkey = s.partkey
          WHERE cnt_r > 0 AND cnt_s > 0
          ORDER BY r.partkey""",
+
+    // Same MM arithmetic in HUGEINT: floor divisions everywhere
+    // (all terms non-negative, so // == Spark's truncating DIV), one
+    // denominator/raw/renormalize block per round, 3 rounds unrolled
+    // like the q93 PageRank oracle.
+    "q155_bradley_terry" ->
+      """WITH g AS (SELECT CASE WHEN a.value > b.value THEN a.event_type
+                               WHEN a.value < b.value THEN b.event_type
+                               ELSE a.event_type END AS w,
+                          CASE WHEN a.value > b.value THEN b.event_type
+                               WHEN a.value < b.value THEN a.event_type
+                               ELSE b.event_type END AS l
+                   FROM events a JOIN events b ON b.event_id = a.event_id + 1
+                   WHERE a.event_id % 2 = 0 AND a.event_type <> b.event_type),
+         dp AS (SELECT i, j, COUNT(*)::HUGEINT AS n FROM (
+                  SELECT w AS i, l AS j FROM g
+                  UNION ALL SELECT l AS i, w AS j FROM g)
+                GROUP BY 1, 2),
+         st AS (SELECT dp.i AS item, SUM(dp.n) AS n_games FROM dp GROUP BY 1),
+         wi AS (SELECT w AS item, COUNT(*)::HUGEINT AS wins FROM g GROUP BY 1),
+         s0 AS (SELECT st.item, COALESCE(wi.wins, 0::HUGEINT) AS wins, st.n_games
+                FROM st LEFT JOIN wi USING (item)),
+         ni AS (SELECT COUNT(*)::HUGEINT AS c FROM s0),
+         r0 AS (SELECT item, 1000000::HUGEINT AS pi FROM s0),
+         d1 AS (SELECT dp.i AS item,
+                       SUM((dp.n * 1000000000000::HUGEINT) // (ri.pi + rj.pi)) AS d
+                FROM dp JOIN r0 ri ON ri.item = dp.i JOIN r0 rj ON rj.item = dp.j
+                GROUP BY 1),
+         w1 AS (SELECT s0.item, (s0.wins * 1000000000000::HUGEINT) // d1.d AS raw
+                FROM s0 JOIN d1 USING (item)),
+         r1 AS (SELECT item, (raw * (SELECT c FROM ni) * 1000000::HUGEINT)
+                             // (SELECT SUM(raw) FROM w1) AS pi FROM w1),
+         d2 AS (SELECT dp.i AS item,
+                       SUM((dp.n * 1000000000000::HUGEINT) // (ri.pi + rj.pi)) AS d
+                FROM dp JOIN r1 ri ON ri.item = dp.i JOIN r1 rj ON rj.item = dp.j
+                GROUP BY 1),
+         w2 AS (SELECT s0.item, (s0.wins * 1000000000000::HUGEINT) // d2.d AS raw
+                FROM s0 JOIN d2 USING (item)),
+         r2 AS (SELECT item, (raw * (SELECT c FROM ni) * 1000000::HUGEINT)
+                             // (SELECT SUM(raw) FROM w2) AS pi FROM w2),
+         d3 AS (SELECT dp.i AS item,
+                       SUM((dp.n * 1000000000000::HUGEINT) // (ri.pi + rj.pi)) AS d
+                FROM dp JOIN r2 ri ON ri.item = dp.i JOIN r2 rj ON rj.item = dp.j
+                GROUP BY 1),
+         w3 AS (SELECT s0.item, (s0.wins * 1000000000000::HUGEINT) // d3.d AS raw
+                FROM s0 JOIN d3 USING (item)),
+         r3 AS (SELECT item, (raw * (SELECT c FROM ni) * 1000000::HUGEINT)
+                             // (SELECT SUM(raw) FROM w3) AS pi FROM w3)
+         SELECT s0.item, CAST(r3.pi AS BIGINT) AS rating_micro,
+                CAST(s0.wins AS BIGINT) AS wins, CAST(s0.n_games AS BIGINT) AS n_games
+         FROM s0 JOIN r3 USING (item) ORDER BY s0.item""",
 
     "q150_winnowing" ->
       """WITH tk AS (SELECT doc_id,
