@@ -1999,6 +1999,32 @@ object SparkEntry {
         .orderBy(col("partkey"))
     }),
 
+    // SUM-over-join IVM — the aggregate-projected SPJ view
+    // SUM(l.qty_milli) over lineitem⋈part per partkey, maintained
+    // from two-sided CDC deltas by signed-sum arithmetic alone (the
+    // q154 counting state plus a self-maintainable value sum; neither
+    // base appears in the maintenance plan).
+    "q156_ivm_join_sum" -> ((s, dir) => {
+      import graft.ops.IncrementalAgg
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("partkey"), col("l_orderkey"),
+          floor(col("l_quantity") * 1000).cast("long").as("qty_milli"))
+      val pt = t(s, dir, "part").select(col("p_partkey").as("partkey"))
+      val state0 = IncrementalAgg.joinViewSumState(li, pt, Seq("partkey"), "qty_milli")
+      val dR = li.filter(col("l_orderkey") % 13 === 0)
+        .select(col("partkey"), col("qty_milli"), lit("D").as("op"))
+        .unionByName(li.filter(col("l_orderkey") % 17 === 0)
+          .select(col("partkey"), col("qty_milli"), lit("I").as("op")))
+      val dS = pt.filter(col("partkey") % 7 === 0)
+        .select(col("partkey"), lit(0L).as("qty_milli"), lit("D").as("op"))
+        .unionByName(pt.filter(col("partkey") % 5 === 0)
+          .select(col("partkey"), lit(0L).as("qty_milli"), lit("I").as("op")))
+      val merged = IncrementalAgg.mergeDeltaJoinViewSum(
+        state0, dR, dS, Seq("partkey"), "op", "qty_milli")
+      IncrementalAgg.joinViewSums(merged, Seq("partkey"))
+        .orderBy(col("partkey"))
+    }),
+
     // Bradley–Terry preference ratings (Hunter's MM, 3 rounds) over
     // A/B outcomes derived from consecutive event pairs: the variant
     // with the higher value wins (ties to the even-id event). Integer-
@@ -4582,6 +4608,29 @@ object SparkEntry {
                FROM part GROUP BY 1)
          SELECT r.partkey, CAST(cnt_r AS BIGINT) AS cnt_r, CAST(cnt_s AS BIGINT) AS cnt_s,
                 CAST(cnt_r * cnt_s AS BIGINT) AS n_pairs
+         FROM r JOIN s ON r.partkey = s.partkey
+         WHERE cnt_r > 0 AND cnt_s > 0
+         ORDER BY r.partkey""",
+
+    // From-scratch recompute over the post-delta multisets, q154's
+    // count arithmetic extended with the value sum; sum_v replays R's
+    // group sum once per surviving S match.
+    "q156_ivm_join_sum" ->
+      """WITH r AS (SELECT l_partkey AS partkey,
+                           COUNT(*) - COUNT(*) FILTER (WHERE l_orderkey % 13 = 0)
+                                    + COUNT(*) FILTER (WHERE l_orderkey % 17 = 0) AS cnt_r,
+                           SUM(CAST(floor(l_quantity * 1000) AS BIGINT))
+                             - COALESCE(SUM(CAST(floor(l_quantity * 1000) AS BIGINT))
+                                 FILTER (WHERE l_orderkey % 13 = 0), 0)
+                             + COALESCE(SUM(CAST(floor(l_quantity * 1000) AS BIGINT))
+                                 FILTER (WHERE l_orderkey % 17 = 0), 0) AS sum_rv
+                    FROM lineitem GROUP BY 1),
+         s AS (SELECT p_partkey AS partkey,
+                      COUNT(*) - COUNT(*) FILTER (WHERE p_partkey % 7 = 0)
+                               + COUNT(*) FILTER (WHERE p_partkey % 5 = 0) AS cnt_s
+               FROM part GROUP BY 1)
+         SELECT r.partkey, CAST(cnt_r AS BIGINT) AS cnt_r, CAST(cnt_s AS BIGINT) AS cnt_s,
+                CAST(sum_rv * cnt_s AS BIGINT) AS sum_v
          FROM r JOIN s ON r.partkey = s.partkey
          WHERE cnt_r > 0 AND cnt_s > 0
          ORDER BY r.partkey""",

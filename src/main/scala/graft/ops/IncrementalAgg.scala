@@ -219,6 +219,74 @@ object IncrementalAgg {
       .select(keyCols.map(col) ++ Seq(col("cnt_r"), col("cnt_s"),
         (col("cnt_r") * col("cnt_s")).as("n_pairs")): _*)
 
+  /** SUM-over-join view state — the aggregate-projected SPJ view
+    * V = SELECT key, SUM(r.v) FROM R JOIN S USING (key) GROUP BY key,
+    * which factors per key as sum(r.v)·|S_key|: alongside the two
+    * counts, maintain sum_rv = Σ of R's (pre-quantized long) value
+    * column — also a self-maintainable signed sum, so the whole view
+    * still refreshes from deltas alone ([[joinViewSums]] emits it).
+    * Values must be exact longs (quantize floats FIRST, the
+    * [[momentStats]] rule); null values sum as 0 but still count in
+    * cnt_r, matching SQL SUM-ignores-NULL over a join that keeps the
+    * row. */
+  def joinViewSumState(r: DataFrame, s: DataFrame, keyCols: Seq[String],
+                       valCol: String): DataFrame = {
+    val cr = r.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt_r"),
+        coalesce(sum(col(valCol).cast("long")), lit(0L)).as("sum_rv"))
+      .withColumn("cnt_s", lit(0L))
+    val cs = s.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt_s"))
+      .withColumn("cnt_r", lit(0L)).withColumn("sum_rv", lit(0L))
+    cr.unionByName(cs)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("cnt_r")).as("cnt_r"), sum(col("sum_rv")).as("sum_rv"),
+        sum(col("cnt_s")).as("cnt_s"))
+  }
+
+  /** Delta merge for [[joinViewSumState]] — identical shape to
+    * [[mergeDeltaJoinView]] (union + ONE hash aggregate, neither base
+    * in the plan): R-deltas carry the value column and net both a
+    * signed count and a signed value sum; S-deltas net counts only.
+    * Fail-closed rules: a negative count, or a key whose cnt_r
+    * returned to 0 with a non-zero residual sum_rv (the CDC stream
+    * deleted different values than it inserted), both raise — silent
+    * divergence is the one unrecoverable IVM failure mode. */
+  def mergeDeltaJoinViewSum(state: DataFrame, deltaR: DataFrame, deltaS: DataFrame,
+                            keyCols: Seq[String], opCol: String,
+                            valCol: String): DataFrame = {
+    val nr = deltaR.withColumn("__sign", cdcSign(opCol))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__sign")).as("cnt_r"),
+        coalesce(sum(col("__sign") * col(valCol).cast("long")), lit(0L)).as("sum_rv"))
+      .withColumn("cnt_s", lit(0L))
+    val ns = deltaS.withColumn("__sign", cdcSign(opCol))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__sign")).as("cnt_s"))
+      .withColumn("cnt_r", lit(0L)).withColumn("sum_rv", lit(0L))
+    state.select(keyCols.map(col) ++ Seq(col("cnt_r"), col("sum_rv"), col("cnt_s")): _*)
+      .unionByName(nr).unionByName(ns)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("cnt_r")).as("__r"), sum(col("sum_rv")).as("__v"),
+        sum(col("cnt_s")).as("__s"))
+      .select(keyCols.map(col) ++ Seq(
+        nonNegative(col("__r"), "cnt_r").as("cnt_r"),
+        when(col("__r") === 0L && col("__v") =!= 0L,
+          raise_error(lit("residual sum_rv on a count-0 key after join-view merge " +
+            "— CDC deletes carried different values than the maintained inserts " +
+            "(state/stream divergence)")).cast("long"))
+          .otherwise(col("__v")).as("sum_rv"),
+        nonNegative(col("__s"), "cnt_s").as("cnt_s")): _*)
+      .filter(col("cnt_r") =!= 0L || col("cnt_s") =!= 0L)
+  }
+
+  /** The maintained SUM-over-join view: per key alive on both sides,
+    * sum_v = sum_rv·cnt_s — every S-side match replays R's group sum
+    * once, exactly the SQL join semantics. */
+  def joinViewSums(state: DataFrame, keyCols: Seq[String]): DataFrame =
+    state.filter(col("cnt_r") > 0L && col("cnt_s") > 0L)
+      .select(keyCols.map(col) ++ Seq(col("cnt_r"), col("cnt_s"),
+        (col("sum_rv") * col("cnt_s")).as("sum_v")): _*)
+
   // ---- streaming maintenance -----------------------------------------------
 
   private[ops] def stateDir(root: String, id: Long) = f"$root/state_gen=$id%019d"

@@ -209,4 +209,58 @@ class IncrementalAggSpec extends SparkSpecBase {
       Seq("a", "b", "a").toDF("k"), Seq("a", "a").toDF("k"), Seq("k"))
     assert(jvMap(twoStep) == jvMap(scratch))
   }
+
+  // ---- SUM-over-join view maintenance --------------------------------------
+
+  private def jvsMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[String]("k") ->
+      ((r.getAs[Long]("cnt_r"), r.getAs[Long]("sum_rv"), r.getAs[Long]("cnt_s")))).toMap
+
+  test("joinViewSumState carries the R-side value sum; nulls count but sum 0") {
+    val r = Seq(("a", Some(10L)), ("a", Some(5L)), ("b", None)).toDF("k", "v")
+    val s = Seq("a", "c").toDF("k")
+    val st = jvsMap(IncrementalAgg.joinViewSumState(r, s, Seq("k"), "v"))
+    assert(st == Map("a" -> ((2L, 15L, 1L)), "b" -> ((1L, 0L, 0L)), "c" -> ((0L, 0L, 1L))))
+  }
+
+  test("mergeDeltaJoinViewSum == from-scratch over post-delta bases; sums view") {
+    val r = Seq(("a", 10L), ("a", 5L), ("b", 7L)).toDF("k", "v")
+    val s = Seq("a", "a", "c").toDF("k")
+    val st = IncrementalAgg.joinViewSumState(r, s, Seq("k"), "v")
+    // delete (a,5); insert (b,-3) and (c,2); S gains b, loses one a
+    val dR = Seq(("a", 5L, "D"), ("b", -3L, "I"), ("c", 2L, "I")).toDF("k", "v", "op")
+    val dS = Seq(("b", 0L, "I"), ("a", 0L, "D")).toDF("k", "v", "op")
+    val merged = IncrementalAgg.mergeDeltaJoinViewSum(st, dR, dS, Seq("k"), "op", "v")
+    val scratch = IncrementalAgg.joinViewSumState(
+      Seq(("a", 10L), ("b", 7L), ("b", -3L), ("c", 2L)).toDF("k", "v"),
+      Seq("a", "b", "c").toDF("k"), Seq("k"), "v")
+    assert(jvsMap(merged) == jvsMap(scratch))
+    val sums = IncrementalAgg.joinViewSums(merged, Seq("k")).collect()
+      .map(r2 => r2.getAs[String]("k") -> r2.getAs[Long]("sum_v")).toMap
+    // b: (7-3)*1; a: 10*1; c: 2*1 — every S match replays R's group sum
+    assert(sums == Map("a" -> 10L, "b" -> 4L, "c" -> 2L))
+  }
+
+  test("residual sum on a count-0 key fails closed") {
+    val st = IncrementalAgg.joinViewSumState(
+      Seq(("a", 10L)).toDF("k", "v"), Seq("a").toDF("k"), Seq("k"), "v")
+    // delete claims value 7 where the state holds 10 — cnt_r hits 0
+    // with 3 units of residual mass: divergence, must raise
+    val dR = Seq(("a", 7L, "D")).toDF("k", "v", "op")
+    val empty = Seq.empty[(String, Long, String)].toDF("k", "v", "op")
+    val e = intercept[Exception] {
+      IncrementalAgg.mergeDeltaJoinViewSum(st, dR, empty, Seq("k"), "op", "v").collect()
+    }
+    assert(e.getMessage.contains("divergence") ||
+      (e.getCause != null && e.getCause.getMessage.contains("divergence")))
+  }
+
+  test("negative value sums are legitimate while counts stay non-negative") {
+    val r = Seq(("a", -10L), ("a", 4L)).toDF("k", "v")
+    val st = IncrementalAgg.joinViewSumState(r, Seq("a").toDF("k"), Seq("k"), "v")
+    val dR = Seq(("a", -6L, "I")).toDF("k", "v", "op")
+    val empty = Seq.empty[(String, Long, String)].toDF("k", "v", "op")
+    val merged = IncrementalAgg.mergeDeltaJoinViewSum(st, dR, empty, Seq("k"), "op", "v")
+    assert(jvsMap(merged) == Map("a" -> ((3L, -12L, 1L))))
+  }
 }
