@@ -1999,6 +1999,18 @@ object SparkEntry {
         .orderBy(col("partkey"))
     }),
 
+    // Mergeable histogram quantiles: one hash aggregate bins the
+    // corpus (dollar bins), every rank cut runs on the bounded bins
+    // table. Exact over the binned values — the engine-portable
+    // 100 TB alternative to approx_percentile's private GK sketch.
+    "q157_binned_quantiles" -> ((s, dir) => {
+      graft.ops.Sketches.binnedQuantiles(
+        t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+          col("l_extendedprice")),
+        Seq("flag"), col("l_extendedprice"), Seq(500L, 900L, 990L), 1L)
+        .orderBy(col("flag"), col("q_milli"))
+    }),
+
     // SUM-over-join IVM — the aggregate-projected SPJ view
     // SUM(l.qty_milli) over lineitem⋈part per partkey, maintained
     // from two-sided CDC deltas by signed-sum arithmetic alone (the
@@ -4611,6 +4623,25 @@ object SparkEntry {
          FROM r JOIN s ON r.partkey = s.partkey
          WHERE cnt_r > 0 AND cnt_s > 0
          ORDER BY r.partkey""",
+
+    // Same histogram arithmetic: floor bins, cumulative window over
+    // the bins table, rank = max(1, ceil(q*n/1000)) via the all-
+    // positive (a+999)//1000 floor identity, min qualifying bin.
+    "q157_binned_quantiles" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+                           CAST(floor(l_extendedprice * 1) AS BIGINT) AS bin
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         c AS (SELECT flag, bin, COUNT(*)::BIGINT AS n FROM b GROUP BY 1, 2),
+         cum AS (SELECT flag, bin,
+                        SUM(n) OVER (PARTITION BY flag ORDER BY bin) AS cum,
+                        SUM(n) OVER (PARTITION BY flag) AS tot
+                 FROM c),
+         x AS (SELECT flag, bin, cum, tot, CAST(q AS BIGINT) AS q_milli,
+                      GREATEST(1, (CAST(q AS BIGINT) * tot + 999) // 1000) AS rnk
+               FROM cum, UNNEST([500, 900, 990]) AS t(q))
+         SELECT flag, q_milli, CAST(MAX(tot) AS BIGINT) AS n_values,
+                CAST(MAX(rnk) AS BIGINT) AS rank, MIN(bin) AS bin
+         FROM x WHERE cum >= rnk GROUP BY 1, 2 ORDER BY flag, q_milli""",
 
     // From-scratch recompute over the post-delta multisets, q154's
     // count arithmetic extended with the value sum; sum_v replays R's

@@ -164,4 +164,52 @@ object Sketches {
     withHllEstimate(withStot(regs, m), m)
       .select(col("__cid").as("cid"), col("used_buckets"), col("n_hll"))
   }
+
+  /** Mergeable fixed-resolution histogram quantiles — the 100 TB
+    * quantile path. One hash aggregate bins the corpus at
+    * floor(value·binsPerUnit) (map-side combined, so the shuffle
+    * carries at most |bins| rows per partition — bins are bounded by
+    * the VALUE RANGE × resolution, independent of row count); every
+    * downstream step (cumulative counts, rank cuts) runs on the bins
+    * table only. The reported quantile is EXACT over the binned
+    * values: the q-th result is the bin holding the ceil(q·n)-th
+    * order statistic — deterministic and engine-portable, unlike
+    * `approx_percentile`'s engine-private GK sketch, and mergeable
+    * across shards/days by construction (histograms add). Error is
+    * bounded a priori by the bin width 1/binsPerUnit, the
+    * resolution-for-memory trade t-digest/KLL make adaptively but
+    * non-portably.
+    *
+    * `quantilesMilli` are thousandths (500 = median); rank floors at 1
+    * so q→0 degrades to the minimum. NULL values are excluded. With
+    * empty `groupCols` the cumulative window runs single-partition —
+    * over the bounded bins table, never the corpus, so it stays safe;
+    * grouped calls partition it. Output: (group…, q_milli, n_values,
+    * rank, bin) where bin·(1/binsPerUnit) is the quantile's lower bin
+    * edge. */
+  def binnedQuantiles(df: DataFrame, groupCols: Seq[String], value: Column,
+                      quantilesMilli: Seq[Long], binsPerUnit: Long): DataFrame = {
+    require(quantilesMilli.nonEmpty, "need at least one quantile")
+    require(quantilesMilli.forall(q => q >= 0L && q <= 1000L),
+      s"quantiles are milli-units in [0,1000], got $quantilesMilli")
+    require(binsPerUnit >= 1L, s"binsPerUnit must be >= 1, got $binsPerUnit")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val bins = df.filter(value.isNotNull)
+      .groupBy(g :+ floor(value * lit(binsPerUnit)).cast("long").as("bin"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("bin"))
+    val wTot = Window.partitionBy(g: _*)
+    bins
+      .withColumn("__cum", sum(col("__n")).over(wCum))
+      .withColumn("__tot", sum(col("__n")).over(wTot))
+      .select(g ++ Seq(col("bin"), col("__cum"), col("__tot"),
+        explode(array(quantilesMilli.map(lit): _*)).as("q_milli")): _*)
+      .withColumn("__rank",
+        greatest(lit(1L), expr("(q_milli * __tot + 999) DIV 1000")))
+      .filter(col("__cum") >= col("__rank"))
+      .groupBy(g :+ col("q_milli"): _*)
+      .agg(max(col("__tot")).as("n_values"), max(col("__rank")).as("rank"),
+        min(col("bin")).as("bin"))
+  }
 }

@@ -145,4 +145,60 @@ class ApproxAggSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  // ---- binned histogram quantiles ------------------------------------------
+
+  private def bq(df: org.apache.spark.sql.DataFrame, qs: Seq[Long], bpu: Long = 1L) =
+    Sketches.binnedQuantiles(df, Seq("g"), col("v"), qs, bpu)
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("q_milli")) ->
+        ((r.getAs[Long]("n_values"), r.getAs[Long]("rank"), r.getAs[Long]("bin"))))
+      .toMap
+
+  test("binned quantiles hit the exact order statistic of the binned values") {
+    import spark.implicits._
+    // g=a: values 1..100 (bins = values at bpu 1); median bin = 50,
+    // p90 = 90, p100 = 100, p0 floors rank to 1 => min bin
+    val df = (1 to 100).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val got = bq(df, Seq(0L, 500L, 900L, 1000L))
+    assert(got(("a", 0L)) == ((100L, 1L, 1L)))
+    assert(got(("a", 500L)) == ((100L, 50L, 50L)))
+    assert(got(("a", 900L)) == ((100L, 90L, 90L)))
+    assert(got(("a", 1000L)) == ((100L, 100L, 100L)))
+  }
+
+  test("bin width controls resolution; negative values floor toward -inf") {
+    import spark.implicits._
+    val df = Seq(("a", -0.25), ("a", -0.75), ("a", 0.25), ("a", 0.75))
+      .toDF("g", "v")
+    // bpu=2: bins = floor(2v) = -1, -2, 0, 1; median (rank 2) = bin -1
+    val got = bq(df, Seq(500L, 1000L), bpu = 2L)
+    assert(got(("a", 500L)) == ((4L, 2L, -1L)))
+    assert(got(("a", 1000L)) == ((4L, 4L, 1L)))
+  }
+
+  test("quantiles are partition-independent, merge-equivalent, and skip nulls") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => ("a", Some((i % 37).toDouble))) ++
+      (1 to 300).map(i => ("b", Some((i % 11).toDouble))) :+ (("a", None))
+    val df = rows.toDF("g", "v")
+    val one = bq(df, Seq(250L, 500L, 750L))
+    val re = Sketches.binnedQuantiles(df.repartition(17), Seq("g"), col("v"),
+      Seq(250L, 500L, 750L), 1L)
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("q_milli")) ->
+        ((r.getAs[Long]("n_values"), r.getAs[Long]("rank"), r.getAs[Long]("bin"))))
+      .toMap
+    assert(one == re)
+    assert(one(("a", 500L))._1 == 500L) // null row excluded from n
+  }
+
+  test("ungrouped quantiles run over the bounded bins table") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => i.toDouble / 10.0).toDF("v")
+    val got = Sketches.binnedQuantiles(df, Seq.empty, col("v"), Seq(500L), 1L)
+      .collect().map(r => (r.getAs[Long]("q_milli"), r.getAs[Long]("bin")))
+    // values 0.1..100.0, bins 0..100; rank 500 lands in bin 50
+    assert(got.toSeq == Seq((500L, 50L)))
+  }
 }
