@@ -1999,6 +1999,18 @@ object SparkEntry {
         .orderBy(col("partkey"))
     }),
 
+    // SemDeDup (Abbas et al. 2023) end-to-end: coarse clusters →
+    // intra-cluster cosine near-dup groups (nprobe=1) → keep the
+    // member FARTHEST from its centroid (milli-floored own cosine,
+    // id tie). Composition gate in the q69/q76 style: quantizer,
+    // pair graph, closure, and survivor rule all in ONE plan.
+    "q158_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VF.semDedup(emb, "vec_id", "embedding",
+        VF.centroidsByLabel(emb, "label", "embedding"), minCosine = 0.8)
+        .orderBy(col("vec_id"))
+    }),
+
     // Mergeable histogram quantiles: one hash aggregate bins the
     // corpus (dollar bins), every rank cut runs on the bounded bins
     // table. Exact over the binned values — the engine-portable
@@ -4623,6 +4635,55 @@ object SparkEntry {
          FROM r JOIN s ON r.partkey = s.partkey
          WHERE cnt_r > 0 AND cnt_s > 0
          ORDER BY r.partkey""",
+
+    // The q50 centroid/probe/verify chain at nprobe=1 + the q113
+    // recursive closure, survivor = min (own_milli, vec_id) per
+    // component; own cosine = max over centroids of (dot/nrm)/vnorm
+    // in the engine's exact division order.
+    "q158_semdedup" ->
+      """WITH RECURSIVE c AS (
+           SELECT label AS cid, list(m ORDER BY pos) AS cv
+           FROM (SELECT label, i AS pos,
+                        CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824) AS DECIMAL(38,0))) AS DOUBLE) AS m
+                 FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS r(i)
+                 GROUP BY label, i) GROUP BY label),
+         cn AS (SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nrm FROM c),
+         sc AS MATERIALIZED (
+           SELECT e.vec_id, cn.cid,
+                  list_sum(list_transform(list_zip(e.embedding, cn.cv),
+                    x -> CAST(x[1] AS DOUBLE) * x[2])) / cn.nrm AS s,
+                  sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
+           FROM embeddings e, cn),
+         own AS MATERIALIZED (
+           SELECT vec_id, CAST(floor(MAX(s / vn) * 1000) AS BIGINT) AS own_milli
+           FROM sc GROUP BY 1),
+         probed AS (SELECT vec_id, cid AS bucket FROM sc
+                    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) <= 1),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM probed a JOIN probed b USING (bucket) WHERE a.vec_id < b.vec_id),
+         good AS MATERIALIZED (
+           SELECT id_a, id_b FROM (
+             SELECT cd.id_a, cd.id_b,
+                    list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+             FROM cand cd JOIN embeddings ea ON ea.vec_id = cd.id_a
+                          JOIN embeddings eb ON eb.vec_id = cd.id_b)
+           WHERE sim >= 0.8),
+         bidir AS (SELECT id_a AS sv, id_b AS tv FROM good
+                   UNION SELECT id_b, id_a FROM good),
+         reach(v, r) AS (SELECT sv, sv FROM bidir
+                         UNION SELECT b.sv, r.r FROM bidir b JOIN reach r ON b.tv = r.v),
+         comp AS (SELECT v AS vec_id, MIN(r) AS component_id FROM reach GROUP BY v),
+         losers AS (SELECT o.vec_id
+                    FROM own o JOIN comp cp USING (vec_id)
+                    QUALIFY row_number() OVER (PARTITION BY cp.component_id
+                                               ORDER BY o.own_milli, o.vec_id) > 1)
+         SELECT vec_id, own_milli FROM own
+         WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+         ORDER BY vec_id""",
 
     // Same histogram arithmetic: floor bins, cumulative window over
     // the bins table, rank = max(1, ceil(q*n/1000)) via the all-

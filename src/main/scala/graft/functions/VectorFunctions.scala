@@ -397,6 +397,44 @@ object VectorFunctions {
         s => s.getField("m").cast("double")).as("centroid_vec"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication — cluster the
+    * corpus with a coarse quantizer, find intra-cluster cosine
+    * near-duplicate groups, and keep ONE representative per group: the
+    * member FARTHEST from its cluster centroid (lowest own-centroid
+    * cosine — the paper's rule, chosen because the far member carries
+    * the most information the cluster doesn't already summarize), ties
+    * to the smallest id. Pairs form only inside a vector's single
+    * nearest-centroid bucket (the paper's semantics — nprobe=1 of
+    * [[graft.ops.Dedup.cosineNearDupsIVF]]), groups are the connected
+    * components of the verified-pair graph, and survivors come from
+    * [[graft.ops.Dedup.dedupCorpusKeepBest]]'s anti-join.
+    *
+    * Own-centroid cosine is milli-floored before ranking (the
+    * silhouette quantizer discipline) so the survivor choice is
+    * integer-deterministic and engine-portable. Scale shape inherits
+    * its parts: candidate volume ~ bucket-sized (n²·1/C), the centroid
+    * model stays driver-small, components converge in O(log diameter)
+    * pointer-jumping rounds, and losers broadcast back. Returns the
+    * surviving (id, own_milli) rows. */
+  def semDedup(points: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame, minCosine: Double): DataFrame = {
+    VecExpressions.register(points.sparkSession)
+    val pairs = graft.ops.Dedup.cosineNearDupsIVF(points, idCol, vecCol,
+      centroids, minCosine, nprobe = 1)
+    val model = collectCentroids(centroids)
+    require(model.nonEmpty, "semDedup needs a centroid model")
+    // max cosine over the model = cosine to the assigned (argmax)
+    // centroid, without needing the assignment itself
+    val cosines = model.map { case (_, cv) =>
+      centroidScore(col(vecCol), cv) / l2NormNative(col(vecCol))
+    }
+    val ownCos = if (cosines.sizeIs == 1) cosines.head else greatest(cosines: _*)
+    val ranked = points.select(col(idCol),
+      floor(ownCos * 1000.0).cast("long").as("own_milli"))
+    graft.ops.Dedup.dedupCorpusKeepBest(ranked, idCol, pairs,
+      Seq(col("own_milli").asc))
+  }
+
   /** Hard-negative mining for contrastive/embedding training: per query
     * vector, the top-k most-similar corpus vectors whose LABEL DIFFERS
     * from the query's — the highest-loss negatives an InfoNCE / triplet

@@ -190,4 +190,42 @@ class VectorFunctionsSpec extends SparkSpecBase {
       assert(math.abs(r.getAs[Long]("sum_s_milli")) <= r.getAs[Long]("n_points") * 1000L)
     }
   }
+
+  test("semDedup keeps the farthest-from-centroid member of each cluster group") {
+    // cluster 0: a=(1,0), b=(0.8,0.6), c=(0.6,0.8) — pairwise cosines
+    // (a,b)=0.8, (b,c)=0.96, (a,c)=0.6, so at minCosine=0.75 the
+    // component is {a,b,c} via b; own-centroid cosines order a < c < b
+    // (a is farthest) => a survives. d=(0,1) sits alone in cluster 1.
+    val pts = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.8f, 0.6f)),
+      (3L, 0, Seq(0.6f, 0.8f)), (4L, 1, Seq(0.0f, 1.0f)))
+      .toDF("id", "label", "v")
+    val cents = VectorFunctions.centroidsByLabel(pts, "label", "v")
+    val got = VectorFunctions.semDedup(pts, "id", "v", cents, minCosine = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("own_milli")).toMap
+    assert(got.keySet == Set(1L, 4L))
+    // hand math: centroid0 ~ (2.4, 1.4)/|.| => cos(a)=.8638 => 863
+    assert(got(1L) == 863L)
+    // partition independence
+    val re = VectorFunctions.semDedup(pts.repartition(7), "id", "v", cents, 0.75)
+      .collect().map(_.getLong(0)).toSet
+    assert(re == Set(1L, 4L))
+  }
+
+  test("semDedup does not prune across cluster boundaries (nprobe=1 semantics)") {
+    // clusters along 0° and 30°; the near-dup pair sits at 11° and 19°
+    // (cos 8° = .9903 >= .99) but each member is nearest its OWN label
+    // centroid (~5.5° vs ~13.5°): no shared bucket => both survive
+    val pts = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.9816f, 0.1908f)),
+      (3L, 1, Seq(0.9455f, 0.3256f)), (4L, 1, Seq(0.8660f, 0.5f)))
+      .toDF("id", "label", "v")
+    val cents = VectorFunctions.centroidsByLabel(pts, "label", "v")
+    val buckets = VectorFunctions.assignBuckets(pts, $"v", cents, "b")
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("b")).toMap
+    assert(buckets(2L) != buckets(3L))
+    val got = VectorFunctions.semDedup(pts, "id", "v", cents, minCosine = 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L))
+  }
 }
