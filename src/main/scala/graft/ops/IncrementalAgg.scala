@@ -387,4 +387,39 @@ object IncrementalAgg {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** Streaming join-view maintenance — [[mergeDeltaJoinView]] under the
+    * same generation-landing contract as [[applyBatch]]. A micro-batch
+    * carries BOTH bases' CDC rows in one frame, tagged 'R'/'S' by
+    * `sideCol` (the natural shape when a CDC bus multiplexes tables
+    * into one topic); an unknown side tag raises rather than silently
+    * dropping rows, the [[cdcSign]] rule. Replay-idempotent and
+    * reset-refusing exactly like the aggregate path — the landing
+    * kernel is shared. */
+  def applyBatchJoinView(batch: DataFrame, batchId: Long, keyCols: Seq[String],
+                         opCol: String, sideCol: String, stateRoot: String): Unit = {
+    val side = when(col(sideCol).isin("R", "S"), col(sideCol))
+      .otherwise(raise_error(concat(
+        lit("unknown join-view side tag: "), col(sideCol).cast("string"))))
+    val emptyJv = batch.select(keyCols.map(col) ++ Seq(
+        lit(0L).as("cnt_r"), lit(0L).as("cnt_s")): _*)
+      .limit(0)
+    landBatch(batch, batchId, stateRoot, emptyJv, prior =>
+      mergeDeltaJoinView(prior,
+        batch.filter(side === "R").select((keyCols :+ opCol).map(col): _*),
+        batch.filter(side === "S").select((keyCols :+ opCol).map(col): _*),
+        keyCols, opCol))
+  }
+
+  /** foreachBatch driver for [[applyBatchJoinView]]. */
+  def maintainJoinViewStream(cdc: DataFrame, keyCols: Seq[String], opCol: String,
+                             sideCol: String, stateRoot: String,
+                             checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    cdc.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: java.lang.Long) =>
+        applyBatchJoinView(batch.toDF(), batchId, keyCols, opCol, sideCol, stateRoot)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }

@@ -255,6 +255,34 @@ class IncrementalAggSpec extends SparkSpecBase {
       (e.getCause != null && e.getCause.getMessage.contains("divergence")))
   }
 
+  test("streaming join-view maintenance: two-sided batches land idempotently") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-jv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-jv-ckpt").toString
+    val src = MemoryStream[(String, String, String)]
+    val cdc = src.toDF().toDF("k", "op", "side")
+    val q = IncrementalAgg.maintainJoinViewStream(cdc, Seq("k"), "op", "side", root, ckpt)
+    try {
+      src.addData(("a", "I", "R"), ("a", "I", "R"), ("a", "I", "S"), ("b", "I", "S"))
+      q.processAllAvailable()
+      src.addData(("a", "D", "R"), ("b", "I", "R"))
+      q.processAllAvailable()
+      val got = jvMap(IncrementalAgg.readState(spark, root))
+      assert(got == Map("a" -> ((1L, 1L)), "b" -> ((1L, 1L))))
+      // re-delivery of the last batch id reads the same prior generation
+      val replay = Seq(("a", "D", "R"), ("b", "I", "R")).toDF("k", "op", "side")
+      IncrementalAgg.applyBatchJoinView(replay, 1L, Seq("k"), "op", "side", root)
+      assert(jvMap(IncrementalAgg.readState(spark, root)) == got)
+      // unknown side tags raise instead of silently dropping
+      val bad = Seq(("a", "I", "Q")).toDF("k", "op", "side")
+      val e = intercept[Exception] {
+        IncrementalAgg.applyBatchJoinView(bad, 2L, Seq("k"), "op", "side", root)
+      }
+      assert(e.getMessage != null)
+    } finally q.stop()
+  }
+
   test("negative value sums are legitimate while counts stay non-negative") {
     val r = Seq(("a", -10L), ("a", 4L)).toDF("k", "v")
     val st = IncrementalAgg.joinViewSumState(r, Seq("a").toDF("k"), Seq("k"), "v")
