@@ -1999,6 +1999,18 @@ object SparkEntry {
         .orderBy(col("partkey"))
     }),
 
+    // Neyman-allocation stratified sampling: the variance-optimal
+    // budget split n_h ∝ N_h·S_h with S_h = floor(sqrt(var quantum))
+    // (IEEE-correctly-rounded sqrt, the q131 argument) and Hamilton
+    // apportionment — the audit/eval sampling design over a corpus.
+    "q159_neyman_allocation" -> ((s, dir) => {
+      graft.ops.Mixture.neymanQuotas(
+        t(s, dir, "orders").select(col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents")),
+        "o_orderpriority", "cents", budget = 100000L)
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // SemDeDup (Abbas et al. 2023) end-to-end: coarse clusters →
     // intra-cluster cosine near-dup groups (nprobe=1) → keep the
     // member FARTHEST from its centroid (milli-floored own cosine,
@@ -4635,6 +4647,41 @@ object SparkEntry {
          FROM r JOIN s ON r.partkey = s.partkey
          WHERE cnt_r > 0 AND cnt_s > 0
          ORDER BY r.partkey""",
+
+    // Same HUGEINT arithmetic: momentStats variance quantum, floored
+    // sqrt, N·S weights with the proportional fallback, then the
+    // q131 largest-remainder apportionment.
+    "q159_neyman_allocation" ->
+      """WITH v AS (SELECT o_orderpriority AS grp,
+                           CAST(floor(o_totalprice * 100) AS HUGEINT) AS v
+                    FROM orders
+                    WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+         a AS (SELECT grp, COUNT(*)::HUGEINT AS n_docs, SUM(v) AS sv,
+                      SUM(v * v) AS svv
+               FROM v GROUP BY 1),
+         b AS (SELECT grp, n_docs,
+                      (n_docs * svv - sv * sv) // (n_docs * n_docs) AS var_q
+               FROM a),
+         c AS (SELECT grp, n_docs, var_q,
+                      CAST(floor(sqrt(CAST(var_q AS DOUBLE))) AS HUGEINT) AS s_q
+               FROM b),
+         d AS (SELECT grp, n_docs, var_q, s_q, n_docs * s_q AS w0 FROM c),
+         e AS (SELECT grp, n_docs, var_q, s_q,
+                      CASE WHEN SUM(w0) OVER () > 0 THEN w0 ELSE n_docs END AS w
+               FROM d),
+         f AS (SELECT grp, n_docs, var_q, s_q, w,
+                      (100000::HUGEINT * w) // SUM(w) OVER () AS base,
+                      (100000::HUGEINT * w) % SUM(w) OVER () AS rem
+               FROM e),
+         g AS (SELECT grp, n_docs, var_q, s_q, w, base, rem,
+                      100000::HUGEINT - SUM(base) OVER () AS leftn,
+                      row_number() OVER (ORDER BY rem DESC, grp) AS rnk
+               FROM f)
+         SELECT grp AS o_orderpriority, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(var_q AS BIGINT) AS var_q, CAST(s_q AS BIGINT) AS s_q,
+                CAST(w AS BIGINT) AS w,
+                CAST(base + CASE WHEN rnk <= leftn THEN 1 ELSE 0 END AS BIGINT) AS quota
+         FROM g ORDER BY o_orderpriority""",
 
     // The q50 centroid/probe/verify chain at nprobe=1 + the q113
     // recursive closure, survivor = min (own_milli, vec_id) per

@@ -46,4 +46,48 @@ class MixtureSpec extends SparkSpecBase {
       .orderBy("source").collect().toSeq
     assert(one == two && one.map(_.getString(0)).toSet == Set("a", "b"))
   }
+
+  // ---- Neyman allocation ---------------------------------------------------
+
+  private def ney(rows: Seq[(String, Long)], budget: Long) =
+    Mixture.neymanQuotas(rows.toDF("g", "v"), "g", "v", budget)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("var_q"), r.getAs[Long]("s_q"), r.getAs[Long]("w"),
+          r.getAs[Long]("quota")))).toMap
+
+  test("neyman: the whole budget goes to the only varied stratum") {
+    // A: {0,10} => var (2*100-100)/4 = 25, s 5, w 10; B constant => w 0
+    val got = ney(Seq("A" -> 0L, "A" -> 10L, "B" -> 3L, "B" -> 3L,
+      "B" -> 3L, "B" -> 3L), 10L)
+    assert(got("A") == ((25L, 5L, 10L, 10L)))
+    assert(got("B") == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("neyman: all-constant strata degrade to proportional allocation") {
+    val got = ney(Seq("A" -> 5L, "A" -> 5L, "B" -> 9L, "B" -> 9L,
+      "B" -> 9L, "B" -> 9L, "B" -> 9L, "B" -> 9L), 8L)
+    assert(got("A")._4 == 2L && got("B")._4 == 6L)
+    assert(got.values.forall(_._2 == 0L))
+  }
+
+  test("neyman quotas sum exactly to the budget under remainders") {
+    val rows = Seq("A" -> 1L, "A" -> 8L, "B" -> 2L, "B" -> 9L, "B" -> 4L,
+      "C" -> 100L, "C" -> 1L, "C" -> 50L)
+    for (budget <- Seq(0L, 1L, 7L, 101L)) {
+      val got = ney(rows, budget)
+      assert(got.values.map(_._4).sum == budget, s"budget $budget")
+    }
+  }
+
+  test("neyman: null groups/values drop; partition-independent") {
+    val rows = Seq(("A", Some(1L)), ("A", Some(9L)), ("A", None),
+      (null, Some(5L)), ("B", Some(2L)), ("B", Some(4L)))
+    val df = rows.toDF("g", "v")
+    val one = Mixture.neymanQuotas(df, "g", "v", 13L).orderBy("g").collect().toSeq
+    val two = Mixture.neymanQuotas(df.repartition(5), "g", "v", 13L)
+      .orderBy("g").collect().toSeq
+    assert(one == two)
+    assert(one.map(_.getString(0)) == Seq("A", "B"))
+    assert(one.head.getAs[Long]("n_docs") == 2L) // the null value dropped
+  }
 }
