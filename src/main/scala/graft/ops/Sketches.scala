@@ -189,20 +189,36 @@ object Sketches {
     * edge. */
   def binnedQuantiles(df: DataFrame, groupCols: Seq[String], value: Column,
                       quantilesMilli: Seq[Long], binsPerUnit: Long): DataFrame = {
+    require(binsPerUnit >= 1L, s"binsPerUnit must be >= 1, got $binsPerUnit")
+    val g = groupCols.map(col)
+    quantilesFromBins(
+      df.filter(value.isNotNull)
+        .groupBy(g :+ floor(value * lit(binsPerUnit)).cast("long").as("bin"): _*)
+        .agg(count(lit(1)).as("n")),
+      groupCols, quantilesMilli)
+  }
+
+  /** Rank cuts over an already-materialized (group…, bin, n) histogram
+    * — the public seam that makes the quantile sketch INCREMENTAL:
+    * per-(group, bin) counts are self-maintainable sums, so a CDC- or
+    * stream-maintained histogram ([[IncrementalAgg.mergeDelta]] with
+    * the bin inside the group key, or its generation-store streaming
+    * path) feeds this directly and quantiles over 100 TB of history
+    * refresh at delta cost. Zero-count bins (a bin whose inserts were
+    * all deleted) contribute nothing and may be present or absent —
+    * the cumulative sums are identical either way. */
+  def quantilesFromBins(bins: DataFrame, groupCols: Seq[String],
+                        quantilesMilli: Seq[Long]): DataFrame = {
     require(quantilesMilli.nonEmpty, "need at least one quantile")
     require(quantilesMilli.forall(q => q >= 0L && q <= 1000L),
       s"quantiles are milli-units in [0,1000], got $quantilesMilli")
-    require(binsPerUnit >= 1L, s"binsPerUnit must be >= 1, got $binsPerUnit")
     import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
-    val bins = df.filter(value.isNotNull)
-      .groupBy(g :+ floor(value * lit(binsPerUnit)).cast("long").as("bin"): _*)
-      .agg(count(lit(1)).as("__n"))
     val wCum = Window.partitionBy(g: _*).orderBy(col("bin"))
     val wTot = Window.partitionBy(g: _*)
     bins
-      .withColumn("__cum", sum(col("__n")).over(wCum))
-      .withColumn("__tot", sum(col("__n")).over(wTot))
+      .withColumn("__cum", sum(col("n")).over(wCum))
+      .withColumn("__tot", sum(col("n")).over(wTot))
       .select(g ++ Seq(col("bin"), col("__cum"), col("__tot"),
         explode(array(quantilesMilli.map(lit): _*)).as("q_milli")): _*)
       .withColumn("__rank",

@@ -193,6 +193,30 @@ class ApproxAggSpec extends SparkSpecBase {
     assert(one(("a", 500L))._1 == 500L) // null row excluded from n
   }
 
+  test("a delta-maintained histogram feeds quantilesFromBins == recompute") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => ("a", ((i % 40) + 1).toDouble)).toDF("g", "v")
+    val bins0 = base.groupBy($"g", floor($"v").cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("total", lit(0L)) // mergeDelta state shape
+    // delete every v=7 row (5 of them), insert ten v=40 rows, as CDC
+    // over the (g, bin) key
+    val delta = ((1 to 5).map(_ => ("a", 7L, "D")) ++
+      (1 to 10).map(_ => ("a", 40L, "I"))).toDF("g", "bin", "op")
+      .withColumn("v", lit(0L))
+    val maintained = IncrementalAgg.mergeDelta(bins0, delta, Seq("g", "bin"), "v", "op")
+      .select($"g", $"bin", $"cnt".as("n"))
+    val inc = Sketches.quantilesFromBins(maintained, Seq("g"), Seq(500L, 950L))
+      .collect().map(r => r.getAs[Long]("q_milli") ->
+        ((r.getAs[Long]("n_values"), r.getAs[Long]("bin")))).toMap
+    val post = base.filter($"v" =!= 7.0)
+      .union((1 to 10).map(_ => ("a", 40.0)).toDF("g", "v"))
+    val scratch = Sketches.binnedQuantiles(post, Seq("g"), $"v", Seq(500L, 950L), 1L)
+      .collect().map(r => r.getAs[Long]("q_milli") ->
+        ((r.getAs[Long]("n_values"), r.getAs[Long]("bin")))).toMap
+    assert(inc == scratch)
+  }
+
   test("ungrouped quantiles run over the bounded bins table") {
     import spark.implicits._
     val df = (1 to 1000).map(i => i.toDouble / 10.0).toDF("v")
