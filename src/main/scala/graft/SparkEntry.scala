@@ -1999,6 +1999,25 @@ object SparkEntry {
         .orderBy(col("partkey"))
     }),
 
+    // Quantile-gated quality filter (CCNet-style "drop the worst
+    // quartile per language", but threshold-based): per-language p25
+    // of the token count from the mergeable histogram sketch, bins
+    // broadcast back, corpus filtered in place — the q157 sketch used
+    // INSIDE a curation pipeline rather than as a report.
+    "q160_quantile_gated_filter" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          TF.tokenCount(col("text")).cast("int").as("n_tokens"))
+      val thr = graft.ops.Sketches.binnedQuantiles(
+        scored, Seq("lang"), col("n_tokens"), Seq(250L), 1L)
+        .select(col("lang"), col("bin").as("__thr"))
+      scored.join(broadcast(thr), Seq("lang"))
+        .filter(col("n_tokens") >= col("__thr"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Neyman-allocation stratified sampling: the variance-optimal
     // budget split n_h ∝ N_h·S_h with S_h = floor(sqrt(var quantum))
     // (IEEE-correctly-rounded sqrt, the q131 argument) and Hamilton
@@ -4647,6 +4666,25 @@ object SparkEntry {
          FROM r JOIN s ON r.partkey = s.partkey
          WHERE cnt_r > 0 AND cnt_s > 0
          ORDER BY r.partkey""",
+
+    // q21's token protocol + the q157 histogram rank cut as a scalar
+    // per-language threshold, then the filter.
+    "q160_quantile_gated_filter" ->
+      """WITH s AS (SELECT doc_id, lang,
+                           CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens
+                    FROM documents WHERE lang IS NOT NULL),
+         c AS (SELECT lang, CAST(n_tokens AS BIGINT) AS bin, COUNT(*)::BIGINT AS n
+               FROM s GROUP BY 1, 2),
+         cum AS (SELECT lang, bin,
+                        SUM(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                        SUM(n) OVER (PARTITION BY lang) AS tot
+                 FROM c),
+         thr AS (SELECT lang, MIN(bin) AS t FROM cum
+                 WHERE cum >= GREATEST(1, (250 * tot + 999) // 1000)
+                 GROUP BY 1)
+         SELECT s.doc_id, s.lang, s.n_tokens
+         FROM s JOIN thr USING (lang) WHERE s.n_tokens >= thr.t
+         ORDER BY s.doc_id""",
 
     // Same HUGEINT arithmetic: momentStats variance quantum, floored
     // sqrt, N·S weights with the proportional fallback, then the
