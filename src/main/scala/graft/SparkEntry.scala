@@ -1999,6 +1999,16 @@ object SparkEntry {
         .orderBy(col("partkey"))
     }),
 
+    // Content-defined chunking (LBFS/FastCDC at token granularity):
+    // boundaries where the rolling 4-shingle hash has 5 low zero bits
+    // (~32-token chunks) — boundary detection in the codegen'd
+    // CdcStarts kernel, one md5 per chunk after that; map-only.
+    "q161_cdc_chunks" -> ((s, dir) => {
+      graft.ops.Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+        k = 4, avgBits = 5)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Quantile-gated quality filter (CCNet-style "drop the worst
     // quartile per language", but threshold-based): per-language p25
     // of the token count from the mergeable histogram sketch, bins
@@ -4666,6 +4676,32 @@ object SparkEntry {
          FROM r JOIN s ON r.partkey = s.partkey
          WHERE cnt_r > 0 AND cnt_s > 0
          ORDER BY r.partkey""",
+
+    // q150's tokenizer + 60-bit shingle-hash idioms; cut after token
+    // j when the shingle ending at j has hash % 32 = 0 and j is not
+    // the last token; chunks via lead() over the start positions.
+    "q161_cdc_chunks" ->
+      """WITH tk AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 t -> length(t) > 0) AS toks
+              FROM documents),
+         nz AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+         h AS (SELECT doc_id, n, i,
+                      CAST(('0x' || substr(md5(array_to_string(toks[i : i + 3], ' ')), 1, 15)) AS BIGINT) AS h
+               FROM nz, UNNEST(range(1, n - 4 + 2)) AS r(i)),
+         cuts AS (SELECT doc_id, i + 3 AS j FROM h WHERE h % 32 = 0 AND i + 3 < n),
+         starts AS (SELECT doc_id, 1 AS s FROM nz
+                    UNION ALL SELECT doc_id, j + 1 FROM cuts),
+         ch AS (SELECT doc_id, s,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_idx,
+                       lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+                FROM starts)
+         SELECT c.doc_id, CAST(c.chunk_idx AS INTEGER) AS chunk_idx,
+                CAST(c.s AS INTEGER) AS start_tok,
+                CAST(COALESCE(c.nxt, nz.n + 1) - c.s AS INTEGER) AS len,
+                md5(array_to_string(nz.toks[c.s : COALESCE(c.nxt, nz.n + 1) - 1], ' ')) AS chunk_hash
+         FROM ch c JOIN nz USING (doc_id)
+         ORDER BY c.doc_id, c.chunk_idx""",
 
     // q21's token protocol + the q157 histogram rank cut as a scalar
     // per-language threshold, then the filter.

@@ -234,14 +234,14 @@ object WinnowMins {
   private val md5: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
-  /** Static kernel shared by eval and generated code. */
-  def mins(arr: org.apache.spark.sql.catalyst.util.ArrayData, k: Int,
-           w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+  /** 60-bit md5 shingle hashes — hs(i) covers tokens i..i+k-1, the
+    * house "first 15 hex chars" value. Shared by [[mins]] and
+    * [[CdcStarts.starts]]; empty when fewer than k tokens. */
+  private[functions] def shingleHashes60(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData, k: Int): Array[Long] = {
     val n = arr.numElements()
     val nsh = n - k + 1
-    if (nsh < w)
-      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-        .fromPrimitiveArray(Array.emptyLongArray)
+    if (nsh < 1) return Array.emptyLongArray
     // token UTF-8 bytes once per document (each shingle reuses k of
     // them); null stays null so the concat_ws skip rule applies
     val tb = new Array[Array[Byte]](n)
@@ -274,13 +274,24 @@ object WinnowMins {
       hs(i) = top >>> 4 // first 15 hex chars == top 60 bits
       i += 1
     }
+    hs
+  }
+
+  /** Static kernel shared by eval and generated code. */
+  def mins(arr: org.apache.spark.sql.catalyst.util.ArrayData, k: Int,
+           w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val hs = shingleHashes60(arr, k)
+    val nsh = hs.length
+    if (nsh < w)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
     // sliding minimum via monotonic deque of indices: O(nsh) total
     val nw = nsh - w + 1
     val mins = new Array[Long](nw)
     val dq = new Array[Int](nsh)
     var head = 0
     var tail = 0
-    i = 0
+    var i = 0
     while (i < nsh) {
       while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
       dq(tail) = i; tail += 1
@@ -302,6 +313,69 @@ object WinnowMins {
   }
 }
 
+/** Content-defined chunk START positions over a token array — the
+  * rolling-boundary rule of storage/dedup chunkers (LBFS/FastCDC
+  * family, applied at token granularity): a chunk boundary falls
+  * after token j whenever the 60-bit hash of the k-shingle ENDING at
+  * j has its low `bits` bits zero, giving expected chunk length 2^bits
+  * tokens while keeping boundaries a pure function of LOCAL content —
+  * an insertion early in a document shifts every fixed-width chunk but
+  * only the one content-defined chunk it lands in, which is what makes
+  * chunk-hash dedup robust to edits. Shares [[WinnowMins]]'
+  * shingle-hash kernel (and its md5 thread-local); emits 1-based start
+  * positions, always beginning with 1; a boundary at the final token
+  * is moot and skipped. Empty token arrays yield no chunks. */
+case class CdcStarts(child: Expression, k: Int, bits: Int) extends UnaryExpression {
+  require(k >= 1, s"need k >= 1, got $k")
+  require(bits >= 1 && bits <= 20, s"need bits in [1,20], got $bits")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType,
+      containsNull = false)
+  override def prettyName: String = "cdc_starts"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cdc_starts needs array<string> tokens, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    CdcStarts.starts(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcStarts.starts($c, $k, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcStarts {
+  /** Static kernel shared by eval and generated code. */
+  def starts(arr: org.apache.spark.sql.catalyst.util.ArrayData, k: Int,
+             bits: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n == 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyIntArray)
+    val hs = WinnowMins.shingleHashes60(arr, k)
+    val mask = (1L << bits) - 1L
+    val out = new Array[Int](hs.length + 1)
+    out(0) = 1
+    var m = 1
+    var i = 0
+    while (i < hs.length) {
+      val j = i + k // 1-based position of the shingle's LAST token
+      if ((hs(i) & mask) == 0L && j < n) { out(m) = j + 1; m += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
+  }
+}
+
 object TextExpressions {
   /** Register `nfc_normalize`/`deflate_len` for call_function access
     * (same pattern as [[VecExpressions.register]]). */
@@ -316,6 +390,10 @@ object TextExpressions {
       "winnow_mins", exprs => WinnowMins(exprs.head,
         WinnowMins.litInt(exprs(1), "k"), WinnowMins.litInt(exprs(2), "w")),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cdc_starts", exprs => CdcStarts(exprs.head,
+        WinnowMins.litInt(exprs(1), "k"), WinnowMins.litInt(exprs(2), "bits")),
+      "built-in")
   }
 
   def nfcNormalize(c: Column): Column = call_function("nfc_normalize", c)
@@ -325,6 +403,12 @@ object TextExpressions {
   def winnowMins(tokens: Column, k: Int, w: Int): Column =
     call_function("winnow_mins", tokens,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
+
+  /** Content-defined chunk starts of a token array — the [[CdcStarts]]
+    * kernel (register(spark) first). */
+  def cdcStarts(tokens: Column, k: Int, bits: Int): Column =
+    call_function("cdc_starts", tokens,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(bits))
 
   /** Compression quality signal: (deflated_bytes ×1000) div raw_bytes
     * — integer milli-ratio; low = templated/repetitive, ~1000+ =

@@ -463,6 +463,45 @@ object Dedup {
           .as("fingerprint"))
   }
 
+  /** Content-defined chunking of documents at token granularity — the
+    * storage-dedup primitive (LBFS/FastCDC family) applied to corpus
+    * text: chunk boundaries fall where the rolling k-shingle hash has
+    * its low `avgBits` bits zero (expected chunk ~2^avgBits tokens),
+    * so boundaries depend only on LOCAL content. Fixed-width chunking
+    * shifts every chunk after an edit; content-defined chunking
+    * re-chunks only the edited region, which is what makes chunk-hash
+    * dedup across document VERSIONS work (near-identical revisions
+    * share almost all chunk hashes — join on chunk_hash downstream to
+    * measure or strip the overlap, the [[sourceOverlapMatrix]] shape
+    * at chunk granularity).
+    *
+    * Map-only per document: tokenization is declarative SQL (the
+    * oracle's exact semantics), boundary detection is the codegen'd
+    * [[graft.functions.CdcStarts]] kernel (one md5 per shingle — the
+    * q150 winnowing cost model), and chunk md5s cost one digest per
+    * CHUNK. No shuffle at all until a caller aggregates chunk hashes.
+    * Output: (id, chunk_idx, start_tok, len, chunk_hash); documents
+    * with no tokens emit nothing. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 4, avgBits: Int = 5): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    ensureParallelism(docs)
+      .select(col(idCol),
+        expr(s"filter(split(lower($textCol), '\\\\s+'), t -> length(t) > 0)").as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        graft.functions.TextExpressions.cdcStarts(col("__toks"), k, avgBits).as("__starts"))
+      .select(col(idCol), col("__toks"), col("__starts"),
+        posexplode(col("__starts")).as(Seq("chunk_idx", "start_tok")))
+      .withColumn("len",
+        coalesce(try_element_at(col("__starts"), col("chunk_idx") + 2),
+          size(col("__toks")) + 1) - col("start_tok"))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"), col("len"),
+        md5(concat_ws(" ", slice(col("__toks"), col("start_tok"), col("len"))))
+          .as("chunk_hash"))
+  }
+
   /** Cross-source contamination matrix: for every pair of sources, how
     * much n-gram content they SHARE — the corpus-curation audit that
     * answers "which feeds copy from each other / from a common

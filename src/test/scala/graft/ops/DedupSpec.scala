@@ -433,4 +433,60 @@ class DedupSpec extends SparkSpecBase {
     val docs = Seq((1L, "s1", "a b c"), (2L, "s2", "a b c")).toDF("doc_id", "source", "text")
     assert(Dedup.sourceOverlapMatrix(docs, "text", "source", n = 4).count() == 0L)
   }
+
+  // ---- content-defined chunking --------------------------------------------
+
+  /** 400 deterministic pseudo-words. */
+  private def cdcWords(n: Int, seed: String): String =
+    (0 until n).map(i => s"w${(seed + i).hashCode.abs % 997}").mkString(" ")
+
+  test("cdcChunks tiles each document exactly: contiguous, full coverage") {
+    val text = cdcWords(400, "tile")
+    val rows = Dedup.cdcChunks(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getAs[Int]("chunk_idx"), r.getAs[Int]("start_tok"), r.getAs[Int]("len")))
+    assert(rows.head._2 == 1)
+    assert(rows.forall(_._3 >= 1))
+    rows.sliding(2).foreach {
+      case Array((_, s1, l1), (_, s2, _)) => assert(s2 == s1 + l1)
+      case _ =>
+    }
+    assert(rows.map(_._3).sum == 400)
+    assert(rows.length > 3, s"expected several ~32-token chunks, got ${rows.length}")
+  }
+
+  test("cdcChunks: an edit re-chunks only its region (fixed-width chunking can't)") {
+    val words = cdcWords(400, "edit").split(" ")
+    val v1 = words.mkString(" ")
+    val v2 = (words.take(200) ++ Array("INSERTED") ++ words.drop(200)).mkString(" ")
+    val both = Seq((1L, v1), (2L, v2)).toDF("doc_id", "text")
+    val hs = Dedup.cdcChunks(both, "doc_id", "text").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[String]("chunk_hash")).toSet }
+    val shared = hs(1L).intersect(hs(2L))
+    // all chunks except the edited one (and at most its neighbors, if
+    // the insertion created/merged a boundary) survive the edit
+    assert(shared.size >= hs(1L).size - 3,
+      s"edit should be local: ${hs(1L).size} chunks, only ${shared.size} shared")
+    assert(hs(2L) != hs(1L)) // the edited chunk did change
+  }
+
+  test("cdcChunks: short and empty docs") {
+    val rows = Dedup.cdcChunks(
+      Seq((1L, "a b"), (2L, ""), (3L, "   ")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("start_tok"), r.getAs[Int]("len")))
+    // below k tokens: one whole-doc chunk; token-free docs: nothing
+    assert(rows.toSeq == Seq((1L, 0, 1, 2)))
+  }
+
+  test("cdcChunks is partition-independent") {
+    val df = Seq((1L, cdcWords(300, "p1")), (2L, cdcWords(150, "p2")))
+      .toDF("doc_id", "text")
+    val a = Dedup.cdcChunks(df, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.cdcChunks(df.repartition(7), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
