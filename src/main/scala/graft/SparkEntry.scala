@@ -2009,6 +2009,23 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Incremental connected components: standing assignment solved over
+    // the already-ingested corpus's near-dup pairs (doc_id % 10 < 8,
+    // the q56 arrival split), then the new batch's pairs folded in at
+    // BATCH cost via the representative super-graph — the composition
+    // equals the from-scratch solve EXACTLY (min-label of min-labels),
+    // so the oracle replays q44's full transitive closure.
+    "q162_incremental_components" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, thresholdNum = 6, thresholdDen = 10, maxDf = 1000)
+        .select(col("id_a"), col("id_b"))
+      val standing = Dedup.connectedComponents(
+        pairs.filter(col("id_a") % 10 < 8 && col("id_b") % 10 < 8))
+      Dedup.incrementalComponents(standing,
+          pairs.filter(col("id_a") % 10 >= 8 || col("id_b") % 10 >= 8))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quantile-gated quality filter (CCNet-style "drop the worst
     // quartile per language", but threshold-based): per-language p25
     // of the token count from the mergeable histogram sketch, bins
@@ -4680,6 +4697,33 @@ object SparkEntry {
     // q150's tokenizer + 60-bit shingle-hash idioms; cut after token
     // j when the shingle ending at j has hash % 32 = 0 and j is not
     // the last token; chunks via lead() over the start positions.
+    // q44's full-graph transitive closure verbatim: the incremental
+    // composition's contract is exact equality with the from-scratch
+    // solve, so the oracle need not (and must not) model the split.
+    "q162_incremental_components" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         sh AS MATERIALIZED (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM toks, UNNEST(range(1, len(ws)-1)) AS r(i) WHERE len(ws) >= 3),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         idx AS (SELECT shingle, doc_id FROM sh
+                 QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+         isz AS MATERIALIZED (SELECT i.shingle, i.doc_id, s.sz
+                 FROM idx i JOIN sizes s USING (doc_id)),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.sz AS size_a, b.sz AS size_b, COUNT(*) AS n_common
+                   FROM isz a JOIN isz b USING (shingle)
+                   WHERE a.doc_id < b.doc_id
+                     AND a.sz * 6 <= b.sz * 10 AND b.sz * 6 <= a.sz * 10
+                   GROUP BY a.doc_id, b.doc_id, a.sz, b.sz),
+         good AS (SELECT id_a, id_b FROM pairs
+                  WHERE n_common * 10 >= (size_a + size_b - n_common) * 6),
+         bidir AS (SELECT id_a AS s, id_b AS t FROM good
+                   UNION SELECT id_b, id_a FROM good),
+         reach(v, r) AS (SELECT s, s FROM bidir
+                         UNION SELECT b.s, r.r FROM bidir b JOIN reach r ON b.t = r.v)
+         SELECT v AS doc_id, MIN(r) AS component_id FROM reach
+         GROUP BY v ORDER BY doc_id""",
+
     "q161_cdc_chunks" ->
       """WITH tk AS (SELECT doc_id,
                      list_filter(string_split_regex(lower(text), '\s+'),

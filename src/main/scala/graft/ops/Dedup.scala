@@ -463,6 +463,51 @@ object Dedup {
           .as("fingerprint"))
   }
 
+  /** Incremental connected components — fold a batch of NEW pairs into
+    * a standing (doc_id, component_id) assignment at BATCH cost, the
+    * missing graph member of the incremental dedup family
+    * ([[incrementalNew]] exact / [[incrementalFuzzyDedup]] MinHash /
+    * [[incrementalHammingDedup]] perceptual): an arrival batch's
+    * near-dup pairs may attach new docs to standing clusters, merge
+    * standing clusters, or form fresh ones, and none of that needs the
+    * full graph re-solved.
+    *
+    * Algorithm: collapse each new edge endpoint to its standing
+    * representative (left join against the assignment; unknown nodes
+    * represent themselves), drop the self-edges that collapse inside
+    * one component, and run [[connectedComponents]] on the SUPER-GRAPH
+    * of representatives — O(batch) nodes/edges, not corpus. Because
+    * every component id is the MIN member id and the super-solve takes
+    * mins of mins, composed labels equal the from-scratch labels
+    * exactly (spec-pinned). Rewriting the standing map is one
+    * broadcast left join of the batch-sized super-map; at 100 TB emit
+    * only the changed rows (the inner-join side of that same join)
+    * into a versioned assignment table instead of rewriting the world.
+    * Output: the updated full assignment, same contract as
+    * [[connectedComponents]] (nodes that appear in some pair). */
+  def incrementalComponents(components: DataFrame, newPairs: DataFrame,
+                            maxIter: Int = 50,
+                            checkpointDir: Option[String] = None): DataFrame = {
+    val compA = components.select(col("doc_id").as("__a"), col("component_id").as("__ra"))
+    val compB = components.select(col("doc_id").as("__b"), col("component_id").as("__rb"))
+    val mapped = newPairs
+      .select(col("id_a").as("__a"), col("id_b").as("__b"))
+      .join(compA, Seq("__a"), "left")
+      .join(compB, Seq("__b"), "left")
+      .select(coalesce(col("__ra"), col("__a")).as("id_a"),
+        coalesce(col("__rb"), col("__b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val superMap = connectedComponents(mapped, maxIter, checkpointDir)
+    val sm = superMap.select(col("doc_id").as("__old"), col("component_id").as("__new"))
+    val rerooted = components
+      .join(broadcast(sm), col("component_id") === col("__old"), "left")
+      .select(col("doc_id"), coalesce(col("__new"), col("component_id")).as("component_id"))
+    // nodes the standing map has never seen joined the graph this batch
+    val fresh = superMap
+      .join(components.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    rerooted.unionByName(fresh)
+  }
+
   /** Content-defined chunking of documents at token granularity — the
     * storage-dedup primitive (LBFS/FastCDC family) applied to corpus
     * text: chunk boundaries fall where the rolling k-shingle hash has

@@ -434,6 +434,52 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.sourceOverlapMatrix(docs, "text", "source", n = 4).count() == 0L)
   }
 
+  // ---- incremental connected components ------------------------------------
+
+  private def ccMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def pairsDf(ps: (Long, Long)*) = ps.toSeq.toDF("id_a", "id_b")
+
+  test("incrementalComponents == from-scratch CC across merges, joins, and fresh clusters") {
+    // standing: {1,2,3} (comp 1), {10,11} (comp 10), {20,21} (comp 20)
+    val base = Dedup.connectedComponents(
+      pairsDf(1L -> 2L, 2L -> 3L, 10L -> 11L, 20L -> 21L))
+    // batch: bridge comps 1 and 10, attach new node 12 to comp 20,
+    // and a brand-new cluster {30,31}
+    val batch = pairsDf(3L -> 11L, 12L -> 20L, 30L -> 31L)
+    val inc = ccMap(Dedup.incrementalComponents(base, batch))
+    val scratch = ccMap(Dedup.connectedComponents(
+      pairsDf(1L -> 2L, 2L -> 3L, 10L -> 11L, 20L -> 21L,
+        3L -> 11L, 12L -> 20L, 30L -> 31L)))
+    assert(inc == scratch)
+    // fresh node 12 has the smallest id in its component, so the MIN-label
+    // contract relabels the standing {20,21} cluster to 12
+    assert(inc(11L) == 1L && inc(12L) == 12L && inc(20L) == 12L && inc(30L) == 30L)
+  }
+
+  test("incrementalComponents: intra-component batch pairs change nothing") {
+    val base = Dedup.connectedComponents(pairsDf(1L -> 2L, 2L -> 3L))
+    val inc = ccMap(Dedup.incrementalComponents(base, pairsDf(1L -> 3L)))
+    assert(inc == ccMap(base))
+  }
+
+  test("incrementalComponents from an empty standing map is plain CC") {
+    val empty = Dedup.connectedComponents(pairsDf())
+    val inc = ccMap(Dedup.incrementalComponents(empty, pairsDf(5L -> 7L, 7L -> 6L)))
+    assert(inc == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("incrementalComponents chains across batches (associativity)") {
+    val all = Seq(1L -> 2L, 3L -> 4L, 2L -> 3L, 4L -> 5L, 8L -> 9L)
+    val twoStep = ccMap(Dedup.incrementalComponents(
+      Dedup.incrementalComponents(
+        Dedup.connectedComponents(pairsDf(all.take(2): _*)),
+        pairsDf(all.slice(2, 4): _*)),
+      pairsDf(all.drop(4): _*)))
+    assert(twoStep == ccMap(Dedup.connectedComponents(pairsDf(all: _*))))
+  }
+
   // ---- content-defined chunking --------------------------------------------
 
   /** 400 deterministic pseudo-words. */
