@@ -2026,6 +2026,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // KMV distinct sketch next to the exact count: the k-minimum-values
+    // estimate is pure integer arithmetic over the portable 60-bit md5
+    // order, so the oracle reproduces the ESTIMATE bit-for-bit (the HLL
+    // q92/q145 discipline, different sketch family). Shuffle state is
+    // k longs per partition per group (typed KmvAgg, map-side combined).
+    "q163_kmv_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+        .join(graft.ops.Sketches.kmvDistinct(
+          li, Seq("l_returnflag"), col("l_partkey"), k = 128), Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Sketch-cost cross-source contamination screen: per-source KMV
+    // sketches over the SAME distinct 4-gram shingle hashes as the
+    // exact q153 matrix, pairwise Jaccard/union/intersection estimates
+    // read off the union sketch — each source reduced to k longs before
+    // any pair math, so the matrix costs one corpus scan at any scale.
+    "q164_kmv_source_overlap" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .filter(col("source").isNotNull)
+        .select(col("source").as("src"), TF.tokens(col("text")).as("__toks"))
+        .select(col("src"),
+          explode(array_distinct(TF.shinglesFromTokens(col("__toks"), 4))).as("sh"))
+        .select(col("src"), TF.md5Long(col("sh")).as("h"))
+      graft.ops.Sketches.kmvOverlapMatrix(sh, "src", "h", k = 128)
+        .withColumnRenamed("group_a", "src_a").withColumnRenamed("group_b", "src_b")
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Exact heavy hitters at sketch cost (tokens occurring > n/40
+    // times): per-partition Misra–Gries candidates bound the exchange
+    // by partitions·threshold instead of vocabulary size; phase 2
+    // exact-counts candidates only, so the answer equals the oracle's
+    // plain GROUP BY/HAVING while never shuffling the hapax tail.
+    "q165_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+      graft.ops.HeavyHitters.heavyHitters(toks, col("tok"), threshold = 40)
+        .withColumnRenamed("value", "tok")
+        .orderBy(col("tok"))
+    }),
+
     // Quantile-gated quality filter (CCNet-style "drop the worst
     // quartile per language", but threshold-based): per-language p25
     // of the token count from the mergeable histogram sketch, bins
@@ -4697,6 +4741,70 @@ object SparkEntry {
     // q150's tokenizer + 60-bit shingle-hash idioms; cut after token
     // j when the shingle ending at j has hash % 32 = 0 and j is not
     // the last token; chunks via lead() over the start positions.
+    // The KMV estimate replayed literally: k smallest distinct 60-bit
+    // md5 hashes per group (row_number over the portable hash order),
+    // unsaturated → the count itself, saturated → (k−1)·2⁶⁰ // h_k in
+    // HUGEINT, cast back to BIGINT in the final select.
+    "q163_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag AS rf,
+                      CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                    FROM lineitem),
+         topk AS (SELECT rf, h, row_number() OVER (PARTITION BY rf ORDER BY h) AS rn
+                  FROM h QUALIFY rn <= 128),
+         agg AS (SELECT rf, COUNT(*) AS kk, MAX(CASE WHEN rn = 128 THEN h END) AS hk
+                 FROM topk GROUP BY 1),
+         ex AS (SELECT l_returnflag AS rf, COUNT(DISTINCT l_partkey) AS n_exact
+                FROM lineitem GROUP BY 1)
+         SELECT rf AS l_returnflag, CAST(n_exact AS BIGINT) AS n_exact,
+                CAST(CASE WHEN kk < 128 THEN kk
+                          ELSE (127::HUGEINT * (1::HUGEINT << 60)) // hk END AS BIGINT) AS n_kmv
+         FROM ex JOIN agg USING (rf) ORDER BY 1""",
+
+    // q153's shingle-hash CTE feeding per-source KMV sketches; the pair
+    // stage unions the two sketches' hashes with membership flags, the
+    // union sketch is the k smallest of that relation, and every
+    // estimate is the same floored HUGEINT arithmetic as q163.
+    "q164_kmv_source_overlap" ->
+      """WITH tk AS (SELECT source, regexp_extract_all(text, '\S+') AS ws
+                     FROM documents WHERE source IS NOT NULL),
+         sh AS (SELECT DISTINCT source AS src,
+                  CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 15)) AS BIGINT) AS h
+                FROM tk, UNNEST(range(1, len(ws) - 2)) AS r(i) WHERE len(ws) >= 4),
+         sk AS (SELECT src, h, row_number() OVER (PARTITION BY src ORDER BY h) AS rn
+                FROM sh QUALIFY rn <= 128),
+         pr AS (SELECT DISTINCT a.src AS src_a, b.src AS src_b
+                FROM sk a JOIN sk b ON a.src < b.src),
+         m AS (SELECT p.src_a, p.src_b, s.h,
+                      BOOL_OR(s.src = p.src_a) AS in_a, BOOL_OR(s.src = p.src_b) AS in_b
+               FROM pr p JOIN sk s ON s.src IN (p.src_a, p.src_b)
+               GROUP BY 1, 2, 3),
+         topu AS (SELECT src_a, src_b, h, in_a, in_b,
+                         row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+                  FROM m QUALIFY rn <= 128),
+         agg AS (SELECT src_a, src_b, COUNT(*) AS kk,
+                        SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS shared,
+                        MAX(CASE WHEN rn = 128 THEN h END) AS hk
+                 FROM topu GROUP BY 1, 2),
+         est AS (SELECT src_a, src_b, kk, shared,
+                        CASE WHEN kk < 128 THEN kk
+                             ELSE (127::HUGEINT * (1::HUGEINT << 60)) // hk END AS n_union
+                 FROM agg)
+         SELECT src_a, src_b, CAST(kk AS BIGINT) AS kk,
+                CAST(shared AS BIGINT) AS n_shared_topk,
+                CAST(shared * 1000000 // kk AS BIGINT) AS jaccard_e6,
+                CAST(n_union AS BIGINT) AS n_union_kmv,
+                CAST(shared::HUGEINT * n_union // kk AS BIGINT) AS n_intersect_kmv
+         FROM est ORDER BY src_a, src_b""",
+
+    // The candidate phase is invisible to the answer: exact counts over
+    // a plain GROUP BY/HAVING — which is the entire point of the gate.
+    "q165_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents),
+         n AS (SELECT COUNT(*) AS n FROM tok)
+         SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM tok, n GROUP BY tok, n.n HAVING COUNT(*) * 40 > n.n
+         ORDER BY tok""",
+
     // q44's full-graph transitive closure verbatim: the incremental
     // composition's contract is exact equality with the from-scratch
     // solve, so the oracle need not (and must not) model the split.

@@ -228,4 +228,85 @@ object Sketches {
       .agg(max(col("__tot")).as("n_values"), max(col("__rank")).as("rank"),
         min(col("bin")).as("bin"))
   }
+
+  // ---- KMV (k-minimum-values) -----------------------------------------------
+
+  /** The KMV estimate from an ascending k-bounded distinct-hash array:
+    * an unsaturated sketch (fewer than k distinct hashes) IS the exact
+    * distinct count; a saturated one estimates ⌊(k−1)·2⁶⁰ / h₍ₖ₎⌋ —
+    * pure integer arithmetic over the 60-bit hash domain, floored via
+    * the pmod identity so the decimal division is exact (the
+    * IncrementalAgg discipline; every term non-negative, and
+    * h₍ₖ₎ ≥ k−1 ≥ 1 because the k hashes are distinct non-negatives). */
+  private def kmvEstimate(ks: Column, k: Int): Column = {
+    val num = lit(BigDecimal(BigInt(k - 1) << 60).bigDecimal).cast(dec)
+    val den = element_at(ks, k).cast(dec)
+    when(size(ks) < k, size(ks).cast("long"))
+      .otherwise(((num - pmod(num, den)) / den).cast("long"))
+  }
+
+  /** Grouped distinct-count estimate via a KMV sketch over the shared
+    * portable 60-bit md5 hash family. Same contract as [[hllDistinct]]
+    * (NULL values ignored), different trade: HLL state is m registers
+    * regardless of k-vs-ndv, KMV state is min(k, ndv) hashes and the
+    * sketch stays EXACT until saturation — and unlike HLL it composes
+    * into the set-overlap estimates of [[kmvOverlapMatrix]]. Shuffle
+    * carries at most k longs per partition per group (the typed
+    * [[graft.functions.KmvAgg]] map-side combines). Output:
+    * (group…, n_kmv). */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
+                  k: Int = 256): DataFrame = {
+    val grp = groupCols.map(col)
+    df.filter(value.isNotNull)
+      .select(grp :+ graft.functions.TextFunctions.md5Long(value.cast("string")).as("__h"): _*)
+      .groupBy(grp: _*)
+      .agg(graft.functions.KmvAgg.kmv(k)(col("__h")).as("__ks"))
+      .select(grp :+ kmvEstimate(col("__ks"), k).as("n_kmv"): _*)
+  }
+
+  /** Pairwise corpus-overlap estimates from per-group KMV sketches —
+    * the sketch-cost screen for the exact
+    * [[Dedup.sourceOverlapMatrix]]: that one shuffles every distinct
+    * shingle hash (right when an audit must be exact); this one
+    * reduces each group to k longs FIRST, so the pair stage works on
+    * |groups|·k values no matter how large the corpus — at 100 TB the
+    * overlap matrix costs one scan plus a broadcast-sized self-join.
+    *
+    * Beyer et al.'s θ-sketch estimator on the UNION sketch K (the k
+    * smallest of A ∪ B, a valid KMV of the union because each side's
+    * k smallest bound the union's): with kk = |K| (= k once saturated)
+    * and shared = |K ∩ A ∩ B|,
+    * jaccard_e6 = ⌊10⁶·shared/kk⌋, n_union_kmv = KMV estimate of K,
+    * n_intersect_kmv = ⌊shared·n_union/kk⌋. While BOTH sketches are
+    * unsaturated every figure is exact (K is then all of A ∪ B).
+    *
+    * Input: (groupCol, hashCol) rows where hashCol is already in the
+    * portable 60-bit family (pre-hashed so callers control WHAT is
+    * compared — shingles, chunk hashes, fingerprints). Output per pair
+    * (a < b): (group_a, group_b, kk, n_shared_topk, jaccard_e6,
+    * n_union_kmv, n_intersect_kmv). */
+  def kmvOverlapMatrix(hashed: DataFrame, groupCol: String, hashCol: String,
+                       k: Int = 256): DataFrame = {
+    val sk = hashed.filter(col(groupCol).isNotNull && col(hashCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(graft.functions.KmvAgg.kmv(k)(col(hashCol)).as("__ks"))
+    val pairs = sk.select(col("__g").as("group_a"), col("__ks").as("__ka"))
+      .join(sk.select(col("__g").as("group_b"), col("__ks").as("__kb")),
+        col("group_a") < col("group_b"))
+      // k smallest of the distinct union: ≤ 2k values, sorted in-row
+      .withColumn("__ku", slice(array_sort(array_union(col("__ka"), col("__kb"))), 1, k))
+      .withColumn("kk", size(col("__ku")).cast("long"))
+      .withColumn("n_shared_topk",
+        size(array_intersect(array_intersect(col("__ku"), col("__ka")), col("__kb")))
+          .cast("long"))
+      .withColumn("n_union_kmv", kmvEstimate(col("__ku"), k))
+    val prod = col("n_shared_topk").cast(dec) * col("n_union_kmv").cast(dec)
+    pairs.select(col("group_a"), col("group_b"), col("kk"), col("n_shared_topk"),
+      // shared ≤ kk ≤ k keeps the e6 product inside a long
+      ((col("n_shared_topk") * lit(1000000L) - pmod(col("n_shared_topk") * lit(1000000L),
+        col("kk"))) / col("kk")).cast("long").as("jaccard_e6"),
+      col("n_union_kmv"),
+      ((prod - pmod(prod, col("kk").cast(dec))) / col("kk").cast(dec))
+        .cast("long").as("n_intersect_kmv"))
+  }
 }

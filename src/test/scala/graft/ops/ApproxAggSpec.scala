@@ -225,4 +225,85 @@ class ApproxAggSpec extends SparkSpecBase {
     // values 0.1..100.0, bins 0..100; rank 500 lands in bin 50
     assert(got.toSeq == Seq((500L, 50L)))
   }
+
+  // ---- KMV -------------------------------------------------------------------
+
+  test("KMV: unsaturated sketch is the exact distinct count; nulls ignored") {
+    import spark.implicits._
+    val df = ((1L to 40L) ++ (1L to 40L)).map(v => ("g", Some(v))).toDF("g", "v")
+      .union(Seq(("g", Option.empty[Long])).toDF("g", "v"))
+    val got = Sketches.kmvDistinct(df, Seq("g"), col("v"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("g" -> 40L))
+  }
+
+  test("KMV: saturated estimate equals the BigInt replica and tracks exact") {
+    import spark.implicits._
+    val vals = (1L to 5000L)
+    val df = vals.map(v => ("g", v)).toDF("g", "v")
+    val k = 128
+    val got = Sketches.kmvDistinct(df, Seq("g"), col("v"), k = k)
+      .head().getLong(1)
+    // replica: k-th smallest 60-bit md5 hash, (k-1)*2^60 / h_k floored
+    val hashes = df.select(graft.functions.TextFunctions
+        .md5Long(col("v").cast("string")).as("h"))
+      .distinct().orderBy(col("h")).limit(k).collect().map(_.getLong(0))
+    val expect = ((BigInt(k - 1) << 60) / BigInt(hashes.last)).toLong
+    assert(got == expect, s"got $got expect $expect")
+    val rsd = 1.0 / math.sqrt(k - 2)
+    assert(math.abs(got - 5000.0) / 5000.0 <= 3 * rsd, s"estimate $got vs exact 5000")
+  }
+
+  test("KMV is bit-deterministic across partitionings and duplication") {
+    import spark.implicits._
+    val base = (1L to 3000L).map(v => (s"g${v % 3}", v)).toDF("g", "v")
+    val a = Sketches.kmvDistinct(base.repartition(1), Seq("g"), col("v"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Sketches.kmvDistinct(
+        base.union(base).repartition(17, col("v")), Seq("g"), col("v"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b && a.size == 3)
+  }
+
+  test("KMV overlap: unsaturated pair reads exact shared/union/intersection") {
+    import spark.implicits._
+    // A = {1..30}, B = {21..50}: |A∪B| = 50, |A∩B| = 10 — k=64 holds it all
+    val hashed = ((1L to 30L).map(("a", _)) ++ (21L to 50L).map(("b", _)))
+      .toDF("g", "v")
+      .select(col("g"), graft.functions.TextFunctions.md5Long(col("v").cast("string")).as("h"))
+    val r = Sketches.kmvOverlapMatrix(hashed, "g", "h", k = 64).head()
+    assert(r.getAs[String]("group_a") == "a" && r.getAs[String]("group_b") == "b")
+    assert(r.getAs[Long]("kk") == 50L)
+    assert(r.getAs[Long]("n_shared_topk") == 10L)
+    assert(r.getAs[Long]("jaccard_e6") == 200000L)
+    assert(r.getAs[Long]("n_union_kmv") == 50L)
+    assert(r.getAs[Long]("n_intersect_kmv") == 10L)
+  }
+
+  test("KMV overlap: identical groups read jaccard 1, disjoint read 0") {
+    import spark.implicits._
+    val hashed = ((1L to 500L).map(("a", _)) ++ (1L to 500L).map(("b", _)) ++
+      (1000L to 1499L).map(("c", _))).toDF("g", "v")
+      .select(col("g"), graft.functions.TextFunctions.md5Long(col("v").cast("string")).as("h"))
+    val rows = Sketches.kmvOverlapMatrix(hashed, "g", "h", k = 64)
+      .collect().map(r => (r.getAs[String]("group_a"), r.getAs[String]("group_b")) ->
+        ((r.getAs[Long]("jaccard_e6"), r.getAs[Long]("n_shared_topk")))).toMap
+    assert(rows(("a", "b")) == ((1000000L, 64L)))
+    assert(rows(("a", "c"))._1 == 0L && rows(("b", "c"))._1 == 0L)
+    // saturated identical sketches: intersection estimate == union estimate
+    val full = Sketches.kmvOverlapMatrix(hashed, "g", "h", k = 64)
+      .filter(col("group_a") === "a" && col("group_b") === "b").head()
+    assert(full.getAs[Long]("n_intersect_kmv") == full.getAs[Long]("n_union_kmv"))
+  }
+
+  test("KMV overlap matrix is partition-independent") {
+    import spark.implicits._
+    val hashed = (1L to 2000L).map(v => (s"g${v % 4}", v)).toDF("g", "v")
+      .select(col("g"), graft.functions.TextFunctions.md5Long(col("v").cast("string")).as("h"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvOverlapMatrix(df, "g", "h", k = 32)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(run(hashed.repartition(1)) == run(hashed.repartition(23, col("h"))))
+  }
 }
