@@ -2070,6 +2070,35 @@ object SparkEntry {
         .orderBy(col("tok"))
     }),
 
+    // Mann–Whitney rank-sum A/B adjudication over the q54-style hash
+    // arms: doubled-unit midranks, tie-corrected variance, and an
+    // α=0.05 decision by integer cross-multiplication — the entire
+    // test replayed bit-for-bit by the oracle (no tolerance anywhere).
+    "q166_mann_whitney" -> ((s, dir) => {
+      graft.ops.HypothesisTests.mannWhitneyU(t(s, dir, "events"),
+        floor(col("value")).cast("long"), col("user_id") % 2 === 0)
+    }),
+
+    // Johnson–Lindenstrauss ±1 projection 64 → 16 (Achlioptas 2003),
+    // quantize-then-sum so every component is an exact signed integer —
+    // map-only, the cheap front of a project-once-search-small ANN
+    // stack; exploded for the gate so the oracle compares scalars.
+    "q167_random_projection" -> ((s, dir) => {
+      VF.randomProjection(t(s, dir, "embeddings"), "embedding", inDim = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("proj_e6")).as(Seq("proj_dim", "comp_e6")))
+        .orderBy(col("vec_id"), col("proj_dim"))
+    }),
+
+    // Kolmogorov–Smirnov two-sample test (click vs view values): the
+    // CDF supremum as an exact integer over the value-level
+    // cumulatives, Smirnov 1.358 decision by cross-multiplication —
+    // the shape-sensitive sibling of q166's rank test, same one-pass
+    // chunked-CDF machinery, both arms in a single prefix-sum pass.
+    "q168_ks_test" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("event_type").isin("click", "view"))
+      graft.ops.HypothesisTests.ksTest(ev, col("value"), col("event_type") === "click")
+    }),
+
     // Quantile-gated quality filter (CCNet-style "drop the worst
     // quartile per language", but threshold-based): per-language p25
     // of the token count from the mergeable histogram sketch, bins
@@ -4795,6 +4824,72 @@ object SparkEntry {
                 CAST(n_union AS BIGINT) AS n_union_kmv,
                 CAST(shared::HUGEINT * n_union // kk AS BIGINT) AS n_intersect_kmv
          FROM est ORDER BY src_a, src_b""",
+
+    // Value-level CDF pair, window cumulatives, exact |c1·n2 − c2·n1|
+    // supremum, HUGEINT decision legs.
+    "q168_ks_test" ->
+      """WITH v AS (SELECT value AS v, (event_type = 'click') AS a FROM events
+                    WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+         lvl AS (SELECT v, CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+                        CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS HUGEINT) AS cb
+                 FROM v GROUP BY 1),
+         tot AS (SELECT SUM(ca) AS n1, SUM(cb) AS n2 FROM lvl),
+         cum AS (SELECT SUM(ca) OVER (ORDER BY v) AS c1, SUM(cb) OVER (ORDER BY v) AS c2
+                 FROM lvl),
+         st AS (SELECT MAX(abs(c1*n2 - c2*n1)) AS d_num, MAX(n1) AS n1, MAX(n2) AS n2
+                FROM cum, tot)
+         SELECT CAST(COALESCE(n1, 0) AS BIGINT) AS n1,
+                CAST(COALESCE(n2, 0) AS BIGINT) AS n2,
+                CAST(COALESCE(d_num, 0) AS BIGINT) AS d_num,
+                CAST(CASE WHEN n1 > 0 AND n2 > 0 THEN d_num * 1000000 // (n1*n2)
+                          ELSE 0 END AS BIGINT) AS d_e6,
+                CAST(CASE WHEN n1 > 0 AND n2 > 0
+                           AND 1000000::HUGEINT*d_num*d_num > 1844164::HUGEINT*n1*n2*(n1+n2)
+                          THEN 1 ELSE 0 END AS INTEGER) AS significant_05
+         FROM st""",
+
+    // jl_ namespace Rademacher signs from md5 first-hex-digit parity
+    // (the q38 plane idiom), floor-quantized components, integer sums.
+    "q167_random_projection" ->
+      """WITH q AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+                    FROM embeddings),
+         planes AS (SELECT j, i,
+                      CASE WHEN CAST(('0x' || substr(md5('jl_' || j || '_' || i), 1, 1)) AS INT) % 2 = 1
+                           THEN 1 ELSE -1 END AS s
+                    FROM range(16) a(j), range(64) b(i))
+         SELECT q.vec_id, CAST(p.j AS INTEGER) AS proj_dim,
+                CAST(SUM(p.s * qe[p.i + 1]) AS BIGINT) AS comp_e6
+         FROM q, planes p
+         GROUP BY 1, 2 ORDER BY vec_id, proj_dim""",
+
+    // The documented contract replayed exactly: value-level histogram,
+    // cumulative tie spans, doubled rank sums, HUGEINT z² legs.
+    "q166_mann_whitney" ->
+      """WITH v AS (SELECT CAST(floor(value) AS BIGINT) AS v, (user_id % 2 = 0) AS a
+                    FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         lvl AS (SELECT v, CAST(COUNT(*) AS HUGEINT) AS cnt,
+                        CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) AS ca
+                 FROM v GROUP BY 1),
+         cum AS (SELECT cnt, ca, SUM(cnt) OVER (ORDER BY v) AS hi FROM lvl),
+         agg AS (SELECT SUM(ca) AS n1, SUM(cnt - ca) AS n2,
+                        SUM(ca * (hi - cnt + 1 + hi)) AS r1x2,
+                        SUM(cnt*cnt*cnt - cnt) AS tie
+                 FROM cum),
+         fin AS (SELECT n1, n2, n1 + n2 AS n, r1x2 - n1*(n1+1) AS u1x2, tie FROM agg),
+         fin2 AS (SELECT *, u1x2 - n1*n2 AS d, (n+1)*n*(n-1) - tie AS t FROM fin)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                CAST(u1x2 AS BIGINT) AS u1_x2,
+                CAST(2*n1*n2 - u1x2 AS BIGINT) AS u2_x2,
+                CAST(tie AS BIGINT) AS tie_term,
+                CAST(CASE WHEN n1 > 0 AND n2 > 0 AND t > 0
+                          THEN (3000000::HUGEINT * d * d * n * (n-1)) // (n1*n2*t)
+                          ELSE 0 END AS BIGINT) AS z2_e6,
+                CAST(CASE WHEN n1 > 0 AND n2 > 0 AND t > 0
+                           AND 1875::HUGEINT*d*d*n*(n-1) > 2401::HUGEINT*n1*n2*t
+                          THEN 1 ELSE 0 END AS INTEGER) AS significant_05
+         FROM fin2""",
 
     // The candidate phase is invisible to the answer: exact counts over
     // a plain GROUP BY/HAVING — which is the entire point of the gate.

@@ -521,4 +521,51 @@ object VectorFunctions {
         sum(col("__s_milli")).as("sum_s_milli"),
         sum(when(col("__s_milli") < 0L, 1L).otherwise(0L)).as("n_misassigned"))
   }
+
+  /** Deterministic ±1 JL plane row j over `dim` input components —
+    * the [[graft.ops.Dedup.rademacherPlane]] construction in its own
+    * `jl_` namespace (so projection matrices and LSH hyperplanes never
+    * silently share rows): sign(j,i) = parity of the first hex digit
+    * of md5("jl_j_i"). Achlioptas 2003 shows ±1 entries satisfy the JL
+    * lemma with the same distortion bounds as Gaussian ones. */
+  private[graft] def jlPlane(j: Int, dim: Int): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { i =>
+      val hex = md.digest(s"jl_${j}_$i".getBytes("UTF-8"))
+      if (((hex(0) >> 4) & 1) == 1) 1L else -1L
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection `inDim → outDim` with the
+    * house integer-exactness discipline: components quantize to
+    * ⌊x·10⁶⌋ FIRST (exact — a float's 24-bit mantissa times 10⁶ is
+    * exactly representable in the double that computes it), then each
+    * output component is a signed integer sum, so the projection is
+    * bit-reproducible on any engine and independent of partitioning
+    * and fold order (integer addition commutes; the double-fold dot
+    * products elsewhere in this file must instead pin array order).
+    * Scaling is deliberately omitted: downstream cosine/LSH consumers
+    * are scale-invariant, and ⌊·/√outDim⌋ would only discard bits.
+    *
+    * Map-only — no shuffle at any scale; the 10⁶ quantum bounds each
+    * output component by dim·10⁶·max|x|, far inside a long. Appends
+    * `proj_e6: array<long>` of length outDim. The JL guarantee says
+    * pairwise angles survive within ~1/√outDim distortion
+    * (spec-checked), which is what makes this the cheap front of an
+    * ANN/near-dup stack: project once, bucket/search in outDim. */
+  def randomProjection(df: DataFrame, vecCol: String, inDim: Int, outDim: Int): DataFrame = {
+    require(inDim >= 1 && outDim >= 1, s"need positive dims, got $inDim -> $outDim")
+    val quantized = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    val comps = (0 until outDim).map { j =>
+      val signs = jlPlane(j, inDim)
+      (0 until inDim).map { i =>
+        val term = element_at(col("__q_e6"), i + 1)
+        if (signs(i) > 0) term else -term
+      }.reduce(_ + _)
+    }
+    df.withColumn("__q_e6", quantized)
+      .withColumn("proj_e6", array(comps: _*))
+      .drop("__q_e6")
+  }
 }

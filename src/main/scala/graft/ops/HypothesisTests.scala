@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distribution-comparison tests over unaggregated corpora — the A/B
+  * adjudication layer above the engine's experiment plumbing (the q54
+  * hash split assigns arms; this decides them). Everything follows the
+  * house integer-exactness rule: rank statistics are exact integers in
+  * doubled units (so tie midpoints never leave ℤ), the normal
+  * approximation's z² is reported in 10⁻⁶ quanta computed by exact
+  * decimal floor-division, and the α = 0.05 decision is an integer
+  * cross-multiplication — bit-reproducible on any engine, which is what
+  * makes the gate a hash match rather than a tolerance check. */
+object HypothesisTests {
+
+  private val dec = DecimalType(38, 0)
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) with the standard tie
+    * treatment: pooled average ranks (midrank of each tie run) and the
+    * tie-corrected variance. Returns ONE row:
+    *
+    *   n1, n2          — group sizes (isA true / false)
+    *   u1_x2, u2_x2    — 2·U₁, 2·U₂ (doubled so tie midranks stay
+    *                     integral; u1_x2 + u2_x2 = 2·n1·n2)
+    *   tie_term        — Σ(t³ − t) over tie runs
+    *   z2_e6           — ⌊10⁶·z²⌋ of the normal approximation
+    *                     z² = (U₁ − μ)²/Var, μ = n1n2/2,
+    *                     Var = n1n2[(n+1)n(n−1) − Σ(t³−t)]/(12n(n−1))
+    *   significant_05  — 1 iff z² > 3.8416 (= 1.96², the two-sided
+    *                     α = 0.05 convention), decided by the exact
+    *                     cross-multiplication 1875·d²·n(n−1) >
+    *                     2401·n1·n2·T with d = 2U₁ − n1n2 — no float
+    *                     ever enters the decision.
+    *
+    * Degenerate inputs (an empty arm, or every value identical → zero
+    * variance) report z2_e6 = 0, significant_05 = 0.
+    *
+    * Scale shape: one map-side-combined aggregate to the VALUE level
+    * (rank arithmetic needs only each distinct value's multiplicity and
+    * group-A multiplicity), tie ranges from [[Sampling.globalCumsum]]'s
+    * chunked prefix sum (no single-reducer window even when the value
+    * domain is row-sized), one scalar aggregate. Envelope: the z² legs
+    * need 3·10⁶·d²·n(n−1) < 10³⁸ (DECIMAL(38,0); DuckDB's HUGEINT has
+    * the same 128-bit ceiling, so no portable wider path exists). With
+    * d = 2U₁ − n1n2 ~ z·n^1.5 under a near-null effect this holds past
+    * 10⁶ pooled rows; a huge-n strong-effect pair saturates to NULL
+    * (Spark decimal overflow) — strata-sample the arms below the
+    * envelope rather than trusting a half-exact wide division. The
+    * rank legs themselves (u1_x2/u2_x2/tie_term) are exact to n ~ 10⁹. */
+  def mannWhitneyU(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    val lvl = df.filter(value.isNotNull && isA.isNotNull)
+      .groupBy(value.as("__v"))
+      .agg(count(lit(1)).cast(dec).as("__cnt"),
+        sum(when(isA, 1L).otherwise(0L)).cast(dec).as("__ca"))
+    val cum = Sampling.globalCumsum(lvl, Seq(col("__v")), col("__cnt"), "__hi")
+    val agg = cum
+      .withColumn("__lo", col("__hi") - col("__cnt") + lit(1L).cast(dec))
+      .agg(
+        sum(col("__ca")).cast(dec).as("n1d"),
+        sum(col("__cnt") - col("__ca")).cast(dec).as("n2d"),
+        // group-A pooled rank sum, doubled: each of the ca rows at this
+        // value carries midrank (lo+hi)/2
+        sum(col("__ca") * (col("__lo") + col("__hi"))).cast(dec).as("r1_x2"),
+        sum(col("__cnt") * col("__cnt") * col("__cnt") - col("__cnt"))
+          .cast(dec).as("tie_term"))
+    val n = col("n1d") + col("n2d")
+    val u1 = col("r1_x2") - col("n1d") * (col("n1d") + lit(1).cast(dec))
+    val d = col("__u1_x2") - col("n1d") * col("n2d")
+    val bigT = (n + lit(1).cast(dec)) * n * (n - lit(1).cast(dec)) - col("tie_term")
+    val zNum = (lit(3000000L).cast(dec) * d * d * n * (n - lit(1).cast(dec)))
+    val zDen = col("n1d") * col("n2d") * bigT
+    agg
+      .withColumn("__u1_x2", u1)
+      .withColumn("__t", bigT)
+      .select(
+        col("n1d").cast("long").as("n1"),
+        col("n2d").cast("long").as("n2"),
+        col("__u1_x2").cast("long").as("u1_x2"),
+        (lit(2).cast(dec) * col("n1d") * col("n2d") - col("__u1_x2"))
+          .cast("long").as("u2_x2"),
+        col("tie_term").cast("long").as("tie_term"),
+        when(col("n1d") > 0 && col("n2d") > 0 && col("__t") > 0,
+          ((zNum - pmod(zNum, zDen)) / zDen).cast("long"))
+          .otherwise(lit(0L)).as("z2_e6"),
+        when(col("n1d") > 0 && col("n2d") > 0 && col("__t") > 0 &&
+          lit(1875).cast(dec) * d * d * n * (n - lit(1).cast(dec)) >
+            lit(2401).cast(dec) * zDen, 1).otherwise(0).as("significant_05"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test — the shape-sensitive sibling
+    * of [[mannWhitneyU]] (a location shift moves U; ANY CDF divergence
+    * moves D). D = sup|F₁ − F₂| is a rational with denominator n1·n2,
+    * so the supremum is taken over the exact integers
+    * |c1·n2 − c2·n1| at each distinct value (c = cumulative counts —
+    * the same value-level histogram + [[Sampling.globalCumsums]]
+    * chunked prefix pass as the rank test, both CDFs in one shot).
+    * Returns ONE row: n1, n2, d_num (= D·n1·n2, exact),
+    * d_e6 = ⌊10⁶·D⌋, significant_05 = 1 iff D exceeds the asymptotic
+    * two-sided α = 0.05 bound 1.358·√((n1+n2)/(n1·n2)) (the Smirnov
+    * c(α) = 1.358 convention), decided exactly by
+    * 10⁶·d_num² > 1844164·n1·n2·(n1+n2). Ties need no correction — a
+    * tie run is one CDF step evaluated after the run, which is exactly
+    * what the value-level cumulative gives. Degenerate (empty-arm)
+    * inputs report zeros. Exact while 10⁶·d_num² < 10³⁸
+    * (n up to ~4·10⁷ pooled). */
+  def ksTest(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    val lvl = df.filter(value.isNotNull && isA.isNotNull)
+      .groupBy(value.as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).cast(dec).as("__a"),
+        sum(when(isA, 0L).otherwise(1L)).cast(dec).as("__b"))
+    val cum = Sampling.globalCumsums(lvl, Seq(col("__v")),
+      Seq(col("__a") -> "__c1", col("__b") -> "__c2"))
+    val totals = lvl.agg(sum(col("__a")).cast(dec).as("__n1"),
+      sum(col("__b")).cast(dec).as("__n2"))
+    val dNum = abs(col("__c1") * col("__n2") - col("__c2") * col("__n1"))
+    val stat = cum.crossJoin(broadcast(totals))
+      .agg(max(dNum).cast(dec).as("d_num_d"),
+        max(col("__n1")).as("n1d"), max(col("__n2")).as("n2d"))
+    val b = col("n1d") * col("n2d")
+    val e6 = col("d_num_d") * lit(1000000L).cast(dec)
+    stat.select(
+      coalesce(col("n1d").cast("long"), lit(0L)).as("n1"),
+      coalesce(col("n2d").cast("long"), lit(0L)).as("n2"),
+      coalesce(col("d_num_d").cast("long"), lit(0L)).as("d_num"),
+      when(col("n1d") > 0 && col("n2d") > 0,
+        ((e6 - pmod(e6, b)) / b).cast("long")).otherwise(lit(0L)).as("d_e6"),
+      when(col("n1d") > 0 && col("n2d") > 0 &&
+        lit(1000000L).cast(dec) * col("d_num_d") * col("d_num_d") >
+          lit(1844164L).cast(dec) * b * (col("n1d") + col("n2d")), 1)
+        .otherwise(0).as("significant_05"))
+  }
+}

@@ -354,6 +354,56 @@ object Sampling {
       .drop("__pid", "__off")
   }
 
+  /** Exact INCLUSIVE weighted prefix sum under a total order — the
+    * [[globalRank]] shape with a weight instead of a row count, and the
+    * same no-single-reducer property: range-partition on the order,
+    * windowed running sum within each partition, broadcast per-partition
+    * weight-total offsets. The seam rank-with-ties consumers need
+    * (e.g. [[HypothesisTests.mannWhitneyU]]'s tie ranges over a
+    * value-level histogram, where the "weight" is each distinct value's
+    * multiplicity): cum − weight + 1 and cum bound a value's tie run.
+    * `ord` must be UNIQUE per row (aggregate to the order key first) —
+    * equal order keys land in one range partition, but the local
+    * window's default RANGE frame would then sum whole peer groups.
+    * The weight must be non-null; sums are carried as DECIMAL(38,0). */
+  def globalCumsum(df: DataFrame, ord: Seq[Column], weight: Column,
+                   out: String = "cum_weight",
+                   materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame =
+    globalCumsums(df, ord, Seq(weight -> out), materialize)
+
+  /** Multi-weight form of [[globalCumsum]]: all prefix sums share one
+    * range partitioning and one offsets frame (a two-sample CDF pair
+    * costs the same pass as a single cumsum). */
+  def globalCumsums(df: DataFrame, ord: Seq[Column], weights: Seq[(Column, String)],
+                    materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(ord.nonEmpty, "globalCumsum needs at least one order column")
+    require(weights.nonEmpty, "globalCumsums needs at least one weight")
+    val wIn = weights.indices.map(i => s"__w$i")
+    require(!df.columns.exists((weights.map(_._2) ++ wIn :+ "__pid").toSet),
+      s"input must not already contain ${weights.map(_._2).mkString("/")}/__pid/__wN")
+    import org.apache.spark.sql.expressions.Window
+    val decW = org.apache.spark.sql.types.DecimalType(38, 0)
+    val nChunks = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = materialize(weights.zip(wIn).foldLeft(df) { case (d, ((w, _), n)) =>
+        d.withColumn(n, w.cast(decW))
+      }
+      .repartitionByRange(nChunks, ord: _*)
+      .withColumn("__pid", spark_partition_id()))
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aggs = wIn.map(n => sum(col(n)).as(s"__n_$n"))
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__pid") +: wIn.map(n =>
+        coalesce(sum(col(s"__n_$n")).over(wOff), lit(0L).cast(decW)).as(s"__off_$n")): _*)
+    weights.map(_._2).zip(wIn).foldLeft(
+        parted.join(broadcast(offsets), Seq("__pid"))) { case (d, (out, n)) =>
+        d.withColumn(out, (col(s"__off_$n") + sum(col(n)).over(wLocal)).cast(decW))
+      }
+      .drop("__pid" +: wIn.flatMap(n => Seq(n, s"__off_$n")): _*)
+  }
+
   /** Size-balanced serpentine ("snake draft") shard assignment: rank
     * all rows by cost desc (md5+key tie-break), then deal rank blocks
     * of `shards` rows alternately left-to-right / right-to-left. For

@@ -228,4 +228,42 @@ class VectorFunctionsSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L, 3L, 4L))
   }
+
+  // ---- JL random projection --------------------------------------------------
+
+  test("randomProjection matches the sign-sum replica exactly, any partitioning") {
+    import spark.implicits._
+    val vecs = (1L to 60L).map(id =>
+      (id, (0 until 8).map(i => ((id * 31 + i * 7) % 13).toFloat / 4f - 1f).toArray))
+    val df = vecs.toDF("id", "v")
+    def replica(x: Array[Float], j: Int): Long =
+      VectorFunctions.jlPlane(j, 8).zipWithIndex.map { case (s, i) =>
+        s * math.floor(x(i).toDouble * 1e6).toLong
+      }.sum
+    def run(d: org.apache.spark.sql.DataFrame) =
+      VectorFunctions.randomProjection(d, "v", inDim = 8, outDim = 4)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    val got = run(df.repartition(7))
+    vecs.foreach { case (id, x) =>
+      assert(got(id) == (0 until 4).map(j => replica(x, j)))
+    }
+    assert(run(df.repartition(1)) == got)
+  }
+
+  test("JL property: projected cosines track original cosines within ~1/sqrt(k)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val proj = VectorFunctions.randomProjection(emb, "embedding", inDim = 64, outDim = 32)
+      .select(col("vec_id"), col("embedding"), col("proj_e6"))
+      .limit(40).collect()
+      .map(r => (r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getSeq[Long](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val errs = for (i <- proj.indices; j <- (i + 1) until proj.length)
+      yield math.abs(cos(proj(i)._1, proj(j)._1) - cos(proj(i)._2, proj(j)._2))
+    val mean = errs.sum / errs.size
+    assert(mean <= 0.15, s"mean cosine distortion $mean over ${errs.size} pairs")
+  }
 }

@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class HypothesisTestsSpec extends SparkSpecBase {
+
+  private def run(vals: Seq[(Double, Boolean)], parts: Int = 4) = {
+    import spark.implicits._
+    val df = vals.toDF("v", "a").repartition(parts)
+    HypothesisTests.mannWhitneyU(df, col("v"), col("a")).head()
+  }
+
+  /** First-principles BigInt replica of the documented contract. */
+  private def replica(vals: Seq[(Double, Boolean)]): (Long, Long, Long, Long, Long, Long, Int) = {
+    val n1 = vals.count(_._2).toLong
+    val n2 = vals.size - n1
+    val runs = vals.groupBy(_._1).toSeq.sortBy(_._1)
+    var lo = 1L
+    var r1x2 = 0L
+    var tie = BigInt(0)
+    runs.foreach { case (_, g) =>
+      val t = g.size.toLong
+      val hi = lo + t - 1
+      r1x2 += g.count(_._2).toLong * (lo + hi)
+      tie += BigInt(t) * t * t - t
+      lo += t
+    }
+    val u1x2 = r1x2 - n1 * (n1 + 1)
+    val u2x2 = 2L * n1 * n2 - u1x2
+    val n = BigInt(vals.size)
+    val d = BigInt(u1x2) - BigInt(n1) * n2
+    val bigT = (n + 1) * n * (n - 1) - tie
+    val ok = n1 > 0 && n2 > 0 && bigT > 0
+    val z2e6 = if (ok) (BigInt(3000000) * d * d * n * (n - 1) / (BigInt(n1) * n2 * bigT)).toLong else 0L
+    val sig = if (ok && BigInt(1875) * d * d * n * (n - 1) > BigInt(2401) * BigInt(n1) * n2 * bigT) 1 else 0
+    (n1, n2, u1x2, u2x2, tie.toLong, z2e6, sig)
+  }
+
+  private def asTuple(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getInt(6))
+
+  test("hand-traced no-tie example: complete separation") {
+    // A = {1,2,3}, B = {4,5,6}: R1 = 6 → U1 = 0, U2 = 9; z² = 3e6·81·30
+    // / (9·210) µ = 3.857142 — a hair over 1.96², so the flag trips
+    val r = run(Seq(1.0 -> true, 2.0 -> true, 3.0 -> true,
+      4.0 -> false, 5.0 -> false, 6.0 -> false))
+    assert(asTuple(r) == ((3L, 3L, 0L, 18L, 0L, 3857142L, 1)))
+  }
+
+  test("hand-traced midranks: the 2-run spans ranks 2..4, midrank 3") {
+    // A = {1,2,2}, B = {2,3}: R1 = 1 + 3 + 3 = 7 → u1_x2 = 14 − 12 = 2
+    val r = run(Seq(1.0 -> true, 2.0 -> true, 2.0 -> true, 2.0 -> false, 3.0 -> false))
+    assert(r.getLong(2) == 2L) // u1_x2
+    assert(r.getLong(3) == 2L * 3 * 2 - 2L) // u2_x2 = 10
+    assert(r.getLong(4) == 24L) // tie_term = 3³ − 3
+  }
+
+  test("matches the BigInt replica on a mixed tied dataset, any partitioning") {
+    val vals = (1 to 400).map { i =>
+      val v = ((i * 2654435761L) % 37).toDouble // heavy ties
+      val a = (i * 40503L) % 3 == 0
+      (if (a) v else v + ((i % 5) - 2) * 0.5, a)
+    }
+    val expect = replica(vals)
+    assert(asTuple(run(vals, parts = 1)) == expect)
+    assert(asTuple(run(vals, parts = 32)) == expect)
+  }
+
+  test("u1_x2 + u2_x2 == 2·n1·n2 and group swap mirrors U") {
+    val vals = (1 to 100).map(i => (((i * 7) % 23).toDouble, i % 4 == 0))
+    val r = run(vals)
+    assert(r.getLong(2) + r.getLong(3) == 2 * r.getLong(0) * r.getLong(1))
+    val swapped = run(vals.map { case (v, a) => (v, !a) })
+    assert(swapped.getLong(2) == r.getLong(3) && swapped.getLong(3) == r.getLong(2))
+    assert(swapped.getLong(5) == r.getLong(5) &&
+      swapped.getInt(6) == r.getInt(6)) // z², significance invariant
+  }
+
+  test("degenerate inputs: constant values and one-armed samples report zero") {
+    val const = run(Seq.fill(20)(5.0).zipWithIndex.map { case (v, i) => (v, i % 2 == 0) })
+    assert(const.getLong(5) == 0L && const.getInt(6) == 0)
+    val oneArm = run((1 to 10).map(i => (i.toDouble, true)))
+    assert(oneArm.getLong(5) == 0L && oneArm.getInt(6) == 0)
+  }
+
+  test("decision: shifted distributions flag, identical ones do not") {
+    val shifted = (1 to 80).map(i => ((i % 20).toDouble, true)) ++
+      (1 to 80).map(i => ((i % 20).toDouble + 10, false))
+    assert(run(shifted).getInt(6) == 1)
+    val same = (1 to 80).flatMap(i => Seq(((i % 20).toDouble, true), ((i % 20).toDouble, false)))
+    assert(run(same).getInt(6) == 0)
+  }
+
+  // ---- Kolmogorov–Smirnov -----------------------------------------------------
+
+  private def runKs(vals: Seq[(Double, Boolean)], parts: Int = 4) = {
+    import spark.implicits._
+    val df = vals.toDF("v", "a").repartition(parts)
+    HypothesisTests.ksTest(df, col("v"), col("a")).head()
+  }
+
+  private def ksReplica(vals: Seq[(Double, Boolean)]): (Long, Long, Long, Long, Int) = {
+    val n1 = vals.count(_._2).toLong
+    val n2 = vals.size - n1
+    var c1 = 0L; var c2 = 0L; var dNum = 0L
+    vals.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, g) =>
+      c1 += g.count(_._2); c2 += g.count(!_._2)
+      dNum = math.max(dNum, math.abs(c1 * n2 - c2 * n1))
+    }
+    val dE6 = if (n1 > 0 && n2 > 0) (BigInt(dNum) * 1000000 / (BigInt(n1) * n2)).toLong else 0L
+    val sig = if (n1 > 0 && n2 > 0 &&
+      BigInt(1000000) * dNum * dNum > BigInt(1844164) * n1 * n2 * (n1 + n2)) 1 else 0
+    (n1, n2, dNum, dE6, sig)
+  }
+
+  private def ksTuple(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+
+  test("KS: hand-traced supremum with ties") {
+    // A = {1,2,2,5}, B = {2,3,3}: after v=2 c=(3,1): |3·3−1·4| = 5;
+    // after v=3 c=(3,3): |9−12| = 3; after v=5 c=(4,3): |12−12| = 0
+    val r = runKs(Seq(1.0 -> true, 2.0 -> true, 2.0 -> true, 5.0 -> true,
+      2.0 -> false, 3.0 -> false, 3.0 -> false))
+    assert(ksTuple(r) == ((4L, 3L, 5L, 416666L, 0)))
+  }
+
+  test("KS matches the replica on mixed data, any partitioning") {
+    val vals = (1 to 300).map { i =>
+      val a = i % 3 == 0
+      (((i * 2654435761L) % 41).toDouble + (if (a) 0.0 else 1.5), a)
+    }
+    val expect = ksReplica(vals)
+    assert(ksTuple(runKs(vals, 1)) == expect)
+    assert(ksTuple(runKs(vals, 32)) == expect)
+  }
+
+  test("KS decision: disjoint supports flag (D = 1), identical samples do not") {
+    val disjoint = (1 to 40).map(i => (i.toDouble, true)) ++
+      (1 to 40).map(i => (i.toDouble + 100, false))
+    val r = runKs(disjoint)
+    assert(r.getLong(2) == 40L * 40L && r.getLong(3) == 1000000L && r.getInt(4) == 1)
+    val same = (1 to 50).flatMap(i => Seq((i.toDouble, true), (i.toDouble, false)))
+    val s = runKs(same)
+    assert(s.getLong(2) == 0L && s.getInt(4) == 0)
+  }
+
+  test("KS degenerate: one-armed and empty inputs report zeros") {
+    assert(ksTuple(runKs((1 to 10).map(i => (i.toDouble, true)))) == ((10L, 0L, 0L, 0L, 0)))
+    assert(ksTuple(runKs(Seq.empty)) == ((0L, 0L, 0L, 0L, 0)))
+  }
+}

@@ -418,4 +418,17 @@ class SamplingSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getAs[Int]("shard")).toMap
     assert(again == first)
   }
+
+  test("globalCumsum == single-window replica and is partition-independent") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, (i * 37) % 11 + 1)).toDF("k", "w")
+    val expect = rows.orderBy($"k").collect()
+      .scanLeft(0L -> 0L) { case ((_, acc), r) => r.getLong(0) -> (acc + r.getLong(1)) }
+      .drop(1).toMap
+    def got(df: org.apache.spark.sql.DataFrame) =
+      Sampling.globalCumsum(df, Seq(col("k")), col("w"), "cum")
+        .collect().map(r => r.getLong(0) -> r.getDecimal(2).longValueExact()).toMap
+    assert(got(rows.repartition(1)) == expect)
+    assert(got(rows.repartition(29)) == expect)
+  }
 }
