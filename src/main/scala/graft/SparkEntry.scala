@@ -2099,6 +2099,34 @@ object SparkEntry {
       graft.ops.HypothesisTests.ksTest(ev, col("value"), col("event_type") === "click")
     }),
 
+    // Product quantization (Jégou 2011) trained end to end: md5-order
+    // seeds, two integer-exact Lloyd rounds per subspace (floor-div
+    // centroid updates), every vector stored as 4 one-byte codes —
+    // the compressed-index ANN tier above q30's IVF. The gate hashes
+    // the full learned code table.
+    "q169_pq_codes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.functions.ProductQuantizer.train(
+        emb, "vec_id", "embedding", m = 4, subDim = 16, k = 8, iters = 2)
+      graft.functions.ProductQuantizer.encode(emb, "vec_id", "embedding", model)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"), col("subspace"))
+    }),
+
+    // Asymmetric Distance Computation over the learned codes: each
+    // query compares against m·k centroid LUT rows, never corpus
+    // floats — broadcast LUT join + one hash agg + per-query top-k.
+    "q170_pq_adc_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.functions.ProductQuantizer.train(
+        emb, "vec_id", "embedding", m = 4, subDim = 16, k = 8, iters = 2)
+      val codes = graft.functions.ProductQuantizer.encode(emb, "vec_id", "embedding", model)
+      val queries = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(10)
+      graft.functions.ProductQuantizer.adcTopK(
+          queries, codes, model, "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Quantile-gated quality filter (CCNet-style "drop the worst
     // quartile per language", but threshold-based): per-language p25
     // of the token count from the mergeable histogram sketch, bins
@@ -2701,7 +2729,75 @@ object SparkEntry {
          SELECT * FROM ($legs) ORDER BY column_name"""
   }
 
+  /** q169/q170's oracle: the ENTIRE product-quantization pipeline
+    * unrolled — md5-order seeds, `iters` Lloyd rounds per subspace
+    * (exact integer L2² argmin with code tie-break, floor-division
+    * centroid updates — `//` is DuckDB's floor, matching the Spark
+    * side's pmod identity), final encoding, and (for the ADC form) the
+    * per-query LUT join + rank. One CTE pair per iteration, built
+    * programmatically like the BPE chain. */
+  private def pqOracleSql(m: Int, subDim: Int, k: Int, iters: Int,
+                          adc: Boolean): String = {
+    def assign(out: String, model: String) =
+      s"""$out AS (SELECT vec_id, s, c FROM (
+           SELECT sub.vec_id, sub.s, kk.c,
+                  row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                    ORDER BY list_sum(list_transform(list_zip(sub.qv, kk.cv),
+                      x -> (x[1]-x[2])*(x[1]-x[2]))), kk.c) AS rn
+           FROM sub JOIN $model kk ON kk.s = sub.s) WHERE rn = 1)"""
+    def update(out: String, asg: String) =
+      // DuckDB's integer `//` truncates toward zero; the contract is the
+      // mathematical floor (Spark's pmod identity), so subtract the
+      // positive mod first — then truncation IS floor for either sign
+      s"""$out AS (SELECT s, c, list(mu ORDER BY pos) AS cv FROM (
+           SELECT a.s, a.c, i AS pos,
+                  (SUM(sub.qv[i]) - ((SUM(sub.qv[i]) % COUNT(*) + COUNT(*)) % COUNT(*))) // COUNT(*) AS mu
+           FROM $asg a JOIN sub ON sub.vec_id = a.vec_id AND sub.s = a.s,
+                UNNEST(range(1, ${subDim + 1})) r(i)
+           GROUP BY a.s, a.c, i) GROUP BY s, c)"""
+    val rounds = (1 to iters).map(i =>
+      assign(s"a$i", if (i == 1) "c0" else s"c${i - 1}") + ",\n         " +
+        update(s"c$i", s"a$i")).mkString(",\n         ")
+    val prefix =
+      s"""WITH e AS (SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+                  FROM embeddings),
+         sub AS MATERIALIZED (SELECT vec_id, s, q[s*$subDim+1 : s*$subDim+$subDim] AS qv
+                FROM e, UNNEST(range($m)) r(s)),
+         seed AS (SELECT vec_id,
+                    CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS c
+                  FROM e QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= $k),
+         c0 AS (SELECT sub.s, seed.c, sub.qv AS cv FROM sub JOIN seed USING (vec_id)),
+         $rounds,
+         ${assign("enc", s"c$iters")}"""
+    if (!adc)
+      s"""$prefix
+         SELECT vec_id, CAST(s AS INTEGER) AS subspace, CAST(c AS INTEGER) AS code
+         FROM enc ORDER BY vec_id, subspace"""
+    else
+      s"""$prefix,
+         qsel AS (SELECT vec_id FROM e
+                  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 10),
+         lut AS (SELECT sub.vec_id AS query_id, kk.s, kk.c,
+                        CAST(list_sum(list_transform(list_zip(sub.qv, kk.cv),
+                          x -> (x[1]-x[2])*(x[1]-x[2]))) AS HUGEINT) AS d
+                 FROM sub JOIN qsel USING (vec_id) JOIN c$iters kk ON kk.s = sub.s),
+         adc AS (SELECT l.query_id, enc.vec_id AS neighbor_id, SUM(l.d) AS dist
+                 FROM enc JOIN lut l ON l.s = enc.s AND l.c = enc.c
+                                    AND enc.vec_id <> l.query_id
+                 GROUP BY 1, 2),
+         topk AS (SELECT query_id, neighbor_id, dist,
+                         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+                  FROM adc QUALIFY rnk <= 10)
+         SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id,
+                CAST(dist AS BIGINT) AS adc_dist
+         FROM topk ORDER BY query_id, rank"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q169_pq_codes" -> pqOracleSql(m = 4, subDim = 16, k = 8, iters = 2, adc = false),
+    "q170_pq_adc_topk" -> pqOracleSql(m = 4, subDim = 16, k = 8, iters = 2, adc = true),
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -5266,7 +5362,14 @@ object SparkEntry {
                  WHERE event_id % 7 <> 0 AND event_id % 11 = 0)
          SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(COUNT(v) AS BIGINT) AS nval,
                 CAST(SUM(v) AS BIGINT) AS total,
-                CAST((1000 * CAST(SUM(v) AS HUGEINT)) // CAST(COUNT(v) AS HUGEINT) AS BIGINT) AS avg_milli,
+                -- DuckDB's integer // truncates toward zero; the engine
+                -- contract is FLOOR (pmod identity, IncrementalAgg), so
+                -- subtract the positive mod first (negative-total groups
+                -- would otherwise diverge — the q170 lesson)
+                CAST((1000 * CAST(SUM(v) AS HUGEINT)
+                      - (((1000 * CAST(SUM(v) AS HUGEINT)) % CAST(COUNT(v) AS HUGEINT)
+                          + CAST(COUNT(v) AS HUGEINT)) % CAST(COUNT(v) AS HUGEINT)))
+                     // CAST(COUNT(v) AS HUGEINT) AS BIGINT) AS avg_milli,
                 CAST((1000000 * (CAST(COUNT(v) AS HUGEINT) * SUM(CAST(v AS HUGEINT) * v)
                                  - CAST(SUM(v) AS HUGEINT) * CAST(SUM(v) AS HUGEINT)))
                      // (CAST(COUNT(v) AS HUGEINT) * CAST(COUNT(v) AS HUGEINT)) AS BIGINT) AS var_e6

@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Trained product-quantization model: `codebooks(s)(j)` is subspace
+  * s's centroid j as e6-quantized integer components (⌊x·10⁶⌋ units).
+  * Codes are positions in the ORIGINAL seed numbering — a cluster that
+  * empties during training drops out, so a codebook may have fewer
+  * than k live entries (both engines drop it identically). */
+case class PqModel(m: Int, subDim: Int,
+                   codebooks: IndexedSeq[IndexedSeq[(Int, IndexedSeq[Long])]]) {
+  def dim: Int = m * subDim
+}
+
+/** Product quantization for ANN (Jégou, Douze, Schmid, TPAMI 2011):
+  * split each vector into m subvectors, learn a small L2 codebook per
+  * subspace, store each vector as m one-byte codes, and answer queries
+  * by Asymmetric Distance Computation — a per-query lookup table of
+  * query-subvector-to-centroid distances, summed over the stored
+  * codes. 64 dims × 4 bytes compress to m bytes per vector; the
+  * corpus-sized search state becomes codes instead of floats.
+  *
+  * House integer-exactness discipline end to end, which stock PQ
+  * implementations never attempt: components quantize to ⌊x·10⁶⌋
+  * BEFORE any arithmetic, L2² distances are exact integer sums,
+  * centroid updates are exact floor divisions (pmod identity — the
+  * engine-portable floor for either sign), and every argmin breaks
+  * ties by code id. Training is therefore bit-deterministic and an
+  * oracle replays the ENTIRE pipeline — seeds, Lloyd rounds, encoding,
+  * ADC ranking — by unrolled SQL (the q75 k-means discipline extended
+  * to a trained-index search).
+  *
+  * Scale shape: training materializes the exploded (id, s, subvector)
+  * relation once and runs iters+1 aggregate passes over it (classic
+  * map-side-combined shape, model collected per round — m·k·subDim
+  * integers, driver-trivial). Encoding is map-only against inlined
+  * literals. ADC is a broadcast join of the n·m code rows against the
+  * |Q|·m·k LUT, one hash aggregate, and the two-phase per-query top-k
+  * window — no all-pairs float math anywhere. */
+object ProductQuantizer {
+
+  private val dec = DecimalType(38, 0)
+
+  /** Subvector s of a float-array column, e6-quantized (exact: a
+    * float's 24-bit mantissa times 10⁶ fits a double). */
+  private def subvecE6(vec: Column, s: Int, subDim: Int): Column =
+    transform(slice(vec, s * subDim + 1, subDim),
+      x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  /** Exact integer L2² between a long-array column and a literal
+    * centroid (subDim·(2·10⁶·max|x|)² stays far inside a long). */
+  private def l2sqLit(qv: Column, cv: IndexedSeq[Long]): Column =
+    cv.zipWithIndex.map { case (c, i) =>
+      val d = element_at(qv, i + 1) - lit(c)
+      d * d
+    }.reduce(_ + _)
+
+  /** (id, s, qv) exploded subvector relation. */
+  private def subRelation(corpus: DataFrame, idCol: String, vecCol: String,
+                          m: Int, subDim: Int): DataFrame =
+    corpus.select(col(idCol).as("id"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), subvecE6(col(vecCol), s, subDim).as("qv"))): _*)).as("e"))
+      .select(col("id"), col("e.s").as("s"), col("e.qv").as("qv"))
+
+  /** Argmin code over each subspace's live centroids, ties to the
+    * smaller code — one coalesced CASE over the inlined model. */
+  private def assignExpr(model: PqModel): Column =
+    coalesce((0 until model.m).map { s =>
+      when(col("s") === s,
+        least(model.codebooks(s).map { case (code, cv) =>
+          struct(l2sqLit(col("qv"), cv).as("d"), lit(code).as("c"))
+        }: _*).getField("c"))
+    }: _*)
+
+  /** Lloyd's per-subspace k-means over the e6 subvectors. Seeds are
+    * the k corpus vectors with the smallest (md5(id), id) — the shared
+    * portable draw — numbered 0..k−1 in that order, identically for
+    * every subspace. */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            m: Int, subDim: Int, k: Int, iters: Int): PqModel = {
+    require(m >= 1 && subDim >= 1 && k >= 2 && iters >= 1,
+      s"bad PQ shape m=$m subDim=$subDim k=$k iters=$iters")
+    val subs = subRelation(corpus, idCol, vecCol, m, subDim).localCheckpoint()
+    val seeds = corpus
+      .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
+      .select(col(vecCol)).collect().zipWithIndex
+    var model = PqModel(m, subDim,
+      IndexedSeq.tabulate(m) { s =>
+        seeds.map { case (r, j) =>
+          j -> IndexedSeq.tabulate(subDim) { i =>
+            val x = r.getSeq[Any](0)(s * subDim + i) match {
+              case f: java.lang.Float => f.toDouble
+              case d: java.lang.Double => d.doubleValue
+              case other => other.toString.toDouble
+            }
+            math.floor(x * 1e6).toLong
+          }
+        }.toIndexedSeq
+      })
+    for (_ <- 1 to iters) {
+      val updated = subs.withColumn("code", assignExpr(model))
+        .select(col("s"), col("code"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(sum(col("x")).cast(dec).as("sx"), count(lit(1)).cast(dec).as("n"))
+        // exact floor division for either sign of the sum
+        .withColumn("cmean",
+          ((col("sx") - pmod(col("sx"), col("n"))) / col("n")).cast("long"))
+        .select(col("s"), col("code"), col("pos"), col("cmean"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((s, code), rows) =>
+          (s, code, rows.sortBy(_.getInt(2)).map(_.getLong(3)).toIndexedSeq)
+        }.toSeq
+      model = PqModel(m, subDim,
+        IndexedSeq.tabulate(m) { s =>
+          updated.filter(_._1 == s).sortBy(_._2)
+            .map(t => t._2 -> t._3).toIndexedSeq
+        })
+    }
+    model
+  }
+
+  /** PQ codes of every vector: (id, subspace, code) — map-only against
+    * the inlined model. */
+  def encode(df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame =
+    subRelation(df, idCol, vecCol, model.m, model.subDim)
+      .select(col("id"), col("s").cast("int").as("subspace"),
+        assignExpr(model).cast("int").as("code"))
+
+  /** The model as a (s, code, cv) relation for LUT joins. */
+  def codebookDf(spark: SparkSession, model: PqModel): DataFrame = {
+    import spark.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.map { case (code, cv) => (s, code, cv) }
+    }.toDF("s", "code", "cv")
+  }
+
+  /** ADC top-k: per-query LUT of exact subspace distances joined to
+    * the stored codes, summed, ranked by (distance, neighbor id). The
+    * query never touches corpus floats — only its own m·k LUT rows and
+    * the m code columns, which is the whole point of PQ at scale.
+    * Output: (query_id, rank, neighbor_id, adc_dist). */
+  def adcTopK(queries: DataFrame, codes: DataFrame, model: PqModel,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val qsub = subRelation(queries, idCol, vecCol, model.m, model.subDim)
+      .withColumnRenamed("id", "query_id")
+    val lut = qsub.join(codebookDf(spark, model), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("__d"))
+    codes
+      .join(broadcast(lut),
+        codes("subspace") === lut("s") && codes("code") === lut("code") &&
+          codes("id") =!= lut("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("__d"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__d")).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist").asc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("adc_dist").cast("long").as("adc_dist"))
+  }
+}

@@ -137,11 +137,12 @@ object IncrementalAgg {
       col("cnt"), col("nval"),
       when(col("nval") > 0, col("total")).as("total"),
       // FLOOR division, not Spark's truncate-toward-zero DIV: the
-      // q146 oracle uses DuckDB's // (floor), and a group whose
-      // maintained total is negative floors differently under
-      // truncation. pmod(a, b) with b > 0 is in [0, b), so
-      // (a − pmod(a, b)) is exactly divisible and the DIV is the
-      // mathematical floor for either sign of a. var_e6 needs no such
+      // contract is the mathematical floor for either sign of the
+      // maintained total. pmod(a, b) with b > 0 is in [0, b), so
+      // (a − pmod(a, b)) is exactly divisible and the DIV is the floor.
+      // NOTE DuckDB's integer // ALSO truncates toward zero (q170
+      // lesson), so the q146 oracle applies the same subtract-the-
+      // positive-mod identity rather than a bare //. var_e6 needs no
       // adjustment — its numerator is non-negative by Cauchy-Schwarz.
       when(col("nval") > 0,
         expr(s"""(1000 * CAST(total AS $dec38)
