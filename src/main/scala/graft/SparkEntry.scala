@@ -2113,6 +2113,46 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("subspace"))
     }),
 
+    // Incremental KMV maintenance: standing sketch + arrival-batch
+    // sketch merged at state cost (k smallest of the union) — the
+    // incremental-dedup contract applied to cardinality state; the
+    // oracle replays the FROM-SCRATCH sketch of the full corpus, which
+    // the merge must equal exactly.
+    "q171_kmv_merge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val standing = graft.ops.Sketches.kmvSketch(
+        li.filter(col("l_orderkey") % 10 < 8), Seq("l_returnflag"), col("l_partkey"), k = 128)
+      val batch = graft.ops.Sketches.kmvSketch(
+        li.filter(col("l_orderkey") % 10 >= 8), Seq("l_returnflag"), col("l_partkey"), k = 128)
+      graft.ops.Sketches.kmvMergeSketches(standing, batch, Seq("l_returnflag"), k = 128)
+        .select(col("l_returnflag"),
+          graft.ops.Sketches.kmvEstimateFromSketch(col("kmv"), 128).as("n_kmv"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Trimmed mean (drop the 5% rank fences per segment, exact
+    // milli-mean of the rest) — the outlier-robust sibling of q110's
+    // winsorize; negative balances exercise the sign-safe floor.
+    "q172_trimmed_mean" -> ((s, dir) => {
+      graft.ops.Stats.trimmedMean(
+          t(s, dir, "customer")
+            .withColumn("bal_cents", floor(col("c_acctbal") * 100.0).cast("long")),
+          Seq("c_mktsegment"), col("bal_cents"), col("c_custkey"), trimMilli = 50)
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Grouped OLS + r² over exact integer sums: value (whole units)
+    // against days-since-epoch-20000, per event type — slope, intercept
+    // and r² all as sign-safe floored e6 rationals.
+    "q173_linear_fit" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          (expr("unix_micros(ts) DIV 86400000000") - lit(20000L)).as("x"),
+          floor(col("value")).cast("long").as("y"))
+      graft.ops.Stats.linearFit(ev, Seq("event_type"), col("x"), col("y"))
+        .orderBy(col("event_type"))
+    }),
+
     // Asymmetric Distance Computation over the learned codes: each
     // query compares against m·k centroid LUT rows, never corpus
     // floats — broadcast LUT join + one hash agg + per-query top-k.
@@ -2798,6 +2838,63 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q169_pq_codes" -> pqOracleSql(m = 4, subDim = 16, k = 8, iters = 2, adc = false),
     "q170_pq_adc_topk" -> pqOracleSql(m = 4, subDim = 16, k = 8, iters = 2, adc = true),
+
+    // The merge contract IS "k smallest of the full corpus", so the
+    // oracle replays q163's from-scratch sketch — no split modeled.
+    "q171_kmv_merge" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag AS rf,
+                      CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                    FROM lineitem),
+         topk AS (SELECT rf, h, row_number() OVER (PARTITION BY rf ORDER BY h) AS rn
+                  FROM h QUALIFY rn <= 128),
+         agg AS (SELECT rf, COUNT(*) AS kk, MAX(CASE WHEN rn = 128 THEN h END) AS hk
+                 FROM topk GROUP BY 1)
+         SELECT rf AS l_returnflag,
+                CAST(CASE WHEN kk < 128 THEN kk
+                          ELSE (127::HUGEINT * (1::HUGEINT << 60)) // hk END AS BIGINT) AS n_kmv
+         FROM agg ORDER BY 1""",
+
+    // Rank fences then the sign-safe milli-mean floor (subtract the
+    // positive mod before //, which truncates on HUGEINT).
+    "q172_trimmed_mean" ->
+      """WITH r AS (SELECT c_mktsegment AS g,
+                           CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS v,
+                           row_number() OVER (PARTITION BY c_mktsegment
+                             ORDER BY CAST(FLOOR(c_acctbal * 100.0) AS BIGINT), c_custkey) AS rn,
+                           COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+                    FROM customer),
+         k AS (SELECT g, v FROM r
+               WHERE rn > (n * 50) // 1000 AND rn <= n - (n * 50) // 1000)
+         SELECT g AS c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                CAST((1000 * SUM(v)::HUGEINT
+                      - (((1000 * SUM(v)::HUGEINT) % COUNT(*) + COUNT(*)) % COUNT(*)))
+                     // COUNT(*) AS BIGINT) AS mean_milli
+         FROM k GROUP BY g ORDER BY 1""",
+
+    // Five exact sums, closed-form OLS, every floor sign-safe.
+    "q173_linear_fit" ->
+      """WITH p AS (SELECT event_type AS g,
+                           epoch_us(ts) // 86400000000 - 20000 AS x,
+                           CAST(FLOOR(value) AS BIGINT) AS y
+                    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         a AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+                      CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+                      CAST(SUM(x::HUGEINT * y) AS HUGEINT) AS sxy,
+                      CAST(SUM(x::HUGEINT * x) AS HUGEINT) AS sxx,
+                      CAST(SUM(y::HUGEINT * y) AS HUGEINT) AS syy
+               FROM p GROUP BY 1),
+         f AS (SELECT g, n, n*sxx - sx*sx AS d, n*syy - sy*sy AS dy,
+                      n*sxy - sx*sy AS nn, sy*sxx - sx*sxy AS ni
+               FROM a)
+         SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+                CAST(CASE WHEN d > 0 THEN
+                  (1000000*nn - (((1000000*nn) % d + d) % d)) // d END AS BIGINT) AS slope_e6,
+                CAST(CASE WHEN d > 0 THEN
+                  (1000000*ni - (((1000000*ni) % d + d) % d)) // d END AS BIGINT) AS intercept_e6,
+                CAST(CASE WHEN d > 0 AND dy > 0 THEN
+                  (1000000*nn*nn - (((1000000*nn*nn) % (d*dy) + (d*dy)) % (d*dy))) // (d*dy)
+                  END AS BIGINT) AS r2_e6
+         FROM f ORDER BY 1""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

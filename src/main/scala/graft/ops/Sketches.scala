@@ -245,23 +245,55 @@ object Sketches {
       .otherwise(((num - pmod(num, den)) / den).cast("long"))
   }
 
+  /** The per-group KMV sketch itself — (group…, kmv: array<long>),
+    * ascending distinct 60-bit hashes, length min(k, ndv). The
+    * MAINTAINABLE form: sketches of disjoint (or overlapping — dedup
+    * is free) batches merge by [[kmvMergeSketches]] into exactly the
+    * sketch of the union, so a standing per-group profile refreshes at
+    * batch cost, the incremental-dedup contract applied to
+    * cardinality state. */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], value: Column,
+                k: Int = 256): DataFrame = {
+    val grp = groupCols.map(col)
+    df.filter(value.isNotNull)
+      .select(grp :+ graft.functions.TextFunctions.md5Long(value.cast("string")).as("__h"): _*)
+      .groupBy(grp: _*)
+      .agg(graft.functions.KmvAgg.kmv(k)(col("__h")).as("kmv"))
+  }
+
+  /** Merge standing and batch sketches: k smallest distinct of the
+    * union, per group — a group present on one side passes through
+    * (its union with the empty set). state size |groups|·k, batch
+    * cost O(batch sketches); equals the from-scratch sketch of the
+    * combined corpus EXACTLY (min-k of a set union — spec- and
+    * gate-pinned). */
+  def kmvMergeSketches(state: DataFrame, batch: DataFrame,
+                       groupCols: Seq[String], k: Int): DataFrame = {
+    val grp = groupCols.map(col)
+    state.unionByName(batch)
+      .select(grp :+ explode(col("kmv")).as("__h"): _*)
+      .groupBy(grp: _*)
+      .agg(graft.functions.KmvAgg.kmv(k)(col("__h")).as("kmv"))
+  }
+
+  /** The estimate column for a [[kmvSketch]] result. */
+  def kmvEstimateFromSketch(kmv: Column, k: Int): Column = kmvEstimate(kmv, k)
+
   /** Grouped distinct-count estimate via a KMV sketch over the shared
     * portable 60-bit md5 hash family. Same contract as [[hllDistinct]]
     * (NULL values ignored), different trade: HLL state is m registers
     * regardless of k-vs-ndv, KMV state is min(k, ndv) hashes and the
     * sketch stays EXACT until saturation — and unlike HLL it composes
-    * into the set-overlap estimates of [[kmvOverlapMatrix]]. Shuffle
-    * carries at most k longs per partition per group (the typed
+    * into the set-overlap estimates of [[kmvOverlapMatrix]] and the
+    * incremental maintenance of [[kmvMergeSketches]]. Shuffle carries
+    * at most k longs per partition per group (the typed
     * [[graft.functions.KmvAgg]] map-side combines). Output:
     * (group…, n_kmv). */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
                   k: Int = 256): DataFrame = {
     val grp = groupCols.map(col)
-    df.filter(value.isNotNull)
-      .select(grp :+ graft.functions.TextFunctions.md5Long(value.cast("string")).as("__h"): _*)
-      .groupBy(grp: _*)
-      .agg(graft.functions.KmvAgg.kmv(k)(col("__h")).as("__ks"))
-      .select(grp :+ kmvEstimate(col("__ks"), k).as("n_kmv"): _*)
+    kmvSketch(df, groupCols, value, k)
+      .select(grp :+ kmvEstimate(col("kmv"), k).as("n_kmv"): _*)
   }
 
   /** Pairwise corpus-overlap estimates from per-group KMV sketches —

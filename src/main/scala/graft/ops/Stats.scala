@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Grouped estimation statistics under the house integer-exactness
+  * rule: inputs are integral quanta (the caller picks the unit — cents,
+  * milli-tokens, epoch days), every aggregate is an exact decimal sum,
+  * and every reported figure is a floored rational with BOTH floor legs
+  * written the sign-safe way (subtract the positive mod, then divide —
+  * Spark's DIV and DuckDB's // both truncate toward zero, the q170
+  * lesson), so grouped fits hash-match any engine. */
+object Stats {
+
+  private val dec = DecimalType(38, 0)
+
+  /** Sign-safe exact floor(a / b) for decimal columns, b > 0. */
+  private def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Trimmed mean: drop the lowest and highest ⌊trimMilli·n/1000⌋ rows
+    * per group under the total order (value, tieCol) and report the
+    * exact milli-mean of the rest — the outlier-robust sibling of
+    * q110's winsorize (clamping keeps mass at the fence; trimming
+    * removes it). `value` must be integral. Output:
+    * (group…, n_kept, mean_milli); a fully-trimmed group (trim ≥ half)
+    * emits nothing. Windows are group-partitioned — the q110 shape. */
+  def trimmedMean(df: DataFrame, groupCols: Seq[String], value: Column,
+                  tieCol: Column, trimMilli: Int): DataFrame = {
+    require(trimMilli >= 0 && trimMilli < 500,
+      s"trimMilli must be in [0, 500), got $trimMilli")
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    val w = Window.partitionBy(grp: _*).orderBy(value.asc, tieCol.asc)
+    val wn = Window.partitionBy(grp: _*)
+    df.filter(value.isNotNull)
+      .withColumn("__v", value.cast(dec))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wn).cast("long"))
+      .withColumn("__t", expr(s"(__n * $trimMilli) DIV 1000")) // n ≥ 0: DIV == floor
+      .filter(col("__rn") > col("__t") && col("__rn") <= col("__n") - col("__t"))
+      .groupBy(grp: _*)
+      .agg(count(lit(1)).as("n_kept"), sum(col("__v")).as("__s"))
+      .select(grp ++ Seq(col("n_kept"),
+        floorDiv(col("__s") * lit(1000L).cast(dec), col("n_kept").cast(dec))
+          .as("mean_milli")): _*)
+  }
+
+  /** Grouped simple linear regression y = a + b·x with Pearson r² —
+    * closed-form OLS over the five exact sums (n, Σx, Σy, Σxy, Σx²,
+    * Σy²), one map-side-combined aggregate per group (the only
+    * shuffle). With D = n·Σx² − (Σx)² and N = n·Σxy − Σx·Σy:
+    *
+    *   slope_e6     = ⌊10⁶·N / D⌋
+    *   intercept_e6 = ⌊10⁶·(Σy·Σx² − Σx·Σxy) / D⌋
+    *   r2_e6        = ⌊10⁶·N² / (D·(n·Σy² − (Σy)²))⌋
+    *
+    * All floors are the sign-safe mathematical floor. Groups with zero
+    * x-variance emit NULL fit columns; zero y-variance (on nonzero D)
+    * emits slope/intercept with NULL r². `x`/`y` must be integral
+    * quanta. Exact while 10⁶·N² < 10³⁸ (|N| ≲ 3·10¹⁵ — e.g. 10⁸ rows
+    * of e4-quantized data); beyond that, quantize coarser or
+    * stratify. Output: (group…, n, slope_e6, intercept_e6, r2_e6). */
+  def linearFit(df: DataFrame, groupCols: Seq[String], x: Column, y: Column): DataFrame = {
+    val grp = groupCols.map(col)
+    val agg = df.filter(x.isNotNull && y.isNotNull)
+      .select(grp ++ Seq(x.cast(dec).as("__x"), y.cast(dec).as("__y")): _*)
+      .groupBy(grp: _*)
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val d = agg("__n") * agg("__sxx") - agg("__sx") * agg("__sx")
+    val dy = agg("__n") * agg("__syy") - agg("__sy") * agg("__sy")
+    val nn = agg("__n") * agg("__sxy") - agg("__sx") * agg("__sy")
+    val e6 = lit(1000000L).cast(dec)
+    agg.select(grp ++ Seq(
+      col("__n").cast("long").as("n"),
+      when(d > 0, floorDiv(e6 * nn, d)).as("slope_e6"),
+      when(d > 0, floorDiv(e6 * (col("__sy") * col("__sxx") - col("__sx") * col("__sxy")), d))
+        .as("intercept_e6"),
+      when(d > 0 && dy > 0, floorDiv(e6 * nn * nn, d * dy)).as("r2_e6")): _*)
+  }
+}

@@ -296,6 +296,24 @@ class ApproxAggSpec extends SparkSpecBase {
     assert(full.getAs[Long]("n_intersect_kmv") == full.getAs[Long]("n_union_kmv"))
   }
 
+  test("kmvMergeSketches == from-scratch sketch of the union") {
+    import spark.implicits._
+    val all = (1L to 4000L).map(v => (s"g${v % 2}", v)) ++ (1L to 500L).map(("solo", _))
+    def sk(rows: Seq[(String, Long)]) =
+      Sketches.kmvSketch(rows.toDF("g", "v"), Seq("g"), col("v"), k = 64)
+    val (batch1, batch2) = all.partition { case (_, v) => v % 3 == 0 } // overlapping-free split
+    val merged = Sketches.kmvMergeSketches(sk(batch1), sk(batch2), Seq("g"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val scratch = sk(all)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(merged == scratch && merged.keySet == Set("g0", "g1", "solo"))
+    // overlapping batches merge identically (dedup is free)
+    val overlapped = Sketches.kmvMergeSketches(sk(all.take(3000)), sk(all.drop(1000)),
+        Seq("g"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(overlapped == scratch)
+  }
+
   test("KMV overlap matrix is partition-independent") {
     import spark.implicits._
     val hashed = (1L to 2000L).map(v => (s"g${v % 4}", v)).toDF("g", "v")

@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpecBase {
+
+  // ---- trimmed mean -----------------------------------------------------------
+
+  test("trimmedMean drops exactly the rank fences and floors the milli-mean") {
+    import spark.implicits._
+    // group g: values 1..10 → trim 100‰ drops rank 1 and rank 10;
+    // mean of 2..9 = 5.5 → 5500 milli
+    val df = (1L to 10L).map(v => ("g", v, v)).toDF("g", "v", "id")
+    val got = Stats.trimmedMean(df, Seq("g"), col("v"), col("id"), trimMilli = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("g", 8L, 5500L)))
+  }
+
+  test("trimmedMean: replica across tie-breaks, trims, negatives, partitionings") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i => (s"g${i % 3}", ((i * 37) % 21).toLong - 10L, i.toLong))
+    def replica(trim: Int) = rows.groupBy(_._1).map { case (g, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      val t = (sorted.size.toLong * trim / 1000).toInt
+      val kept = sorted.slice(t, sorted.size - t)
+      val s = kept.map(r => BigInt(r._2)).sum * 1000
+      val n = BigInt(kept.size)
+      (g, kept.size.toLong, ((s - s.mod(n)) / n).toLong)
+    }.toSet
+    for (trim <- Seq(0, 50, 250); parts <- Seq(1, 17)) {
+      val got = Stats.trimmedMean(rows.toDF("g", "v", "id").repartition(parts),
+        Seq("g"), col("v"), col("id"), trim)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == replica(trim), s"trim=$trim parts=$parts")
+    }
+  }
+
+  // ---- linear fit -------------------------------------------------------------
+
+  test("linearFit recovers an exact line with r² = 1") {
+    import spark.implicits._
+    val df = (1L to 50L).map(x => ("g", x, 3 * x + 7)).toDF("g", "x", "y")
+    val r = Stats.linearFit(df, Seq("g"), col("x"), col("y")).head()
+    assert(r.getLong(1) == 50L)
+    assert(r.getLong(2) == 3000000L && r.getLong(3) == 7000000L && r.getLong(4) == 1000000L)
+  }
+
+  test("linearFit floors negative slopes toward -inf (sign-safe)") {
+    import spark.implicits._
+    // points (0,0),(1,-1),(2,-2),(2,-3): Σxy = -11 → N = 4·(-11) − 5·(-6)
+    // = -14, D = 4·9 − 25 = 11 → slope = -14/11 = -1.2727… — the floor
+    // is -1272728 (toward -inf), where truncation would give -1272727
+    val df = Seq((0L, 0L), (1L, -1L), (2L, -2L), (2L, -3L)).map { case (x, y) => ("g", x, y) }
+      .toDF("g", "x", "y")
+    val r = Stats.linearFit(df, Seq("g"), col("x"), col("y")).head()
+    assert(r.getLong(2) == -1272728L, s"slope_e6 = ${r.getLong(2)}")
+  }
+
+  test("linearFit: BigInt replica on grouped data, any partitioning") {
+    import spark.implicits._
+    val rows = (1 to 300).map { i =>
+      (s"g${i % 4}", (i % 37).toLong, ((i * 13) % 101).toLong - 50L)
+    }
+    def replica = rows.groupBy(_._1).map { case (g, rs) =>
+      val n = BigInt(rs.size)
+      val sx = rs.map(r => BigInt(r._2)).sum; val sy = rs.map(r => BigInt(r._3)).sum
+      val sxy = rs.map(r => BigInt(r._2) * r._3).sum
+      val sxx = rs.map(r => BigInt(r._2) * r._2).sum
+      val syy = rs.map(r => BigInt(r._3) * r._3).sum
+      val d = n * sxx - sx * sx; val dy = n * syy - sy * sy; val nn = n * sxy - sx * sy
+      def fd(a: BigInt, b: BigInt) = ((a - a.mod(b)) / b).toLong
+      (g, rs.size.toLong,
+        if (d > 0) Some(fd(nn * 1000000, d)) else None,
+        if (d > 0) Some(fd((sy * sxx - sx * sxy) * 1000000, d)) else None,
+        if (d > 0 && dy > 0) Some(fd(nn * nn * 1000000, d * dy)) else None)
+    }.toSet
+    for (parts <- Seq(1, 23)) {
+      val got = Stats.linearFit(rows.toDF("g", "x", "y").repartition(parts),
+        Seq("g"), col("x"), col("y"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+      assert(got == replica, s"parts=$parts")
+    }
+  }
+
+  test("linearFit degenerate groups: constant x gives null fit, constant y gives null r²") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("cx", 2L, 0L)).zipWithIndex.map { case ((g, x, _), i) => (g, x, i.toLong) } ++
+      (1 to 5).map(i => ("cy", i.toLong, 9L))).toDF("g", "x", "y")
+    val got = Stats.linearFit(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.isNullAt(2), r.isNullAt(3), r.isNullAt(4)))).toMap
+    assert(got("cx") == ((true, true, true)))
+    assert(got("cy") == ((false, false, true)))
+  }
+}
