@@ -2156,6 +2156,24 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Pearson χ² contingency table (event type × user segment):
+    // zero cells materialized from the marginal grid, per-cell
+    // (O−E)²/E cleared of fractions into exact e6 integers.
+    "q174_chi2_cells" -> ((s, dir) => {
+      graft.ops.Stats.chiSquareCells(t(s, dir, "events"),
+          col("event_type"), col("user_id") % 3)
+        .withColumnRenamed("a", "event_type").withColumnRenamed("b", "segment")
+        .orderBy(col("event_type"), col("segment"))
+    }),
+
+    // The one-row χ² decision: summed floored contributions against the
+    // inlined dof-8 α=0.05 critical value (no engine evaluates an
+    // inverse-χ² — the linearCountTable constant discipline).
+    "q175_chi2_test" -> ((s, dir) => {
+      graft.ops.Stats.chiSquareTest(t(s, dir, "events"),
+        col("event_type"), col("user_id") % 3)
+    }),
+
     // Grouped OLS + r² over exact integer sums: value (whole units)
     // against days-since-epoch-20000, per event type — slope, intercept
     // and r² all as sign-safe floored e6 rationals.
@@ -2884,6 +2902,46 @@ object SparkEntry {
                       - (((1000 * SUM(v)::HUGEINT) % COUNT(*) + COUNT(*)) % COUNT(*)))
                      // COUNT(*) AS BIGINT) AS mean_milli
          FROM k GROUP BY g ORDER BY 1""",
+
+    // Marginal-grid cross join materializes zero cells; every floored
+    // quantity non-negative, so bare // is already the floor.
+    "q174_chi2_cells" ->
+      """WITH p AS (SELECT event_type AS a, user_id % 3 AS b FROM events
+                    WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         o AS (SELECT a, b, CAST(COUNT(*) AS HUGEINT) AS o FROM p GROUP BY 1, 2),
+         ra AS (SELECT a, SUM(o) AS ra FROM o GROUP BY 1),
+         cb AS (SELECT b, SUM(o) AS cb FROM o GROUP BY 1),
+         nn AS (SELECT SUM(o) AS n FROM o),
+         g AS (SELECT ra.a, cb.b, ra.ra, cb.cb, COALESCE(o.o, 0) AS o
+               FROM ra CROSS JOIN cb LEFT JOIN o USING (a, b)),
+         c AS (SELECT a, b, o, ra, cb, nn.n, (o * nn.n - ra * cb) AS d FROM g, nn)
+         SELECT a AS event_type, CAST(b AS BIGINT) AS segment,
+                CAST(o AS BIGINT) AS observed,
+                CAST((1000000 * ra * cb) // n AS BIGINT) AS expected_e6,
+                CAST((1000000 * d * d) // (n * ra * cb) AS BIGINT) AS contrib_e6
+         FROM c ORDER BY 1, 2""",
+
+    "q175_chi2_test" ->
+      s"""WITH p AS (SELECT event_type AS a, user_id % 3 AS b FROM events
+                    WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         o AS (SELECT a, b, CAST(COUNT(*) AS HUGEINT) AS o FROM p GROUP BY 1, 2),
+         ra AS (SELECT a, SUM(o) AS ra FROM o GROUP BY 1),
+         cb AS (SELECT b, SUM(o) AS cb FROM o GROUP BY 1),
+         nn AS (SELECT SUM(o) AS n FROM o),
+         g AS (SELECT ra.a, cb.b, ra.ra, cb.cb, COALESCE(o.o, 0) AS o
+               FROM ra CROSS JOIN cb LEFT JOIN o USING (a, b)),
+         c AS (SELECT a, b, o, (1000000 * (o * nn.n - ra * cb) * (o * nn.n - ra * cb))
+                                // (nn.n * ra * cb) AS contrib
+               FROM g, nn),
+         t AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS cc,
+                      SUM(contrib) AS chi2 FROM c)
+         SELECT CAST(n AS BIGINT) AS n, CAST((r - 1) * (cc - 1) AS BIGINT) AS dof,
+                CAST(chi2 AS BIGINT) AS chi2_e6,
+                CAST(CASE WHEN (r-1)*(cc-1) BETWEEN 1 AND 10 THEN
+                       CASE WHEN chi2 > ${graft.ops.Stats.chi2Crit05E6.mkString("list_value(", ", ", ")")}[(r-1)*(cc-1)]
+                            THEN 1 ELSE 0 END
+                     END AS INTEGER) AS significant_05
+         FROM t""",
 
     // Five exact sums, closed-form OLS, every floor sign-safe.
     "q173_linear_fit" ->

@@ -83,4 +83,59 @@ object Stats {
         .as("intercept_e6"),
       when(d > 0 && dy > 0, floorDiv(e6 * nn * nn, d * dy)).as("r2_e6")): _*)
   }
+
+  /** χ² critical values at α = 0.05 for dof 1..10, in e6 quanta —
+    * public-table constants inlined as literals on BOTH engine sides
+    * (the linearCountTable discipline: no engine ever evaluates an
+    * inverse-χ²). */
+  val chi2Crit05E6: IndexedSeq[Long] = IndexedSeq(
+    3841459L, 5991465L, 7814728L, 9487729L, 11070498L,
+    12591587L, 14067140L, 15507313L, 16918978L, 18307038L)
+
+  /** The full contingency table of two categorical columns with exact
+    * per-cell χ² legs: observed count (ZERO cells included — the
+    * category grid is the cross of the observed row/column marginals),
+    * expected_e6 = ⌊10⁶·r·c/n⌋ and contrib_e6 = ⌊10⁶·(O·n − r·c)²/(n·r·c)⌋
+    * — the (O−E)²/E term cleared of fractions, every quantity an exact
+    * non-negative integer. One count aggregate over the corpus; the
+    * grid build is a cross join of the two marginal relations (bounded
+    * by category cardinalities, broadcast). Output:
+    * (a, b, observed, expected_e6, contrib_e6). */
+  def chiSquareCells(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val obs = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.as("a"), bCol.as("b"))
+      .agg(count(lit(1)).cast(dec).as("__o"))
+    val rt = obs.groupBy(col("a")).agg(sum(col("__o")).as("__ra"))
+    val ct = obs.groupBy(col("b")).agg(sum(col("__o")).as("__cb"))
+    val tot = obs.agg(sum(col("__o")).as("__n"))
+    val e6 = lit(1000000L).cast(dec)
+    rt.crossJoin(ct).join(obs, Seq("a", "b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L).cast(dec)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__diff", col("__o") * col("__n") - col("__ra") * col("__cb"))
+      .select(col("a"), col("b"), col("__o").cast("long").as("observed"),
+        floorDiv(e6 * col("__ra") * col("__cb"), col("__n")).as("expected_e6"),
+        floorDiv(e6 * col("__diff") * col("__diff"),
+          col("__n") * col("__ra") * col("__cb")).as("contrib_e6"))
+  }
+
+  /** Pearson's χ² test of independence as ONE row: n, dof =
+    * (r−1)(c−1), chi2_e6 = Σ of the per-cell floored contributions
+    * (the documented convention — each engine floors cells the same
+    * way, so the sum is bit-portable; the aggregate underestimates
+    * true χ² by < cells·10⁻⁶), significant_05 = 1 iff chi2_e6 exceeds
+    * the inlined [[chi2Crit05E6]] critical value (NULL when dof = 0 or
+    * dof > 10 — extend the table before testing wider grids). */
+  def chiSquareTest(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val crit = array(chi2Crit05E6.map(lit): _*)
+    chiSquareCells(df, aCol, bCol)
+      .agg(sum(col("observed")).as("n"),
+        countDistinct(col("a")).as("__r"), countDistinct(col("b")).as("__c"),
+        sum(col("contrib_e6")).as("chi2_e6"))
+      .withColumn("dof", ((col("__r") - 1) * (col("__c") - 1)).cast("long"))
+      .select(col("n"), col("dof"), col("chi2_e6"),
+        when(col("dof") >= 1 && col("dof") <= chi2Crit05E6.length,
+          when(col("chi2_e6") > element_at(crit, col("dof").cast("int")), 1).otherwise(0))
+          .as("significant_05"))
+  }
 }

@@ -86,6 +86,70 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  // ---- chi-square ---------------------------------------------------------------
+
+  test("chiSquare: hand-traced 2×2 with equal marginals") {
+    import spark.implicits._
+    // O = [[10,20],[20,10]]: every E = 15, every cell contributes
+    // floor(1e6·(O·60 − 30·30)²/(60·900)) = floor(1e6·25/15) = 1666666
+    val rows = Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(20)(("y", "u")) ++ Seq.fill(10)(("y", "v"))
+    val df = rows.toDF("a", "b")
+    val cells = Stats.chiSquareCells(df, col("a"), col("b"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(cells(("x", "u")) == ((10L, 15000000L, 1666666L)))
+    assert(cells(("y", "u")) == ((20L, 15000000L, 1666666L)))
+    val t = Stats.chiSquareTest(df, col("a"), col("b")).head()
+    // χ² = 6.67 > 3.84 (dof 1) → dependent
+    assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getInt(3)) ==
+      ((60L, 1L, 4 * 1666666L, 1)))
+  }
+
+  test("chiSquare: an independent grid stays under the critical value") {
+    import spark.implicits._
+    // perfectly independent: O(a,b) = ra·cb/n exactly
+    val rows = for (a <- 1 to 3; b <- 1 to 4; _ <- 1 to a * b) yield (s"a$a", s"b$b")
+    val t = Stats.chiSquareTest(rows.toDF("a", "b"), col("a"), col("b")).head()
+    assert(t.getLong(2) == 0L && t.getInt(3) == 0 && t.getLong(1) == 6L)
+  }
+
+  test("chiSquare: absent category pairs appear as zero cells with contrib == expected") {
+    import spark.implicits._
+    val rows = Seq(("x", "u"), ("x", "u"), ("y", "v"), ("y", "v"), ("x", "v"))
+    val cells = Stats.chiSquareCells(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(cells.size == 4) // full 2×2 grid despite ("y","u") never occurring
+    val zu = cells(("y", "u"))
+    assert(zu._1 == 0L && zu._3 == zu._2) // (0·n − rc)²/(n·rc) = rc/n = E
+  }
+
+  test("chiSquare is partition-independent and matches a BigInt replica") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (s"a${i % 4}", s"b${(i * 7) % 3}"))
+    def replica = {
+      val o = rows.groupBy(identity).view.mapValues(_.size).toMap
+      val ra = rows.groupBy(_._1).view.mapValues(_.size).toMap
+      val cb = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val n = BigInt(rows.size)
+      // keys are Sets — materialize to Seq or the yielded contributions
+      // dedup by VALUE before the sum
+      (for (a <- ra.keys.toSeq; b <- cb.keys.toSeq) yield {
+        val ob = BigInt(o.getOrElse((a, b), 0))
+        val d = ob * n - BigInt(ra(a)) * cb(b)
+        val den = n * ra(a) * cb(b)
+        val x = d * d * 1000000
+        ((x - x.mod(den)) / den).toLong
+      }).sum
+    }
+    for (parts <- Seq(1, 19)) {
+      val t = Stats.chiSquareTest(rows.toDF("a", "b").repartition(parts),
+        col("a"), col("b")).head()
+      assert(t.getLong(2) == replica && t.getLong(1) == 6L, s"parts=$parts")
+    }
+  }
+
   test("linearFit degenerate groups: constant x gives null fit, constant y gives null r²") {
     import spark.implicits._
     val df = (Seq.fill(5)(("cx", 2L, 0L)).zipWithIndex.map { case ((g, x, _), i) => (g, x, i.toLong) } ++
