@@ -434,6 +434,23 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.sourceOverlapMatrix(docs, "text", "source", n = 4).count() == 0L)
   }
 
+  // ---- prefix filtering -------------------------------------------------------
+
+  test("prefix-filtered jaccardPairs == unfiltered path across thresholds and caps") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    def runPath(prefix: Boolean, num: Int, den: Int, cap: Long) =
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+          thresholdNum = num, thresholdDen = den, maxDf = cap, prefixFilter = prefix)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for ((num, den, cap) <- Seq((6, 10, 1000L), (8, 10, 1000L), (3, 10, 50L), (6, 10, 0L))) {
+      val brute = runPath(prefix = false, num, den, cap)
+      val fast = runPath(prefix = true, num, den, cap)
+      assert(fast == brute, s"t=$num/$den cap=$cap: ${fast.size} vs ${brute.size}")
+      assert(brute.nonEmpty || num >= 8, s"vacuous check at t=$num/$den")
+    }
+  }
+
   // ---- incremental connected components ------------------------------------
 
   private def ccMap(df: org.apache.spark.sql.DataFrame) =
