@@ -279,6 +279,37 @@ object Sketches {
   /** The estimate column for a [[kmvSketch]] result. */
   def kmvEstimateFromSketch(kmv: Column, k: Int): Column = kmvEstimate(kmv, k)
 
+  /** One arrival micro-batch of raw (group, value) rows folded into the
+    * standing per-group KMV state under the SAME generation-landing
+    * contract as the streaming IVM shapes ([[IncrementalAgg.applyBatch]]):
+    * replay-idempotent (a re-delivered batch id re-merges against the
+    * same prior generation), reset-refusing, two-generation retention.
+    * Union-merge is insert-only by nature — a KMV cannot forget, so
+    * this maintains APPEND streams (cardinality only grows), not CDC
+    * deletes; pair it with the counting shapes when deletes matter. */
+  def applyKmvBatch(batch: DataFrame, batchId: Long, groupCols: Seq[String],
+                    value: Column, k: Int, stateRoot: String): Unit = {
+    val sk = kmvSketch(batch, groupCols, value, k)
+    IncrementalAgg.landBatch(batch, batchId, stateRoot,
+      empty = sk.limit(0),
+      merge = prior => kmvMergeSketches(prior, sk, groupCols, k))
+  }
+
+  /** Continuous KMV maintenance from an append stream: per-batch
+    * [[applyKmvBatch]], O(batch + |groups|·k) per refresh, the corpus
+    * nowhere in sight. Read the standing sketches back with
+    * [[IncrementalAgg.readState]]. */
+  def maintainKmvStream(values: DataFrame, groupCols: Seq[String], valueCol: String,
+                        k: Int, stateRoot: String,
+                        checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    values.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: java.lang.Long) =>
+        applyKmvBatch(batch.toDF(), batchId, groupCols, col(valueCol), k, stateRoot)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Grouped distinct-count estimate via a KMV sketch over the shared
     * portable 60-bit md5 hash family. Same contract as [[hllDistinct]]
     * (NULL values ignored), different trade: HLL state is m registers

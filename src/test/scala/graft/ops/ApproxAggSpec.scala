@@ -314,6 +314,31 @@ class ApproxAggSpec extends SparkSpecBase {
     assert(overlapped == scratch)
   }
 
+  test("streaming KMV maintenance equals the batch sketch; replay idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kmv-ckpt").toString
+    val src = MemoryStream[(String, Long)]
+    val q = Sketches.maintainKmvStream(src.toDF().toDF("g", "v"), Seq("g"), "v",
+      k = 32, stateRoot = root, checkpointDir = ckpt)
+    try {
+      val b1 = (1L to 400L).map(v => (s"g${v % 2}", v))
+      val b2 = (300L to 700L).map(v => (s"g${v % 2}", v)) // overlaps b1
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val streamed = m(IncrementalAgg.readState(spark, root))
+      val scratch = m(Sketches.kmvSketch((b1 ++ b2).toDF("g", "v"), Seq("g"), col("v"), 32))
+      assert(streamed == scratch)
+      // re-delivered batch id merges against the same prior generation
+      Sketches.applyKmvBatch(b2.toDF("g", "v"), 1L, Seq("g"), col("v"), 32, root)
+      assert(m(IncrementalAgg.readState(spark, root)) == scratch)
+    } finally q.stop()
+  }
+
   test("KMV overlap matrix is partition-independent") {
     import spark.implicits._
     val hashed = (1L to 2000L).map(v => (s"g${v % 4}", v)).toDF("g", "v")
