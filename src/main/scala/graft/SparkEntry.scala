@@ -2156,6 +2156,19 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Tokenizer-coverage audit: vocabulary = q165's exact frequency
+    // floor (Misra–Gries candidates, exact verify), then per-doc OOV
+    // counts and the floored e6 rate — the composition a vocab rollout
+    // review runs.
+    "q176_oov_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(explode(TF.tokens(col("text"))).as("tok"))
+      val vocab = graft.ops.HeavyHitters.heavyHitters(toks, col("tok"), threshold = 40)
+      graft.ops.TextProfile.oovProfile(docs, "doc_id", "text", vocab, "value")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Pearson χ² contingency table (event type × user segment):
     // zero cells materialized from the marginal grid, per-cell
     // (O−E)²/E cleared of fractions into exact e6 integers.
@@ -2902,6 +2915,20 @@ object SparkEntry {
                       - (((1000 * SUM(v)::HUGEINT) % COUNT(*) + COUNT(*)) % COUNT(*)))
                      // COUNT(*) AS BIGINT) AS mean_milli
          FROM k GROUP BY g ORDER BY 1""",
+
+    // q165's HAVING floor as the vocabulary, then per-doc outer-join
+    // counts; every floored quantity non-negative.
+    "q176_oov_profile" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                      FROM documents),
+         n AS (SELECT COUNT(*) AS n FROM tok),
+         voc AS (SELECT tok FROM tok, n GROUP BY tok, n.n HAVING COUNT(*) * 40 > n.n)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(SUM(CASE WHEN voc.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                CAST((1000000 * SUM(CASE WHEN voc.tok IS NULL THEN 1 ELSE 0 END))
+                     // COUNT(*) AS BIGINT) AS oov_rate_e6
+         FROM tok LEFT JOIN voc USING (tok)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     // Marginal-grid cross join materializes zero cells; every floored
     // quantity non-negative, so bare // is already the floor.

@@ -193,4 +193,28 @@ object TextProfile {
       .withColumn("ttr_e6", expr("(1000000 * distinct_ngrams) div total_ngrams"))
       .withColumnRenamed("grp", groupCol)
   }
+
+  /** Per-document out-of-vocabulary profile against an explicit
+    * vocabulary relation — the tokenizer-coverage audit run before a
+    * vocab ships (a rising OOV rate on a new corpus slice is the
+    * signal a tokenizer no longer fits its data). Pairs naturally with
+    * [[HeavyHitters.heavyHitters]] (vocabulary = the frequency floor)
+    * or the q128 BPE merge table. One token explode, one broadcast-
+    * friendly join against the (small) vocab, one per-doc aggregate;
+    * oov_rate_e6 is the exact floored rational. Docs with no tokens
+    * emit nothing (no denominator). Output:
+    * (id, n_tokens, n_oov, oov_rate_e6). */
+  def oovProfile(docs: DataFrame, idCol: String, textCol: String,
+                 vocab: DataFrame, vocabCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("__t"))
+    val v = vocab.select(col(vocabCol).as("__t")).distinct()
+      .withColumn("__in", lit(1))
+    toks.join(broadcast(v), Seq("__t"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      // both terms non-negative: DIV is already the floor
+      .withColumn("oov_rate_e6", expr("(1000000 * n_oov) DIV n_tokens"))
+  }
 }

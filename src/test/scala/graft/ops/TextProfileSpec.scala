@@ -81,4 +81,21 @@ class TextProfileSpec extends SparkSpecBase {
     assert(out(1L) == out(2L), "CR must not change any census")
     assert(!out(1L)._2(4), "all lines ellipsis-ended trips the rule")
   }
+
+  test("oovProfile: exact per-doc counts, empty docs omitted, duplicate vocab harmless") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb cc aa"),    // bb cc oov → 2/4
+      (2L, "aa aa aa"),       // 0/3
+      (3L, "zz yy"),          // 2/2
+      (4L, "")                // no tokens → no row
+    ).toDF("doc_id", "text")
+    val vocab = Seq("aa", "aa", "dd").toDF("value") // dup + unused entries
+    val got = TextProfile.oovProfile(docs, "doc_id", "text", vocab, "value")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((4L, 2L, 500000L)),
+      2L -> ((3L, 0L, 0L)),
+      3L -> ((2L, 2L, 1000000L))))
+  }
 }
