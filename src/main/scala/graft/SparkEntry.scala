@@ -2156,6 +2156,14 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Kruskal–Wallis H across all five event types (q166's rank
+    // machinery at k groups, decided by the q175 χ² critical table —
+    // H is asymptotically χ²(k−1)).
+    "q177_kruskal_wallis" -> ((s, dir) => {
+      graft.ops.HypothesisTests.kruskalWallis(t(s, dir, "events"),
+        floor(col("value")).cast("long"), col("event_type"))
+    }),
+
     // Tokenizer-coverage audit: vocabulary = q165's exact frequency
     // floor (Misra–Gries candidates, exact verify), then per-doc OOV
     // counts and the floored e6 rate — the composition a vocab rollout
@@ -2915,6 +2923,38 @@ object SparkEntry {
                       - (((1000 * SUM(v)::HUGEINT) % COUNT(*) + COUNT(*)) % COUNT(*)))
                      // COUNT(*) AS BIGINT) AS mean_milli
          FROM k GROUP BY g ORDER BY 1""",
+
+    // Staged-floor H exactly as documented: per-group floored terms
+    // (non-negative → bare //), then the sign-safe tie-correction floor.
+    "q177_kruskal_wallis" ->
+      s"""WITH p AS (SELECT CAST(floor(value) AS BIGINT) AS v, event_type AS g
+                    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         gv AS (SELECT v, g, CAST(COUNT(*) AS HUGEINT) AS cgv FROM p GROUP BY 1, 2),
+         lvl AS (SELECT v, SUM(cgv) AS cnt FROM gv GROUP BY 1),
+         cum AS (SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS hi FROM lvl),
+         ties AS (SELECT SUM(cnt) AS n, SUM(cnt*cnt*cnt - cnt) AS t FROM lvl),
+         pg AS (SELECT gv.g, SUM(gv.cgv) AS nj,
+                       SUM(gv.cgv * (cum.hi - cum.cnt + 1 + cum.hi)) AS rx2
+                FROM gv JOIN cum USING (v) GROUP BY 1),
+         st AS (SELECT COUNT(*) AS k,
+                       SUM((3000000::HUGEINT * rx2 * rx2) // (nj * n * (n+1))) AS s,
+                       MAX(n) AS n, MAX(t) AS t
+                FROM pg, ties),
+         f AS (SELECT n, k, k - 1 AS dof, s - 3*(n+1)*1000000 AS h,
+                      n*n*n - n AS n3n, n*n*n - n - t AS corr
+               FROM st),
+         g2 AS (SELECT n, k, dof,
+                       CASE WHEN k >= 2 AND corr > 0
+                            THEN (h*n3n - (((h*n3n) % corr + corr) % corr)) // corr
+                            ELSE 0 END AS hc
+                FROM f)
+         SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
+                CAST(dof AS BIGINT) AS dof, CAST(hc AS BIGINT) AS hc_e6,
+                CAST(CASE WHEN dof BETWEEN 1 AND 10 THEN
+                       CASE WHEN hc > ${graft.ops.Stats.chi2Crit05E6.mkString("list_value(", ", ", ")")}[dof]
+                            THEN 1 ELSE 0 END
+                     END AS INTEGER) AS significant_05
+         FROM g2""",
 
     // q165's HAVING floor as the vocabulary, then per-doc outer-join
     // counts; every floored quantity non-negative.

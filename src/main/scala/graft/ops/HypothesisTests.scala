@@ -89,6 +89,60 @@ object HypothesisTests {
             lit(2401).cast(dec) * zDen, 1).otherwise(0).as("significant_05"))
   }
 
+  /** Kruskal–Wallis H test — [[mannWhitneyU]] generalized to k groups
+    * (one-way ANOVA on pooled midranks). Exact-integer legs via the
+    * same value-level histogram + chunked-prefix tie spans; the H
+    * statistic follows the staged-floor convention ([[Stats.chiSquareTest]]'s
+    * summed-floored-cells rule — each engine floors the same way, so
+    * the figure is bit-portable, understating true H by < k·10⁻⁶):
+    *
+    *   S       = Σⱼ ⌊10⁶·3·r_j² / (n_j·n·(n+1))⌋   (r_j = doubled rank sum)
+    *   h_e6    = S − 3·(n+1)·10⁶
+    *   hc_e6   = ⌊h_e6·(n³−n) / (n³−n−T)⌋          (tie correction; T = Σ(t³−t))
+    *   significant_05 = hc_e6 > [[Stats.chi2Crit05E6]](k−1), dof ≤ 10
+    *
+    * H is asymptotically χ²(k−1), which is why the same inlined
+    * critical table decides. All-tied inputs (n³−n = T) and k < 2
+    * report zeros. Output: (n, n_groups, dof, hc_e6, significant_05). */
+  def kruskalWallis(df: DataFrame, value: Column, groupCol: Column): DataFrame = {
+    val gv = df.filter(value.isNotNull && groupCol.isNotNull)
+      .groupBy(value.as("__v"), groupCol.as("__g"))
+      .agg(count(lit(1)).cast(dec).as("__cgv"))
+    val lvl = gv.groupBy(col("__v")).agg(sum(col("__cgv")).as("__cnt"))
+    val cum = Sampling.globalCumsum(lvl, Seq(col("__v")), col("__cnt"), "__hi")
+      .withColumn("__lo", col("__hi") - col("__cnt") + lit(1L).cast(dec))
+    val perGroup = gv.join(cum.select(col("__v"), col("__lo"), col("__hi")), Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__cgv")).as("__nj"),
+        sum(col("__cgv") * (col("__lo") + col("__hi"))).as("__rj_x2"))
+    val ties = cum.agg(
+      sum(col("__cnt")).cast(dec).as("__n"),
+      sum(col("__cnt") * col("__cnt") * col("__cnt") - col("__cnt")).cast(dec).as("__t"))
+    val e6 = lit(1000000L).cast(dec)
+    val termDen = col("__nj") * col("__n") * (col("__n") + lit(1).cast(dec))
+    val termNum = lit(3L).cast(dec) * e6 * col("__rj_x2") * col("__rj_x2")
+    val stat = perGroup.crossJoin(broadcast(ties))
+      .select(col("__n"), col("__t"),
+        ((termNum - pmod(termNum, termDen)) / termDen).cast(dec).as("__term"))
+      .groupBy(col("__n"), col("__t"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("__term")).as("__s"))
+    val n3n = col("__n") * col("__n") * col("__n") - col("__n")
+    val hE6 = col("__s") - lit(3).cast(dec) * (col("__n") + lit(1).cast(dec)) * e6
+    val corrDen = n3n - col("__t")
+    val hcNum = hE6 * n3n
+    val crit = array(Stats.chi2Crit05E6.map(lit): _*)
+    stat
+      .withColumn("dof", (col("n_groups") - 1).cast("long"))
+      .withColumn("__hc",
+        when(col("n_groups") >= 2 && corrDen > 0,
+          ((hcNum - pmod(hcNum, corrDen)) / corrDen).cast("long")).otherwise(lit(0L)))
+      .select(col("__n").cast("long").as("n"), col("n_groups"), col("dof"),
+        col("__hc").as("hc_e6"),
+        when(col("dof") >= 1 && col("dof") <= Stats.chi2Crit05E6.length,
+          when(col("__hc") > element_at(crit, col("dof").cast("int")), 1).otherwise(0))
+          .as("significant_05"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov test — the shape-sensitive sibling
     * of [[mannWhitneyU]] (a location shift moves U; ANY CDF divergence
     * moves D). D = sup|F₁ − F₂| is a rational with denominator n1·n2,

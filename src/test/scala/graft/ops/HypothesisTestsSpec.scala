@@ -150,4 +150,69 @@ class HypothesisTestsSpec extends SparkSpecBase {
     assert(ksTuple(runKs((1 to 10).map(i => (i.toDouble, true)))) == ((10L, 0L, 0L, 0L, 0)))
     assert(ksTuple(runKs(Seq.empty)) == ((0L, 0L, 0L, 0L, 0)))
   }
+
+  // ---- Kruskal–Wallis -----------------------------------------------------------
+
+  private def runKw(vals: Seq[(Double, String)], parts: Int = 4) = {
+    import spark.implicits._
+    HypothesisTests.kruskalWallis(vals.toDF("v", "g").repartition(parts),
+      col("v"), col("g")).head()
+  }
+
+  private def kwReplica(vals: Seq[(Double, String)]): (Long, Long, Long, Long, Int) = {
+    val n = BigInt(vals.size)
+    val runs = vals.groupBy(_._1).toSeq.sortBy(_._1)
+    var lo = 1L
+    var tie = BigInt(0)
+    val rx2 = scala.collection.mutable.Map[String, BigInt]().withDefaultValue(BigInt(0))
+    val nj = scala.collection.mutable.Map[String, BigInt]().withDefaultValue(BigInt(0))
+    runs.foreach { case (_, g) =>
+      val t = g.size.toLong; val hi = lo + t - 1
+      g.groupBy(_._2).foreach { case (grp, m) =>
+        rx2(grp) += BigInt(m.size) * (lo + hi); nj(grp) += m.size
+      }
+      tie += BigInt(t) * t * t - t; lo += t
+    }
+    val k = nj.size.toLong
+    def fd(a: BigInt, b: BigInt) = (a - a.mod(b)) / b
+    val s = nj.keys.map { g =>
+      fd(BigInt(3000000) * rx2(g) * rx2(g), nj(g) * n * (n + 1))
+    }.sum
+    val hE6 = s - 3 * (n + 1) * 1000000
+    val n3n = n * n * n - n
+    val corr = n3n - tie
+    val hc = if (k >= 2 && corr > 0) fd(hE6 * n3n, corr).toLong else 0L
+    val dof = k - 1
+    val sig = if (dof >= 1 && dof <= 10 &&
+      hc > Stats.chi2Crit05E6(dof.toInt - 1)) 1 else 0
+    (n.toLong, k, dof, hc, sig)
+  }
+
+  private def kwTuple(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+
+  test("KW: hand-traced three separated triples give H = 7.2, dependent at dof 2") {
+    val vals = Seq(1.0 -> "a", 2.0 -> "a", 3.0 -> "a",
+      4.0 -> "b", 5.0 -> "b", 6.0 -> "b",
+      7.0 -> "c", 8.0 -> "c", 9.0 -> "c")
+    assert(kwTuple(runKw(vals)) == ((9L, 3L, 2L, 7200000L, 1)))
+  }
+
+  test("KW matches the replica on tied grouped data, any partitioning") {
+    val vals = (1 to 360).map { i =>
+      (((i * 2654435761L) % 23).toDouble + (i % 3) * 0.5, s"g${i % 4}")
+    }
+    val expect = kwReplica(vals)
+    assert(kwTuple(runKw(vals, 1)) == expect)
+    assert(kwTuple(runKw(vals, 32)) == expect)
+  }
+
+  test("KW: identical group distributions stay under the critical value; all-tied is zero") {
+    val same = (1 to 60).flatMap(i => Seq("a", "b", "c").map(g => ((i % 12).toDouble, g)))
+    val r = runKw(same)
+    assert(r.getInt(4) == 0)
+    val allTied = (1 to 30).map(i => (5.0, s"g${i % 3}"))
+    val t = runKw(allTied)
+    assert(t.getLong(3) == 0L && t.getInt(4) == 0)
+  }
 }
