@@ -346,4 +346,52 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("ReusedQueryStage|ReusedExchange".r.findAllIn(p).nonEmpty,
       "raw corpus must be tokenized once, not re-exploded per consumer:\n" + p.take(3000))
   }
+
+  test("KMV sketch is a pure partial-agg shape; overlap pairs join sketches, not corpora") {
+    // the sketch aggregate must map-side combine (shuffle ≤ k longs per
+    // partition per group) with no join/window in the sketch pass
+    val p = plan("q163_kmv_distinct")
+    assert(p.contains("partial_"), p.take(3000))
+    assert(!p.contains("WindowExec"), p.take(3000))
+    // the overlap matrix's pair stage runs on |groups|·k state: its
+    // self-join must broadcast, never sort-merge corpus-sized sides
+    val po = plan("q164_kmv_source_overlap")
+    assert(po.contains("BroadcastNestedLoopJoin") || po.contains("BroadcastHashJoin"),
+      po.take(3000))
+    assert(!po.contains("SortMergeJoin"), po.take(3000))
+  }
+
+  test("heavy hitters: candidates broadcast into the semi-join; no full-vocab exchange") {
+    val p = plan("q165_heavy_hitters")
+    // phase 2's candidate restriction is a broadcast LeftSemi — the
+    // hapax tail is discarded BEFORE any aggregate exchange
+    assert(p.contains("LeftSemi") && p.contains("Broadcast"), p.take(3000))
+  }
+
+  test("rank tests keep their cumulative passes chunked — no unpartitioned data window") {
+    // globalCumsum's offsets window runs over ≤ nChunks rows; the
+    // value-level table itself must never hit a global WindowExec
+    for (q <- Seq("q166_mann_whitney", "q168_ks_test", "q177_kruskal_wallis")) {
+      val p = plan(q)
+      val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+      // every Window in the plan is the bounded offsets frame (runs on
+      // the one-row-per-partition aggregate), never over __v directly
+      assert(!windows.exists(_.contains("partitionBy=[]") && p.contains("__v,")),
+        windows.mkString("\n"))
+    }
+  }
+
+  test("PQ encode is map-only against inlined literals; ADC joins broadcast LUT rows") {
+    val enc = plan("q169_pq_codes")
+    assert(!enc.contains("Join"), enc.take(3000))
+    val adc = plan("q170_pq_adc_topk")
+    assert(adc.contains("BroadcastHashJoin"), adc.take(3000))
+    assert(!adc.contains("SortMergeJoin"), adc.take(3000))
+  }
+
+  test("OOV profile probes the vocabulary by broadcast — tokens never sort-merge-joined") {
+    val p = plan("q176_oov_profile")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
 }
