@@ -2156,6 +2156,18 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // 7-day sliding distinct users from DAILY KMV sketches — the
+    // mergeability payoff: one corpus pass sketches each day, every
+    // window is answered on |days|·k state, and merged == from-scratch
+    // exactly, so the oracle's direct per-window sketch must hash-match.
+    "q178_kmv_sliding_users" -> ((s, dir) => {
+      graft.ops.Sketches.kmvWindowedDistinct(
+          t(s, dir, "events"),
+          expr("unix_micros(ts) DIV 86400000000"), col("user_id"),
+          k = 128, windowBuckets = 7)
+        .orderBy(col("window_end"))
+    }),
+
     // Kruskal–Wallis H across all five event types (q166's rank
     // machinery at k groups, decided by the q175 χ² critical table —
     // H is asymptotically χ²(k−1)).
@@ -2923,6 +2935,27 @@ object SparkEntry {
                       - (((1000 * SUM(v)::HUGEINT) % COUNT(*) + COUNT(*)) % COUNT(*)))
                      // COUNT(*) AS BIGINT) AS mean_milli
          FROM k GROUP BY g ORDER BY 1""",
+
+    // Direct per-window sketch — the merge contract says the fan-out
+    // composition must equal this exactly.
+    "q178_kmv_sliding_users" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         days AS (SELECT DISTINCT d FROM e),
+         wh AS (SELECT days.d AS window_end, e.h
+                FROM days JOIN e ON e.d BETWEEN days.d - 6 AND days.d
+                GROUP BY 1, 2),
+         topk AS (SELECT window_end, h,
+                         row_number() OVER (PARTITION BY window_end ORDER BY h) AS rn
+                  FROM wh QUALIFY rn <= 128),
+         agg AS (SELECT window_end, COUNT(*) AS kk,
+                        MAX(CASE WHEN rn = 128 THEN h END) AS hk
+                 FROM topk GROUP BY 1)
+         SELECT CAST(window_end AS BIGINT) AS window_end,
+                CAST(CASE WHEN kk < 128 THEN kk
+                          ELSE (127::HUGEINT * (1::HUGEINT << 60)) // hk END AS BIGINT) AS n_kmv
+         FROM agg ORDER BY 1""",
 
     // Staged-floor H exactly as documented: per-group floored terms
     // (non-negative → bare //), then the sign-safe tie-correction floor.

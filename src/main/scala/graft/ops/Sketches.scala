@@ -279,6 +279,35 @@ object Sketches {
   /** The estimate column for a [[kmvSketch]] result. */
   def kmvEstimateFromSketch(kmv: Column, k: Int): Column = kmvEstimate(kmv, k)
 
+  /** Sliding-window distinct counts from per-bucket sketches — the
+    * mergeability payoff: sketch each time bucket ONCE (one corpus
+    * pass), then any window of `windowBuckets` consecutive buckets is
+    * answered by merging its sketches, never by re-scanning rows. A
+    * bucket's sketch fans out to the ≤ W windows it serves (explode on
+    * |buckets|·k state, not corpus), and because merged sketches equal
+    * from-scratch sketches exactly, each window's figure is
+    * bit-identical to a direct count-sketch of its rows (the oracle
+    * replays exactly that). Windows are labeled by their LAST bucket;
+    * every bucket yields a window (ramp-up windows cover fewer than W
+    * buckets). Output: (window_end, n_kmv). */
+  def kmvWindowedDistinct(df: DataFrame, bucketCol: Column, value: Column,
+                          k: Int = 256, windowBuckets: Int = 7): DataFrame = {
+    require(windowBuckets >= 1, s"windowBuckets must be >= 1, got $windowBuckets")
+    val daily = kmvSketch(df.filter(bucketCol.isNotNull)
+      .withColumn("__b", bucketCol.cast("long")), Seq("__b"), value, k)
+    val ends = daily.select(col("__b").as("window_end")).distinct()
+    daily
+      .select(col("kmv"), explode(sequence(col("__b"),
+        col("__b") + lit(windowBuckets.toLong - 1L))).as("window_end"))
+      // only windows anchored at an existing bucket (no phantom ends
+      // past the last bucket / in bucket gaps)
+      .join(ends, Seq("window_end"), "left_semi")
+      .select(col("window_end"), explode(col("kmv")).as("__h"))
+      .groupBy(col("window_end"))
+      .agg(graft.functions.KmvAgg.kmv(k)(col("__h")).as("__ks"))
+      .select(col("window_end"), kmvEstimate(col("__ks"), k).as("n_kmv"))
+  }
+
   /** One arrival micro-batch of raw (group, value) rows folded into the
     * standing per-group KMV state under the SAME generation-landing
     * contract as the streaming IVM shapes ([[IncrementalAgg.applyBatch]]):

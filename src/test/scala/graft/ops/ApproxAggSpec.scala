@@ -314,6 +314,25 @@ class ApproxAggSpec extends SparkSpecBase {
     assert(overlapped == scratch)
   }
 
+  test("kmvWindowedDistinct == from-scratch sketch of each window, gaps respected") {
+    import spark.implicits._
+    // buckets 1..5 and 9 (gap at 6-8), values overlap across buckets
+    val rows = (for (b <- Seq(1L, 2L, 3L, 4L, 5L, 9L); i <- 1L to 120L)
+      yield (b, b * 40 + i)) // ~40 new values per bucket step
+    val df = rows.toDF("b", "v")
+    val got = Sketches.kmvWindowedDistinct(df, col("b"), col("v"), k = 32, windowBuckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // windows only at existing buckets
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 9L))
+    // each equals the from-scratch sketch of its window's rows
+    rows.map(_._1).distinct.foreach { end =>
+      val scratch = Sketches.kmvDistinct(
+        rows.filter(r => r._1 >= end - 2 && r._1 <= end).toDF("b", "v"),
+        Seq.empty, col("v"), k = 32).head().getLong(0)
+      assert(got(end) == scratch, s"window_end=$end")
+    }
+  }
+
   test("streaming KMV maintenance equals the batch sketch; replay idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
