@@ -2156,6 +2156,20 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // One-pass pairwise correlation matrix (4 columns, 6 pairs from a
+    // single scan): every Σx/Σx²/Σxᵢxⱼ in one aggregate, r² + sign per
+    // pair from the closed form — quanta chosen so the 128-bit legs
+    // hold through sf1 (documented envelope).
+    "q179_correlation_matrix" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.ops.Stats.correlationMatrix(ev, Seq(
+          "value_units" -> floor(col("value")).cast("long"),
+          "hour_of_day" -> hour(col("ts")).cast("long"),
+          "day_of_month" -> dayofmonth(col("ts")).cast("long"),
+          "user_bucket" -> (col("user_id") % 100)))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
     // 7-day sliding distinct users from DAILY KMV sketches — the
     // mergeability payoff: one corpus pass sketches each day, every
     // window is answered on |days|·k state, and merged == from-scratch
@@ -2935,6 +2949,45 @@ object SparkEntry {
                       - (((1000 * SUM(v)::HUGEINT) % COUNT(*) + COUNT(*)) % COUNT(*)))
                      // COUNT(*) AS BIGINT) AS mean_milli
          FROM k GROUP BY g ORDER BY 1""",
+
+    // The same six closed forms from one sum CTE; r² numerators are
+    // squares (bare // is floor), the sign comes from nn directly.
+    "q179_correlation_matrix" ->
+      """WITH p AS (SELECT CAST(floor(value) AS HUGEINT) AS value_units,
+                           CAST(EXTRACT(hour FROM ts) AS HUGEINT) AS hour_of_day,
+                           CAST(EXTRACT(day FROM ts) AS HUGEINT) AS day_of_month,
+                           CAST(user_id % 100 AS HUGEINT) AS user_bucket
+                    FROM events
+                    WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL),
+         a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                      SUM(value_units) AS s1, SUM(hour_of_day) AS s2,
+                      SUM(day_of_month) AS s3, SUM(user_bucket) AS s4,
+                      SUM(value_units*value_units) AS q1, SUM(hour_of_day*hour_of_day) AS q2,
+                      SUM(day_of_month*day_of_month) AS q3, SUM(user_bucket*user_bucket) AS q4,
+                      SUM(value_units*hour_of_day) AS p12, SUM(value_units*day_of_month) AS p13,
+                      SUM(value_units*user_bucket) AS p14, SUM(hour_of_day*day_of_month) AS p23,
+                      SUM(hour_of_day*user_bucket) AS p24, SUM(day_of_month*user_bucket) AS p34
+               FROM p),
+         m AS (
+           SELECT 'value_units' AS col_a, 'hour_of_day' AS col_b, n,
+                  n*q1 - s1*s1 AS d, n*q2 - s2*s2 AS dy, n*p12 - s1*s2 AS nn FROM a
+           UNION ALL SELECT 'value_units', 'day_of_month', n,
+                  n*q1 - s1*s1, n*q3 - s3*s3, n*p13 - s1*s3 FROM a
+           UNION ALL SELECT 'value_units', 'user_bucket', n,
+                  n*q1 - s1*s1, n*q4 - s4*s4, n*p14 - s1*s4 FROM a
+           UNION ALL SELECT 'hour_of_day', 'day_of_month', n,
+                  n*q2 - s2*s2, n*q3 - s3*s3, n*p23 - s2*s3 FROM a
+           UNION ALL SELECT 'hour_of_day', 'user_bucket', n,
+                  n*q2 - s2*s2, n*q4 - s4*s4, n*p24 - s2*s4 FROM a
+           UNION ALL SELECT 'day_of_month', 'user_bucket', n,
+                  n*q3 - s3*s3, n*q4 - s4*s4, n*p34 - s3*s4 FROM a)
+         SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+                CAST(CASE WHEN d > 0 AND dy > 0
+                          THEN (1000000*nn*nn) // (d*dy) END AS BIGINT) AS r2_e6,
+                CAST(CASE WHEN d > 0 AND dy > 0
+                          THEN CASE WHEN nn > 0 THEN 1 WHEN nn < 0 THEN -1 ELSE 0 END
+                          ELSE 0 END AS INTEGER) AS r_sign
+         FROM m ORDER BY col_a, col_b""",
 
     // Direct per-window sketch — the merge contract says the fan-out
     // composition must equal this exactly.

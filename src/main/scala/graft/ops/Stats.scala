@@ -84,6 +84,45 @@ object Stats {
       when(d > 0 && dy > 0, floorDiv(e6 * nn * nn, d * dy)).as("r2_e6")): _*)
   }
 
+  /** Pairwise Pearson correlation matrix over k integral columns in
+    * ONE corpus scan: a single aggregate computes every Σx, Σx², and
+    * Σxᵢxⱼ (k + k + k(k−1)/2 sums — column count work, not row count),
+    * then each pair's r² and sign come from the [[linearFit]] closed
+    * form. Rows with a NULL in ANY profiled column are dropped (the
+    * complete-cases convention, so every pair shares one n and the
+    * matrix is consistent). Output per unordered pair (i < j by the
+    * caller's order): (col_a, col_b, n, r2_e6, r_sign) with r_sign ∈
+    * {−1, 0, 1} (0 when either variance is zero — r undefined, r2_e6
+    * NULL). r itself needs a square root; consumers needing it take
+    * ±√(r2_e6·10⁻⁶), which keeps the stored figures exact. */
+  def correlationMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, s"need at least two columns, got ${cols.size}")
+    require(cols.map(_._1).distinct.size == cols.size, "column names must be unique")
+    val names = cols.map(_._1)
+    val base = df
+      .filter(cols.map(_._2.isNotNull).reduce(_ && _))
+      .select(cols.map { case (n, c) => c.cast(dec).as(s"__$n") }: _*)
+    val sums =
+      Seq(count(lit(1)).cast(dec).as("__n")) ++
+        names.map(n => sum(col(s"__$n")).as(s"__s_$n")) ++
+        names.map(n => sum(col(s"__$n") * col(s"__$n")).as(s"__q_$n")) ++
+        names.combinations(2).map { case Seq(a, b) =>
+          sum(col(s"__$a") * col(s"__$b")).as(s"__p_${a}_$b")
+        }.toSeq
+    val agg = base.agg(sums.head, sums.tail: _*)
+    val e6 = lit(1000000L).cast(dec)
+    val pairs = names.combinations(2).map { case Seq(a, b) =>
+      val d = col("__n") * col(s"__q_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val dy = col("__n") * col(s"__q_$b") - col(s"__s_$b") * col(s"__s_$b")
+      val nn = col("__n") * col(s"__p_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").cast("long").as("n"),
+        when(d > 0 && dy > 0, floorDiv(e6 * nn * nn, d * dy)).as("r2_e6"),
+        when(d > 0 && dy > 0, signum(nn).cast("int")).otherwise(lit(0)).as("r_sign"))
+    }.toSeq
+    agg.select(explode(array(pairs: _*)).as("__pair")).select(col("__pair.*"))
+  }
+
   /** χ² critical values at α = 0.05 for dof 1..10, in e6 quanta —
     * public-table constants inlined as literals on BOTH engine sides
     * (the linearCountTable discipline: no engine ever evaluates an

@@ -86,6 +86,55 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  // ---- correlation matrix -------------------------------------------------------
+
+  test("correlationMatrix: one pass reproduces per-pair linearFit r² with signs") {
+    import spark.implicits._
+    val rows = (1 to 200).map { i =>
+      val x = (i % 37).toLong
+      (x, 3 * x + 7, -2 * x + ((i * 13) % 11), (i % 5).toLong)
+    }
+    val df = rows.toDF("x", "y_exact", "y_neg", "noise")
+    val cols = Seq("x" -> col("x"), "y_exact" -> col("y_exact"),
+      "y_neg" -> col("y_neg"), "noise" -> col("noise"))
+    val got = Stats.correlationMatrix(df, cols)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4)))).toMap
+    assert(got.size == 6)
+    // exact line: r² = 1, positive
+    assert(got(("x", "y_exact")) == ((200L, Some(1000000L), 1)))
+    // strongly negative relation keeps the sign
+    assert(got(("x", "y_neg"))._3 == -1)
+    // each pair equals the two-column fit's r² (same closed form)
+    for (Seq((na, ca), (nb, cb)) <- cols.combinations(2)) {
+      val fit = Stats.linearFit(df, Seq.empty, ca, cb).head()
+      val r2 = Option(fit.get(3)).map(_.asInstanceOf[Long])
+      assert(got((na, nb))._2 == r2, s"$na/$nb")
+    }
+    // partition independence
+    val again = Stats.correlationMatrix(df.repartition(23), cols)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4)))).toMap
+    assert(again == got)
+  }
+
+  test("correlationMatrix: complete-cases rows and zero-variance pairs") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some(2L), Some(9L)), (Some(2L), Some(4L), Some(9L)),
+      (Some(3L), None, Some(9L)), (Some(4L), Some(8L), Some(9L))
+    ).toDF("a", "b", "c")
+    val got = Stats.correlationMatrix(df,
+        Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.isNullAt(3), r.getInt(4)))).toMap
+    // the row with a NULL b is dropped for EVERY pair (shared n = 3)
+    assert(got.values.forall(_._1 == 3L))
+    assert(got(("a", "b")) == ((3L, false, 1)))
+    // constant column: r undefined -> null r², sign 0
+    assert(got(("a", "c")) == ((3L, true, 0)))
+  }
+
   // ---- chi-square ---------------------------------------------------------------
 
   test("chiSquare: hand-traced 2×2 with equal marginals") {
