@@ -2156,6 +2156,15 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Spearman ρ (classic d² form, pooled midranks) between the event
+    // value and a value-derived composite — monotone-association
+    // analytics in exact doubled-rank integers.
+    "q180_spearman" -> ((s, dir) => {
+      graft.ops.HypothesisTests.spearmanD2(t(s, dir, "events"),
+        floor(col("value")).cast("long"),
+        expr("CAST(floor(value) AS BIGINT) DIV 2") + hour(col("ts")).cast("long"))
+    }),
+
     // One-pass pairwise correlation matrix (4 columns, 6 pairs from a
     // single scan): every Σx/Σx²/Σxᵢxⱼ in one aggregate, r² + sign per
     // pair from the closed form — quanta chosen so the 128-bit legs
@@ -2949,6 +2958,27 @@ object SparkEntry {
                       - (((1000 * SUM(v)::HUGEINT) % COUNT(*) + COUNT(*)) % COUNT(*)))
                      // COUNT(*) AS BIGINT) AS mean_milli
          FROM k GROUP BY g ORDER BY 1""",
+
+    // Midranks by window cumsum per variable, joined back by value;
+    // the d² numerator is non-negative so bare // is the floor.
+    "q180_spearman" ->
+      """WITH p AS (SELECT CAST(floor(value) AS BIGINT) AS x,
+                           CAST(floor(value) AS BIGINT) // 2 + EXTRACT(hour FROM ts) AS y
+                    FROM events
+                    WHERE value IS NOT NULL AND ts IS NOT NULL),
+         lx AS (SELECT x, CAST(COUNT(*) AS HUGEINT) AS c FROM p GROUP BY 1),
+         cx AS (SELECT x, 2*SUM(c) OVER (ORDER BY x) - c + 1 AS r2x FROM lx),
+         ly AS (SELECT y, CAST(COUNT(*) AS HUGEINT) AS c FROM p GROUP BY 1),
+         cy AS (SELECT y, 2*SUM(c) OVER (ORDER BY y) - c + 1 AS r2y FROM ly),
+         j AS (SELECT cx.r2x, cy.r2y FROM p JOIN cx USING (x) JOIN cy USING (y)),
+         a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                      SUM((r2x - r2y)*(r2x - r2y)) AS sd2
+               FROM j)
+         SELECT CAST(n AS BIGINT) AS n,
+                CAST(CASE WHEN n >= 2
+                          THEN 1000000 - (6000000::HUGEINT * sd2) // (4*n*(n*n - 1))
+                          END AS BIGINT) AS rho_e6
+         FROM a""",
 
     // The same six closed forms from one sum CTE; r² numerators are
     // squares (bare // is floor), the sign comes from nn directly.

@@ -89,6 +89,44 @@ object HypothesisTests {
             lit(2401).cast(dec) * zDen, 1).otherwise(0).as("significant_05"))
   }
 
+  /** Spearman rank correlation in the classic d² form with pooled
+    * midranks: ρ = 1 − 6Σd²/(n(n²−1)), d = midrank(x) − midrank(y),
+    * every quantity an exact integer in doubled-rank units (Σd² rides
+    * as 4·Σd², cleared by the denominator's 4). The d² form without
+    * the tie adjustment is the documented contract — under heavy ties
+    * it differs from Pearson-of-ranks (use [[Stats.correlationMatrix]]
+    * on explicit ranks when that matters); both engines replay this
+    * form verbatim. Midranks come from one value-level histogram +
+    * chunked prefix pass PER VARIABLE (the [[mannWhitneyU]] machinery),
+    * joined back by value — rank assignment never windows the corpus.
+    * Envelope: 6·10⁶·4Σd² with Σd² ≤ 4n³ holds to n ~ 10⁹. Output one
+    * row: (n, rho_e6) — rho_e6 = 10⁶ − ⌊6·10⁶·4Σd² / (4n(n²−1))⌋,
+    * NULL when n < 2. */
+  def spearmanD2(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.cast(dec).as("__x"), y.cast(dec).as("__y"))
+    def midranks(c: String): DataFrame =
+      Sampling.globalCumsum(
+          base.groupBy(col(c)).agg(count(lit(1)).cast(dec).as("__cnt")),
+          Seq(col(c)), col("__cnt"), s"__hi_$c")
+        .select(col(c),
+          (lit(2).cast(dec) * col(s"__hi_$c") - col("__cnt") + lit(1).cast(dec))
+            .as(s"__r2_$c")) // lo + hi = 2·hi − cnt + 1
+    val ranked = base
+      .join(midranks("__x"), Seq("__x"))
+      .join(midranks("__y"), Seq("__y"))
+    val agg = ranked.agg(count(lit(1)).cast(dec).as("__n"),
+      sum((col("__r2___x") - col("__r2___y")) * (col("__r2___x") - col("__r2___y")))
+        .as("__sd2x4"))
+    val den = lit(4).cast(dec) * col("__n") *
+      (col("__n") * col("__n") - lit(1).cast(dec))
+    val num = lit(6000000L).cast(dec) * col("__sd2x4")
+    agg.select(col("__n").cast("long").as("n"),
+      when(col("__n") >= 2,
+        (lit(1000000L).cast(dec) - (num - pmod(num, den)) / den).cast("long"))
+        .as("rho_e6"))
+  }
+
   /** Kruskal–Wallis H test — [[mannWhitneyU]] generalized to k groups
     * (one-way ANOVA on pooled midranks). Exact-integer legs via the
     * same value-level histogram + chunked-prefix tie spans; the H

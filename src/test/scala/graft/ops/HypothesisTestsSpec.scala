@@ -151,6 +151,47 @@ class HypothesisTestsSpec extends SparkSpecBase {
     assert(ksTuple(runKs(Seq.empty)) == ((0L, 0L, 0L, 0L, 0)))
   }
 
+  // ---- Spearman -------------------------------------------------------------------
+
+  private def runSp(vals: Seq[(Long, Long)], parts: Int = 4) = {
+    import spark.implicits._
+    HypothesisTests.spearmanD2(vals.toDF("x", "y").repartition(parts),
+      col("x"), col("y")).head()
+  }
+
+  test("Spearman: perfect monotone is exactly ±1e6") {
+    val up = (1L to 40L).map(i => (i, i * 3 + 5))
+    assert(runSp(up).getLong(1) == 1000000L)
+    val down = (1L to 40L).map(i => (i, -2 * i))
+    assert(runSp(down).getLong(1) == -1000000L)
+  }
+
+  test("Spearman matches the BigInt midrank replica with ties, any partitioning") {
+    val vals = (1 to 300).map(i => (((i * 37) % 21).toLong, ((i * 13) % 17).toLong))
+    def replica: Long = {
+      val n = BigInt(vals.size)
+      def r2(sel: ((Long, Long)) => Long): Map[Long, BigInt] = {
+        var lo = 1L
+        vals.groupBy(sel).toSeq.sortBy(_._1).map { case (v, g) =>
+          val t = g.size; val hi = lo + t - 1; val m = BigInt(lo) + hi; lo += t
+          v -> m
+        }.toMap
+      }
+      val rx = r2(_._1); val ry = r2(_._2)
+      val sd2x4 = vals.map { case (a, b) => val d = rx(a) - ry(b); d * d }.sum
+      val num = BigInt(6000000) * sd2x4
+      val den = BigInt(4) * n * (n * n - 1)
+      (BigInt(1000000) - (num - num.mod(den)) / den).toLong
+    }
+    assert(runSp(vals, 1).getLong(1) == replica)
+    assert(runSp(vals, 32).getLong(1) == replica)
+  }
+
+  test("Spearman degenerate: single-row input reports null rho") {
+    val r = runSp(Seq((5L, 9L)))
+    assert(r.getLong(0) == 1L && r.isNullAt(1))
+  }
+
   // ---- Kruskal–Wallis -----------------------------------------------------------
 
   private def runKw(vals: Seq[(Double, String)], parts: Int = 4) = {
