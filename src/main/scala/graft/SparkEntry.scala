@@ -2156,6 +2156,20 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Survivorship golden record per customer from their order history:
+    // each field independently the latest non-null under (date, key) —
+    // one struct-max hash aggregate, no window/self-join (NULLIF makes
+    // the status field sparse so per-field independence is exercised).
+    "q181_golden_record" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("status_nn",
+          when(col("o_orderstatus") =!= "F", col("o_orderstatus")))
+        .withColumn("price_cents", floor(col("o_totalprice") * 100.0).cast("long"))
+      graft.ops.EntityMatch.goldenRecord(o, "o_custkey", "o_orderdate", "o_orderkey",
+          Seq("status_nn", "o_orderpriority", "price_cents"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Spearman ρ (classic d² form, pooled midranks) between the event
     // value and a value-derived composite — monotone-association
     // analytics in exact doubled-rank integers.
@@ -2958,6 +2972,28 @@ object SparkEntry {
                       - (((1000 * SUM(v)::HUGEINT) % COUNT(*) + COUNT(*)) % COUNT(*)))
                      // COUNT(*) AS BIGINT) AS mean_milli
          FROM k GROUP BY g ORDER BY 1""",
+
+    // One QUALIFY leg per field (latest non-null by date, key), left
+    // joined onto the per-entity counts — the window replay of the
+    // struct-max selector.
+    "q181_golden_record" ->
+      """WITH p AS (SELECT o_custkey, o_orderdate AS od, o_orderkey AS ok,
+                           NULLIF(o_orderstatus, 'F') AS status_nn,
+                           o_orderpriority,
+                           CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS price_cents
+                    FROM orders),
+         base AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows FROM p GROUP BY 1),
+         f1 AS (SELECT o_custkey, status_nn FROM p WHERE status_nn IS NOT NULL
+                QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY od DESC, ok DESC) = 1),
+         f2 AS (SELECT o_custkey, o_orderpriority FROM p WHERE o_orderpriority IS NOT NULL
+                QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY od DESC, ok DESC) = 1),
+         f3 AS (SELECT o_custkey, price_cents FROM p WHERE price_cents IS NOT NULL
+                QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY od DESC, ok DESC) = 1)
+         SELECT base.o_custkey, base.n_rows, f1.status_nn, f2.o_orderpriority, f3.price_cents
+         FROM base LEFT JOIN f1 USING (o_custkey)
+                   LEFT JOIN f2 USING (o_custkey)
+                   LEFT JOIN f3 USING (o_custkey)
+         ORDER BY o_custkey""",
 
     // Midranks by window cumsum per variable, joined back by value;
     // the d² numerator is non-negative so bare // is the floor.

@@ -196,4 +196,27 @@ object EntityMatch {
       .filter(col("__rn") === 1)
       .select(col("__fid").as(feedId), col("__mid").as(masterId), col("score_milli"))
   }
+
+  /** Survivorship ("golden record"): per entity, each field's LATEST
+    * NON-NULL value under the (orderCol, tieCol) total order — the MDM
+    * merge rule applied after linkage/clustering has decided which
+    * rows are the same entity. Each field survives independently (the
+    * golden record may mix source rows), which is exactly what a
+    * per-field `max_by` over null-filtered (order, tie, value) structs
+    * computes: ONE hash aggregate, no window, no self-join, map-side
+    * combined — at 100 TB the shuffle carries one struct per field per
+    * entity per partition. An entity whose every value for a field is
+    * null gets a null field. Output: (key, n_rows, <fields...>). */
+  def goldenRecord(rows: DataFrame, keyCol: String, orderCol: String,
+                   tieCol: String, fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "need at least one field")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ fields.map { f =>
+      // max over (order, tie) of rows where the FIELD is non-null;
+      // struct comparison makes this the latest-non-null selector
+      max(when(col(f).isNotNull,
+        struct(col(orderCol).as("o"), col(tieCol).as("t"), col(f).as("v"))))
+        .getField("v").as(f)
+    }
+    rows.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

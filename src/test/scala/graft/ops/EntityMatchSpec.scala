@@ -161,4 +161,27 @@ class EntityMatchSpec extends SparkSpecBase {
       fsMaster.repartition(3), "mid", fsFields, 1000L).collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("goldenRecord: each field survives independently as latest non-null") {
+    import spark.implicits._
+    val rows = Seq(
+      // key, order, tie, name, phone
+      ("e1", 1L, 1L, Some("ann"), Option.empty[String]),
+      ("e1", 2L, 2L, Option.empty[String], Some("111")),
+      ("e1", 3L, 3L, Some("anne"), Option.empty[String]), // latest name
+      ("e2", 5L, 4L, Option.empty[String], Option.empty[String]),
+      ("e3", 1L, 5L, Some("bob"), Some("222")),
+      ("e3", 1L, 6L, Some("rob"), Option.empty[String]) // same order → tie decides
+    ).toDF("k", "ord", "id", "name", "phone")
+    val got = EntityMatch.goldenRecord(rows.repartition(5), "k", "ord", "id",
+        Seq("name", "phone"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getString(2)), Option(r.getString(3))))).toMap
+    // e1 mixes source rows: name from ord 3, phone from ord 2
+    assert(got("e1") == ((3L, Some("anne"), Some("111"))))
+    // all-null field stays null
+    assert(got("e2") == ((1L, None, None)))
+    // equal order falls to the tie column (id 6 > 5)
+    assert(got("e3") == ((2L, Some("rob"), Some("222"))))
+  }
 }
