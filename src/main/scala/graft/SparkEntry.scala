@@ -2156,6 +2156,18 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Multi-touch linear attribution (3-day window): equal exact e6
+    // shares with the deterministic remainder-to-latest rule, so every
+    // conversion's credit conserves to exactly 10⁶ — the q43 bucketed
+    // range join specialized to per-user point-in-window.
+    "q182_linear_attribution" -> ((s, dir) => {
+      graft.ops.TimeSeries.linearAttribution(t(s, dir, "events"),
+          "user_id", "event_id", "ts", "event_type", "purchase",
+          Seq("click", "view"),
+          windowUs = 3L * 86400L * 1000000L, bucketUs = 86400L * 1000000L)
+        .orderBy(col("conv_id"), col("touch_id"))
+    }),
+
     // Survivorship golden record per customer from their order history:
     // each field independently the latest non-null under (date, key) —
     // one struct-max hash aggregate, no window/self-join (NULLIF makes
@@ -2972,6 +2984,27 @@ object SparkEntry {
                       - (((1000 * SUM(v)::HUGEINT) % COUNT(*) + COUNT(*)) % COUNT(*)))
                      // COUNT(*) AS BIGINT) AS mean_milli
          FROM k GROUP BY g ORDER BY 1""",
+
+    // Naive per-user range join (oracle scale), same share arithmetic.
+    "q182_linear_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         c AS (SELECT user_id, event_id AS conv_id, us AS cus FROM e
+               WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, event_id AS touch_id, us AS tus FROM e
+               WHERE event_type IN ('click', 'view')),
+         p AS (SELECT c.conv_id, t.touch_id, t.tus FROM c JOIN t USING (user_id)
+               WHERE t.tus < c.cus AND t.tus >= c.cus - 259200000000),
+         k AS (SELECT conv_id, touch_id, tus,
+                      COUNT(*) OVER (PARTITION BY conv_id) AS k,
+                      row_number() OVER (PARTITION BY conv_id
+                        ORDER BY tus DESC, touch_id DESC) AS rn
+               FROM p)
+         SELECT conv_id, touch_id, CAST(tus AS BIGINT) AS touch_us,
+                CAST(k AS BIGINT) AS k,
+                CAST(1000000 // k + CASE WHEN rn = 1
+                       THEN 1000000 - k * (1000000 // k) ELSE 0 END AS BIGINT) AS credit_e6
+         FROM k ORDER BY conv_id, touch_id""",
 
     // One QUALIFY leg per field (latest non-null by date, key), left
     // joined onto the per-entity counts — the window replay of the

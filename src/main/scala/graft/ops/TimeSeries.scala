@@ -242,4 +242,53 @@ object TimeSeries {
       .withColumn("r_positive", col("__rbest") > 0)
       .drop("__rbest")
   }
+
+  /** Multi-touch LINEAR attribution: every touch event of the same
+    * user strictly before a conversion and within `windowUs` shares
+    * the conversion's credit equally — the equal-weight sibling of the
+    * q42 as-of (last-touch) model. Credits are exact e6 integers that
+    * CONSERVE: each touch gets ⌊10⁶/k⌋ and the most recent touch
+    * (latest ts, then highest id — the deterministic remainder rule)
+    * absorbs 10⁶ − k·⌊10⁶/k⌋, so Σ credit per conversion is exactly
+    * 10⁶ (spec-pinned invariant; floored shares alone would leak
+    * credit). Conversions with no touch in window emit nothing.
+    *
+    * Scale shape: the touch×conversion pair generation is the q43
+    * bucketed range join specialized to per-user point-in-window — a
+    * conversion's window explodes to ≤ windowUs/bucketUs + 1 bucket
+    * keys, touches carry one, the join runs on (user, bucket) and an
+    * exact range filter, never a per-user cross product. The k-count
+    * and remainder rank are windows partitioned by conversion id.
+    * Output: (conv_id, touch_id, touch_us, k, credit_e6). */
+  def linearAttribution(events: DataFrame, userCol: String, idCol: String,
+                        tsCol: String, typeCol: String, convType: String,
+                        touchTypes: Seq[String], windowUs: Long,
+                        bucketUs: Long): DataFrame = {
+    require(windowUs > 0 && bucketUs > 0, s"need positive window/bucket, got $windowUs/$bucketUs")
+    val base = events.select(col(userCol).as("__u"), col(idCol).as("__id"),
+      unix_micros(col(tsCol)).as("__us"), col(typeCol).as("__ty"))
+      .filter(col("__u").isNotNull && col("__us").isNotNull)
+    val conv = base.filter(col("__ty") === convType)
+      .select(col("__u"), col("__id").as("conv_id"), col("__us").as("__cus"))
+      .withColumn("__bkt", explode(expr(
+        s"sequence((__cus - ${windowUs}L) DIV ${bucketUs}L, __cus DIV ${bucketUs}L)")))
+    val touch = base.filter(col("__ty").isin(touchTypes: _*))
+      .select(col("__u"), col("__id").as("touch_id"), col("__us").as("touch_us"))
+      .withColumn("__bkt", expr(s"touch_us DIV ${bucketUs}L"))
+    val pairs = touch.join(conv, Seq("__u", "__bkt"))
+      .filter(col("touch_us") < col("__cus") &&
+        col("touch_us") >= col("__cus") - lit(windowUs))
+    val wk = Window.partitionBy(col("conv_id"))
+    val wr = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_us").desc, col("touch_id").desc)
+    pairs
+      .withColumn("k", count(lit(1)).over(wk))
+      .withColumn("__rn", row_number().over(wr))
+      .withColumn("credit_e6",
+        expr("CAST(1000000 DIV k AS BIGINT)") +
+          when(col("__rn") === 1, lit(1000000L) - col("k") * expr("1000000 DIV k"))
+            .otherwise(lit(0L)))
+      .select(col("conv_id"), col("touch_id"), col("touch_us"), col("k"),
+        col("credit_e6"))
+  }
 }

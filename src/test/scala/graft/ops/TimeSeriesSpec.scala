@@ -160,4 +160,36 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(TimeSeries.cohortRetention(withNull, "user_id", "ts", 7)
       .agg(sum("n_users")).head().getLong(0) == 5L)
   }
+
+  test("linearAttribution: equal shares, remainder to the latest touch, credits conserve") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val rows = Seq(
+      // user A: 3 touches then a conversion — 333333×2 + 333334
+      (1L, 10L, ts(1000000L), "click"), (1L, 11L, ts(2000000L), "view"),
+      (1L, 12L, ts(3000000L), "click"), (1L, 13L, ts(4000000L), "purchase"),
+      // user B: touch exactly at window edge (included), one at conv ts (excluded)
+      (2L, 20L, ts(0L), "click"), (2L, 21L, ts(5000000L), "view"),
+      (2L, 22L, ts(5000000L), "purchase"),
+      // user C: conversion with no touch in window -> nothing
+      (3L, 30L, ts(9000000L), "purchase"),
+      // user D's touches never credit A/B's conversions
+      (4L, 40L, ts(3500000L), "click")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    def run(parts: Int) = TimeSeries.linearAttribution(rows.repartition(parts),
+        "user_id", "event_id", "ts", "event_type", "purchase",
+        Seq("click", "view"), windowUs = 5000000L, bucketUs = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    val got = run(1)
+    assert(got == Map(
+      (13L, 10L) -> ((3L, 333333L)), (13L, 11L) -> ((3L, 333333L)),
+      (13L, 12L) -> ((3L, 333334L)), // latest touch absorbs the remainder
+      (22L, 20L) -> ((1L, 1000000L))))
+    // conservation: every conversion's credits sum to exactly 1e6
+    got.groupBy(_._1._1).foreach { case (_, m) =>
+      assert(m.values.map(_._2).sum == 1000000L)
+    }
+    assert(run(16) == got)
+  }
 }
