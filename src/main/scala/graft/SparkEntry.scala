@@ -2156,6 +2156,16 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Feature hashing (Weinberger 2009): vocabulary-free signed-sum
+    // token features, sparse rows only — map-only + one hash agg,
+    // every feature an exact ±1 integer sum the oracle replays.
+    "q183_hashed_features" -> ((s, dir) => {
+      graft.ops.TextProfile.hashedFeatures(
+          t(s, dir, "documents"), "doc_id", "text", d = 64)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("dim"))
+    }),
+
     // Multi-touch linear attribution (3-day window): equal exact e6
     // shares with the deterministic remainder-to-latest rule, so every
     // conversion's credit conserves to exactly 10⁶ — the q43 bucketed
@@ -2984,6 +2994,20 @@ object SparkEntry {
                       - (((1000 * SUM(v)::HUGEINT) % COUNT(*) + COUNT(*)) % COUNT(*)))
                      // COUNT(*) AS BIGINT) AS mean_milli
          FROM k GROUP BY g ORDER BY 1""",
+
+    // The two independent md5 windows (dim from chars 1–15, sign parity
+    // from chars 17–31 — the minhash double-hashing discipline).
+    "q183_hashed_features" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+                      FROM documents),
+         s AS (SELECT doc_id,
+                      CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 64 AS INTEGER) AS dim,
+                      CASE WHEN CAST(('0x' || substr(md5(t), 17, 15)) AS BIGINT) % 2 = 0
+                           THEN 1 ELSE -1 END AS sgn
+               FROM tok)
+         SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS feat
+         FROM s GROUP BY 1, 2 HAVING SUM(sgn) <> 0
+         ORDER BY doc_id, dim""",
 
     // Naive per-user range join (oracle scale), same share arithmetic.
     "q182_linear_attribution" ->

@@ -194,6 +194,30 @@ object TextProfile {
       .withColumnRenamed("grp", groupCol)
   }
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009):
+    * each token adds ±1 to dimension md5₆₀(token) mod d, sign from an
+    * independent md5 window (the [[graft.functions.TextFunctions.md5Long]]
+    * startDigit family) — the unbiased signed construction, so inner
+    * products estimate token-count inner products without a vocabulary
+    * table, OOV problem, or fit step. Engine-portable and exact: every
+    * feature is an integer sum of ±1s. One token explode + one
+    * map-side-combined hash aggregate; output rows only for NONZERO
+    * dimensions (a sparse vector — at 100 TB never materialize d
+    * columns). Output: (id, dim, feat). */
+  def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
+                     d: Int): DataFrame = {
+    require(d >= 2, s"need d >= 2 dimensions, got $d")
+    docs
+      .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .select(col("id"),
+        pmod(TextFunctions.md5Long(col("__t")), lit(d.toLong)).cast("int").as("dim"),
+        when(pmod(TextFunctions.md5Long(col("__t"), startDigit = 17), lit(2L)) === 0L, 1L)
+          .otherwise(-1L).as("__s"))
+      .groupBy(col("id"), col("dim"))
+      .agg(sum(col("__s")).as("feat"))
+      .filter(col("feat") =!= 0L)
+  }
+
   /** Per-document out-of-vocabulary profile against an explicit
     * vocabulary relation — the tokenizer-coverage audit run before a
     * vocab ships (a rising OOV rate on a new corpus slice is the

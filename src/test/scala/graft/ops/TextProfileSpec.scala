@@ -82,6 +82,25 @@ class TextProfileSpec extends SparkSpecBase {
     assert(!out(1L)._2(4), "all lines ellipsis-ended trips the rule")
   }
 
+  test("hashedFeatures: signed sums match a replica; repeats add; zeros drop") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb aa aa"), (2L, "cc"), (3L, "")).toDF("doc_id", "text")
+    def h(tok: String, start: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(start - 1, start - 1 + 15), 16)
+    }
+    def expect(toks: Seq[String], d: Int): Map[Int, Long] =
+      toks.groupBy(t => (h(t, 1) % d).toInt).view.mapValues(_.map(t =>
+        if (h(t, 17) % 2 == 0) 1L else -1L).sum).toMap.filter(_._2 != 0L)
+    val got = TextProfile.hashedFeatures(docs.repartition(5), "doc_id", "text", d = 16)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).toMap).toMap
+    assert(got.getOrElse(1L, Map.empty) == expect(Seq("aa", "bb", "aa", "aa"), 16))
+    assert(got.getOrElse(2L, Map.empty) == expect(Seq("cc"), 16))
+    assert(!got.contains(3L)) // empty doc -> no rows
+  }
+
   test("oovProfile: exact per-doc counts, empty docs omitted, duplicate vocab harmless") {
     import spark.implicits._
     val docs = Seq(
