@@ -2156,6 +2156,32 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Benford first-digit audit over order line prices: per-digit
+    // observed vs log₁₀(1+1/d) expectation (constants inlined in both
+    // engines) with exact e6 χ² contributions — the fraud/synthetic-
+    // data screen as a one-scan aggregate.
+    "q185_benford_cells" -> ((s, dir) => {
+      graft.ops.Stats.benfordCells(t(s, dir, "lineitem"), col("l_extendedprice"))
+        .orderBy(col("digit"))
+    }),
+
+    // The one-row Benford decision (dof 8 critical value).
+    "q186_benford_test" -> ((s, dir) => {
+      graft.ops.Stats.benfordTest(t(s, dir, "lineitem"), col("l_extendedprice"))
+    }),
+
+    // Position-based (U-shaped 40/20/40) attribution — q182's pair
+    // machinery with the position weight rule; exact conservation via
+    // remainder-to-latest-middle, degenerate k per the documented
+    // convention.
+    "q184_position_attribution" -> ((s, dir) => {
+      graft.ops.TimeSeries.positionAttribution(t(s, dir, "events"),
+          "user_id", "event_id", "ts", "event_type", "purchase",
+          Seq("click", "view"),
+          windowUs = 3L * 86400L * 1000000L, bucketUs = 86400L * 1000000L)
+        .orderBy(col("conv_id"), col("touch_id"))
+    }),
+
     // Feature hashing (Weinberger 2009): vocabulary-free signed-sum
     // token features, sparse rows only — map-only + one hash agg,
     // every feature an exact ±1 integer sum the oracle replays.
@@ -2994,6 +3020,77 @@ object SparkEntry {
                       - (((1000 * SUM(v)::HUGEINT) % COUNT(*) + COUNT(*)) % COUNT(*)))
                      // COUNT(*) AS BIGINT) AS mean_milli
          FROM k GROUP BY g ORDER BY 1""",
+
+    // First digit from the floored integer's decimal string; the nine
+    // log10 proportions arrive as inlined e9 literals (single JVM
+    // evaluation — the linearCountTable rule).
+    "q185_benford_cells" -> {
+      val props = graft.ops.Stats.benfordPropE9.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, ${p}::HUGEINT)" }.mkString(", ")
+      s"""WITH v AS (SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+                    FROM lineitem
+                    WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+         o AS (SELECT digit, CAST(COUNT(*) AS HUGEINT) AS o FROM v GROUP BY 1),
+         d AS (SELECT * FROM (VALUES $props) AS t(digit, p)),
+         g AS (SELECT d.digit, d.p, COALESCE(o.o, 0) AS o FROM d LEFT JOIN o USING (digit)),
+         nn AS (SELECT SUM(o) AS n FROM g)
+         SELECT digit, CAST(o AS BIGINT) AS observed,
+                CAST((n * p) // 1000 AS BIGINT) AS expected_e6,
+                CAST((1000000::HUGEINT * (o*1000000000 - n*p) * (o*1000000000 - n*p))
+                     // (1000000000::HUGEINT * n * p) AS BIGINT) AS contrib_e6
+         FROM g, nn ORDER BY digit"""
+    },
+
+    "q186_benford_test" -> {
+      val props = graft.ops.Stats.benfordPropE9.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, ${p}::HUGEINT)" }.mkString(", ")
+      s"""WITH v AS (SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+                    FROM lineitem
+                    WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+         o AS (SELECT digit, CAST(COUNT(*) AS HUGEINT) AS o FROM v GROUP BY 1),
+         d AS (SELECT * FROM (VALUES $props) AS t(digit, p)),
+         g AS (SELECT d.digit, d.p, COALESCE(o.o, 0) AS o FROM d LEFT JOIN o USING (digit)),
+         nn AS (SELECT SUM(o) AS n FROM g),
+         c AS (SELECT SUM(o) AS n,
+                      SUM((1000000::HUGEINT * (o*1000000000 - nn.n*p) * (o*1000000000 - nn.n*p))
+                          // (1000000000::HUGEINT * nn.n * p)) AS chi2
+               FROM g, nn)
+         SELECT CAST(n AS BIGINT) AS n, CAST(chi2 AS BIGINT) AS chi2_e6,
+                CAST(CASE WHEN chi2 > ${graft.ops.Stats.chi2Crit05E6(7)} THEN 1 ELSE 0 END AS INTEGER) AS nonconforming_05
+         FROM c"""
+    },
+
+    // q182's pair CTE + ascending position rank + the 40/20/40 rule.
+    "q184_position_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         c AS (SELECT user_id, event_id AS conv_id, us AS cus FROM e
+               WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, event_id AS touch_id, us AS tus FROM e
+               WHERE event_type IN ('click', 'view')),
+         p AS (SELECT c.conv_id, t.touch_id, t.tus FROM c JOIN t USING (user_id)
+               WHERE t.tus < c.cus AND t.tus >= c.cus - 259200000000),
+         k AS (SELECT conv_id, touch_id, tus,
+                      COUNT(*) OVER (PARTITION BY conv_id) AS k,
+                      row_number() OVER (PARTITION BY conv_id
+                        ORDER BY tus ASC, touch_id ASC) AS rn
+               FROM p),
+         w AS (SELECT conv_id, touch_id, tus, k, rn,
+                      CASE WHEN rn = 1 THEN 'first'
+                           WHEN rn = k THEN 'last' ELSE 'middle' END AS position,
+                      200000 // GREATEST(k - 2, 1) AS mid
+               FROM k)
+         SELECT conv_id, touch_id, CAST(tus AS BIGINT) AS touch_us,
+                CAST(k AS BIGINT) AS k, position,
+                CAST(CASE WHEN k = 1 THEN 1000000
+                          WHEN k = 2 THEN CASE WHEN position = 'first'
+                                               THEN 400000 ELSE 600000 END
+                          ELSE CASE WHEN position = 'first' THEN 400000
+                                    WHEN position = 'last' THEN 400000
+                                    ELSE mid + CASE WHEN rn = k - 1
+                                      THEN 200000 - (k - 2) * mid ELSE 0 END END
+                     END AS BIGINT) AS credit_e6
+         FROM w ORDER BY conv_id, touch_id""",
 
     // The two independent md5 windows (dim from chars 1–15, sign parity
     // from chars 17–31 — the minhash double-hashing discipline).

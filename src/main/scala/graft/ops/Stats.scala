@@ -131,6 +131,57 @@ object Stats {
     3841459L, 5991465L, 7814728L, 9487729L, 11070498L,
     12591587L, 14067140L, 15507313L, 16918978L, 18307038L)
 
+  /** Benford's-law first-digit proportions log₁₀(1 + 1/d), d = 1..9,
+    * in e9 quanta — evaluated ONCE in this JVM and inlined as literals
+    * on both engine sides (the linearCountTable discipline; no engine
+    * ever evaluates a log). */
+  val benfordPropE9: IndexedSeq[Long] =
+    (1 to 9).map(d => Math.round(1e9 * math.log10(1.0 + 1.0 / d)))
+
+  /** Benford's-law first-significant-digit audit — the fraud/synthetic-
+    * data screen: naturally-scaled positive quantities follow
+    * P(d) = log₁₀(1+1/d); fabricated ones rarely do. Per digit:
+    * observed count, expected_e6 = ⌊n·p₉/10³⌋ (an e6-scaled count),
+    * and the goodness-of-fit χ² contribution
+    * contrib_e6 = ⌊10⁶·(O·10⁹ − n·p₉)² / (10⁹·n·p₉)⌋ — exact integers
+    * throughout (the (O−E)²/E term cleared of the e9 proportion
+    * denominators). Digits with zero observations still appear (the
+    * 9-row grid is fixed). Non-positive and NULL values are excluded
+    * (Benford is defined on positive magnitudes). 128-bit envelope:
+    * (O·10⁹)²·10⁶ < 10³⁸ → n ≲ 3·10⁷ rows. */
+  def benfordCells(df: DataFrame, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = benfordPropE9.zipWithIndex
+      .map { case (p, i) => (i + 1, p) }.toDF("digit", "__p_e9")
+    val obs = df.filter(value.isNotNull && value > 0)
+      .select(substring(floor(value).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).cast(dec).as("__o"))
+    val tot = obs.agg(sum(col("__o")).as("__n"))
+    val e6 = lit(1000000L).cast(dec)
+    val e9 = lit(1000000000L).cast(dec)
+    val diff = col("__o") * e9 - col("__n") * col("__p_e9").cast(dec)
+    broadcast(digits).join(obs, Seq("digit"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L).cast(dec)))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"),
+        col("__o").cast("long").as("observed"),
+        floorDiv(col("__n") * col("__p_e9").cast(dec), lit(1000L).cast(dec))
+          .as("expected_e6"),
+        floorDiv(e6 * diff * diff, e9 * col("__n") * col("__p_e9").cast(dec))
+          .as("contrib_e6"))
+  }
+
+  /** The one-row Benford decision: χ² = Σ floored contributions vs the
+    * dof-8 critical value from [[chi2Crit05E6]] (9 digits − 1). */
+  def benfordTest(df: DataFrame, value: Column): DataFrame =
+    benfordCells(df, value)
+      .agg(sum(col("observed")).as("n"), sum(col("contrib_e6")).as("chi2_e6"))
+      .select(col("n"), col("chi2_e6"),
+        when(col("chi2_e6") > lit(chi2Crit05E6(7)), 1).otherwise(0)
+          .as("nonconforming_05"))
+
   /** The full contingency table of two categorical columns with exact
     * per-cell χ² legs: observed count (ZERO cells included — the
     * category grid is the cross of the observed row/column marginals),

@@ -291,4 +291,56 @@ object TimeSeries {
       .select(col("conv_id"), col("touch_id"), col("touch_us"), col("k"),
         col("credit_e6"))
   }
+
+  /** Position-based ("U-shaped") attribution — the 40/20/40 industry
+    * convention: the FIRST and LAST touch in window each take
+    * firstMilli/lastMilli (‰ of the conversion's credit), the middle
+    * touches split the remainder equally. Same pair machinery and the
+    * same exact-conservation discipline as [[linearAttribution]]:
+    * middles take ⌊rem/ (k−2)⌋ each and the touch just before the last
+    * (the latest middle) absorbs the division remainder, so Σ credit
+    * per conversion is exactly 10⁶ (spec-pinned). Degenerate shapes
+    * follow the convention: k = 1 → the only touch takes everything;
+    * k = 2 → first/last split first:last rescaled to 10⁶ (the middle
+    * pot goes to the LAST touch, the recency rule). Output:
+    * (conv_id, touch_id, touch_us, k, position, credit_e6) with
+    * position ∈ first|middle|last. */
+  def positionAttribution(events: DataFrame, userCol: String, idCol: String,
+                          tsCol: String, typeCol: String, convType: String,
+                          touchTypes: Seq[String], windowUs: Long, bucketUs: Long,
+                          firstMilli: Int = 400, lastMilli: Int = 400): DataFrame = {
+    require(firstMilli >= 0 && lastMilli >= 0 && firstMilli + lastMilli <= 1000,
+      s"first/last permille must be non-negative and sum <= 1000, got $firstMilli/$lastMilli")
+    val base = linearAttribution(events, userCol, idCol, tsCol, typeCol,
+      convType, touchTypes, windowUs, bucketUs)
+      .drop("credit_e6")
+    val wAsc = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_us").asc, col("touch_id").asc)
+    val firstE6 = firstMilli * 1000L
+    val lastE6 = lastMilli * 1000L
+    val midPot = 1000000L - firstE6 - lastE6
+    base
+      .withColumn("__rn", row_number().over(wAsc))
+      .withColumn("position",
+        when(col("__rn") === 1, "first")
+          .when(col("__rn") === col("k"), "last")
+          .otherwise("middle"))
+      // middles take ⌊midPot/(k−2)⌋; the LATEST middle (rn = k−1)
+      // absorbs the division remainder so the pot never leaks.
+      // greatest(…,1) keeps the (unused) k ≤ 2 branches from tripping
+      // ANSI divide-by-zero — CASE arms all evaluate under codegen
+      .withColumn("__mid", expr(s"CAST($midPot DIV greatest(k - 2, 1) AS BIGINT)"))
+      .withColumn("credit_e6",
+        when(col("k") === 1, lit(1000000L))
+          .when(col("k") === 2,
+            when(col("position") === "first", lit(firstE6))
+              .otherwise(lit(lastE6 + midPot)))
+          .otherwise(when(col("position") === "first", lit(firstE6))
+            .when(col("position") === "last", lit(lastE6))
+            .otherwise(col("__mid") +
+              when(col("__rn") === col("k") - 1,
+                lit(midPot) - (col("k") - 2) * col("__mid")).otherwise(lit(0L)))))
+      .select(col("conv_id"), col("touch_id"), col("touch_us"), col("k"),
+        col("position"), col("credit_e6"))
+  }
 }

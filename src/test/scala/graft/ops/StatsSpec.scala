@@ -135,6 +135,39 @@ class StatsSpec extends SparkSpecBase {
     assert(got(("a", "c")) == ((3L, true, 0)))
   }
 
+  // ---- Benford ------------------------------------------------------------------
+
+  test("benford: log-uniform magnitudes conform, uniform ones do not") {
+    import spark.implicits._
+    // log-uniform over 3 decades -> first digits follow Benford closely
+    val logu = (0 until 3000).map(i => math.pow(10.0, 1.0 + 3.0 * i / 3000.0))
+    val c = Stats.benfordTest(logu.toDF("v"), col("v")).head()
+    assert(c.getInt(2) == 0, s"chi2_e6=${c.getLong(1)}")
+    // uniform 1..9000 -> digit 1 hugely over-represented at the top decade
+    val uni = (1 to 9000).map(_.toDouble)
+    val u = Stats.benfordTest(uni.toDF("v"), col("v")).head()
+    assert(u.getInt(2) == 1, s"chi2_e6=${u.getLong(1)}")
+  }
+
+  test("benford cells: BigInt replica, fixed 9-row grid, non-positive excluded") {
+    import spark.implicits._
+    val vals = Seq(1.5, 19.0, 23.0, 2.0, 31.0, 0.0, -5.0) // digits 1,1,2,2,3; 0/-5 dropped
+    val df = vals.toDF("v")
+    val got = Stats.benfordCells(df, col("v"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 9 && got.keySet == (1 to 9).toSet)
+    val n = BigInt(5)
+    def fd(a: BigInt, b: BigInt) = ((a - a.mod(b)) / b).toLong
+    (1 to 9).foreach { d =>
+      val o = BigInt(Map(1 -> 2, 2 -> 2, 3 -> 1).getOrElse(d, 0))
+      val p = BigInt(Stats.benfordPropE9(d - 1))
+      val diff = o * BigInt(1000000000) - n * p
+      assert(got(d) == ((o.toLong,
+        fd(n * p, BigInt(1000)),
+        fd(BigInt(1000000) * diff * diff, BigInt(1000000000) * n * p))), s"digit $d")
+    }
+  }
+
   // ---- chi-square ---------------------------------------------------------------
 
   test("chiSquare: hand-traced 2×2 with equal marginals") {

@@ -192,4 +192,38 @@ class TimeSeriesSpec extends SparkSpecBase {
     }
     assert(run(16) == got)
   }
+
+  test("positionAttribution: 40/20/40 with remainder to the latest middle; degenerate k") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val rows = Seq(
+      // user A: 5 touches -> first 400000, last 400000, middles split 200000
+      // into 66666/66666/66668 (remainder 2 to the latest middle)
+      (1L, 10L, ts(1000000L), "click"), (1L, 11L, ts(2000000L), "view"),
+      (1L, 12L, ts(3000000L), "click"), (1L, 13L, ts(4000000L), "view"),
+      (1L, 14L, ts(4500000L), "click"), (1L, 15L, ts(5000000L), "purchase"),
+      // user B: k = 1 -> everything; user C: k = 2 -> 400000 / 600000
+      (2L, 20L, ts(1000000L), "click"), (2L, 21L, ts(2000000L), "purchase"),
+      (3L, 30L, ts(1000000L), "click"), (3L, 31L, ts(2000000L), "view"),
+      (3L, 32L, ts(3000000L), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    def run(parts: Int) = TimeSeries.positionAttribution(rows.repartition(parts),
+        "user_id", "event_id", "ts", "event_type", "purchase",
+        Seq("click", "view"), windowUs = 5000000L, bucketUs = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(4), r.getLong(5)))).toMap
+    val got = run(1)
+    assert(got((15L, 10L)) == (("first", 400000L)))
+    assert(got((15L, 14L)) == (("last", 400000L)))
+    assert(got((15L, 11L)) == (("middle", 66666L)))
+    assert(got((15L, 12L)) == (("middle", 66666L)))
+    assert(got((15L, 13L)) == (("middle", 66668L))) // latest middle absorbs 2
+    assert(got((21L, 20L)) == (("first", 1000000L))) // k = 1
+    assert(got((32L, 30L)) == (("first", 400000L)) &&
+      got((32L, 31L)) == (("last", 600000L))) // k = 2: middle pot to last
+    got.groupBy(_._1._1).foreach { case (_, m) =>
+      assert(m.values.map(_._2).sum == 1000000L)
+    }
+    assert(run(16) == got)
+  }
 }
