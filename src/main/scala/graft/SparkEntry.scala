@@ -3029,7 +3029,7 @@ object SparkEntry {
         .map { case (p, i) => s"(${i + 1}, ${p}::HUGEINT)" }.mkString(", ")
       s"""WITH v AS (SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
                     FROM lineitem
-                    WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+                    WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1),
          o AS (SELECT digit, CAST(COUNT(*) AS HUGEINT) AS o FROM v GROUP BY 1),
          d AS (SELECT * FROM (VALUES $props) AS t(digit, p)),
          g AS (SELECT d.digit, d.p, COALESCE(o.o, 0) AS o FROM d LEFT JOIN o USING (digit)),
@@ -3046,7 +3046,7 @@ object SparkEntry {
         .map { case (p, i) => s"(${i + 1}, ${p}::HUGEINT)" }.mkString(", ")
       s"""WITH v AS (SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
                     FROM lineitem
-                    WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+                    WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1),
          o AS (SELECT digit, CAST(COUNT(*) AS HUGEINT) AS o FROM v GROUP BY 1),
          d AS (SELECT * FROM (VALUES $props) AS t(digit, p)),
          g AS (SELECT d.digit, d.p, COALESCE(o.o, 0) AS o FROM d LEFT JOIN o USING (digit)),
@@ -5762,24 +5762,33 @@ object SparkEntry {
                 GROUP BY 1),
          w1 AS (SELECT s0.item, (s0.wins * 1000000000000::HUGEINT) // d1.d AS raw
                 FROM s0 JOIN d1 USING (item)),
-         r1 AS (SELECT item, (raw * (SELECT c FROM ni) * 1000000::HUGEINT)
-                             // (SELECT SUM(raw) FROM w1) AS pi FROM w1),
+         r1 AS (SELECT w1.item,
+                       GREATEST((raw * (SELECT c FROM ni) * 1000000::HUGEINT)
+                                // (SELECT SUM(raw) FROM w1),
+                                CASE WHEN s0.wins > 0 THEN 1::HUGEINT ELSE 0::HUGEINT END) AS pi
+                FROM w1 JOIN s0 USING (item)),
          d2 AS (SELECT dp.i AS item,
                        SUM((dp.n * 1000000000000::HUGEINT) // (ri.pi + rj.pi)) AS d
                 FROM dp JOIN r1 ri ON ri.item = dp.i JOIN r1 rj ON rj.item = dp.j
                 GROUP BY 1),
          w2 AS (SELECT s0.item, (s0.wins * 1000000000000::HUGEINT) // d2.d AS raw
                 FROM s0 JOIN d2 USING (item)),
-         r2 AS (SELECT item, (raw * (SELECT c FROM ni) * 1000000::HUGEINT)
-                             // (SELECT SUM(raw) FROM w2) AS pi FROM w2),
+         r2 AS (SELECT w2.item,
+                       GREATEST((raw * (SELECT c FROM ni) * 1000000::HUGEINT)
+                                // (SELECT SUM(raw) FROM w2),
+                                CASE WHEN s0.wins > 0 THEN 1::HUGEINT ELSE 0::HUGEINT END) AS pi
+                FROM w2 JOIN s0 USING (item)),
          d3 AS (SELECT dp.i AS item,
                        SUM((dp.n * 1000000000000::HUGEINT) // (ri.pi + rj.pi)) AS d
                 FROM dp JOIN r2 ri ON ri.item = dp.i JOIN r2 rj ON rj.item = dp.j
                 GROUP BY 1),
          w3 AS (SELECT s0.item, (s0.wins * 1000000000000::HUGEINT) // d3.d AS raw
                 FROM s0 JOIN d3 USING (item)),
-         r3 AS (SELECT item, (raw * (SELECT c FROM ni) * 1000000::HUGEINT)
-                             // (SELECT SUM(raw) FROM w3) AS pi FROM w3)
+         r3 AS (SELECT w3.item,
+                       GREATEST((raw * (SELECT c FROM ni) * 1000000::HUGEINT)
+                                // (SELECT SUM(raw) FROM w3),
+                                CASE WHEN s0.wins > 0 THEN 1::HUGEINT ELSE 0::HUGEINT END) AS pi
+                FROM w3 JOIN s0 USING (item))
          SELECT s0.item, CAST(r3.pi AS BIGINT) AS rating_micro,
                 CAST(s0.wins AS BIGINT) AS wins, CAST(s0.n_games AS BIGINT) AS n_games
          FROM s0 JOIN r3 USING (item) ORDER BY s0.item""",

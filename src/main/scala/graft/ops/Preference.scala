@@ -32,10 +32,16 @@ import org.apache.spark.sql.types.DecimalType
   * synthetic win/loss pairs per item).
   *
   * Safety of the divisions: a pair row (i,j) exists only where a game
-  * was played, and every game produces a winner, so after each round at
-  * least one side of every pair has wins > 0 and hence pi > 0 — no
-  * denominator (pi_i + pi_j) is ever 0; the normalization total is > 0
-  * whenever any game exists.
+  * was played and every game has a winner — but BOTH floored stages
+  * can round a low-share winner to 0 under extreme skew (raw =
+  * ⌊wins·big/d⌋ when d > wins·big, and the renormalization when
+  * raw·nItems·scale < tot), after which a pair of two zero-π items
+  * would zero the next round's (π_i + π_j) denominator (DIV 0 → NULL,
+  * poisoning every rating it touches). So π is clamped to ≥ 1 quantum
+  * for every item with wins > 0: each pair's winner side then keeps
+  * π ≥ 1, every denominator is positive by construction, and all-loss
+  * items still reach exactly 0 (the boundary-MLE direction is
+  * preserved, not smoothed).
   *
   * Scale shape: the game log aggregates ONCE to the directed pair
   * relation (i, j, n) — |items|²-bounded and in practice sparse — and
@@ -89,13 +95,18 @@ object Preference {
             .as("__t"))
         .groupBy(col("item")).agg(sum(col("__t")).as("__d"))
       val raw = stats.join(denom, Seq("item"))
-        .select(col("item"),
+        .select(col("item"), col("wins"),
           expr(s"CAST((CAST(wins AS DECIMAL(38,0)) * CAST($big AS DECIMAL(38,0))) DIV __d AS DECIMAL(38,0))")
             .as("__raw"))
       val tot = raw.agg(sum(col("__raw")).as("__tot"))
+      // Winner floor (header doc): both floored stages can round a
+      // low-share winner to 0 under extreme skew, and a pair of two
+      // zero-π items would zero the next round's (π_i + π_j)
+      // denominator. π ≥ 1 for every item with wins > 0 keeps each
+      // pair's winner side positive; true losers stay exactly 0.
       r = materialize(raw.crossJoin(broadcast(tot))
         .select(col("item"),
-          expr(s"CAST((__raw * CAST($nItems AS DECIMAL(38,0)) * CAST($scale AS DECIMAL(38,0))) DIV __tot AS DECIMAL(38,0))")
+          expr(s"CAST(greatest((__raw * CAST($nItems AS DECIMAL(38,0)) * CAST($scale AS DECIMAL(38,0))) DIV __tot, CASE WHEN wins > 0 THEN 1 ELSE 0 END) AS DECIMAL(38,0))")
             .as("__pi")))
     }
     stats.join(r, Seq("item"))

@@ -146,15 +146,21 @@ object Stats {
     * contrib_e6 = ⌊10⁶·(O·10⁹ − n·p₉)² / (10⁹·n·p₉)⌋ — exact integers
     * throughout (the (O−E)²/E term cleared of the e9 proportion
     * denominators). Digits with zero observations still appear (the
-    * 9-row grid is fixed). Non-positive and NULL values are excluded
-    * (Benford is defined on positive magnitudes). 128-bit envelope:
+    * 9-row grid is fixed). The audited domain is value ≥ 1: NULLs,
+    * non-positives AND fractional magnitudes in (0,1) are excluded —
+    * the first digit here is the leading digit of the integer part,
+    * NOT the normalized first significant digit of a sub-unit value
+    * (a documented deviation; normalizing 0.0042 → 4 would need a
+    * float-hazardous log₁₀/multiplication ladder on both engines).
+    * Restricting BEFORE counting keeps n equal to the digit-grid
+    * total, so observed sums to n exactly. 128-bit envelope:
     * (O·10⁹)²·10⁶ < 10³⁸ → n ≲ 3·10⁷ rows. */
   def benfordCells(df: DataFrame, value: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val digits = benfordPropE9.zipWithIndex
       .map { case (p, i) => (i + 1, p) }.toDF("digit", "__p_e9")
-    val obs = df.filter(value.isNotNull && value > 0)
+    val obs = df.filter(value.isNotNull && value >= 1)
       .select(substring(floor(value).cast("long").cast("string"), 1, 1)
         .cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).cast(dec).as("__o"))

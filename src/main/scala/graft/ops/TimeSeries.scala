@@ -301,8 +301,13 @@ object TimeSeries {
     * (the latest middle) absorbs the division remainder, so Σ credit
     * per conversion is exactly 10⁶ (spec-pinned). Degenerate shapes
     * follow the convention: k = 1 → the only touch takes everything;
-    * k = 2 → first/last split first:last rescaled to 10⁶ (the middle
-    * pot goes to the LAST touch, the recency rule). Output:
+    * k = 2 → the first touch takes exactly firstMilli·10³ and the
+    * LAST touch takes lastMilli·10³ PLUS the entire middle pot (the
+    * recency rule: last touch absorbs the pot on top of its own
+    * share — with 100/100 permille that's 100000/900000, NOT a 1:1
+    * rescale; the defaults 400/400 give 400000/600000). The gate
+    * covers only the 400/400 defaults (the oracle inlines them);
+    * non-default weights are spec-covered, not oracle-gated. Output:
     * (conv_id, touch_id, touch_us, k, position, credit_e6) with
     * position ∈ first|middle|last. */
   def positionAttribution(events: DataFrame, userCol: String, idCol: String,

@@ -30,7 +30,12 @@ class PreferenceSpec extends SparkSpecBase {
         i -> (wins.getOrElse(i, BigInt(0)) * big) / d
       }.toMap
       val tot = raw.values.sum
-      pi = raw.map { case (i, v) => i -> (v * items.size * scale) / tot }
+      // winner floor: π ≥ 1 quantum for any item with wins > 0 (the
+      // zero-denominator guard in the distributed op)
+      pi = raw.map { case (i, v) =>
+        val floorQ = if (wins.getOrElse(i, BigInt(0)) > 0) BigInt(1) else BigInt(0)
+        i -> ((v * items.size * scale) / tot).max(floorQ)
+      }
     }
     pi
   }
@@ -72,6 +77,20 @@ class PreferenceSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(base == repart)
     assert(base == run(games))
+  }
+
+  test("extreme skew: a low-share winner floors at 1 quantum, not 0 (no NULL poisoning)") {
+    // A beats B 10⁶ times, B beats C once: without the winner floor,
+    // B's rating rounds to 0 by round 4 and the round-5 (B,C) pair
+    // divides by zero (π_B + π_C = 0) → NULL ratings everywhere. With
+    // the floor, B bottoms out at 1 quantum and C (all-loss) stays 0.
+    val games = Seq.fill(1000000)("A" -> "B") :+ ("B" -> "C")
+    val got = run(games, iters = 5)
+    assert(got("B")._1 >= 1L, s"winner B must keep >= 1 quantum, got ${got("B")._1}")
+    assert(got("C")._1 == 0L)
+    assert(got("A")._1 > got("B")._1)
+    val ref = reference(games, 5)
+    assert(got.map { case (k, (r, _, _)) => k -> BigInt(r) } == ref)
   }
 
   test("null and self games are dropped") {

@@ -149,6 +149,22 @@ class StatsSpec extends SparkSpecBase {
     assert(u.getInt(2) == 1, s"chi2_e6=${u.getLong(1)}")
   }
 
+  test("benford: sub-unit fractions are excluded from BOTH observed and n") {
+    import spark.implicits._
+    // 0.42 floors to first-digit '0' — pre-fix it was dropped from the
+    // 9-digit grid but still inflated n, diverging from the oracle's
+    // digit-restricted total. The domain is value >= 1: 0.42 and 0.9
+    // must not appear in observed OR in the n behind expected_e6.
+    val df = Seq(1.0, 2.0, 0.42, 0.9, 3.0).toDF("v")
+    val got = Stats.benfordCells(df, col("v"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.values.map(_._1).sum == 3L) // only 1.0, 2.0, 3.0 counted
+    // expected_e6 for digit 1 = floor(n * p_e9 / 1e3) with n = 3, not 5
+    assert(got(1)._2 == 3L * Stats.benfordPropE9(0) / 1000L)
+    val t = Stats.benfordTest(df, col("v")).head()
+    assert(t.getLong(0) == 3L, s"n must be the restricted total, got ${t.getLong(0)}")
+  }
+
   test("benford cells: BigInt replica, fixed 9-row grid, non-positive excluded") {
     import spark.implicits._
     val vals = Seq(1.5, 19.0, 23.0, 2.0, 31.0, 0.0, -5.0) // digits 1,1,2,2,3; 0/-5 dropped
