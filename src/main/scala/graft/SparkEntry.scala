@@ -2317,6 +2317,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVFADC — the Jégou 2011 composition: the q30 coarse quantizer
+    // prunes the ADC scan to each query's nprobe nearest cells, so a
+    // query pays ~nprobe/C of the corpus instead of all of it (the
+    // difference between a correct index and an interactive one at
+    // 100 TB — bucket doubles as a write-time partition key there).
+    // Raw-vector codes (no residual re-encode, documented deviation);
+    // nprobe = C degenerates to exactly q170 (spec-pinned).
+    "q187_ivf_adc_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = pqModelFor(s, dir)
+      val centroids = VF.centroidsByLabel(emb, "label", "embedding")
+      val queries = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(10)
+      graft.functions.ProductQuantizer.ivfAdcTopK(
+          queries, emb, centroids, model, "vec_id", "embedding", k = 10, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Quantile-gated quality filter (CCNet-style "drop the worst
     // quartile per language", but threshold-based): per-language p25
     // of the token count from the mergeable histogram sketch, bins
@@ -2927,7 +2944,7 @@ object SparkEntry {
     * per-query LUT join + rank. One CTE pair per iteration, built
     * programmatically like the BPE chain. */
   private def pqOracleSql(m: Int, subDim: Int, k: Int, iters: Int,
-                          adc: Boolean): String = {
+                          adc: Boolean, ivfNprobe: Int = 0): String = {
     def assign(out: String, model: String) =
       s"""$out AS (SELECT vec_id, s, c FROM (
            SELECT sub.vec_id, sub.s, kk.c,
@@ -2965,29 +2982,65 @@ object SparkEntry {
       s"""$prefix
          SELECT vec_id, CAST(s AS INTEGER) AS subspace, CAST(c AS INTEGER) AS code
          FROM enc ORDER BY vec_id, subspace"""
-    else
+    else {
+      // ivfNprobe > 0 composes the q30 coarse-quantizer CTEs in front:
+      // every corpus vector gets its nearest integer-sum label centroid
+      // (cosine desc, id tie), each query probes the nprobe nearest
+      // cells, and the ADC join keeps only candidates in probed cells.
+      val ivfCtes =
+        if (ivfNprobe <= 0) ""
+        else s""",
+         ivfc AS (SELECT label AS centroid_id, list(mm ORDER BY pos) AS cv
+                  FROM (SELECT label, i AS pos,
+                               CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824) AS DECIMAL(38,0))) AS DOUBLE) AS mm
+                        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS r(i)
+                        GROUP BY label, i) GROUP BY label),
+         ivfn AS (SELECT centroid_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nrm FROM ivfc),
+         ivfs AS (SELECT e0.vec_id, c.centroid_id,
+                         list_sum(list_transform(list_zip(e0.embedding, c.cv),
+                           x -> CAST(x[1] AS DOUBLE) * x[2])) / c.nrm AS sc
+                  FROM embeddings e0, ivfn c),
+         bkt AS (SELECT vec_id, centroid_id AS bucket FROM ivfs
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, centroid_id) = 1),
+         qpr AS (SELECT ivfs.vec_id AS query_id, ivfs.centroid_id AS bucket
+                 FROM ivfs JOIN qsel ON qsel.vec_id = ivfs.vec_id
+                 QUALIFY row_number() OVER (PARTITION BY ivfs.vec_id ORDER BY sc DESC, centroid_id) <= $ivfNprobe)"""
+      val adcCte =
+        if (ivfNprobe <= 0)
+          s"""adc AS (SELECT l.query_id, enc.vec_id AS neighbor_id, SUM(l.d) AS dist
+                 FROM enc JOIN lut l ON l.s = enc.s AND l.c = enc.c
+                                    AND enc.vec_id <> l.query_id
+                 GROUP BY 1, 2)"""
+        else
+          s"""adc AS (SELECT l.query_id, enc.vec_id AS neighbor_id, SUM(l.d) AS dist
+                 FROM enc
+                 JOIN bkt ON bkt.vec_id = enc.vec_id
+                 JOIN qpr ON qpr.bucket = bkt.bucket
+                 JOIN lut l ON l.query_id = qpr.query_id AND l.s = enc.s AND l.c = enc.c
+                            AND enc.vec_id <> l.query_id
+                 GROUP BY 1, 2)"""
       s"""$prefix,
          qsel AS (SELECT vec_id FROM e
-                  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 10),
+                  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 10)$ivfCtes,
          lut AS (SELECT sub.vec_id AS query_id, kk.s, kk.c,
                         CAST(list_sum(list_transform(list_zip(sub.qv, kk.cv),
                           x -> (x[1]-x[2])*(x[1]-x[2]))) AS HUGEINT) AS d
                  FROM sub JOIN qsel USING (vec_id) JOIN c$iters kk ON kk.s = sub.s),
-         adc AS (SELECT l.query_id, enc.vec_id AS neighbor_id, SUM(l.d) AS dist
-                 FROM enc JOIN lut l ON l.s = enc.s AND l.c = enc.c
-                                    AND enc.vec_id <> l.query_id
-                 GROUP BY 1, 2),
+         $adcCte,
          topk AS (SELECT query_id, neighbor_id, dist,
                          row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
                   FROM adc QUALIFY rnk <= 10)
          SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id,
                 CAST(dist AS BIGINT) AS adc_dist
          FROM topk ORDER BY query_id, rank"""
+    }
   }
 
   def oracleSql: Map[String, String] = Map(
     "q169_pq_codes" -> pqOracleSql(m = 4, subDim = 16, k = 8, iters = 2, adc = false),
     "q170_pq_adc_topk" -> pqOracleSql(m = 4, subDim = 16, k = 8, iters = 2, adc = true),
+    "q187_ivf_adc_topk" -> pqOracleSql(m = 4, subDim = 16, k = 8, iters = 2,
+      adc = true, ivfNprobe = 3),
 
     // The merge contract IS "k smallest of the full corpus", so the
     // oracle replays q163's from-scratch sketch — no split modeled.

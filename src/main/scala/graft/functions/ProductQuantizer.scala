@@ -49,31 +49,25 @@ object ProductQuantizer {
     transform(slice(vec, s * subDim + 1, subDim),
       x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
 
-  /** Exact integer L2² between a long-array column and a literal
-    * centroid (subDim·(2·10⁶·max|x|)² stays far inside a long). */
-  private def l2sqLit(qv: Column, cv: IndexedSeq[Long]): Column =
-    cv.zipWithIndex.map { case (c, i) =>
-      val d = element_at(qv, i + 1) - lit(c)
-      d * d
-    }.reduce(_ + _)
-
-  /** (id, s, qv) exploded subvector relation. */
+  /** (id[, keep...], s, qv) exploded subvector relation; `keep` columns
+    * ride along unchanged (the IVFADC path carries the coarse bucket). */
   private def subRelation(corpus: DataFrame, idCol: String, vecCol: String,
-                          m: Int, subDim: Int): DataFrame =
-    corpus.select(col(idCol).as("id"),
+                          m: Int, subDim: Int, keep: Seq[String] = Nil): DataFrame =
+    corpus.select((col(idCol).as("id") +: keep.map(col)) :+
         explode(array((0 until m).map(s =>
-          struct(lit(s).as("s"), subvecE6(col(vecCol), s, subDim).as("qv"))): _*)).as("e"))
-      .select(col("id"), col("e.s").as("s"), col("e.qv").as("qv"))
+          struct(lit(s).as("s"), subvecE6(col(vecCol), s, subDim).as("qv"))): _*)).as("e"): _*)
+      .select((col("id") +: keep.map(col)) ++
+        Seq(col("e.s").as("s"), col("e.qv").as("qv")): _*)
 
   /** Argmin code over each subspace's live centroids, ties to the
-    * smaller code — one coalesced CASE over the inlined model. */
+    * smaller code. Was a coalesced CASE over m·k·subDim inlined
+    * literal terms — which blows the JVM 64 KB method limit at the
+    * catalog's 4×8×16 shape and silently drops the whole stage to
+    * interpreted eval (the r13 finding: an 80 K-row encode cost
+    * 11.4 s interpreted vs 0.4 s compiled). Now the [[PqAssignExpr]]
+    * kernel: constant bytecode, model arrays ride the expression. */
   private def assignExpr(model: PqModel): Column =
-    coalesce((0 until model.m).map { s =>
-      when(col("s") === s,
-        least(model.codebooks(s).map { case (code, cv) =>
-          struct(l2sqLit(col("qv"), cv).as("d"), lit(code).as("c"))
-        }: _*).getField("c"))
-    }: _*)
+    PqAssignExpr.pqAssign(col("s"), col("qv"), model)
 
   /** Lloyd's per-subspace k-means over the e6 subvectors. Seeds are
     * the k corpus vectors with the smallest (md5(id), id) — the shared
@@ -157,6 +151,74 @@ object ProductQuantizer {
         codes("subspace") === lut("s") && codes("code") === lut("code") &&
           codes("id") =!= lut("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"), col("__d"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__d")).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist").asc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("adc_dist").cast("long").as("adc_dist"))
+  }
+
+  /** IVFADC (Jégou, Douze, Schmid, TPAMI 2011 §IV): the inverted-file
+    * coarse quantizer composed IN FRONT of ADC, which is what makes a
+    * PQ index answer queries at interactive cost — [[adcTopK]] alone
+    * scans every stored code per query; here each query pays only the
+    * `nprobe` nearest coarse cells, ~nprobe/C of the corpus.
+    *
+    * Plan: (1) the corpus is coarse-assigned once (map-only argmax
+    * against the centroid model — at scale the bucket is a write-time
+    * partition key, so probing prunes FILE SCANS, not just join rows);
+    * (2) codes are the same integer-exact PQ argmin with the bucket
+    * carried through; (3) each query's m·k LUT is joined to its probe
+    * set and broadcast, so the codes join keeps only rows whose bucket
+    * one of the probing queries requested — candidate volume drops by
+    * ~nprobe/C before the hash agg and the per-query top-k window ever
+    * see a row.
+    *
+    * Deviation from the paper, documented: codes quantize RAW vectors,
+    * not per-cell residuals (x − centroid). The corpus-wide codebook is
+    * trained once and shared across cells — the "IVF-PQ without
+    * residual" variant — so [[train]]/[[encode]] are reused unchanged
+    * and nprobe = C degenerates to EXACTLY [[adcTopK]] (spec-pinned);
+    * residual coding would buy finer quantization at the cost of
+    * per-(query, cell) LUT recomputation and a per-cell re-encode on
+    * any centroid refresh. Coarse assignment ranks by cosine (the
+    * house quantizer, shared with ivfTopK/SemDeDup) while ADC ranks by
+    * L2² — mixed metrics are fine for candidate pruning and keep the
+    * coarse stage bit-portable.
+    *
+    * Output: (query_id, rank, neighbor_id, adc_dist) — same contract
+    * as [[adcTopK]], restricted to probed cells. */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                 model: PqModel, idCol: String, vecCol: String,
+                 k: Int, nprobe: Int): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"bad search shape k=$k nprobe=$nprobe")
+    val spark = queries.sparkSession
+    val tagged = VectorFunctions.assignBuckets(
+      corpus.select(col(idCol), col(vecCol)), col(vecCol), centroids, "__bucket")
+    val codes = subRelation(tagged, idCol, vecCol, model.m, model.subDim,
+        keep = Seq("__bucket"))
+      .select(col("id"), col("__bucket").as("bucket"),
+        col("s").cast("int").as("subspace"), assignExpr(model).cast("int").as("code"))
+    val probes = VectorFunctions.assignProbes(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("__v")),
+        col("__v"), centroids, "bucket", nprobe)
+      .select(col("query_id"), col("bucket"))
+    val qsub = subRelation(queries, idCol, vecCol, model.m, model.subDim)
+      .withColumnRenamed("id", "query_id")
+    val lut = qsub.join(codebookDf(spark, model), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("__d"))
+    val probedLut = lut.join(probes, Seq("query_id"))
+    codes
+      .join(broadcast(probedLut),
+        codes("bucket") === probedLut("bucket") &&
+          codes("subspace") === probedLut("s") && codes("code") === probedLut("code") &&
+          codes("id") =!= probedLut("query_id"))
+      .select(col("query_id"), codes("id").as("neighbor_id"), col("__d"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("__d")).as("adc_dist"))
       .withColumn("rank", row_number().over(

@@ -126,4 +126,54 @@ class ProductQuantizerSpec extends SparkSpecBase {
     val inCluster = adc.count { case (q, n) => q % 4 == n % 4 }
     assert(inCluster == 40, s"$inCluster/40 ADC neighbors in-cluster")
   }
+
+  /** Clustered corpus + label column for the IVFADC composition tests:
+    * the coarse quantizer is the per-label integer-sum centroid. */
+  private def clusteredWithLabels = {
+    import spark.implicits._
+    val rows = (0L until 200L).map { id =>
+      val c = (id % 4).toInt
+      (id, Array.tabulate(16) { i =>
+        val center = if ((i / 4) % 4 == c) 3f else -3f
+        center + (((id * 31 + i * 17) % 9).toFloat - 4f) / 10f
+      }, c)
+    }
+    rows.toDF("vec_id", "embedding", "label").localCheckpoint()
+  }
+
+  test("IVFADC with nprobe = C degenerates to exactly the exhaustive ADC") {
+    val df = clusteredWithLabels
+    val model = ProductQuantizer.train(df, "vec_id", "embedding",
+      m = 4, subDim = 4, k = 8, iters = 2)
+    val codes = ProductQuantizer.encode(df, "vec_id", "embedding", model)
+    val centroids = VectorFunctions.centroidsByLabel(df, "label", "embedding")
+    val queries = df.orderBy(col("vec_id")).limit(6)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy(col("query_id"), col("rank")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val exhaustive = rows(ProductQuantizer.adcTopK(
+      queries, codes, model, "vec_id", "embedding", 5))
+    // nprobe = 4 (every cell) AND an over-probe both equal the full scan
+    for (np <- Seq(4, 9)) {
+      val got = rows(ProductQuantizer.ivfAdcTopK(
+        df.orderBy(col("vec_id")).limit(6), df, centroids, model,
+        "vec_id", "embedding", k = 5, nprobe = np))
+      assert(got == exhaustive, s"nprobe=$np must equal exhaustive ADC")
+    }
+  }
+
+  test("IVFADC with nprobe = 1 searches only the query's own cell") {
+    val df = clusteredWithLabels
+    val model = ProductQuantizer.train(df, "vec_id", "embedding",
+      m = 4, subDim = 4, k = 8, iters = 2)
+    val queries = df.orderBy(col("vec_id")).limit(8)
+    val centroids = VectorFunctions.centroidsByLabel(df, "label", "embedding")
+    val got = ProductQuantizer.ivfAdcTopK(queries, df, centroids, model,
+        "vec_id", "embedding", k = 5, nprobe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    assert(got.length == 40)
+    // well-separated clusters: cell == label cluster, so every
+    // candidate (hence every neighbor) shares the query's cluster
+    assert(got.forall { case (q, n) => q % 4 == n % 4 })
+  }
 }
