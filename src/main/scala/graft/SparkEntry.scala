@@ -2334,6 +2334,32 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Streaming KMV maintenance, batch-equivalence gated (the
+    // q34/q25/q43-twin house standard, closing the last spec-only
+    // streaming operator): the events fixture arrives as a multi-batch
+    // file stream (maxFilesPerTrigger=2 over 6 files), each micro-batch
+    // folds into the standing per-type sketch via the generation-landing
+    // kernel, and the standing state's estimates must equal the
+    // from-scratch sketch the oracle replays — KMV union-merge is
+    // deterministic, so incremental ≡ scratch EXACTLY, not approximately.
+    "q188_kmv_stream_maintenance" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
+      val base = java.nio.file.Files.createTempDirectory("graft-kmv-gate").toFile
+      val topic = new java.io.File(base, "topic").toString
+      ev.repartition(6).write.mode("overwrite").parquet(topic)
+      val src = s.readStream.schema("event_type STRING, user_id LONG")
+        .option("maxFilesPerTrigger", "2").parquet(topic)
+      val stateRoot = new java.io.File(base, "state").toString
+      val q = graft.ops.Sketches.maintainKmvStream(src, Seq("event_type"), "user_id",
+        k = 128, stateRoot = stateRoot,
+        checkpointDir = new java.io.File(base, "ckpt").toString)
+      try q.processAllAvailable() finally q.stop()
+      graft.ops.IncrementalAgg.readState(s, stateRoot)
+        .select(col("event_type"),
+          graft.ops.Sketches.kmvEstimateFromSketch(col("kmv"), 128).as("n_kmv"))
+        .orderBy(col("event_type"))
+    }),
+
     // Quantile-gated quality filter (CCNet-style "drop the worst
     // quartile per language", but threshold-based): per-language p25
     // of the token count from the mergeable histogram sketch, bins
@@ -3041,6 +3067,22 @@ object SparkEntry {
     "q170_pq_adc_topk" -> pqOracleSql(m = 4, subDim = 16, k = 8, iters = 2, adc = true),
     "q187_ivf_adc_topk" -> pqOracleSql(m = 4, subDim = 16, k = 8, iters = 2,
       adc = true, ivfNprobe = 3),
+
+    // Incremental ≡ from-scratch exactly (KMV union-merge determinism),
+    // so the oracle replays the q163-shape scratch sketch over events —
+    // what the STANDING STATE must equal after the multi-batch stream.
+    "q188_kmv_stream_maintenance" ->
+      """WITH h AS (SELECT DISTINCT event_type AS g,
+                      CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                    FROM events WHERE user_id IS NOT NULL),
+         topk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                  FROM h QUALIFY rn <= 128),
+         agg AS (SELECT g, COUNT(*) AS kk, MAX(CASE WHEN rn = 128 THEN h END) AS hk
+                 FROM topk GROUP BY 1)
+         SELECT g AS event_type,
+                CAST(CASE WHEN kk < 128 THEN kk
+                          ELSE (127::HUGEINT * (1::HUGEINT << 60)) // hk END AS BIGINT) AS n_kmv
+         FROM agg ORDER BY 1""",
 
     // The merge contract IS "k smallest of the full corpus", so the
     // oracle replays q163's from-scratch sketch — no split modeled.

@@ -1,0 +1,155 @@
+package graft.functions
+
+/** Stock-JDK MP4/ISO-BMFF container parser behind the
+  * [[graft.ops.Multimodal]] metadata seam — the video counterpart of
+  * [[AudioCodec]]'s RIFF/WAVE parse: payloads that really are ISO
+  * Base Media files (ISO/IEC 14496-12 box layout) yield their REAL
+  * container metadata — brand, duration, track dimensions, sample
+  * codec fourcc — without any frame decode (no JDK video codec
+  * exists; frame decode stays the documented stub in
+  * [[graft.ops.Multimodal.decodeKernel]]). Anything that is not a
+  * well-formed BMFF prefix returns null and the caller keeps its
+  * declared metadata.
+  *
+  * The parser is a hand-rolled walk of the box tree (big-endian
+  * sizes, `size==1` → 64-bit largesize, `size==0` → extends to end;
+  * containers `moov`/`trak`/`mdia`/`minf`/`stbl` recursed, leaves
+  * read at fixed offsets per the spec):
+  *  - `ftyp` → major brand;
+  *  - `moov/mvhd` (v0 and v1) → timescale + duration, surfaced as
+  *    integer milliseconds (floor — bit-portable, no float);
+  *  - `moov/trak/tkhd` (v0/v1) → width/height, stored as 16.16
+  *    fixed-point, surfaced as the integer part;
+  *  - `moov/trak/mdia/hdlr` → handler type, so dimensions and codec
+  *    come from the VIDEO track (`vide`) when one exists, first track
+  *    otherwise;
+  *  - `.../stbl/stsd` → first sample entry's format fourcc (`avc1`,
+  *    `hev1`, `mp4v`, …) — the codec identity a router needs.
+  *
+  * Bounds discipline matches the WAV parser: every read is checked
+  * against the payload length; a truncated/hostile box tree returns
+  * null rather than throwing, so the kernel is safe on arbitrary
+  * bytes at scan speed. Parsing is exact integer work — deterministic
+  * on every JVM. */
+object Mp4Codec {
+
+  /** Parsed container metadata; `width`/`height`/`codec` come from the
+    * video track (fallback: first track), 0/null when absent. */
+  final case class Mp4Meta(majorBrand: String, durationMs: Long,
+                           width: Int, height: Int, codec: String)
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** One parsed track, accumulated during the walk. */
+  private final class Track {
+    var handler: String = null
+    var width: Int = 0
+    var height: Int = 0
+    var codec: String = null
+  }
+
+  private final class State {
+    var majorBrand: String = null
+    var timescale: Long = 0L
+    var duration: Long = 0L
+    var tracks: List[Track] = Nil
+    var bad: Boolean = false
+  }
+
+  private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+  /** Walk the boxes in payload[from, to); `track` is the enclosing
+    * trak's accumulator (null at file/moov level). */
+  private def walk(b: Array[Byte], from: Int, to: Int, st: State, track: Track): Unit = {
+    var off = from
+    while (off < to && !st.bad) {
+      if (off + 8 > to) { st.bad = true; return }
+      var size = be32(b, off)
+      val typ = fourcc(b, off + 4)
+      var hdr = 8
+      if (size == 1L) {
+        if (off + 16 > to) { st.bad = true; return }
+        size = be64(b, off + 8); hdr = 16
+      } else if (size == 0L) size = (to - off).toLong // to end of enclosing box
+      if (size < hdr || off + size > to) { st.bad = true; return }
+      val body = off + hdr
+      val end = off + size.toInt
+      typ match {
+        case "ftyp" =>
+          if (body + 4 > end) { st.bad = true; return }
+          st.majorBrand = fourcc(b, body)
+        case "mvhd" =>
+          if (body + 4 > end) { st.bad = true; return }
+          val v = b(body) & 0xff
+          if (v == 1) {
+            if (body + 28 > end) { st.bad = true; return }
+            st.timescale = be32(b, body + 20)
+            st.duration = be64(b, body + 24)
+          } else {
+            if (body + 20 > end) { st.bad = true; return }
+            st.timescale = be32(b, body + 12)
+            st.duration = be32(b, body + 16)
+          }
+        case "tkhd" =>
+          if (track != null) {
+            if (body + 4 > end) { st.bad = true; return }
+            val v = b(body) & 0xff
+            // v0: 4(ver/flags) + 4 ctime + 4 mtime + 4 track_id +
+            // 4 reserved + 4 duration + 8 reserved + 2+2+2+2
+            // (layer/alt/volume/reserved) + 36 matrix = width at 76;
+            // v1 widens ctime/mtime/duration to 8 bytes (+12)
+            val dimOff = body + (if (v == 1) 88 else 76)
+            if (dimOff + 8 > end) { st.bad = true; return }
+            track.width = (be32(b, dimOff) >>> 16).toInt // 16.16 fixed
+            track.height = (be32(b, dimOff + 4) >>> 16).toInt
+          }
+        case "hdlr" =>
+          if (track != null) {
+            if (body + 12 > end) { st.bad = true; return }
+            track.handler = fourcc(b, body + 8)
+          }
+        case "stsd" =>
+          if (track != null) {
+            if (body + 8 > end) { st.bad = true; return }
+            val entries = be32(b, body + 4)
+            if (entries >= 1) {
+              if (body + 16 > end) { st.bad = true; return }
+              track.codec = fourcc(b, body + 12)
+            }
+          }
+        case "trak" =>
+          val t = new Track
+          st.tracks = st.tracks :+ t
+          walk(b, body, end, st, t)
+        case t2 if Containers.contains(t2) =>
+          walk(b, body, end, st, track)
+        case _ => // mdat/free/udta/…: opaque, skip
+      }
+      off = end
+    }
+  }
+
+  /** Parse the container metadata, or null when the payload is not a
+    * BMFF file this parser accepts (no leading ftyp, torn box tree,
+    * missing moov/mvhd). */
+  def parseMeta(payload: Array[Byte]): Mp4Meta = {
+    if (payload == null || payload.length < 16) return null
+    // an ISO-BMFF file leads with ftyp (size >= 16, sane type)
+    if (fourcc(payload, 4) != "ftyp") return null
+    val st = new State
+    walk(payload, 0, payload.length, st, null)
+    if (st.bad || st.majorBrand == null || st.timescale <= 0) return null
+    val video = st.tracks.find(_.handler == "vide").orElse(st.tracks.headOption)
+    Mp4Meta(st.majorBrand,
+      st.duration * 1000L / st.timescale,
+      video.map(_.width).getOrElse(0),
+      video.map(_.height).getOrElse(0),
+      video.flatMap(t => Option(t.codec)).orNull)
+  }
+}

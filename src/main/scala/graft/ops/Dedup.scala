@@ -69,7 +69,7 @@ object Dedup {
     * than that many documents — stop-shingles generate quadratic pair
     * blowup while carrying no discriminative signal (same reasoning as
     * common-token filtering in public MinHash/LSH implementations). */
-  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, maxDf: Long): DataFrame = {
     // shingles join/aggregate as 64-bit hashes: long keys shuffle and
     // compare far cheaper than strings; collision odds over distinct
@@ -123,6 +123,16 @@ object Dedup {
     // a constant factor and costs nothing when sizes are uniform).
     // Sizes then ride through the pair groupBy (functionally dependent
     // on the ids), replacing the two post-aggregation size joins.
+    //
+    // Measured default (r13 adjudication, tools/JaccardProf, identical
+    // outputs pinned): vs the post-agg-join shape this costs ~35% at
+    // sf0.1 (1.5 → 2.0 s isolated — the two posting-side size joins
+    // exceed what the small candidate set saves) and WINS ~11% at sf1
+    // (19.6 → 17.5 s), with the gap growing in the prefilter's favor
+    // as candidate volume outpaces posting count — the 100 TB
+    // direction, so posting-carry stays the default. (The r12 bench's
+    // q26 1.41 → 1.99 s was NOT this change: it was the interpreted-PQ
+    // heap churn named in PLANS.md r13; q26 re-benched at 1.39 s.)
     if (!prefixFilter) {
       val ap = idx.join(sizes, Seq("id"))
         .select(col("shingle"), col("id").as("id_a"), col("sz").as("size_a"))

@@ -11,9 +11,12 @@ import org.apache.spark.sql.types._
   * functions over the binary column.
   *
   * The IMAGE codec is real (stock-JDK javax.imageio: PNG/JPEG →
-  * integer luma grid, [[graft.functions.ImageCodec]]); audio/video
-  * codecs are NOT in this environment, so those payloads take a
-  * clearly-marked deterministic stub branch. Everything Spark-side is
+  * integer luma grid, [[graft.functions.ImageCodec]]), WAV audio
+  * decode is real ([[graft.functions.AudioCodec]]), and video
+  * CONTAINER metadata is real ([[graft.functions.Mp4Codec]] ISO-BMFF
+  * parse via [[probeContainerMeta]]); video FRAME decode has no JDK
+  * codec, so that one branch takes a clearly-marked deterministic
+  * stub. Everything Spark-side is
   * real and tested either way: the schema contract, the mapPartitions
   * batch shape (the Scala analogue of a pandas-batch UDF: one
   * iterator per partition, streaming, no driver collection),
@@ -69,6 +72,41 @@ object Multimodal {
     * size-correlated clustering from the source layout. */
   def repartitionForDecode(assets: DataFrame, partitions: Int): DataFrame =
     assets.repartition(partitions, col("asset_id"))
+
+  /** Make the declared meta struct HONEST from the payload bytes —
+    * container-level parses only, no frame decode:
+    *  - MP4/ISO-BMFF ([[graft.functions.Mp4Codec]]): real moov/mvhd
+    *    duration, tkhd width/height, stsd codec fourcc slotted into
+    *    `format` as `"mp4/<fourcc>"`;
+    *  - RIFF/WAVE ([[graft.functions.AudioCodec]]): real duration from
+    *    the decoded frame count and sample rate.
+    * Unrecognized payloads keep their declared meta untouched (the
+    * probe never degrades information). Map-only over the binary
+    * column — same batch shape as [[decodeAndFeaturize]], payload
+    * bytes never shuffle, and at 100 TB this is a scan-stage
+    * projection like the fingerprint kernels. */
+  def probeContainerMeta(spark: SparkSession, assets: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    assets.as[Asset].mapPartitions { it =>
+      it.map { a =>
+        val mp4 = graft.functions.Mp4Codec.parseMeta(a.payload)
+        if (mp4 != null) {
+          a.copy(meta = a.meta.copy(
+            media_type = "video",
+            format = if (mp4.codec == null) "mp4" else s"mp4/${mp4.codec}",
+            width = if (mp4.width > 0) Some(mp4.width) else a.meta.width,
+            height = if (mp4.height > 0) Some(mp4.height) else a.meta.height,
+            duration_ms = Some(mp4.durationMs)))
+        } else {
+          val pcm = graft.functions.AudioCodec.decodeWav(a.payload)
+          if (pcm != null)
+            a.copy(meta = a.meta.copy(media_type = "audio", format = "wav",
+              duration_ms = Some(pcm.samples.length * 1000L / pcm.sampleRate)))
+          else a
+        }
+      }
+    }
+  }
 
   // ---------------------------------------------------------------------------
   // CODEC SEAM — the image path is REAL (stock-JDK javax.imageio via

@@ -7,13 +7,18 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.hadoop.fs.Path
 import graft.core.FsUtils
 import graft.functions.TextFunctions
-import graft.ops.Dedup
+import graft.ops.{Dedup, Expectations}
 import graft.streaming.EventStream
 
 /** Streaming corpus intake — the continuous ingest pipeline a
   * training-data platform runs in front of everything else in this
   * library (T-layer composition of gated operators):
   *
+  *   0. OPTIONAL fail-closed expectation gate ([[graft.ops.Expectations]]
+  *      rules evaluated per micro-batch inside [[landBatch]]) — a batch
+  *      whose audit fails is REFUSED before any write: corpus, index,
+  *      and checkpoint all stay put, and the batch replays once the
+  *      source is fixed;
   *   1. quality gate ([[TextFunctions.isQuality]]) — narrow per-row
   *      filter, nothing low-quality ever enters state;
   *   2. in-flight exact dedup ([[EventStream.dedupDocumentsStream]]) —
@@ -140,8 +145,26 @@ object CorpusIngest {
     * fingerprint without corpus content would silently drop future
     * copies of content the corpus doesn't have). */
   def landBatch(batch: DataFrame, batchId: Long, corpusRoot: String,
-                indexRoot: String, idCol: String, textCol: String): Long = {
+                indexRoot: String, idCol: String, textCol: String,
+                expectations: DataFrame => Seq[DataFrame] = null): Long = {
     val spark = batch.sparkSession
+    // FAIL-CLOSED expectation gate (the reference's classifier
+    // discipline applied to data quality — dbt-classify/classifier.py
+    // refuses to act on an unclassifiable run; we refuse to land a
+    // batch whose audit fails): rules are evaluated BEFORE any write,
+    // so a rejected batch leaves the standing corpus AND index
+    // byte-identical, and the streaming checkpoint does not advance —
+    // the batch replays after the operator fixes the source, nothing
+    // is silently dropped. The audit is one row per rule (each rule is
+    // an aggregate), so the collect is rule-count-sized at any corpus
+    // scale.
+    if (expectations != null) {
+      val failed = Expectations.audit(expectations(batch))
+        .filter(!col("passed"))
+        .collect().map(r => s"${r.getString(0)} (${r.getLong(1)} violations)")
+      if (failed.nonEmpty) throw new IllegalStateException(
+        s"batch $batchId refused by expectation gate: ${failed.mkString(", ")}")
+    }
     val keep = Dedup.incrementalNew(batch,
         readIndex(spark, indexRoot, excludeBatchId = Some(batchId)), idCol, textCol)
       .withColumnRenamed("doc_id", idCol)
@@ -209,7 +232,8 @@ object CorpusIngest {
   def start(source: DataFrame, corpusRoot: String, indexRoot: String,
             checkpointDir: String, idCol: String, textCol: String, tsCol: String,
             watermarkDelay: String = "10 minutes",
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            expectations: DataFrame => Seq[DataFrame] = null): StreamingQuery = {
     val cleaned = EventStream.dedupDocumentsStream(
       source.filter(TextFunctions.isQuality(col(textCol))), textCol, tsCol, watermarkDelay)
     cleaned.writeStream
@@ -217,7 +241,8 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        landBatch(batch, batchId, corpusRoot, indexRoot, idCol, textCol): Unit
+        landBatch(batch, batchId, corpusRoot, indexRoot, idCol, textCol,
+          expectations): Unit
       }
       .start()
   }

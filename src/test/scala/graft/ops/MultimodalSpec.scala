@@ -246,4 +246,103 @@ class MultimodalSpec extends SparkSpecBase {
     assert(executed.linesIterator.exists(l =>
       l.contains("audio_fingerprint") && l.trim.startsWith("+- *(")), executed.take(1000))
   }
+
+  // ---- MP4/ISO-BMFF container metadata ------------------------------------
+
+  /** Hand-built minimal BMFF file: ftyp('isom') + moov{ mvhd(timescale
+    * 1000, duration 90500) + trak{ tkhd(640×360 as 16.16) + mdia{
+    * hdlr('vide') + minf{ stbl{ stsd('avc1') }}}}} + mdat. Every
+    * offset is per ISO/IEC 14496-12 — the fixture IS the spec pin. */
+  private def buildMp4(tkhdV1: Boolean = false, mvhdV1: Boolean = false): Array[Byte] = {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ cc(typ) ++ body
+    val ftyp = box("ftyp", cc("isom") ++ be32(512) ++ cc("iso2") ++ cc("avc1"))
+    val mvhd = box("mvhd",
+      if (mvhdV1) Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+        be32(1000) ++ be64(90500)
+      else Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(1000) ++ be32(90500) ++ new Array[Byte](80))
+    val tkhd = box("tkhd",
+      if (tkhdV1) Array[Byte](1, 0, 0, 7) ++ be64(0) ++ be64(0) ++ be32(1) ++
+        be32(0) ++ be64(90500) ++ new Array[Byte](8 + 8 + 36) ++
+        be32(640L << 16) ++ be32(360L << 16)
+      else Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++ be32(1) ++
+        be32(0) ++ be32(90500) ++ new Array[Byte](8 + 8 + 36) ++
+        be32(640L << 16) ++ be32(360L << 16))
+    val hdlr = box("hdlr", new Array[Byte](8) ++ cc("vide") ++ new Array[Byte](13))
+    val stsd = box("stsd", new Array[Byte](4) ++ be32(1) ++
+      (be32(16) ++ cc("avc1") ++ new Array[Byte](8)))
+    val stbl = box("stbl", stsd)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    val mdat = box("mdat", Array.tabulate[Byte](32)(_.toByte))
+    ftyp ++ moov ++ mdat
+  }
+
+  test("Mp4Codec parses hand-built moov/mvhd/tkhd/stsd exactly (v0 and v1 boxes)") {
+    import graft.functions.Mp4Codec
+    for ((t1, m1) <- Seq((false, false), (true, true), (true, false))) {
+      val meta = Mp4Codec.parseMeta(buildMp4(tkhdV1 = t1, mvhdV1 = m1))
+      assert(meta != null, s"tkhdV1=$t1 mvhdV1=$m1")
+      assert(meta.majorBrand == "isom")
+      assert(meta.durationMs == 90500L) // 90500 ticks / 1000 ticks-per-sec
+      assert(meta.width == 640 && meta.height == 360)
+      assert(meta.codec == "avc1")
+    }
+  }
+
+  test("Mp4Codec rejects non-BMFF and torn payloads (null, never throws)") {
+    import graft.functions.Mp4Codec
+    assert(Mp4Codec.parseMeta(null) == null)
+    assert(Mp4Codec.parseMeta(Array.emptyByteArray) == null)
+    assert(Mp4Codec.parseMeta("RIFF....WAVEfmt ".getBytes) == null)
+    val good = buildMp4()
+    // every truncation of a valid file parses to null or a valid
+    // prefix result — never an exception (hostile-bytes discipline)
+    (1 until good.length by 7).foreach { cut =>
+      Mp4Codec.parseMeta(java.util.Arrays.copyOf(good, cut))
+    }
+    // corrupt an inner size field to overflow its parent
+    val torn = good.clone()
+    torn(good.toSeq.indexOfSlice("moov".getBytes.toSeq) - 4) = 0x7f
+    assert(Mp4Codec.parseMeta(torn) == null)
+  }
+
+  test("probeContainerMeta makes video/audio meta honest, leaves others untouched") {
+    import spark.implicits._
+    val wav = {
+      // 8 kHz mono 16-bit, 4000 samples = 500 ms
+      val n = 4000
+      val hdr = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      hdr.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes).putInt(n * 2)
+      (0 until n).foreach(i => hdr.putShort(((i % 64) * 100).toShort))
+      hdr.array()
+    }
+    val rows = Seq(
+      (1L, buildMp4(), "declared"),
+      (2L, wav, "declared"),
+      (3L, "just text bytes".getBytes, "declared"))
+      .toDF("asset_id", "payload", "fmt")
+    val assets3 = Multimodal.assetsFromBinary(rows, "asset_id", "payload", "unknown", "bin")
+    val probed = Multimodal.probeContainerMeta(spark, assets3)
+      .collect().map(a => a.asset_id -> a.meta).toMap
+    assert(probed(1L).media_type == "video" && probed(1L).format == "mp4/avc1")
+    assert(probed(1L).width.contains(640) && probed(1L).height.contains(360))
+    assert(probed(1L).duration_ms.contains(90500L))
+    assert(probed(2L).media_type == "audio" && probed(2L).format == "wav")
+    assert(probed(2L).duration_ms.contains(500L))
+    assert(probed(3L).media_type == "unknown" && probed(3L).format == "bin")
+    assert(probed(3L).duration_ms.isEmpty)
+  }
 }

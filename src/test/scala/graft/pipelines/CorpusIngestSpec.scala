@@ -156,4 +156,55 @@ class CorpusIngestSpec extends SparkSpecBase {
     assert(CorpusIngest.readCorpus(spark, corpus)
       .filter($"doc_id" === 0L).count() == 1)
   }
+
+  test("fail-closed expectation gate: a violating batch is refused, standing state unchanged") {
+    import graft.ops.Expectations
+    val corpus = Files.createTempDirectory("graft-exp-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-exp-index").toString + "/i"
+    val rules: org.apache.spark.sql.DataFrame => Seq[org.apache.spark.sql.DataFrame] =
+      b => Seq(
+        Expectations.expectUnique("unique_doc_id", b, Seq("doc_id")),
+        Expectations.expect("text_nonempty", b, length($"text") > 0))
+
+    // a clean first batch lands through the gate
+    assert(CorpusIngest.landBatch(Seq(1L -> docText(1)).toDF("doc_id", "text"),
+      0L, corpus, index, "doc_id", "text", rules) == 1)
+    val corpusBefore = spark.read.parquet(corpus).collect().toSet
+    val indexBefore = CorpusIngest.readIndex(spark, index).as[String].collect().toSet
+
+    // duplicate ids violate unique_doc_id: refused BEFORE any write
+    val bad = Seq(2L -> docText(2), 2L -> docText(3)).toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      CorpusIngest.landBatch(bad, 1L, corpus, index, "doc_id", "text", rules)
+    }
+    assert(ex.getMessage.contains("unique_doc_id"))
+    assert(ex.getMessage.contains("batch 1 refused"))
+    assert(spark.read.parquet(corpus).collect().toSet == corpusBefore,
+      "refused batch must leave the corpus byte-identical")
+    assert(CorpusIngest.readIndex(spark, index).as[String].collect().toSet == indexBefore,
+      "refused batch must leave the index byte-identical")
+
+    // the corrected batch then lands under the SAME id (replay-after-fix)
+    assert(CorpusIngest.landBatch(Seq(2L -> docText(2), 3L -> docText(3))
+      .toDF("doc_id", "text"), 1L, corpus, index, "doc_id", "text", rules) == 2)
+    assert(spark.read.parquet(corpus).count() == 3)
+
+    // streaming composition: the gate rides foreachBatch — a violating
+    // micro-batch fails the query (fail-closed, checkpoint does not
+    // advance) and state is untouched
+    val topic = Files.createTempDirectory("graft-exp-topic").toString
+    val ckpt = Files.createTempDirectory("graft-exp-ckpt").toString
+    writeDocs(topic, "r1", Seq(9L -> docText(9), 9L -> docText(10)))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, event_ts TIMESTAMP")
+      .option("basePath", topic).parquet(topic + "/*")
+    val preCorpus = spark.read.parquet(corpus).collect().toSet
+    val q = CorpusIngest.start(stream, corpus, index, ckpt,
+      "doc_id", "text", "event_ts", expectations = rules)
+    val sex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(sex.getMessage.contains("refused by expectation gate"))
+    assert(spark.read.parquet(corpus).collect().toSet == preCorpus)
+  }
 }
