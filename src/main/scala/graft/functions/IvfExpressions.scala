@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Codegen'd coarse-quantizer probe assignment — the [[PqAssignExpr]]
+  * treatment applied to the centroid model.
+  *
+  * The literal-inlined formulation (`sort_array` / `greatest` over an
+  * array of C structs, each wrapping a [[VecDot]] against a 64-element
+  * literal) exceeds the JVM 64 KB method limit as C grows: at the
+  * sf10 drill's C = 64 Janino refuses, Spark silently interprets, and
+  * every member of the coarse family — `assignBuckets`, `assignProbes`,
+  * `ivfTopK` tagging, EVERY Lloyd's iteration of `kmeansCentroids`,
+  * SemDeDup clustering — pays boxed struct sorting per row (measured:
+  * kmeans C=64 train 125 s, one IVFADC probe pass 70 s at sf10; both
+  * collapse ~50× compiled). This kernel carries the centroid matrix as
+  * primitive `double[][]` via `addReferenceObj`, so the bytecode is
+  * constant-size at ANY C, and the per-row work is a tight
+  * dot/norm + bounded insertion pass.
+  *
+  * Bit-parity with the literal form (spec-pinned): scores are
+  * `vecDot(vec, cv) / norm(cv)` with the identical index-order double
+  * fold and the identical driver-side norm fold; ranking is score
+  * DESC, centroid id ASC on ties (centroids are processed id-ascending
+  * and insertion uses strict `>`, so the first-seen — smallest — id
+  * wins equal scores, exactly `sort_array(struct(s, negid), desc)`).
+  * Output: the first min(nprobe, C) centroid ids. Null vec → null. */
+case class IvfProbesExpr(vecExpr: Expression, cents: Array[Array[Double]],
+                         norms: Array[Double], ids: Array[Int], nprobe: Int)
+    extends UnaryExpression {
+
+  override def child: Expression = vecExpr
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_probes"
+
+  private def isFloat: Boolean = vecExpr.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    vecExpr.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ivf_probes needs array<float|double> input, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    IvfProbesExpr.probes(v.asInstanceOf[ArrayData], cents, norms, ids, nprobe, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    val normsRef = ctx.addReferenceObj("ivfNorms", norms, "double[]")
+    val idsRef = ctx.addReferenceObj("ivfIds", ids, "int[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.IvfProbesExpr.probes($v, $centsRef, $normsRef, " +
+        s"$idsRef, $nprobe, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(vecExpr = newChild)
+}
+
+object IvfProbesExpr {
+  /** Top-`nprobe` centroid ids by (dot/norm DESC, id ASC). Shared by
+    * interpreted eval and codegen. The insertion pass is O(C·nprobe)
+    * with nprobe small — cheaper and allocation-free vs sorting all C. */
+  def probes(vec: ArrayData, cents: Array[Array[Double]], norms: Array[Double],
+             ids: Array[Int], nprobe: Int, isFloat: Boolean): ArrayData = {
+    val c = cents.length
+    val take = math.min(nprobe, c)
+    val bestS = new Array[Double](take)
+    val bestId = new Array[Int](take)
+    var filled = 0
+    var j = 0
+    while (j < c) {
+      val cv = cents(j)
+      val n = math.min(vec.numElements(), cv.length)
+      var acc = 0.0
+      var i = 0
+      if (isFloat) while (i < n) { acc += vec.getFloat(i).toDouble * cv(i); i += 1 }
+      else while (i < n) { acc += vec.getDouble(i) * cv(i); i += 1 }
+      val s = acc / norms(j)
+      // insertion position: after every kept entry with score >= s
+      // (strict > inserts; id-ascending processing makes ties id-asc)
+      var p = filled
+      while (p > 0 && s > bestS(p - 1)) p -= 1
+      if (p < take) {
+        var q = math.min(filled, take - 1)
+        while (q > p) { bestS(q) = bestS(q - 1); bestId(q) = bestId(q - 1); q -= 1 }
+        bestS(p) = s; bestId(p) = ids(j)
+        if (filled < take) filled += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      java.util.Arrays.copyOf(bestId, filled))
+  }
+
+  /** Column form over a driver-collected centroid model (id-sorted
+    * (id, vector) pairs — [[VectorFunctions.collectCentroids]]' shape).
+    * Norm folds match `centroidScore`'s driver-side fold exactly. */
+  def ivfProbes(vec: Column, model: Seq[(Int, Seq[Double])], nprobe: Int): Column = {
+    require(model.nonEmpty, "empty centroid model")
+    val cents = model.map(_._2.toArray).toArray
+    val norms = model.map { case (_, cv) =>
+      math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)) }.toArray
+    val ids = model.map(_._1).toArray
+    GraftColumnBridge.column(IvfProbesExpr(
+      GraftColumnBridge.expression(vec), cents, norms, ids, nprobe))
+  }
+}

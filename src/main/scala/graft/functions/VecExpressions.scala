@@ -90,6 +90,20 @@ case class VecDot(left: Expression, right: Expression)
 }
 
 object VecExpressions {
+  /** A model vector as a PRIMITIVE-backed array literal.
+    * `typedlit(Seq[Double])` converts through CatalystTypeConverters to
+    * a GenericArrayData over boxed Object[] — every `getDouble` in the
+    * VecDot loop then unboxes, and an inlined-model scan pays
+    * rows × centroids × dim unboxings (the sf10 drill measured ~2 s of
+    * a 200K-row assignBuckets in exactly this, r13). UnsafeArrayData
+    * from a primitive array reads flat doubles instead. Bitwise the
+    * SAME values — only the storage representation changes. */
+  def litVec(cv: Seq[Double]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(cv.toArray),
+        ArrayType(DoubleType, containsNull = false)))
+
   /** Register `vec_dot` in the session's function registry so plans
     * can reference it via call_function (the public way to inject a
     * custom Expression without internal Column constructors). */

@@ -117,28 +117,23 @@ object VectorFunctions {
     * per-centroid division by ||vec||. */
   private def centroidScore(vec: Column, cv: Seq[Double]): Column = {
     val norm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
-    VecExpressions.vecDot(vec, typedlit(cv)) / lit(norm)
+    VecExpressions.vecDot(vec, VecExpressions.litVec(cv)) / lit(norm)
   }
 
-  /** Literal-inlined argmax: bucket id of the nearest centroid (by
-    * cosine, ties -> lowest id). Zero joins, zero shuffle, whole-stage
-    * codegen — each corpus row is scored against the inlined model in
-    * one generated loop nest. */
-  private def nearestBucketExpr(vec: Column, model: CentroidModel): Column = {
-    val scored = model.map { case (id, cv) =>
-      struct(centroidScore(vec, cv).as("s"), lit(-id).as("negid"))
-    }
-    greatest(scored: _*).getField("negid") * -1
-  }
+  /** Nearest-centroid argmax (by cosine, ties -> lowest id) via the
+    * codegen'd [[IvfProbesExpr]] kernel. Zero joins, zero shuffle,
+    * constant bytecode at any model size — the literal-inlined
+    * `greatest(struct(score, negid)...)` form this replaces fell out
+    * of codegen past a few dozen centroids (64 KB method limit, the
+    * r13 PqAssignExpr finding) and ran interpreted: kmeans C=64 train
+    * measured 125 s at sf10 interpreted vs ~2 s through the kernel. */
+  private def nearestBucketExpr(vec: Column, model: CentroidModel): Column =
+    element_at(IvfProbesExpr.ivfProbes(vec, model, 1), 1)
 
   /** Top-`take` centroid ids by cosine (desc, id asc) as an array —
-    * the multi-probe form of nearestBucketExpr. */
-  private def nearestBucketsExpr(vec: Column, model: CentroidModel, take: Int): Column = {
-    val scored = array(model.map { case (id, cv) =>
-      struct(centroidScore(vec, cv).as("s"), lit(-id).as("negid"))
-    }: _*)
-    transform(slice(sort_array(scored, asc = false), 1, take), x => -x.getField("negid"))
-  }
+    * the multi-probe form of nearestBucketExpr (same kernel). */
+  private def nearestBucketsExpr(vec: Column, model: CentroidModel, take: Int): Column =
+    IvfProbesExpr.ivfProbes(vec, model, take)
 
   /** A driver-collected quantizer, sized to its execution strategy:
     * Left = small model inlined as codegen literals; Right = large model
@@ -202,6 +197,26 @@ object VectorFunctions {
                    outCol: String, nprobe: Int): DataFrame = {
     VecExpressions.register(df.sparkSession)
     df.withColumn(outCol, explode(probesFor(quantizer(centroids), vec, nprobe)))
+  }
+
+  /** Corpus tagging + query probes from ONE collected quantizer — the
+    * two-sided primitive IVFADC needs ([[graft.functions.ProductQuantizer
+    * .ivfAdcTopK]]). Collecting per side would run the centroid
+    * pipeline (an aggregation over the corpus for label centroids)
+    * and the model-inlining codegen twice; at the sf10 drill scale
+    * that fixed cost was ~half the whole search. Same semantics as
+    * [[assignBuckets]] + [[assignProbes]] called separately. */
+  private[graft] def tagAndProbe(corpus: DataFrame, corpusVec: Column,
+                                 queries: DataFrame, queryVec: Column,
+                                 centroids: DataFrame, bucketCol: String,
+                                 nprobe: Int): (DataFrame, DataFrame) = {
+    VecExpressions.register(corpus.sparkSession)
+    val q = quantizer(centroids)
+    val tagged = q match {
+      case Left(model) => corpus.withColumn(bucketCol, nearestBucketExpr(corpusVec, model))
+      case _ => corpus.withColumn(bucketCol, element_at(probesFor(q, corpusVec, 1), 1))
+    }
+    (tagged, queries.withColumn(bucketCol, explode(probesFor(q, queryVec, nprobe))))
   }
 
   /** IVF-style approximate top-k: assign corpus vectors to their nearest
@@ -381,16 +396,31 @@ object VectorFunctions {
     * and every engine — would otherwise produce last-bit-different
     * centroids), while integer sums are associative. Cosine ranking is
     * invariant to the scale factor, and the 2^-30 quantisation is far
-    * below any embedding's signal. Sums are exact decimals, so no
-    * overflow at any corpus size.
-    */
+    * below any embedding's signal.
+    *
+    * Sums run over LONGS, not decimals — bitwise the same totals, 5×
+    * cheaper per add (the r13 sf10 drill measured the DECIMAL(38,0)
+    * sum at 3.9 s for 12.8M element rows vs 0.79 s as long — BigDecimal
+    * allocation per add was most of the index-build cost). Overflow is
+    * FAIL-CLOSED, not silent: the same aggregate carries count and
+    * max|q|, and cnt ≤ Long.Max/max|q| proves every intermediate
+    * partial fit; a corpus outside that envelope (≥ ~2³⁰ rows per label
+    * at |x| ≤ 8) raises rather than wrapping — re-shard the label space
+    * or restore the decimal sum for that corpus. */
   def centroidsByLabel(corpus: DataFrame, labelCol: String, vecCol: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     corpus
       .select(col(labelCol).as("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("centroid_id"), col("pos"),
+        floor(col("v").cast("double") * lit(1073741824.0)).cast("long").as("q"))
       .groupBy(col("centroid_id"), col("pos"))
-      .agg(sum(floor(col("v").cast("double") * lit(1073741824.0))
-        .cast(DecimalType(38, 0))).as("m"))
+      .agg(sum(col("q")).as("m0"), count(lit(1)).as("cnt"), max(abs(col("q"))).as("ma"))
+      .select(col("centroid_id"), col("pos"),
+        when(col("cnt") <= lit(Long.MaxValue) / greatest(col("ma"), lit(1L)), col("m0"))
+          .otherwise(raise_error(concat(lit("centroidsByLabel long-sum overflow envelope "
+            + "exceeded for label "), col("centroid_id").cast("string"),
+            lit(" (cnt="), col("cnt").cast("string"),
+            lit(", max|q|="), col("ma").cast("string"), lit(")"))).cast("long"))
+          .as("m"))
       .groupBy(col("centroid_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("m")))),

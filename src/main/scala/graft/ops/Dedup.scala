@@ -1069,7 +1069,7 @@ object Dedup {
     // native loop; fold order identical to the HOF form); the sum of
     // set bits' powers assembles the long (cf. simhash)
     val bitCols = planes.zipWithIndex.map { case (p, b) =>
-      val dotP = VecExpressions.vecDot(col("v"), typedlit(p))
+      val dotP = VecExpressions.vecDot(col("v"), VecExpressions.litVec(p))
       when(dotP >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     val signed = v.select(col("id"), col("v"), bitCols.reduce(_ + _).as("sig"))

@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicLong
+
+/** Scale-drill harness (r12 verdict directive #5): run a named subset
+  * of the gated catalog against a fixture dir, recording per query the
+  * warm wall time AND the completed-stage / shuffle volume — the
+  * numbers a sf1 → sf10 scaling table needs. Stage counts come from a
+  * [[SparkListener]], shuffle bytes from the stage-level task metrics,
+  * so "went super-linear" separates into more-stages (plan changed
+  * with scale: AQE fallback, broadcast threshold crossed) vs
+  * bigger-stages (data volume only, the benign kind).
+  *
+  *   ./run_local.sh graft.tools.Drill <sfDir> <query...>
+  */
+object Drill {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val queries = args.drop(1).toSeq
+    require(queries.nonEmpty, "usage: Drill <sfDir> <query...>")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val stages = new AtomicLong(0)
+    val shuffleWrite = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        shuffleWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    queries.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      // warm run (codegen/JIT), then the measured run
+      fn(spark, dir).count()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
+      stages.set(0); shuffleWrite.set(0)
+      val t0 = System.nanoTime()
+      val rows = fn(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let the listener bus drain the final stage events
+      println(f"[drill] $name%-28s ${dt}%8.2f s  rows=$rows%-9d stages=${stages.get}%-4d shuffleMB=${shuffleWrite.get / 1e6}%.0f")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
+    }
+    spark.stop()
+  }
+}
