@@ -35,8 +35,10 @@ object IvfAdcRecallProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    val codes = graft.functions.ProductQuantizer.encode(
+      emb, "vec_id", "embedding", model).localCheckpoint()
     val (truth, tEx) = timed(pairs(graft.functions.ProductQuantizer.adcTopK(
-      queries, emb, model, "vec_id", "embedding", 10)))
+      queries, codes, model, "vec_id", "embedding", 10)))
     println(f"[ivfadc] corpus ${emb.count()} vecs, $nCells cells, $nQueries queries")
     println(f"[ivfadc] exhaustive ADC     ${tEx}%6.2f s  (ground truth, ${truth.size} pairs)")
     for (np <- Seq(1, 2, 4, 8).filter(_ <= nCells) :+ nCells) {
