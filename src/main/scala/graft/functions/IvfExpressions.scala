@@ -115,3 +115,76 @@ object IvfProbesExpr {
       GraftColumnBridge.expression(vec), cents, norms, ids, nprobe))
   }
 }
+
+/** Best (maximum) centroid score dot(vec, c)/||c|| over the model — the
+  * SCORE sibling of [[IvfProbesExpr]] for consumers that need the
+  * assigned centroid's similarity, not its id (SemDeDup's own-centroid
+  * cosine). Same kernel discipline: primitive model via
+  * addReferenceObj, constant bytecode at any C — the
+  * `greatest(score_1, ..., score_C)` form it replaces leaves codegen
+  * past a few dozen centroids and was inlined UNCONDITIONALLY (no
+  * broadcast fallback) in semDedup's corpus scan. Division by the
+  * row's own norm is left to the caller (constant per row, so
+  * max-then-divide ≡ divide-then-max bitwise for positive norms —
+  * IEEE division is monotone). Null/empty vec → null. */
+case class IvfBestScoreExpr(vecExpr: Expression, cents: Array[Array[Double]],
+                            norms: Array[Double]) extends UnaryExpression {
+  override def child: Expression = vecExpr
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ivf_best_score"
+
+  private def isFloat: Boolean = vecExpr.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    vecExpr.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ivf_best_score needs array<float|double> input, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    IvfBestScoreExpr.best(v.asInstanceOf[ArrayData], cents, norms, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    val normsRef = ctx.addReferenceObj("ivfNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.IvfBestScoreExpr.best($v, $centsRef, $normsRef, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(vecExpr = newChild)
+}
+
+object IvfBestScoreExpr {
+  def best(vec: ArrayData, cents: Array[Array[Double]], norms: Array[Double],
+           isFloat: Boolean): Double = {
+    var bestS = Double.NegativeInfinity
+    var j = 0
+    while (j < cents.length) {
+      val cv = cents(j)
+      val n = math.min(vec.numElements(), cv.length)
+      var acc = 0.0
+      var i = 0
+      if (isFloat) while (i < n) { acc += vec.getFloat(i).toDouble * cv(i); i += 1 }
+      else while (i < n) { acc += vec.getDouble(i) * cv(i); i += 1 }
+      val s = acc / norms(j)
+      if (s > bestS) bestS = s
+      j += 1
+    }
+    bestS
+  }
+
+  def ivfBestScore(vec: Column, model: Seq[(Int, Seq[Double])]): Column = {
+    require(model.nonEmpty, "empty centroid model")
+    val cents = model.map(_._2.toArray).toArray
+    val norms = model.map { case (_, cv) =>
+      math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)) }.toArray
+    GraftColumnBridge.column(IvfBestScoreExpr(
+      GraftColumnBridge.expression(vec), cents, norms))
+  }
+}

@@ -454,11 +454,13 @@ object VectorFunctions {
     val model = collectCentroids(centroids)
     require(model.nonEmpty, "semDedup needs a centroid model")
     // max cosine over the model = cosine to the assigned (argmax)
-    // centroid, without needing the assignment itself
-    val cosines = model.map { case (_, cv) =>
-      centroidScore(col(vecCol), cv) / l2NormNative(col(vecCol))
-    }
-    val ownCos = if (cosines.sizeIs == 1) cosines.head else greatest(cosines: _*)
+    // centroid, without needing the assignment itself. Codegen'd score
+    // kernel (constant bytecode at any C — the greatest-over-C-scores
+    // form left codegen past a few dozen centroids and this scan is
+    // corpus-sized); max-then-divide ≡ the old divide-then-max bitwise
+    // because the row norm is a positive per-row constant.
+    val ownCos = IvfBestScoreExpr.ivfBestScore(col(vecCol), model) /
+      l2NormNative(col(vecCol))
     val ranked = points.select(col(idCol),
       floor(ownCos * 1000.0).cast("long").as("own_milli"))
     graft.ops.Dedup.dedupCorpusKeepBest(ranked, idCol, pairs,
