@@ -28,7 +28,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * DESC, centroid id ASC on ties (centroids are processed id-ascending
   * and insertion uses strict `>`, so the first-seen — smallest — id
   * wins equal scores, exactly `sort_array(struct(s, negid), desc)`).
-  * Output: the first min(nprobe, C) centroid ids. Null vec → null. */
+  * Output: the first min(nprobe, C) centroid ids. Null vec → null.
+  *
+  * NaN deviation (documented, not parity): a NaN score — reachable only
+  * from NaN vector COMPONENTS, since the constructors require every
+  * centroid norm > 0 and finite — is skipped by the strict-`>` insertion
+  * pass, whereas `sort_array`/`greatest` order NaN as largest. Models
+  * with zero-norm or non-finite centroids are rejected at construction
+  * so the 0/0 path is unreachable. */
 case class IvfProbesExpr(vecExpr: Expression, cents: Array[Array[Double]],
                          norms: Array[Double], ids: Array[Int], nprobe: Int)
     extends UnaryExpression {
@@ -110,6 +117,8 @@ object IvfProbesExpr {
     val cents = model.map(_._2.toArray).toArray
     val norms = model.map { case (_, cv) =>
       math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)) }.toArray
+    require(norms.forall(n => n > 0.0 && !n.isInfinite),
+      "ivf_probes model must have finite, non-zero centroid norms (0/0 → NaN scores)")
     val ids = model.map(_._1).toArray
     GraftColumnBridge.column(IvfProbesExpr(
       GraftColumnBridge.expression(vec), cents, norms, ids, nprobe))
@@ -126,7 +135,12 @@ object IvfProbesExpr {
   * broadcast fallback) in semDedup's corpus scan. Division by the
   * row's own norm is left to the caller (constant per row, so
   * max-then-divide ≡ divide-then-max bitwise for positive norms —
-  * IEEE division is monotone). Null/empty vec → null. */
+  * IEEE division is monotone). Null/empty vec → null. Same NaN
+  * discipline as [[IvfProbesExpr]]: centroid norms are guarded > 0 and
+  * finite at construction; a NaN score from NaN vector components is
+  * skipped (deviation from `greatest`'s NaN-is-largest, documented).
+  * An empty vec yields score 0.0 against every centroid — the same
+  * value the `greatest` form produced, not null. */
 case class IvfBestScoreExpr(vecExpr: Expression, cents: Array[Array[Double]],
                             norms: Array[Double]) extends UnaryExpression {
   override def child: Expression = vecExpr
@@ -184,6 +198,8 @@ object IvfBestScoreExpr {
     val cents = model.map(_._2.toArray).toArray
     val norms = model.map { case (_, cv) =>
       math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)) }.toArray
+    require(norms.forall(n => n > 0.0 && !n.isInfinite),
+      "ivf_best_score model must have finite, non-zero centroid norms (0/0 → NaN scores)")
     GraftColumnBridge.column(IvfBestScoreExpr(
       GraftColumnBridge.expression(vec), cents, norms))
   }

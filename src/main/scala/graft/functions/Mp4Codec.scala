@@ -33,10 +33,13 @@ package graft.functions
   * on every JVM. */
 object Mp4Codec {
 
-  /** Parsed container metadata; `width`/`height`/`codec` come from the
-    * video track (fallback: first track), 0/null when absent. */
+  /** Parsed container metadata; `width`/`height`/`codec`/`handler`
+    * come from the video track (fallback: first track), 0/null when
+    * absent. `handler` is the track's hdlr fourcc (`vide`, `soun`, …)
+    * so callers can honor audio-only BMFF (M4A) as audio. */
   final case class Mp4Meta(majorBrand: String, durationMs: Long,
-                           width: Int, height: Int, codec: String)
+                           width: Int, height: Int, codec: String,
+                           handler: String)
 
   private def be32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
@@ -64,9 +67,16 @@ object Mp4Codec {
 
   private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
 
+  /** A legitimate tree is ≤ ~5 containers deep (moov/trak/mdia/minf/
+    * stbl); a hostile payload nesting containers every 8 bytes would
+    * otherwise recurse payload.length/8 frames deep. */
+  private val MaxDepth = 16
+
   /** Walk the boxes in payload[from, to); `track` is the enclosing
     * trak's accumulator (null at file/moov level). */
-  private def walk(b: Array[Byte], from: Int, to: Int, st: State, track: Track): Unit = {
+  private def walk(b: Array[Byte], from: Int, to: Int, st: State, track: Track,
+                   depth: Int = 0): Unit = {
+    if (depth > MaxDepth) { st.bad = true; return }
     var off = from
     while (off < to && !st.bad) {
       if (off + 8 > to) { st.bad = true; return }
@@ -88,7 +98,8 @@ object Mp4Codec {
           if (body + 4 > end) { st.bad = true; return }
           val v = b(body) & 0xff
           if (v == 1) {
-            if (body + 28 > end) { st.bad = true; return }
+            // v1 reads be32 at body+20 and be64 at body+24 — needs 32 bytes
+            if (body + 32 > end) { st.bad = true; return }
             st.timescale = be32(b, body + 20)
             st.duration = be64(b, body + 24)
           } else {
@@ -126,9 +137,9 @@ object Mp4Codec {
         case "trak" =>
           val t = new Track
           st.tracks = st.tracks :+ t
-          walk(b, body, end, st, t)
+          walk(b, body, end, st, t, depth + 1)
         case t2 if Containers.contains(t2) =>
-          walk(b, body, end, st, track)
+          walk(b, body, end, st, track, depth + 1)
         case _ => // mdat/free/udta/…: opaque, skip
       }
       off = end
@@ -150,6 +161,7 @@ object Mp4Codec {
       st.duration * 1000L / st.timescale,
       video.map(_.width).getOrElse(0),
       video.map(_.height).getOrElse(0),
-      video.flatMap(t => Option(t.codec)).orNull)
+      video.flatMap(t => Option(t.codec)).orNull,
+      video.flatMap(t => Option(t.handler)).orNull)
   }
 }

@@ -91,8 +91,15 @@ object Multimodal {
       it.map { a =>
         val mp4 = graft.functions.Mp4Codec.parseMeta(a.payload)
         if (mp4 != null) {
+          // BMFF also carries audio-only files (M4A: hdlr 'soun') —
+          // honor the selected track's handler, not a blanket "video"
+          val mediaType = mp4.handler match {
+            case "vide" => "video"
+            case "soun" => "audio"
+            case _      => a.meta.media_type
+          }
           a.copy(meta = a.meta.copy(
-            media_type = "video",
+            media_type = mediaType,
             format = if (mp4.codec == null) "mp4" else s"mp4/${mp4.codec}",
             width = if (mp4.width > 0) Some(mp4.width) else a.meta.width,
             height = if (mp4.height > 0) Some(mp4.height) else a.meta.height,

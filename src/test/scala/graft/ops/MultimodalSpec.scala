@@ -315,6 +315,60 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Mp4Codec.parseMeta(torn) == null)
   }
 
+  test("Mp4Codec: size-consistent-but-short mvhd v1 and deep nesting reject, never throw") {
+    import graft.functions.Mp4Codec
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ cc(typ) ++ body
+    val ftyp = box("ftyp", cc("isom") ++ be32(512) ++ cc("iso2"))
+    // mvhd v1 with a 28-byte body: passes the old `body+28>end` guard
+    // but the be64 duration read at body+24 needs 32 — as the LAST box
+    // this read past the payload (AIOOBE before the fix)
+    val shortV1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0) ++
+        be32(1000) ++ be32(0)) // 4+8+8+4+4 = 28 bytes
+    assert(shortV1.length == 36)
+    assert(Mp4Codec.parseMeta(ftyp ++ box("moov", shortV1)) == null)
+    // hostile deep nesting: moov-in-moov far past any legitimate tree
+    // depth must set bad via the depth cap, not raise StackOverflowError
+    var nested = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(500) ++ new Array[Byte](80))
+    (1 to 5000).foreach(_ => nested = box("moov", nested))
+    assert(Mp4Codec.parseMeta(ftyp ++ nested) == null)
+  }
+
+  test("Mp4Codec + probeContainerMeta honor audio-only BMFF (M4A, hdlr 'soun') as audio") {
+    import spark.implicits._
+    import graft.functions.Mp4Codec
+    // rebuild the fixture with an M4A brand and a sound handler track
+    val good = buildMp4()
+    val m4a = good.clone()
+    def patch(b: Array[Byte], at: Int, v: Array[Byte]): Unit =
+      v.indices.foreach(i => b(at + i) = v(i))
+    patch(m4a, m4a.toSeq.indexOfSlice("isom".getBytes.toSeq), "M4A ".getBytes)
+    patch(m4a, m4a.toSeq.indexOfSlice("vide".getBytes.toSeq), "soun".getBytes)
+    // skip the ftyp compatible-brand "avc1" at offset 20 — patch stsd's
+    patch(m4a, m4a.toSeq.indexOfSlice("avc1".getBytes.toSeq, 24), "mp4a".getBytes)
+    val meta = Mp4Codec.parseMeta(m4a)
+    assert(meta != null && meta.handler == "soun" && meta.codec == "mp4a")
+    val assets = Multimodal.assetsFromBinary(
+      Seq((1L, "x")).toDF("doc_id", "text").withColumn("payload", lit(m4a)),
+      "doc_id", "payload", "image", "png")
+    val probed = Multimodal.probeContainerMeta(spark, assets).collect()
+    assert(probed.length == 1)
+    assert(probed(0).meta.media_type == "audio", "soun handler must classify as audio")
+    assert(probed(0).meta.format == "mp4/mp4a")
+    // and the video fixture still classifies as video
+    val vassets = Multimodal.assetsFromBinary(
+      Seq((2L, "x")).toDF("doc_id", "text").withColumn("payload", lit(good)),
+      "doc_id", "payload", "image", "png")
+    assert(Multimodal.probeContainerMeta(spark, vassets).collect()(0)
+      .meta.media_type == "video")
+  }
+
   test("probeContainerMeta makes video/audio meta honest, leaves others untouched") {
     import spark.implicits._
     val wav = {
