@@ -587,17 +587,15 @@ object VectorFunctions {
     * ANN/near-dup stack: project once, bucket/search in outDim. */
   def randomProjection(df: DataFrame, vecCol: String, inDim: Int, outDim: Int): DataFrame = {
     require(inDim >= 1 && outDim >= 1, s"need positive dims, got $inDim -> $outDim")
-    val quantized = transform(col(vecCol),
-      x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
-    val comps = (0 until outDim).map { j =>
-      val signs = jlPlane(j, inDim)
-      (0 until inDim).map { i =>
-        val term = element_at(col("__q_e6"), i + 1)
-        if (signs(i) > 0) term else -term
-      }.reduce(_ + _)
-    }
-    df.withColumn("__q_e6", quantized)
-      .withColumn("proj_e6", array(comps: _*))
-      .drop("__q_e6")
+    // one codegen'd kernel carrying the ±1 matrix as a reference object
+    // (graft.functions.JlProjectExpr) — the literal-unrolled
+    // element_at sum this replaces generated outDim·inDim terms of
+    // stage bytecode (54.7 KB at 16×64, measured by tools/CodegenLint:
+    // past HotSpot's 8 KB JIT ceiling and one model bump from the
+    // silent-interpreted 64 KB cliff). Values are bit-identical:
+    // quantize-then-signed-integer-sum in the same index order.
+    val signs = (0 until outDim).map(j => jlPlane(j, inDim))
+    df.withColumn("proj_e6",
+      graft.functions.JlProjectExpr.jlProject(col(vecCol), signs))
   }
 }

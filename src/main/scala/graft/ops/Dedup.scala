@@ -778,16 +778,23 @@ object Dedup {
     val tokenHashes = docs.select(col(idCol).as("id"),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .select(col("id"), TextFunctions.md5Long(col("tok")).as("h"))
-    // parallel ±1 sums (one per bit), partial-aggregated map-side —
-    // a single shuffle of SimhashBits-column rows, no per-bit explosion.
+    // parallel bit-count sums (one per bit) plus one shared token count,
+    // partial-aggregated map-side — a single shuffle of SimhashBits+1
+    // column rows, no per-bit explosion. The ±1 sum is recovered as
+    // 2·Σbit − n, so the per-bit aggregate is the minimal shift-and-sum
+    // (the when(±1) form put the q28 agg-update method at 8.4 KB of
+    // bytecode — past HotSpot's 8 KB JIT ceiling, tools/CodegenLint).
     val bitAggs = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b")
+    } :+ count(lit(1)).as("__n")
     val summed = tokenHashes.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
-    // distinct powers of two sum to the exact bit pattern (all positive:
-    // the top nibble of a 60-bit value is never the sign bit)
-    val assembled = (0 until SimhashBits).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    // sign of the ±1 sum: positive ⟺ 2·Σbit > n, assembled by the
+    // compact SignBitsExpr kernel (one compare+or of generated code per
+    // bit — the when(…)+when(…) chain this replaces fused with the
+    // final agg merge into an 11.5 KB stage method, past the JIT
+    // ceiling).
+    val assembled = graft.functions.SignBitsExpr.signBits(
+      col("__n"), (0 until SimhashBits).map(b => col(s"b$b")))
     summed.select(col("id"), assembled.as("simhash"))
   }
 
@@ -1065,14 +1072,16 @@ object Dedup {
       (0 until CosineBits).map(b => rademacherPlane(b, dim))
 
     val v = ensureParallelism(vectors).select(col(idCol).as("id"), col(vecCol).as("v"))
-    // signature bit b = sign of the dot product with plane b (codegen'd
-    // native loop; fold order identical to the HOF form); the sum of
-    // set bits' powers assembles the long (cf. simhash)
-    val bitCols = planes.zipWithIndex.map { case (p, b) =>
-      val dotP = VecExpressions.vecDot(col("v"), VecExpressions.litVec(p))
-      when(dotP >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    val signed = v.select(col("id"), col("v"), bitCols.reduce(_ + _).as("sig"))
+    // signature bit b = sign of the dot product with plane b, all
+    // CosineBits planes in ONE codegen'd kernel carrying the matrix as
+    // a reference object (graft.functions.SrpSignExpr; fold order
+    // identical to vec_dot and the HOF form, bit set iff dot >= 0).
+    // The per-plane when(vec_dot(v, litVec(p)) >= 0, 1L<<b) column
+    // stack it replaces generated 13.3 KB of stage bytecode at 60×64
+    // (tools/CodegenLint) — past the 8 KB JIT ceiling and growing with
+    // bits·dim toward the silent-interpreted 64 KB cliff.
+    val signed = v.select(col("id"), col("v"),
+      graft.functions.SrpSignExpr.srpSign(col("v"), planes).as("sig"))
 
     val nBlocks = maxHamming + 1
     val blockBits = CosineBits / nBlocks

@@ -85,10 +85,15 @@ object Stats {
   }
 
   /** Pairwise Pearson correlation matrix over k integral columns in
-    * ONE corpus scan: a single aggregate computes every Σx, Σx², and
-    * Σxᵢxⱼ (k + k + k(k−1)/2 sums — column count work, not row count),
-    * then each pair's r² and sign come from the [[linearFit]] closed
-    * form. Rows with a NULL in ANY profiled column are dropped (the
+    * ONE corpus scan: each row fans out to k(k−1)/2 narrow (pid, x, y)
+    * structs, map-side partial aggregation collapses them immediately,
+    * and a constant-width six-sum hash agg per pair yields every Σx,
+    * Σx², Σxᵢxⱼ; each pair's r² and sign come from the [[linearFit]]
+    * closed form. (The fan-out keeps the generated agg-update method
+    * CONSTANT-SIZE at any k — see the in-body comment.) An empty or
+    * all-null-filtered input yields zero rows (no n=0 grid — consumers
+    * watching for degenerate inputs check emptiness, not n).
+    * Rows with a NULL in ANY profiled column are dropped (the
     * complete-cases convention, so every pair shares one n and the
     * matrix is consistent). Output per unordered pair (i < j by the
     * caller's order): (col_a, col_b, n, r2_e6, r_sign) with r_sign ∈
@@ -102,25 +107,43 @@ object Stats {
     val base = df
       .filter(cols.map(_._2.isNotNull).reduce(_ && _))
       .select(cols.map { case (n, c) => c.cast(dec).as(s"__$n") }: _*)
-    val sums =
-      Seq(count(lit(1)).cast(dec).as("__n")) ++
-        names.map(n => sum(col(s"__$n")).as(s"__s_$n")) ++
-        names.map(n => sum(col(s"__$n") * col(s"__$n")).as(s"__q_$n")) ++
-        names.combinations(2).map { case Seq(a, b) =>
-          sum(col(s"__$a") * col(s"__$b")).as(s"__p_${a}_$b")
-        }.toSeq
-    val agg = base.agg(sums.head, sums.tail: _*)
+    // Per row, one NARROW (pid, x, y) struct per pair, then a hash agg
+    // keyed by pid with a CONSTANT six aggregates — so the generated
+    // agg-update method is the same size at any column count. The
+    // previous single-wide-agg form (k + k + k(k−1)/2 decimal sums in
+    // one update method) measured 18 KB of bytecode at k=4
+    // (tools/CodegenLint: past HotSpot's 8 KB JIT ceiling) and grew
+    // O(k²) toward the silent-interpreted 64 KB cliff near k≈8. The
+    // explode multiplies rows by k(k−1)/2 BEFORE map-side partial
+    // aggregation, which collapses them to k(k−1)/2 rows per partition
+    // — the shuffle stays k²-rows-per-partition tiny at any corpus
+    // size, and every sum is the identical decimal arithmetic, so
+    // results are bit-identical to the wide form.
+    val pairSeq = names.combinations(2).toSeq
+    val pairStructs = pairSeq.zipWithIndex.map { case (Seq(a, b), i) =>
+      struct(lit(i).as("pid"), col(s"__$a").as("x"), col(s"__$b").as("y"))
+    }
+    val moments = base
+      .select(explode(array(pairStructs: _*)).as("__p"))
+      .select(col("__p.pid").as("__pid"), col("__p.x").as("__x"), col("__p.y").as("__y"))
+      .groupBy(col("__pid"))
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__qx"),
+        sum(col("__y") * col("__y")).as("__qy"),
+        sum(col("__x") * col("__y")).as("__pxy"))
     val e6 = lit(1000000L).cast(dec)
-    val pairs = names.combinations(2).map { case Seq(a, b) =>
-      val d = col("__n") * col(s"__q_$a") - col(s"__s_$a") * col(s"__s_$a")
-      val dy = col("__n") * col(s"__q_$b") - col(s"__s_$b") * col(s"__s_$b")
-      val nn = col("__n") * col(s"__p_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")
-      struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        col("__n").cast("long").as("n"),
-        when(d > 0 && dy > 0, floorDiv(e6 * nn * nn, d * dy)).as("r2_e6"),
-        when(d > 0 && dy > 0, signum(nn).cast("int")).otherwise(lit(0)).as("r_sign"))
-    }.toSeq
-    agg.select(explode(array(pairs: _*)).as("__pair")).select(col("__pair.*"))
+    val aNames = array(pairSeq.map { case Seq(a, _) => lit(a) }: _*)
+    val bNames = array(pairSeq.map { case Seq(_, b) => lit(b) }: _*)
+    val d = col("__n") * col("__qx") - col("__sx") * col("__sx")
+    val dy = col("__n") * col("__qy") - col("__sy") * col("__sy")
+    val nn = col("__n") * col("__pxy") - col("__sx") * col("__sy")
+    moments.select(
+      element_at(aNames, col("__pid") + 1).as("col_a"),
+      element_at(bNames, col("__pid") + 1).as("col_b"),
+      col("__n").cast("long").as("n"),
+      when(d > 0 && dy > 0, floorDiv(e6 * nn * nn, d * dy)).as("r2_e6"),
+      when(d > 0 && dy > 0, signum(nn).cast("int")).otherwise(lit(0)).as("r_sign"))
   }
 
   /** χ² critical values at α = 0.05 for dof 1..10, in e6 quanta —
