@@ -2360,6 +2360,54 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Stream-stream interval join (attribution), batch-equivalence
+    // gated — the q188 precedent applied to the LAST spec-only stream
+    // surface: the events fixture arrives as two independent
+    // multi-batch file streams (view triggers / click responses, each
+    // with its own file tracking, so matches routinely straddle
+    // micro-batches and exercise the cross-batch join buffers), flows
+    // through EventStream.correlateStreams, and the appended result
+    // must equal the batch interval join the oracle replays in DuckDB.
+    // The watermark delay is set beyond the fixture's time span:
+    // file replay is not time-ordered, so any realistic delay would
+    // prune buffered rows mid-replay and the gate would test arrival
+    // luck, not join semantics — state-pruning behavior is pinned
+    // separately by EventStreamSpec.
+    "q190_stream_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val base = java.nio.file.Files.createTempDirectory("graft-sij-gate").toFile
+      val topic = new java.io.File(base, "topic").toString
+      ev.repartition(6).write.mode("overwrite").parquet(topic)
+      def src() = s.readStream.schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "2").parquet(topic)
+      val trig = src().filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("trigger_ts"))
+      val resp = src().filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("response_ts"))
+      val joined = graft.streaming.EventStream.correlateStreams(
+        trig, resp, "user_id", "trigger_ts", "response_ts",
+        withinSeconds = 3600, watermarkDelay = "87600 hours")
+      val outDir = new java.io.File(base, "out").toString
+      // join state is keyed per shuffle partition; 32 partitions × a
+      // handful of micro-batches is pure state-store file overhead at
+      // gate scale, so pin the stream to 8 (restored after — batch
+      // queries in this session keep the session default)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = joined.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.read.schema("user_id LONG, trigger_ts TIMESTAMP, response_ts TIMESTAMP")
+        .parquet(outDir)
+        .select(col("user_id"), col("trigger_ts"), col("response_ts"))
+        .orderBy(col("user_id"), col("trigger_ts"), col("response_ts"))
+    }),
+
     // Quantile-gated quality filter (CCNet-style "drop the worst
     // quartile per language", but threshold-based): per-language p25
     // of the token count from the mergeable histogram sketch, bins
@@ -3083,6 +3131,17 @@ object SparkEntry {
                 CAST(CASE WHEN kk < 128 THEN kk
                           ELSE (127::HUGEINT * (1::HUGEINT << 60)) // hk END AS BIGINT) AS n_kmv
          FROM agg ORDER BY 1""",
+
+    // The stream's appended output must equal the batch interval join
+    // (inner stream-stream join over a fully-replayed source emits
+    // exactly the batch matches; the gate's watermark out-spans the
+    // fixture so no state is pruned mid-replay).
+    "q190_stream_interval_join" ->
+      """SELECT t.user_id AS user_id, t.ts AS trigger_ts, r.ts AS response_ts
+         FROM events t JOIN events r ON t.user_id = r.user_id
+          AND r.ts > t.ts AND r.ts <= t.ts + INTERVAL 3600 SECOND
+         WHERE t.event_type = 'view' AND r.event_type = 'click'
+         ORDER BY 1, 2, 3""",
 
     // The merge contract IS "k smallest of the full corpus", so the
     // oracle replays q163's from-scratch sketch — no split modeled.
