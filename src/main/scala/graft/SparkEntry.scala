@@ -2334,6 +2334,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Residual-encoded IVFADC — Jégou 2011 §IV's real form, closing
+    // q187's documented raw-vector deviation: codes quantize
+    // x − c(bucket) against the bucket's EXACT e6 mean centroid, the
+    // codebook trains on residuals, and each query's LUT is built per
+    // probed cell from the query's residual wrt THAT cell. Residuals
+    // concentrate around the origin, which is what keeps a fixed code
+    // budget's recall flat as C grows. The oracle replays the whole
+    // chain — coarse assignment, BigInt-floor centroid means, residual
+    // subtraction, Lloyd rounds on residuals, per-(query,cell) LUTs —
+    // bit for bit.
+    "q189_ivf_adc_residual" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = VF.centroidsByLabel(emb, "label", "embedding")
+      val means = VF.centroidMeansE6(emb, "label", "embedding")
+      val queries = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(10)
+      graft.functions.ProductQuantizer.ivfAdcResidualTopK(
+          queries, emb, centroids, means, m = 4, subDim = 16, kCode = 8, iters = 2,
+          "vec_id", "embedding", k = 10, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Streaming KMV maintenance, batch-equivalence gated (the
     // q34/q25/q43-twin house standard, closing the last spec-only
     // streaming operator): the events fixture arrives as a multi-batch
@@ -3018,7 +3039,8 @@ object SparkEntry {
     * per-query LUT join + rank. One CTE pair per iteration, built
     * programmatically like the BPE chain. */
   private def pqOracleSql(m: Int, subDim: Int, k: Int, iters: Int,
-                          adc: Boolean, ivfNprobe: Int = 0): String = {
+                          adc: Boolean, ivfNprobe: Int = 0,
+                          residual: Boolean = false): String = {
     def assign(out: String, model: String) =
       s"""$out AS (SELECT vec_id, s, c FROM (
            SELECT sub.vec_id, sub.s, kk.c,
@@ -3039,6 +3061,74 @@ object SparkEntry {
     val rounds = (1 to iters).map(i =>
       assign(s"a$i", if (i == 1) "c0" else s"c${i - 1}") + ",\n         " +
         update(s"c$i", s"a$i")).mkString(",\n         ")
+    if (residual) {
+      // q189: the full residual replay — coarse cells (the q187 CTEs),
+      // exact HUGEINT-floor e6 centroid means, residual subtraction,
+      // then the SAME seed/round/enc CTEs re-targeted at the residual
+      // `sub` relation, and a per-(query, probed-cell) LUT.
+      require(adc && ivfNprobe > 0, "residual mode composes over IVFADC")
+      return s"""WITH e AS (SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+                  FROM embeddings),
+         ivfc AS (SELECT label AS centroid_id, list(mm ORDER BY pos) AS cv
+                  FROM (SELECT label, i AS pos,
+                               CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824) AS DECIMAL(38,0))) AS DOUBLE) AS mm
+                        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS r(i)
+                        GROUP BY label, i) GROUP BY label),
+         ivfn AS (SELECT centroid_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nrm FROM ivfc),
+         ivfs AS (SELECT e0.vec_id, c.centroid_id,
+                         list_sum(list_transform(list_zip(e0.embedding, c.cv),
+                           x -> CAST(x[1] AS DOUBLE) * x[2])) / c.nrm AS sc
+                  FROM embeddings e0, ivfn c),
+         bkt AS (SELECT vec_id, centroid_id AS bucket FROM ivfs
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, centroid_id) = 1),
+         qsel AS (SELECT vec_id FROM e
+                  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 10),
+         qpr AS (SELECT ivfs.vec_id AS query_id, ivfs.centroid_id AS bucket
+                 FROM ivfs JOIN qsel ON qsel.vec_id = ivfs.vec_id
+                 QUALIFY row_number() OVER (PARTITION BY ivfs.vec_id ORDER BY sc DESC, centroid_id) <= $ivfNprobe),
+         cm AS (SELECT centroid_id, list(ce ORDER BY pos) AS ce6 FROM (
+                SELECT label AS centroid_id, i AS pos,
+                       CAST((m6 - ((m6 % den + den) % den)) // den AS BIGINT) AS ce
+                FROM (SELECT label, i,
+                             SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824) AS HUGEINT)) * 1000000 AS m6,
+                             CAST(COUNT(*) AS HUGEINT) * 1073741824 AS den
+                      FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS r(i)
+                      GROUP BY label, i)) GROUP BY centroid_id),
+         rese AS (SELECT e.vec_id, list_transform(list_zip(e.q, cm.ce6), x -> x[1] - x[2]) AS rq
+                  FROM e JOIN bkt ON bkt.vec_id = e.vec_id
+                       JOIN cm ON cm.centroid_id = bkt.bucket),
+         sub AS MATERIALIZED (SELECT vec_id, s, rq[s*$subDim+1 : s*$subDim+$subDim] AS qv
+                FROM rese, UNNEST(range($m)) r(s)),
+         seed AS (SELECT vec_id,
+                    CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS c
+                  FROM e QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= $k),
+         c0 AS (SELECT sub.s, seed.c, sub.qv AS cv FROM sub JOIN seed USING (vec_id)),
+         $rounds,
+         ${assign("enc", s"c$iters")},
+         qres AS (SELECT e.vec_id AS query_id, qpr.bucket,
+                         list_transform(list_zip(e.q, cm.ce6), x -> x[1] - x[2]) AS rq
+                  FROM e JOIN qpr ON qpr.query_id = e.vec_id
+                       JOIN cm ON cm.centroid_id = qpr.bucket),
+         qrs AS (SELECT query_id, bucket, s, rq[s*$subDim+1 : s*$subDim+$subDim] AS qv
+                 FROM qres, UNNEST(range($m)) r(s)),
+         lut AS (SELECT qrs.query_id, qrs.bucket, kk.s, kk.c,
+                        CAST(list_sum(list_transform(list_zip(qrs.qv, kk.cv),
+                          x -> (x[1]-x[2])*(x[1]-x[2]))) AS HUGEINT) AS d
+                 FROM qrs JOIN c$iters kk ON kk.s = qrs.s),
+         adc AS (SELECT l.query_id, enc.vec_id AS neighbor_id, SUM(l.d) AS dist
+                 FROM enc JOIN bkt ON bkt.vec_id = enc.vec_id
+                      JOIN lut l ON l.bucket = bkt.bucket AND l.s = enc.s AND l.c = enc.c
+                                 AND enc.vec_id <> l.query_id
+                 GROUP BY 1, 2),
+         topk AS (SELECT query_id, neighbor_id, dist,
+                         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+                  FROM adc QUALIFY rnk <= 10)
+         SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id,
+                CAST(dist AS BIGINT) AS adc_dist
+         FROM topk ORDER BY query_id, rank"""
+    }
     val prefix =
       s"""WITH e AS (SELECT vec_id,
                 list_transform(embedding,
@@ -3115,6 +3205,8 @@ object SparkEntry {
     "q170_pq_adc_topk" -> pqOracleSql(m = 4, subDim = 16, k = 8, iters = 2, adc = true),
     "q187_ivf_adc_topk" -> pqOracleSql(m = 4, subDim = 16, k = 8, iters = 2,
       adc = true, ivfNprobe = 3),
+    "q189_ivf_adc_residual" -> pqOracleSql(m = 4, subDim = 16, k = 8, iters = 2,
+      adc = true, ivfNprobe = 3, residual = true),
 
     // Incremental ≡ from-scratch exactly (KMV union-merge determinism),
     // so the oracle replays the q163-shape scratch sketch over events —

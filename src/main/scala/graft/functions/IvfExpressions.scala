@@ -204,3 +204,80 @@ object IvfBestScoreExpr {
       GraftColumnBridge.expression(vec), cents, norms))
   }
 }
+
+/** Per-cell residual in e6 quanta — the IVFADC residual-encoding
+  * primitive (Jégou 2011 §IV): out(i) = ⌊xᵢ·10⁶⌋ − c_e6(bucket)(i),
+  * where `c_e6` is the bucket centroid's EXACT integer e6 mean
+  * ([[VectorFunctions.centroidMeansE6]]). Quantize-first integer
+  * subtraction keeps residuals bit-portable (the DuckDB oracle replays
+  * them with list arithmetic); same `addReferenceObj` kernel
+  * discipline as its siblings — constant bytecode at any C or dim.
+  * Null vec → null; an unknown bucket id or a vec shorter than the
+  * centroid → null (nothing in the model to subtract). */
+case class ResidualE6Expr(vecExpr: Expression, bucketExpr: Expression,
+                          cents: Array[Array[Long]], ids: Array[Int])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = vecExpr
+  override def right: Expression = bucketExpr
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def prettyName: String = "residual_e6"
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean = ProjectionExpressions.isFloatArray(vecExpr.dataType)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (vecExpr.dataType, bucketExpr.dataType) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"residual_e6 needs (array<float|double>, int), got $other")
+    }
+
+  override def nullSafeEval(v: Any, b: Any): Any =
+    ResidualE6Expr.residual(v.asInstanceOf[ArrayData], b.asInstanceOf[Int],
+      cents, ids, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("resCents", cents, "long[][]")
+    val idsRef = ctx.addReferenceObj("resIds", ids, "int[]")
+    nullSafeCodeGen(ctx, ev, (v, b) =>
+      s"${ev.value} = graft.functions.ResidualE6Expr.residual($v, $b, $centsRef, " +
+        s"$idsRef, $isFloat);\n" +
+        s"if (${ev.value} == null) { ${ev.isNull} = true; }")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(vecExpr = newLeft, bucketExpr = newRight)
+}
+
+object ResidualE6Expr {
+  /** Shared by interpreted eval and codegen; `ids` must be sorted
+    * ascending (binary-searched per row). */
+  def residual(vec: ArrayData, bucket: Int, cents: Array[Array[Long]],
+               ids: Array[Int], isFloat: Boolean): ArrayData = {
+    val idx = java.util.Arrays.binarySearch(ids, bucket)
+    if (idx < 0) return null
+    val c = cents(idx)
+    if (vec.numElements() < c.length) return null
+    val out = new Array[Long](c.length)
+    var i = 0
+    if (isFloat)
+      while (i < c.length) { out(i) = math.floor(vec.getFloat(i).toDouble * 1000000.0).toLong - c(i); i += 1 }
+    else
+      while (i < c.length) { out(i) = math.floor(vec.getDouble(i) * 1000000.0).toLong - c(i); i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Column form over driver-exact e6 centroid means (id-sorted). */
+  def residualE6(vec: Column, bucket: Column,
+                 means: Seq[(Int, Seq[Long])]): Column = {
+    require(means.nonEmpty, "empty centroid-mean model")
+    val sorted = means.sortBy(_._1)
+    GraftColumnBridge.column(ResidualE6Expr(
+      GraftColumnBridge.expression(vec), GraftColumnBridge.expression(bucket),
+      sorted.map(_._2.toArray).toArray, sorted.map(_._1).toArray))
+  }
+}

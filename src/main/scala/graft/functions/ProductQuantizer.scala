@@ -59,6 +59,18 @@ object ProductQuantizer {
       .select((col("id") +: keep.map(col)) ++
         Seq(col("e.s").as("s"), col("e.qv").as("qv")): _*)
 
+  /** (id[, keep...], s, qv) over an ALREADY-e6 long-array column — the
+    * residual path's twin of [[subRelation]] (residuals are integer
+    * subtractions of integer quantizations; re-quantizing would be
+    * wrong, so this variant only slices). */
+  private def subRelationE6(df: DataFrame, idCol: String, e6Col: String,
+                            m: Int, subDim: Int, keep: Seq[String] = Nil): DataFrame =
+    df.select((col(idCol).as("id") +: keep.map(col)) :+
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), slice(col(e6Col), s * subDim + 1, subDim).as("qv"))): _*)).as("e"): _*)
+      .select((col("id") +: keep.map(col)) ++
+        Seq(col("e.s").as("s"), col("e.qv").as("qv")): _*)
+
   /** Argmin code over each subspace's live centroids, ties to the
     * smaller code. Was a coalesced CASE over m·k·subDim inlined
     * literal terms — which blows the JVM 64 KB method limit at the
@@ -69,31 +81,14 @@ object ProductQuantizer {
   private def assignExpr(model: PqModel): Column =
     PqAssignExpr.pqAssign(col("s"), col("qv"), model)
 
-  /** Lloyd's per-subspace k-means over the e6 subvectors. Seeds are
-    * the k corpus vectors with the smallest (md5(id), id) — the shared
-    * portable draw — numbered 0..k−1 in that order, identically for
-    * every subspace. */
-  def train(corpus: DataFrame, idCol: String, vecCol: String,
-            m: Int, subDim: Int, k: Int, iters: Int): PqModel = {
-    require(m >= 1 && subDim >= 1 && k >= 2 && iters >= 1,
-      s"bad PQ shape m=$m subDim=$subDim k=$k iters=$iters")
-    val subs = subRelation(corpus, idCol, vecCol, m, subDim).localCheckpoint()
-    val seeds = corpus
-      .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
-      .select(col(vecCol)).collect().zipWithIndex
-    var model = PqModel(m, subDim,
-      IndexedSeq.tabulate(m) { s =>
-        seeds.map { case (r, j) =>
-          j -> IndexedSeq.tabulate(subDim) { i =>
-            val x = r.getSeq[Any](0)(s * subDim + i) match {
-              case f: java.lang.Float => f.toDouble
-              case d: java.lang.Double => d.doubleValue
-              case other => other.toString.toDouble
-            }
-            math.floor(x * 1e6).toLong
-          }
-        }.toIndexedSeq
-      })
+  /** Lloyd's per-subspace k-means over a pre-built (id, s, qv)
+    * subvector relation from a seed model — the shared training core
+    * for the raw-vector path ([[train]]) and the residual path
+    * ([[ivfAdcResidualTopK]]); byte-identical update arithmetic either
+    * way (exact integer sums, pmod-identity floor division, argmin
+    * ties to the smaller code). */
+  private def lloyd(subs: DataFrame, seedModel: PqModel, iters: Int): PqModel = {
+    var model = seedModel
     for (_ <- 1 to iters) {
       val updated = subs.withColumn("code", assignExpr(model))
         .select(col("s"), col("code"), posexplode(col("qv")).as(Seq("pos", "x")))
@@ -108,13 +103,48 @@ object ProductQuantizer {
         .map { case ((s, code), rows) =>
           (s, code, rows.sortBy(_.getInt(2)).map(_.getLong(3)).toIndexedSeq)
         }.toSeq
-      model = PqModel(m, subDim,
-        IndexedSeq.tabulate(m) { s =>
+      model = PqModel(model.m, model.subDim,
+        IndexedSeq.tabulate(model.m) { s =>
           updated.filter(_._1 == s).sortBy(_._2)
             .map(t => t._2 -> t._3).toIndexedSeq
         })
     }
     model
+  }
+
+  /** Seed model from driver-side e6 vectors: seed j's subvector s is
+    * `seedVecsE6(j)` sliced at s·subDim — the k vectors must already be
+    * in the portable (md5(id), id) draw order. */
+  private def seedModel(seedVecsE6: IndexedSeq[IndexedSeq[Long]],
+                        m: Int, subDim: Int): PqModel =
+    PqModel(m, subDim,
+      IndexedSeq.tabulate(m) { s =>
+        seedVecsE6.zipWithIndex.map { case (v, j) =>
+          j -> IndexedSeq.tabulate(subDim)(i => v(s * subDim + i))
+        }
+      })
+
+  /** Lloyd's per-subspace k-means over the e6 subvectors. Seeds are
+    * the k corpus vectors with the smallest (md5(id), id) — the shared
+    * portable draw — numbered 0..k−1 in that order, identically for
+    * every subspace. */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            m: Int, subDim: Int, k: Int, iters: Int): PqModel = {
+    require(m >= 1 && subDim >= 1 && k >= 2 && iters >= 1,
+      s"bad PQ shape m=$m subDim=$subDim k=$k iters=$iters")
+    val subs = subRelation(corpus, idCol, vecCol, m, subDim).localCheckpoint()
+    val seedVecs = corpus
+      .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(r => IndexedSeq.tabulate(m * subDim) { p =>
+        val x = r.getSeq[Any](0)(p) match {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue
+          case other => other.toString.toDouble
+        }
+        math.floor(x * 1e6).toLong
+      }).toIndexedSeq
+    lloyd(subs, seedModel(seedVecs, m, subDim), iters)
   }
 
   /** PQ codes of every vector: (id, subspace, code) — map-only against
@@ -220,6 +250,81 @@ object ProductQuantizer {
         codes("bucket") === probedLut("bucket") &&
           codes("subspace") === probedLut("s") && codes("code") === probedLut("code") &&
           codes("id") =!= probedLut("query_id"))
+      .select(col("query_id"), codes("id").as("neighbor_id"), col("__d"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__d")).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist").asc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("adc_dist").cast("long").as("adc_dist"))
+  }
+
+  /** Residual-encoded IVFADC — Jégou 2011 §IV's actual form, closing
+    * [[ivfAdcTopK]]'s documented raw-vector deviation: every corpus
+    * vector is PQ-coded on its residual x − c(bucket) against its own
+    * coarse cell's exact e6 mean centroid, the codebook is trained on
+    * those residuals (one quantizer shared across cells, per the
+    * paper), and each query's ADC lookup table is built from the
+    * query's residual WITH RESPECT TO EACH PROBED CELL — so the LUT is
+    * per (query, probe-cell), m·k·nprobe rows per query, still
+    * broadcast-trivial. Residuals concentrate around the origin, which
+    * is what keeps a fixed code budget's quantization error (and hence
+    * recall) flat as C grows — the lever the raw-vector variant gives
+    * up.
+    *
+    * Exactness chain, oracle-replayed end to end: bucket assignment is
+    * the shared integer-sum cosine quantizer (bit-equal to
+    * [[ivfAdcTopK]]'s); residuals are integer subtractions
+    * ⌊x·10⁶⌋ − c_e6 ([[ResidualE6Expr]], c_e6 from
+    * [[VectorFunctions.centroidMeansE6]]'s BigInt floor); training is
+    * the same [[lloyd]] core over the residual subvectors (seeds = the
+    * residuals of the portable (md5(id), id) draw); ADC distances are
+    * exact integer L2². Scale shape matches [[ivfAdcTopK]]: one
+    * corpus tag pass, map-only encode, candidate volume ~nprobe/C,
+    * bucket = write-time partition key at 100 TB.
+    *
+    * Output: (query_id, rank, neighbor_id, adc_dist) — the
+    * [[adcTopK]] contract. */
+  def ivfAdcResidualTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                         meansE6: Seq[(Int, IndexedSeq[Long])],
+                         m: Int, subDim: Int, kCode: Int, iters: Int,
+                         idCol: String, vecCol: String,
+                         k: Int, nprobe: Int): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"bad search shape k=$k nprobe=$nprobe")
+    require(m >= 1 && subDim >= 1 && kCode >= 2 && iters >= 1,
+      s"bad PQ shape m=$m subDim=$subDim k=$kCode iters=$iters")
+    val spark = queries.sparkSession
+    val (tagged, probes0) = VectorFunctions.tagAndProbe(
+      corpus.select(col(idCol), col(vecCol)), col(vecCol),
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__v")), col("__v"),
+      centroids, "__bucket", nprobe)
+    val resid = tagged.withColumn("__r",
+      ResidualE6Expr.residualE6(col(vecCol), col("__bucket"), meansE6))
+    val subs = subRelationE6(resid, idCol, "__r", m, subDim, keep = Seq("__bucket"))
+      .localCheckpoint()
+    val seedVecs = resid
+      .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(kCode)
+      .select(col("__r")).collect()
+      .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+    val model = lloyd(subs, seedModel(seedVecs, m, subDim), iters)
+    val codes = subs.select(col("id"), col("__bucket").as("bucket"),
+      col("s").cast("int").as("subspace"), assignExpr(model).cast("int").as("code"))
+    // per-(query, probed cell) residual -> LUT rows (query, bucket, s, code, d)
+    val qresid = probes0.withColumn("__r",
+      ResidualE6Expr.residualE6(col("__v"), col("__bucket"), meansE6))
+    val qsub = subRelationE6(qresid, "query_id", "__r", m, subDim, keep = Seq("__bucket"))
+    val lut = qsub.join(codebookDf(spark, model), Seq("s"))
+      .select(col("id").as("query_id"), col("__bucket").as("bucket"),
+        col("s"), col("code"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("__d"))
+    codes
+      .join(broadcast(lut),
+        codes("bucket") === lut("bucket") &&
+          codes("subspace") === lut("s") && codes("code") === lut("code") &&
+          codes("id") =!= lut("query_id"))
       .select(col("query_id"), codes("id").as("neighbor_id"), col("__d"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("__d")).as("adc_dist"))

@@ -427,6 +427,33 @@ object VectorFunctions {
         s => s.getField("m").cast("double")).as("centroid_vec"))
   }
 
+  /** EXACT per-label e6 centroid means, driver-collected — the residual
+    * anchor for [[graft.functions.ProductQuantizer.ivfAdcResidualTopK]].
+    * Components quantize to q = ⌊v·2³⁰⌋ (the [[centroidsByLabel]]
+    * quantum, so both models derive from one integer surface), sums are
+    * exact decimal aggregation (no overflow envelope at any count), and
+    * the mean lands in e6 units by the sign-safe mathematical floor
+    * c_e6 = ⌊m0·10⁶ / (cnt·2³⁰)⌋ computed in BigInt on the driver —
+    * bit-portable (the DuckDB oracle replays it in HUGEINT). Returned
+    * id-sorted, like [[collectCentroids]]. */
+  def centroidMeansE6(corpus: DataFrame, labelCol: String, vecCol: String): Seq[(Int, IndexedSeq[Long])] = {
+    val rows = corpus
+      .select(col(labelCol).cast("int").as("cid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("cid"), col("pos"),
+        floor(col("v").cast("double") * lit(1073741824.0)).cast("long").as("q"))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("q").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("m0"),
+        count(lit(1)).as("cnt"))
+      .collect()
+    rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
+      cid -> rs.sortBy(_.getInt(1)).map { r =>
+        val num = BigInt(r.getDecimal(2).toBigInteger) * BigInt(1000000)
+        val den = BigInt(r.getLong(3)) * BigInt(1L << 30)
+        ((num - ((num % den + den) % den)) / den).toLong
+      }.toIndexedSeq
+    }.toSeq.sortBy(_._1)
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication — cluster the
     * corpus with a coarse quantizer, find intra-cluster cosine
     * near-duplicate groups, and keep ONE representative per group: the

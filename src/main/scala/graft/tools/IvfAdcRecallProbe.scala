@@ -3,12 +3,16 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 /** IVFADC quality ladder (the q30 recall-ladder precedent applied to
-  * the composed index): recall@10 of `ivfAdcTopK` vs the exhaustive
-  * `adcTopK` at nprobe 1/2/4/8 over the fixture embeddings, plus warm
-  * wall times — the measured answer to "what does bucket pruning cost
-  * in answer quality at each probe depth". Recall is against the
-  * EXHAUSTIVE ADC (same quantization), so the ladder isolates the
-  * coarse stage's pruning loss from PQ quantization loss. */
+  * the composed index), extended in r14 with the residual-encoded
+  * variant: at every nprobe the raw-vector and residual (Jégou §IV)
+  * searches run on the SAME code budget (m×subDim×k), and recall@10 is
+  * measured against two truths —
+  *   - the exhaustive raw ADC (isolates the coarse stage's pruning
+  *     loss from quantization loss, the original ladder), and
+  *   - the EXACT L2 top-10 over the uncompressed vectors (the truth a
+  *     user cares about: both quantizations compete on it, so the
+  *     residual-vs-raw delta at fixed budget is read off this column).
+  * Warm wall times ride along. */
 object IvfAdcRecallProbe {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
@@ -22,6 +26,8 @@ object IvfAdcRecallProbe {
       emb, "vec_id", "embedding", m = 4, subDim = 16, k = 8, iters = 2)
     val centroids = graft.functions.VectorFunctions.centroidsByLabel(
       emb, "label", "embedding").localCheckpoint()
+    val means = graft.functions.VectorFunctions.centroidMeansE6(
+      emb, "label", "embedding")
     val nCells = centroids.count().toInt
     val queries = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(nQueries).localCheckpoint()
@@ -35,17 +41,43 @@ object IvfAdcRecallProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // exact L2 truth over uncompressed vectors: d = |c|^2 - 2 c.q
+    // (|q|^2 constant per query), kernel dot products, top-10 window
+    graft.functions.VecExpressions.register(spark)
+    val exact = {
+      import graft.functions.VecExpressions.vecDot
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .withColumn("cc", vecDot(col("cv"), col("cv")))
+      val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+        .orderBy(col("d").asc, col("neighbor_id").asc)
+      c.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("d", col("cc") - lit(2.0) * vecDot(col("cv"), col("qv")))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+    }
+    val truthExact = pairs(exact)
+
     val codes = graft.functions.ProductQuantizer.encode(
       emb, "vec_id", "embedding", model).localCheckpoint()
-    val (truth, tEx) = timed(pairs(graft.functions.ProductQuantizer.adcTopK(
+    val (truthAdc, tEx) = timed(pairs(graft.functions.ProductQuantizer.adcTopK(
       queries, codes, model, "vec_id", "embedding", 10)))
-    println(f"[ivfadc] corpus ${emb.count()} vecs, $nCells cells, $nQueries queries")
-    println(f"[ivfadc] exhaustive ADC     ${tEx}%6.2f s  (ground truth, ${truth.size} pairs)")
-    for (np <- Seq(1, 2, 4, 8).filter(_ <= nCells) :+ nCells) {
-      val (got, t) = timed(pairs(graft.functions.ProductQuantizer.ivfAdcTopK(
+    def recall(got: Set[(Long, Long)], truth: Set[(Long, Long)]) =
+      got.intersect(truth).size.toDouble / truth.size
+    println(f"[ivfadc] corpus ${emb.count()} vecs, $nCells cells, $nQueries queries, " +
+      f"code budget m=4 subDim=16 k=8")
+    println(f"[ivfadc] exhaustive raw ADC ${tEx}%6.2f s  " +
+      f"recall-vs-exact ${recall(truthAdc, truthExact)}%.3f  (${truthAdc.size} pairs)")
+    for (np <- Seq(1, 2, 4, 8).filter(_ < nCells) :+ nCells) {
+      val (raw, tRaw) = timed(pairs(graft.functions.ProductQuantizer.ivfAdcTopK(
         queries, emb, centroids, model, "vec_id", "embedding", 10, np)))
-      val recall = got.intersect(truth).size.toDouble / truth.size
-      println(f"[ivfadc] nprobe=$np%-2d           ${t}%6.2f s  recall@10 ${recall}%.3f")
+      val (res, tRes) = timed(pairs(graft.functions.ProductQuantizer.ivfAdcResidualTopK(
+        queries, emb, centroids, means, m = 4, subDim = 16, kCode = 8, iters = 2,
+        "vec_id", "embedding", 10, np)))
+      println(f"[ivfadc] nprobe=$np%-2d raw      ${tRaw}%6.2f s  " +
+        f"recall-vs-adc ${recall(raw, truthAdc)}%.3f  recall-vs-exact ${recall(raw, truthExact)}%.3f")
+      println(f"[ivfadc] nprobe=$np%-2d residual ${tRes}%6.2f s  " +
+        f"                        recall-vs-exact ${recall(res, truthExact)}%.3f")
     }
     spark.stop()
   }

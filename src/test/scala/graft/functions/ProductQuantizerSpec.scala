@@ -176,4 +176,91 @@ class ProductQuantizerSpec extends SparkSpecBase {
     // candidate (hence every neighbor) shares the query's cluster
     assert(got.forall { case (q, n) => q % 4 == n % 4 })
   }
+
+  // ---- residual IVFADC (Jégou §IV) ----------------------------------------
+
+  test("centroidMeansE6 equals the BigInt floor replica, negatives included") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(-0.75f, 0.3f), 0), (2L, Array(0.5f, -0.9f), 0),
+      (3L, Array(-0.1f, 0.2f), 0), (4L, Array(1.5f, 1.5f), 1),
+      (5L, Array(-2.5f, 0.25f), 1))
+    val df = rows.toDF("vec_id", "embedding", "label").repartition(3)
+    val got = VectorFunctions.centroidMeansE6(df, "label", "embedding")
+    def floorDiv(a: BigInt, b: BigInt) = (a - ((a % b + b) % b)) / b
+    val want = rows.groupBy(_._3).map { case (lab, rs) =>
+      lab -> IndexedSeq.tabulate(2) { i =>
+        val m0 = rs.map(r => BigInt(math.floor(r._2(i).toDouble * 1073741824.0).toLong)).sum
+        floorDiv(m0 * 1000000, BigInt(rs.size) * BigInt(1L << 30)).toLong
+      }
+    }.toSeq.sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("residualE6 kernel: interpreted equals codegen; unknown bucket and short vec null") {
+    import spark.implicits._
+    val means = Seq(0 -> Seq(100L, -200L), 2 -> Seq(50L, 50L))
+    val df = Seq(
+      (1L, Array(0.5f, 0.25f), 0), (2L, Array(-1.0f, 0.0f), 2),
+      (3L, Array(0.1f, 0.1f), 7),          // unknown bucket
+      (4L, null.asInstanceOf[Array[Float]], 0)
+    ).toDF("id", "v", "b").repartition(2)
+    def run(codegen: String) = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try df.select(col("id"),
+          ResidualE6Expr.residualE6(col("v"), col("b"), means).as("r"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_ => r.getSeq[Long](1))).toMap
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    val a = run("true"); val b = run("false")
+    assert(a == b)
+    assert(a(1L).contains(Seq(500000L - 100L, 250000L + 200L)))
+    assert(a(2L).contains(Seq(-1000000L - 50L, 0L - 50L)))
+    assert(a(3L).isEmpty && a(4L).isEmpty)
+  }
+
+  test("residual IVFADC honors the search contract and the probe restriction") {
+    val df = clusteredWithLabels
+    val centroids = VectorFunctions.centroidsByLabel(df, "label", "embedding")
+    val means = VectorFunctions.centroidMeansE6(df, "label", "embedding")
+    val queries = df.orderBy(col("vec_id")).limit(8)
+    val got = ProductQuantizer.ivfAdcResidualTopK(queries, df, centroids, means,
+        m = 4, subDim = 4, kCode = 8, iters = 2,
+        "vec_id", "embedding", k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 40)
+    // nprobe=1 on well-separated clusters: every neighbor shares the
+    // query's cluster, self excluded, ranks contiguous and dist-ordered
+    assert(got.forall { case (q, _, n, _) => q % 4 == n % 4 && q != n })
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 5))
+      assert(sorted.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+    // partition independence (distributed sums + argmin determinism)
+    val again = ProductQuantizer.ivfAdcResidualTopK(queries, df.repartition(17),
+        centroids, means, m = 4, subDim = 4, kCode = 8, iters = 2,
+        "vec_id", "embedding", k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(r => (r._1, r._2)).toSeq == got.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("residual codes recenter an offset cluster (what raw codes cannot)") {
+    import spark.implicits._
+    // one tight cluster far from the origin: raw PQ must spend its code
+    // budget on the offset; residual codes see the cluster centered
+    val rows = (0L until 40L).map { id =>
+      (id, Array.tabulate(8)(i => 50f + (((id * 7 + i * 13) % 11).toFloat - 5f) / 100f), 0)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label").localCheckpoint()
+    val means = VectorFunctions.centroidMeansE6(df, "label", "embedding")
+    // the exact e6 mean sits inside the cluster, so residuals are small
+    val resid = df.withColumn("r",
+      ResidualE6Expr.residualE6(col("embedding"), lit(0), means))
+    val maxAbs = resid.select(max(aggregate(col("r"), lit(0L),
+      (acc, x) => greatest(acc, abs(x))))).head().getLong(0)
+    assert(maxAbs <= 120000L, s"residuals must be offset-free, max |r| = $maxAbs")
+    // while the raw quantization of the same vectors is offset-sized
+    assert(rows.head._2.head * 1e6 > 4e7)
+  }
 }
