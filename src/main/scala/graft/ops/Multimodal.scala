@@ -77,7 +77,11 @@ object Multimodal {
     * container-level parses only, no frame decode:
     *  - MP4/ISO-BMFF ([[graft.functions.Mp4Codec]]): real moov/mvhd
     *    duration, tkhd width/height, stsd codec fourcc slotted into
-    *    `format` as `"mp4/<fourcc>"`;
+    *    `format` as `"mp4/<fourcc>"`, media type from the track
+    *    handler (audio-only BMFF honors as audio);
+    *  - AVI ([[graft.functions.AviCodec]]): real avih width/height and
+    *    duration (µs-per-frame × frames), stream handler as
+    *    `"avi/<handler>"`;
     *  - RIFF/WAVE ([[graft.functions.AudioCodec]]): real duration from
     *    the decoded frame count and sample rate.
     * Unrecognized payloads keep their declared meta untouched (the
@@ -105,11 +109,22 @@ object Multimodal {
             height = if (mp4.height > 0) Some(mp4.height) else a.meta.height,
             duration_ms = Some(mp4.durationMs)))
         } else {
-          val pcm = graft.functions.AudioCodec.decodeWav(a.payload)
-          if (pcm != null)
-            a.copy(meta = a.meta.copy(media_type = "audio", format = "wav",
-              duration_ms = Some(pcm.samples.length * 1000L / pcm.sampleRate)))
-          else a
+          val avi = graft.functions.AviCodec.parseMeta(a.payload)
+          if (avi != null) {
+            a.copy(meta = a.meta.copy(
+              media_type = "video",
+              format = if (avi.handler == null) "avi"
+                       else s"avi/${avi.handler.trim.toLowerCase}",
+              width = if (avi.width > 0) Some(avi.width) else a.meta.width,
+              height = if (avi.height > 0) Some(avi.height) else a.meta.height,
+              duration_ms = Some(avi.usPerFrame * avi.totalFrames / 1000L)))
+          } else {
+            val pcm = graft.functions.AudioCodec.decodeWav(a.payload)
+            if (pcm != null)
+              a.copy(meta = a.meta.copy(media_type = "audio", format = "wav",
+                duration_ms = Some(pcm.samples.length * 1000L / pcm.sampleRate)))
+            else a
+          }
         }
       }
     }
@@ -118,29 +133,42 @@ object Multimodal {
   // ---------------------------------------------------------------------------
   // CODEC SEAM — the image path is REAL (stock-JDK javax.imageio via
   // [[graft.functions.ImageCodec]]: PNG/JPEG decode, integer luma,
-  // deterministic box resize) and so is uncompressed audio
+  // deterministic box resize), so is uncompressed audio
   // ([[graft.functions.AudioCodec]]: RIFF/WAVE PCM parse + Goertzel
-  // band energies). Video and compressed-audio payloads still hit the
-  // clearly-marked deterministic stub below (no JDK codec exists for
-  // them); replace that branch with ffmpeg and every signature,
-  // schema and batch shape stays identical.
+  // band energies), and — r14 — so is MJPEG video
+  // ([[graft.functions.AviCodec]]: AVI RIFF walk, frames are JPEGs the
+  // image path already decodes). Only NON-MJPEG video codecs and
+  // compressed audio still hit the clearly-marked deterministic stub
+  // below (no JDK codec exists for them); replace that branch with
+  // ffmpeg and every signature, schema and batch shape stays identical.
   // ---------------------------------------------------------------------------
 
   /** Decode + resize + featurize one payload into the fixed 8-wide
     * feature vector.
     *
-    * Real branch (PNG/JPEG magic, decodable): box-resize to
-    * targetH×targetW integer luma, then an 8-bin luminance histogram
-    * (bin = luma ÷ 32) — pixel counts, so the vector sums to
-    * targetW·targetH. Deterministic for lossless inputs.
+    * Real branches: PNG/JPEG (box-resize to targetH×targetW integer
+    * luma, 8-bin luminance histogram — pixel counts, so the vector
+    * sums to targetW·targetH; deterministic for lossless inputs);
+    * AVI/MJPEG video (first frame through the same JPEG path);
+    * RIFF/WAVE audio (Goertzel band energies, same mass envelope).
     *
-    * STUB branch (everything else — audio/video/unknown): the original
-    * deterministic byte fold, scaled to the same targetW·targetH mass
-    * so downstream consumers see one envelope. */
+    * STUB branch (what remains — non-MJPEG video codecs, compressed
+    * audio, unknown bytes): the original deterministic byte fold,
+    * scaled to the same targetW·targetH mass so downstream consumers
+    * see one envelope. */
   private[ops] def decodeKernel(payload: Array[Byte], targetW: Int, targetH: Int): Array[Float] = {
     val out = new Array[Float](8)
     if (payload == null || payload.isEmpty) return out
-    val grid = graft.functions.ImageCodec.lumaGrid(payload, targetH, targetW)
+    var grid = graft.functions.ImageCodec.lumaGrid(payload, targetH, targetW)
+    if (grid == null) {
+      // real VIDEO branch (r14): an AVI carrying MJPEG frames decodes
+      // its FIRST frame through the stock-JDK JPEG path — same
+      // histogram envelope as a still image. The stub below now covers
+      // only non-MJPEG video codecs and compressed audio.
+      val frames = graft.functions.AviCodec.mjpegFrames(payload)
+      if (frames != null)
+        grid = graft.functions.ImageCodec.lumaGrid(frames(0), targetH, targetW)
+    }
     val pcm = if (grid == null) graft.functions.AudioCodec.decodeWav(payload) else null
     if (grid != null) {
       var i = 0
@@ -190,6 +218,46 @@ object Multimodal {
         DecodedFeatures(a.asset_id, ok, feat, targetW, targetH)
       }
     }
+  }
+
+  /** REAL video frame extraction (r14): AVI/MJPEG payloads explode to
+    * one row per frame, each frame a complete JPEG exactly as stored
+    * ([[graft.functions.AviCodec.mjpegFrames]]); non-AVI payloads
+    * yield no rows (they stay on [[sampleFrames]]' pseudo-frame stub).
+    * A generator over the partition iterator — payload bytes never
+    * shuffle; at 100 TB this is a scan-stage flatMap like the
+    * fingerprint kernels, and the emitted frames are the decodable
+    * currency every image operator downstream already accepts. */
+  def videoFrames(spark: SparkSession, assets: DataFrame): Dataset[Frame] = {
+    import spark.implicits._
+    assets.as[Asset].flatMap { a =>
+      val frames = graft.functions.AviCodec.mjpegFrames(a.payload)
+      if (frames == null) Iterator.empty
+      else frames.iterator.zipWithIndex.map { case (f, i) => Frame(a.asset_id, i, f) }
+    }
+  }
+
+  /** Perceptual near-duplicate FRAME pairs across video assets — the
+    * [[imageNearDups]] machinery run on real MJPEG frames: extract
+    * ([[videoFrames]]), dHash every frame (stock-JDK JPEG decode inside
+    * the codegen'd kernel), block-join within `maxHamming`. Frame
+    * identity rides a composite id (asset_id · 2²⁰ + frame_idx — AVIs
+    * cap far below a million frames per asset) through the shared
+    * hamming blocks and is decomposed back on output. Returns
+    * (asset_a, frame_a, asset_b, frame_b, hamming), cross- and
+    * intra-asset pairs alike, self-pairs excluded by the id order. */
+  def videoFrameNearDups(spark: SparkSession, assets: DataFrame,
+                         maxHamming: Int = 3): DataFrame = {
+    val frames = videoFrames(spark, assets)
+      .select((col("asset_id") * lit(1L << 20) + col("frame_idx")).as("fid"),
+        col("frame_bytes"))
+    val dups = imageNearDups(frames, "fid", "frame_bytes", maxHamming)
+    dups.select(
+      shiftrightunsigned(col("id_a"), 20).as("asset_a"),
+      col("id_a").bitwiseAND(lit((1L << 20) - 1)).cast("int").as("frame_a"),
+      shiftrightunsigned(col("id_b"), 20).as("asset_b"),
+      col("id_b").bitwiseAND(lit((1L << 20) - 1)).cast("int").as("frame_b"),
+      col("hamming"))
   }
 
   /** Frame sampling for video-like payloads: emit every `stride`-th

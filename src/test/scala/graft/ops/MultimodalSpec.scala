@@ -340,6 +340,123 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Mp4Codec.parseMeta(ftyp ++ nested) == null)
   }
 
+  // ---- AVI / MJPEG real video frames ---------------------------------------
+
+  /** A real JPEG: deterministic gradient pattern encoded by the stock
+    * JDK writer — what an MJPEG frame actually is. */
+  private def jpegBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((x * 11 + y * 7 + seed * 41) % 256)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Hand-built minimal AVI: RIFF('AVI ') { LIST hdrl { avih + LIST
+    * strl { strh('vids','MJPG') } } + LIST movi { 00dc <jpeg>... } } —
+    * offsets per the Microsoft AVI RIFF spec; the fixture IS the pin. */
+  private def buildAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+                       usPerFrame: Int = 40000): Array[Byte] = {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+      cc(id) ++ le32(body.length) ++ padded
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(kind) ++ body)
+    val avih = chunk("avih", le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ new Array[Byte](16))
+    val strh = chunk("strh", cc("vids") ++ cc("MJPG") ++ new Array[Byte](48))
+    val hdrl = list("hdrl", avih ++ list("strl", strh))
+    val movi = list("movi", frames.map(chunk("00dc", _)).reduce(_ ++ _))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  test("AviCodec extracts MJPEG frames byte-exactly and parses avih meta") {
+    import graft.functions.AviCodec
+    val fs = Seq(jpegBytes(24, 16, 1), jpegBytes(24, 16, 2), jpegBytes(24, 16, 3))
+    val avi = buildAvi(fs, 24, 16, usPerFrame = 33333)
+    val meta = AviCodec.parseMeta(avi)
+    assert(meta != null)
+    assert(meta.width == 24 && meta.height == 16)
+    assert(meta.usPerFrame == 33333L && meta.totalFrames == 3)
+    assert(meta.handler == "MJPG")
+    val got = AviCodec.mjpegFrames(avi)
+    assert(got != null && got.length == 3)
+    got.zip(fs).foreach { case (g, f) => assert(java.util.Arrays.equals(g, f)) }
+    // and the frames really decode through the stock JPEG path
+    assert(graft.functions.ImageCodec.lumaGrid(got(0), 8, 8) != null)
+  }
+
+  test("AviCodec rejects non-AVI, torn and hostile payloads (null, never throws)") {
+    import graft.functions.AviCodec
+    assert(AviCodec.parseMeta(null) == null)
+    assert(AviCodec.parseMeta(Array.emptyByteArray) == null)
+    assert(AviCodec.parseMeta("RIFF....WAVEfmt ".getBytes) == null)
+    assert(AviCodec.mjpegFrames(buildMp4()) == null)
+    val good = buildAvi(Seq(jpegBytes(8, 8, 1)), 8, 8)
+    (1 until good.length by 5).foreach { cut =>
+      AviCodec.parseMeta(java.util.Arrays.copyOf(good, cut))
+      AviCodec.mjpegFrames(java.util.Arrays.copyOf(good, cut))
+    }
+    // an AVI whose frame chunks are not JPEGs routes to the stub path
+    val notJpeg = buildAvi(Seq(Array[Byte](1, 2, 3, 4)), 8, 8)
+    assert(AviCodec.parseMeta(notJpeg) != null)
+    assert(AviCodec.mjpegFrames(notJpeg) == null)
+    // hostile LIST nesting must hit the depth cap, not StackOverflowError
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    var deep = Array.emptyByteArray
+    (1 to 5000).foreach(_ => deep = "LIST".getBytes ++ le32(deep.length + 4) ++ "rec ".getBytes ++ deep)
+    val hostile = "RIFF".getBytes ++ le32(deep.length + 4) ++ "AVI ".getBytes ++ deep
+    assert(AviCodec.parseMeta(hostile) == null)
+  }
+
+  test("videoFrames + videoFrameNearDups find the shared frame across real MJPEG assets") {
+    import spark.implicits._
+    val shared = jpegBytes(24, 16, 7)
+    val aviA = buildAvi(Seq(jpegBytes(24, 16, 1), shared), 24, 16)
+    val aviB = buildAvi(Seq(shared, jpegBytes(24, 16, 9)), 24, 16)
+    val assets = Multimodal.assetsFromBinary(
+      Seq((1L, aviA), (2L, aviB)).toDF("doc_id", "payload"),
+      "doc_id", "payload", "video", "avi")
+    val frames = Multimodal.videoFrames(spark, assets)
+      .collect().map(f => (f.asset_id, f.frame_idx)).toSet
+    assert(frames == Set((1L, 0), (1L, 1), (2L, 0), (2L, 1)))
+    val dups = Multimodal.videoFrameNearDups(spark, assets, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    // identical bytes -> identical dHash -> hamming 0: asset 1 frame 1
+    // matches asset 2 frame 0 (and nothing else at hamming 0)
+    assert(dups.contains((1L, 1, 2L, 0)), s"got $dups")
+    assert(!dups.exists { case (a, f, b, g) => (a, f) == (b, g) })
+    // the decode kernel's video branch is REAL now: the AVI featurizes
+    // exactly like its own first frame (not like the byte-fold stub)
+    val fromAvi = Multimodal.decodeKernel(aviA, 16, 16)
+    val fromFrame = Multimodal.decodeKernel(jpegBytes(24, 16, 1), 16, 16)
+    assert(fromAvi.toSeq == fromFrame.toSeq)
+  }
+
+  test("probeContainerMeta honors AVI containers with real avih metadata") {
+    import spark.implicits._
+    val avi = buildAvi(Seq(jpegBytes(24, 16, 3)), 24, 16, usPerFrame = 40000)
+    val assets = Multimodal.assetsFromBinary(
+      Seq((5L, avi)).toDF("doc_id", "payload"),
+      "doc_id", "payload", "image", "png") // wrong declared meta on purpose
+    val probed = Multimodal.probeContainerMeta(spark, assets).collect()(0)
+    assert(probed.meta.media_type == "video")
+    assert(probed.meta.format == "avi/mjpg")
+    assert(probed.meta.width.contains(24) && probed.meta.height.contains(16))
+    assert(probed.meta.duration_ms.contains(40L)) // 40000 us x 1 frame
+  }
+
   test("Mp4Codec + probeContainerMeta honor audio-only BMFF (M4A, hdlr 'soun') as audio") {
     import spark.implicits._
     import graft.functions.Mp4Codec
