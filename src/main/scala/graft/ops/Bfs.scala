@@ -50,6 +50,9 @@ object Bfs {
     val undRaw = edges.select(col(src).as("u"), col(dst).as("v"))
       .union(edges.select(col(dst).as("u"), col(src).as("v")))
     val und = (if (edgesDistinct) undRaw else undRaw.distinct()).cache()
+    // per-hop shuffles scale with the cached edge relation
+    // ([[ShuffleSizing]] — count forces the cache it needs anyway)
+    ShuffleSizing.withEdgeScaledShuffle(edges.sparkSession, und.count()) {
     var visited = sources.select(col(sources.columns.head).as("id"))
       .distinct().withColumn("hops", lit(0)).cache()
     var frontier = visited.select(col("id"))
@@ -82,5 +85,6 @@ object Bfs {
     frontierCache.foreach(_.unpersist())
     und.unpersist()
     visited // cached — caller-owned, see scaladoc
+    } // withEdgeScaledShuffle
   }
 }

@@ -887,13 +887,18 @@ object Dedup {
       // neighbor) — computable directly as one aggregate over the edge
       // list, saving a full join round (the materialized cut keeps the
       // loop's per-round plans identical from iteration one)
+      val edgeCount = edges.count()
       if (edges.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType) &&
-          edges.count() <= driverMaxEdges) {
+          edgeCount <= driverMaxEdges) {
         val out = driverComponents(edges)
         drop("edges")
         edges.unpersist(false)
         return out
       }
+      // distributed rounds: shuffle partitions scale with the edge
+      // relation ([[ShuffleSizing]] — the count above is a free scan
+      // on the materialized cut)
+      ShuffleSizing.withEdgeScaledShuffle(spark, edgeCount) {
       labels = cut(edges.groupBy(col("s").as("v"))
         .agg(least(min(col("s")), min(col("t"))).as("comp")), // min(s)=s per group
         "r0", lazyLocal = false)
@@ -932,6 +937,7 @@ object Dedup {
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds")
       labels.select(col("v").as("doc_id"), col("comp").as("component_id"))
+      } // withEdgeScaledShuffle
     } catch {
       // on failure nothing of the run is consumable — free the local
       // blocks and remove exactly what this run wrote: every round file

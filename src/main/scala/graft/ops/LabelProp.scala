@@ -41,17 +41,21 @@ object LabelProp {
       else dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct())
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-    val w = Window.partitionBy(col("src")).orderBy(col("n").desc, col("label").asc)
-    for (_ <- 1 to iterations) {
-      labels = materialize(
-        edges.join(labels.withColumnRenamed("id", "__nid"), col("dst") === col("__nid"))
-          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select(col("src").as("id"), col("label")))
+    // edges are materialized, so the count is a free scan — per-round
+    // shuffles scale with the graph ([[ShuffleSizing]])
+    ShuffleSizing.withEdgeScaledShuffle(edges.sparkSession, edges.count()) {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+      val w = Window.partitionBy(col("src")).orderBy(col("n").desc, col("label").asc)
+      for (_ <- 1 to iterations) {
+        labels = materialize(
+          edges.join(labels.withColumnRenamed("id", "__nid"), col("dst") === col("__nid"))
+            .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .select(col("src").as("id"), col("label")))
+      }
+      labels
     }
-    labels
   }
 }

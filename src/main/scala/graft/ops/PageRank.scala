@@ -28,13 +28,17 @@ import org.apache.spark.sql.types.DecimalType
   * lineitem self-join + distinct), and without the cut that subtree
   * would re-execute for the degree join, the node set, and every
   * iteration's left join (measured 6× re-evaluation, 31 s → 4 s at
-  * sf0.1). The edge+degree relation and the node set are then each
-  * materialised once and reused every iteration (at cluster scale,
-  * pre-partition edges by src so the per-iteration join co-locates;
-  * ranks are |nodes| rows — small next to edges — and AQE broadcasts
-  * them when they fit). Rank lineage is cut per iteration via
-  * `materialize` (default localCheckpoint; swap in reliable
-  * checkpoint() for long chains on real clusters, as with
+  * sf0.1). Everything else stored or shuffled per round is |V|-sized:
+  * degrees and the node set are materialised once, each round joins
+  * the 2-column edge list against a |V|-row (src, contribution)
+  * relation with the floor division already done per SOURCE (r14 —
+  * the previous |E|-row edges⋈degrees materialisation was the largest
+  * single stage of the sf10 drill, and per-edge division tripled the
+  * big join's width). At cluster scale, pre-partition edges by src so
+  * the per-iteration join co-locates; shuffle partitions auto-scale
+  * with the measured edge count ([[ShuffleSizing]]). Rank lineage is
+  * cut per iteration via `materialize` (default localCheckpoint; swap
+  * in reliable checkpoint() for long chains on real clusters, as with
   * [[Sampling.budgetSelect]]). */
 object PageRank {
 
@@ -50,19 +54,35 @@ object PageRank {
     val base = lit(150000000000L).cast(dec)
     val edges = materialize(
       edges0.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
-    val withDeg = materialize(
-      edges.join(edges.groupBy(col("__src")).agg(count(lit(1)).as("__deg")), "__src"))
-    val nodes = materialize(edges.select(col("__src").as("id"))
-      .union(edges.select(col("__dst"))).distinct())
-    var ranks = nodes.withColumn("__r", scale)
-    for (_ <- 1 to iterations) {
-      val contribs = withDeg.join(ranks, withDeg("__src") === ranks("id"))
-        .select(col("__dst").as("id"),
-          expr("CAST((__r * CAST(85 AS DECIMAL(38,0))) DIV (CAST(100 AS DECIMAL(38,0)) * __deg) AS DECIMAL(38,0))").as("__c"))
-        .groupBy(col("id")).agg(sum(col("__c")).as("__in"))
-      ranks = materialize(nodes.join(contribs, Seq("id"), "left")
-        .select(col("id"), (base + coalesce(col("__in"), lit(0).cast(dec))).as("__r")))
+    // edges are materialized, so this count is a free scan — shuffle
+    // partitions then scale with the graph ([[ShuffleSizing]]; the r13
+    // sf10 drill's manual 32 → 64 fix, now a rule)
+    ShuffleSizing.withEdgeScaledShuffle(edges.sparkSession, edges.count()) {
+      // |V|-sized relations only beyond the edge list itself: the r14
+      // sf10 dissection found the old edges⋈degrees MATERIALIZATION
+      // (an |E|-row copy carrying the degree) was the single biggest
+      // stage (220 s of 584 at 240M edges) and the per-round join then
+      // divided rank by degree once per EDGE row. The contribution
+      // (r·85) DIV (100·deg) is constant per SOURCE, so it is computed
+      // on the |V|-sized ranks⋈degrees relation and the big join ships
+      // one ready decimal per edge — bit-identical values (the same
+      // floor division, evaluated once instead of per edge), half the
+      // big-join width, no |E|-row materialization at all.
+      val degrees = materialize(
+        edges.groupBy(col("__src")).agg(count(lit(1)).as("__deg")))
+      val nodes = materialize(edges.select(col("__src").as("id"))
+        .union(edges.select(col("__dst"))).distinct())
+      var ranks = nodes.withColumn("__r", scale)
+      for (_ <- 1 to iterations) {
+        val perSrc = ranks.join(degrees, ranks("id") === degrees("__src"))
+          .select(col("__src"),
+            expr("CAST((__r * CAST(85 AS DECIMAL(38,0))) DIV (CAST(100 AS DECIMAL(38,0)) * __deg) AS DECIMAL(38,0))").as("__c"))
+        val contribs = edges.join(perSrc, Seq("__src"))
+          .groupBy(col("__dst").as("id")).agg(sum(col("__c")).as("__in"))
+        ranks = materialize(nodes.join(contribs, Seq("id"), "left")
+          .select(col("id"), (base + coalesce(col("__in"), lit(0).cast(dec))).as("__r")))
+      }
+      ranks.select(col("id"), col("__r").cast("long").as("pr"))
     }
-    ranks.select(col("id"), col("__r").cast("long").as("pr"))
   }
 }

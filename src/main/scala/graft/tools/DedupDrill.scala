@@ -42,6 +42,18 @@ object DedupDrill {
     def pairs() = Dedup.jaccardPairs(docs, "doc_id", "text",
       n = n, thresholdNum = 6, thresholdDen = 10, maxDf = 1000)
 
+    // the operator's candidate-volume invariant at this fixture/n:
+    // Σ min(df, maxDf)² over distinct n-gram shingles — candidate pair
+    // generation work is bounded by (half) this sum, so it must scale
+    // sublinearly-in-square on a healthy (Zipf-vocab) corpus
+    val inv = graft.ops.Dedup.shingleIndex(docs, "doc_id", "text", n, maxDf = 0)
+      .groupBy(col("shingle")).agg(least(count(lit(1)), lit(1000L)).as("df"))
+      .agg(count(lit(1)).as("shingles"), max(col("df")).as("max_df"),
+        sum(col("df") * col("df")).as("sum_df2"))
+      .head()
+    println(s"[ddrill] invariant n=$n shingles=${inv.getLong(0)} " +
+      s"max_capped_df=${inv.getLong(1)} sum_min_df_cap_sq=${inv.getLong(2)}")
+
     def run(label: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
       f.count() // warm
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

@@ -29,10 +29,23 @@ object Drill {
 
     val stages = new AtomicLong(0)
     val shuffleWrite = new AtomicLong(0)
+    // per-stage dissection (GRAFT_DRILL_STAGES=1): where did the wall go
+    val slow = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val dissect = sys.env.get("GRAFT_DRILL_STAGES").contains("1")
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         shuffleWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        if (dissect) {
+          val si = sc.stageInfo
+          val secs = (for {
+            s <- si.submissionTime; c <- si.completionTime
+          } yield (c - s) / 1e3).getOrElse(0.0)
+          val spill = si.taskMetrics.diskBytesSpilled / 1e6
+          if (secs >= 3.0)
+            slow.add(f"[stage] id=${si.stageId}%-4d ${secs}%7.1fs tasks=${si.numTasks}%-4d " +
+              f"spillMB=$spill%8.0f  ${si.name.takeWhile(_ != '\n').take(90)}")
+        }
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -43,12 +56,13 @@ object Drill {
       fn(spark, dir).count()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
-      stages.set(0); shuffleWrite.set(0)
+      stages.set(0); shuffleWrite.set(0); slow.clear()
       val t0 = System.nanoTime()
       val rows = fn(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let the listener bus drain the final stage events
       println(f"[drill] $name%-28s ${dt}%8.2f s  rows=$rows%-9d stages=${stages.get}%-4d shuffleMB=${shuffleWrite.get / 1e6}%.0f")
+      if (dissect) { slow.forEach(println(_)); slow.clear() }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
     }

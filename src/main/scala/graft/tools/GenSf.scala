@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.TimestampNTZType
   *  - events: 30-day span from 2024-01-01, ts monotone in event_id
   *    with sub-slot jitter, value ~ Exponential(mean 50) rounded to
   *    cents, users = customers/10.
-  *  - documents: 31-word vocabulary, 10..100 words, ~1/625 rows are
+  *  - documents: Zipf token ranks over a vocabulary scaling with sf
+  *    (V = max(31, 310·sf) — 31 at the ladder's sf0.1, like the driver
+  *    fixture; real corpora grow vocabulary with size and a fixed one
+  *    saturates the shingle space), 10..100 words, ~1/625 rows are
   *    an exact clone of the previous row's text (sf0.1 real: 8 dup
   *    groups / 5000 docs), lang 41/15/15/15/14 en/zh/fr/es/de,
   *    20 sources; count max(500, 50000·sf).
@@ -182,17 +185,32 @@ object GenSf {
       greatest(lit(0.01), round(-log(u) * 50.0, 2)).as("value"),
       concat(lit("{\"k\": "), hm("e_k", col("id"), 100), lit("}")).as("props")))
 
-    // documents: 31-word vocabulary, 8..100 words, ~1/625 rows clone
-    // the previous row's text (the fixture's exact-dup pairs); the
-    // text is a pure function of a SEED id, so the clone re-derives
-    // its neighbor's words without a cross-row join
+    // documents: Zipf-distributed token ranks over a vocabulary that
+    // SCALES with the corpus (r13 verdict #2): a fixed 31-word vocab
+    // exhausts the 31³ 3-gram space once the corpus outgrows it, so
+    // per-shingle df grows linearly and the dedup-family invariant
+    // Σ min(df,cap)² quadratically — unlike any real Zipf corpus. Here
+    // V = max(31, 310·sf) (31 at the driver ladder's sf0.1) and token
+    // rank r = ⌊V^u⌋, the inverse-CDF draw for P(r) ∝ 1/r; ranks ≤ 31
+    // keep the original word list (Zipf puts them most-frequent), the
+    // tail renders as "w<rank>". pow is generation-only, like the
+    // events table's ln. 8..100 words; ~1/625 rows still clone the
+    // previous row's text (the planted exact-dup pairs) — the text is
+    // a pure function of a SEED id, so the clone re-derives its
+    // neighbor's words without a cross-row join.
+    val vocabSize = math.max(31L, (310 * sf).toLong)
     val seed = when(hm("d_dup", col("id"), 625) === 0 && col("id") > 0,
       col("id") - 1).otherwise(col("id"))
     val nWords = (hm("d_len", seed, 91) + 10).cast("int")
     val text = array_join(transform(sequence(lit(1), nWords),
-      i => element_at(array(DocVocab.map(lit): _*),
-        (pmod(xxhash64(lit("d_w"), seed, i), lit(DocVocab.size.toLong)) + 1).cast("int"))),
-      " ")
+      i => {
+        val u = (pmod(xxhash64(lit("d_w"), seed, i), lit(1000000L)) + 1L) / 1000001.0
+        val rank = least(lit(vocabSize),
+          greatest(lit(1L), floor(pow(lit(vocabSize.toDouble), u)).cast("long")))
+        when(rank <= DocVocab.size,
+            element_at(array(DocVocab.map(lit): _*), rank.cast("int")))
+          .otherwise(concat(lit("w"), rank))
+      }), " ")
     write(out, "documents", spark.range(nDocs).select(
       col("id").as("doc_id"),
       text.as("text"),
