@@ -2429,6 +2429,76 @@ object SparkEntry {
         .orderBy(col("user_id"), col("trigger_ts"), col("response_ts"))
     }),
 
+    // Count-Min sketch (Cormode & Muthukrishnan 2005) point estimates
+    // over the document token stream: one bounded 4×512 counter grid
+    // (the shuffle carries ≤ depth·width rows per partition no matter
+    // the vocabulary), estimates read back for the q165 heavy-hitter
+    // set by min-over-rows lookup against the BROADCAST grid. Every
+    // figure — including the collision overestimate — is md5-exact, so
+    // the oracle replays the sketch bit-for-bit; n_cms ≥ n_exact by
+    // construction (inserts only), making the error itself auditable.
+    "q191_countmin_tokens" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+      val cells = graft.ops.Sketches.cmsCells(toks, col("tok"), depth = 4, width = 512)
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(toks.agg(count(lit(1)).as("__n"))))
+        .filter(col("n_exact") * 40 > col("__n"))
+      graft.ops.Sketches.cmsLookup(cells, exact, col("tok"),
+          depth = 4, width = 512, out = "tok")
+        .join(exact.select(col("tok"), col("n_exact")), Seq("tok"))
+        .select(col("tok"), col("n_exact"), col("n_cms"))
+        .orderBy(col("tok"))
+    }),
+
+    // EWMA control chart (Roberts 1959, finite-horizon form): each
+    // purchase value vs the 3/4-decay weighted mean of its 8
+    // predecessors per user — weights cleared to exact longs by the
+    // common denominator 4^7, flag by integer cross-multiplication.
+    // One key-partitioned window pass; maintains under append.
+    "q192_ewma_drift" -> ((s, dir) => {
+      graft.ops.TimeSeries.ewmaDrift(
+          t(s, dir, "events").filter(col("event_type") === "purchase"),
+          "user_id", "ts", "event_id", col("value"), window = 8)
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // Streaming Count-Min maintenance, batch-equivalence gated (the
+    // q188 shape): the events fixture arrives as a multi-batch file
+    // stream, each micro-batch's cell grid ADDS into the standing
+    // grid via the generation-landing kernel — and because cells are
+    // plain sums, incremental ≡ from-scratch EXACTLY (the strongest
+    // merge contract of any sketch here; KMV's min-k union is
+    // deterministic, Misra–Gries merges only bound error). The gate
+    // reads the standing grid back and the oracle rebuilds it from
+    // the full corpus in one pass.
+    "q193_cms_stream_maintenance" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"))
+      val base = java.nio.file.Files.createTempDirectory("graft-cms-gate").toFile
+      val topic = new java.io.File(base, "topic").toString
+      ev.repartition(6).write.mode("overwrite").parquet(topic)
+      val src = s.readStream.schema("user_id LONG")
+        .option("maxFilesPerTrigger", "2").parquet(topic)
+      val stateRoot = new java.io.File(base, "state").toString
+      val q = graft.ops.Sketches.maintainCmsStream(src, "user_id",
+        depth = 4, width = 256, stateRoot = stateRoot,
+        checkpointDir = new java.io.File(base, "ckpt").toString)
+      try q.processAllAvailable() finally q.stop()
+      graft.ops.IncrementalAgg.readState(s, stateRoot)
+        .select(col("row_j"), col("cell"), col("n"))
+        .orderBy(col("row_j"), col("cell"))
+    }),
+
+    // Robust outlier screen (Hampel 1974): per-event-type median and
+    // MAD as exact ⌈n/2⌉ rank cuts over the value histogram, rows
+    // flagged beyond 3·MAD — the 50%-breakdown sibling of the z-score
+    // screen, all fences integer-exact on the bounded histogram.
+    "q194_robust_outliers" -> ((s, dir) => {
+      graft.ops.Outliers.robustOutliers(t(s, dir, "events"),
+          Seq("event_type"), floor(col("value") * 1000).cast("long"), madFactor = 3)
+        .orderBy(col("event_type"))
+    }),
+
     // Quantile-gated quality filter (CCNet-style "drop the worst
     // quartile per language", but threshold-based): per-language p25
     // of the token count from the mergeable histogram sketch, bins
@@ -3234,6 +3304,92 @@ object SparkEntry {
           AND r.ts > t.ts AND r.ts <= t.ts + INTERVAL 3600 SECOND
          WHERE t.event_type = 'view' AND r.event_type = 'click'
          ORDER BY 1, 2, 3""",
+
+    // The sketch (including its collision error) is md5-exact: the
+    // oracle rebuilds the 4×512 grid and replays the min-over-rows
+    // lookup bit-for-bit. Heavy set = the q165 floor.
+    "q191_countmin_tokens" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents),
+         n AS (SELECT COUNT(*) AS n FROM tok),
+         cells AS MATERIALIZED (
+           SELECT j AS row_j,
+                  CAST(('0x' || substr(md5(CAST(j // 2 AS VARCHAR) || ':' || tok),
+                        1 + 15 * (j % 2), 15)) AS BIGINT) % 512 AS cell,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM tok, UNNEST([0, 1, 2, 3]) AS r(j) GROUP BY 1, 2),
+         heavy AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact
+                   FROM tok, n GROUP BY tok, n.n HAVING COUNT(*) * 40 > n.n),
+         probes AS (SELECT h.tok, h.n_exact, j AS row_j,
+                  CAST(('0x' || substr(md5(CAST(j // 2 AS VARCHAR) || ':' || h.tok),
+                        1 + 15 * (j % 2), 15)) AS BIGINT) % 512 AS cell
+                 FROM heavy h, UNNEST([0, 1, 2, 3]) AS r(j)),
+         est AS (SELECT p.tok, p.n_exact, MIN(COALESCE(c.cnt, 0)) AS n_cms
+                 FROM probes p
+                 LEFT JOIN cells c ON c.row_j = p.row_j AND c.cell = p.cell
+                 GROUP BY 1, 2)
+         SELECT tok, n_exact, CAST(n_cms AS BIGINT) AS n_cms
+         FROM est ORDER BY tok""",
+
+    // Finite-horizon EWMA weights 3^age·4^(7−age) for the 8 lags,
+    // sign-safe floor, integer cross-multiplied flag — lag-for-lag
+    // the Spark window.
+    "q192_ewma_drift" -> {
+      val wts = (0 until 8).map(a => (BigInt(3).pow(a) * BigInt(4).pow(7 - a)).toLong)
+      val lags = (1 to 8).map(i => s"lag(v, $i) OVER w AS v$i").mkString(", ")
+      val num = (1 to 8).map(i => s"COALESCE(v$i * ${wts(i - 1)}, 0)").mkString(" + ")
+      val den = (1 to 8).map(i =>
+        s"(CASE WHEN v$i IS NOT NULL THEN ${wts(i - 1)} ELSE 0 END)").mkString(" + ")
+      s"""WITH p AS (SELECT user_id, event_id, ts,
+                CAST(FLOOR(value * 1000) AS BIGINT) AS v
+              FROM events WHERE event_type = 'purchase'),
+         l AS (SELECT user_id, event_id, ts, v, $lags
+               FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, event_id, ts, v, $num AS num, $den AS den FROM l)
+         SELECT user_id, event_id, ts, v AS v_milli,
+                CASE WHEN den > 0
+                     THEN CAST((num - ((num % den + den) % den)) // den AS BIGINT) END AS ewma_milli,
+                CASE WHEN den > 0 AND (v * den > num * 2 OR v * den * 2 < num)
+                     THEN 1 ELSE 0 END AS drift
+         FROM s ORDER BY user_id, ts, event_id"""
+    },
+
+    // Cells are sums, so the maintained grid must equal this single
+    // from-scratch pass over the full corpus — exactly, not nearly.
+    "q193_cms_stream_maintenance" ->
+      """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS s
+                    FROM events WHERE user_id IS NOT NULL)
+         SELECT j AS row_j,
+                CAST(('0x' || substr(md5(CAST(j // 2 AS VARCHAR) || ':' || s),
+                      1 + 15 * (j % 2), 15)) AS BIGINT) % 256 AS cell,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM v, UNNEST([0, 1, 2, 3]) AS r(j)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Median and MAD as ⌈n/2⌉ rank cuts over the value histogram, the
+    // 3·MAD fence summed over the same histogram.
+    "q194_robust_outliers" ->
+      """WITH x AS (SELECT event_type AS g, CAST(FLOOR(value * 1000) AS BIGINT) AS v
+                    FROM events WHERE value IS NOT NULL),
+         h AS (SELECT g, v, COUNT(*) AS cnt FROM x GROUP BY 1, 2),
+         c AS (SELECT g, v, cnt,
+                      SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+                      SUM(cnt) OVER (PARTITION BY g) AS tot
+               FROM h),
+         med AS (SELECT g, MIN(v) AS med, CAST(MAX(tot) AS BIGINT) AS n
+                 FROM c WHERE cum >= (tot + 1) // 2 GROUP BY g),
+         d AS (SELECT h.g, ABS(h.v - m.med) AS dv, SUM(h.cnt) AS cnt
+               FROM h JOIN med m ON h.g = m.g GROUP BY 1, 2),
+         c2 AS (SELECT g, dv, cnt,
+                       SUM(cnt) OVER (PARTITION BY g ORDER BY dv) AS cum,
+                       SUM(cnt) OVER (PARTITION BY g) AS tot
+                FROM d),
+         mad AS (SELECT g, MIN(dv) AS mad FROM c2
+                 WHERE cum >= (tot + 1) // 2 GROUP BY g)
+         SELECT h.g AS event_type, m.n, m.med, a.mad,
+                CAST(SUM(CASE WHEN ABS(h.v - m.med) > 3 * a.mad THEN h.cnt ELSE 0 END)
+                     AS BIGINT) AS n_outliers
+         FROM h JOIN med m ON h.g = m.g JOIN mad a ON h.g = a.g
+         GROUP BY 1, 2, 3, 4 ORDER BY 1""",
 
     // The merge contract IS "k smallest of the full corpus", so the
     // oracle replays q163's from-scratch sketch — no split modeled.

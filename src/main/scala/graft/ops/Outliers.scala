@@ -48,4 +48,44 @@ object Outliers {
       .filter(abs(col("z")) > threshold)
       .drop("__n", "__s1", "__s2")
   }
+
+  /** Robust outlier screen per group: median and MAD (median absolute
+    * deviation — Hampel 1974, the robust σ) computed EXACTLY as rank
+    * cuts, then rows flagged where |v − median| > madFactor·MAD. Both
+    * medians are the ⌈n/2⌉-th order statistic (the lower median — a
+    * pure value-domain definition no averaging can smear across
+    * engines). Unlike [[zscoreOutliers]], a few wild rows cannot drag
+    * the fences (breakdown point 50% vs 0%), and the decision is pure
+    * integer comparison — no IEEE dag to keep in lockstep.
+    *
+    * Scale shape: ONE corpus aggregate builds the per-group value
+    * histogram; medians, deviation histogram, MAD, and the flag counts
+    * all run on that bounded table ([[Sketches.quantilesFromBins]]'s
+    * rank-cut machinery — windows partition over bins, never rows).
+    * `value` must be integral (milli-quantize first, the house rule).
+    * A group where over half the mass sits AT the median has MAD = 0
+    * and flags every off-median row — the strict-fence degenerate
+    * case, deterministic on both engines. Output: (group…, n, med,
+    * mad, n_outliers). */
+  def robustOutliers(df: DataFrame, groupCols: Seq[String], value: Column,
+                     madFactor: Int = 3): DataFrame = {
+    require(madFactor >= 1, s"madFactor must be >= 1, got $madFactor")
+    val grp = groupCols.map(col)
+    val hist = df.filter(value.isNotNull)
+      .groupBy(grp :+ value.cast("long").as("bin"): _*)
+      .agg(count(lit(1)).as("n"))
+    val med = Sketches.quantilesFromBins(hist, groupCols, Seq(500L))
+      .select(grp :+ col("bin").as("med") :+ col("n_values").as("__nt"): _*)
+    val devHist = hist.join(med, groupCols)
+      .groupBy(grp :+ abs(col("bin") - col("med")).as("bin"): _*)
+      .agg(sum(col("n")).as("n"))
+    val mad = Sketches.quantilesFromBins(devHist, groupCols, Seq(500L))
+      .select(grp :+ col("bin").as("mad"): _*)
+    hist.join(med, groupCols).join(mad, groupCols)
+      .groupBy(grp: _*)
+      .agg(max(col("__nt")).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(abs(col("bin") - col("med")) > col("mad") * lit(madFactor.toLong),
+          col("n")).otherwise(lit(0L))).as("n_outliers"))
+  }
 }

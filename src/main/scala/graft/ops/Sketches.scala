@@ -356,6 +356,106 @@ object Sketches {
       .select(grp :+ kmvEstimate(col("kmv"), k).as("n_kmv"): _*)
   }
 
+  // ---- Count-Min sketch (Cormode & Muthukrishnan 2005) ----------------------
+
+  /** hash row j for a value: disjoint 15-hex-digit windows of salted
+    * md5 digests from the shared portable family — rows 2j and 2j+1
+    * reuse one digest (salt j) through its two independent windows, so
+    * depth d costs ⌈d/2⌉ md5 evaluations per value. Engine-portable:
+    * DuckDB reproduces each cell with
+    * `CAST(('0x' || substr(md5((j//2) || ':' || v), 1+15*(j%2), 15)) AS BIGINT) % width`. */
+  private def cmsCell(value: Column, j: Int, width: Int): Column =
+    pmod(graft.functions.TextFunctions.md5Long(
+      concat_ws(":", lit(j / 2), value.cast("string")), startDigit = 1 + 15 * (j % 2)),
+      lit(width.toLong))
+
+  /** The depth×width Count-Min counter grid over (optionally weighted)
+    * values: (row_j, cell, n) with n = Σ weight of the values hashing
+    * there. THE frequency sketch that is exactly mergeable — cells are
+    * plain sums, so grids of disjoint batches ADD into precisely the
+    * grid of their union (unlike Misra–Gries, whose merge only bounds
+    * error) — and the only one here that absorbs CDC deletes (a −1
+    * weight is just a negative addend; estimates stay upper bounds
+    * while every deleted item was previously inserted).
+    *
+    * Scale shape: the [[hllProfile]] plan — per-value row structs
+    * explode map-side, the partial aggregate collapses every partition
+    * to ≤ depth·width rows before the exchange, so the shuffle is
+    * O(partitions·depth·width) regardless of corpus size, and the
+    * standing state is depth·width longs no matter the vocabulary.
+    * Estimates read via [[cmsLookup]] overcount by at most
+    * ⌈e·n/width⌉ with probability 1−e^−depth (Cormode & Muthukrishnan
+    * 2005, Thm 1); the error itself is reproducible bit-for-bit on any
+    * engine because the hash family is md5.
+    *
+    * Scaladoc note vs reference: the reference engine keeps exact
+    * frequency tables in its warehouse (SURVEY.md §2.4); this is the
+    * bounded-state path for vocabularies that don't fit. */
+  def cmsCells(df: DataFrame, value: Column, depth: Int = 4, width: Int = 512,
+               weight: Column = lit(1L)): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val rows = array((0 until depth).map { j =>
+      struct(lit(j).as("row_j"), cmsCell(value, j, width).as("cell"),
+        weight.cast("long").as("w"))
+    }: _*)
+    df.filter(value.isNotNull)
+      .select(explode(rows).as("e"))
+      .groupBy(col("e.row_j").as("row_j"), col("e.cell").as("cell"))
+      .agg(sum(col("e.w")).as("n"))
+  }
+
+  /** Point estimates from a cell grid: for each distinct query value,
+    * n_cms = min over the depth rows of its cell count (an absent cell
+    * is 0). The grid side is bounded (depth·width rows) and broadcast,
+    * so lookups cost one map-side join over the queries — at 100 TB
+    * the corpus appears nowhere. Output: (value-col named by `out`,
+    * n_cms), with n_cms ≥ the true count always (inserts-only). */
+  def cmsLookup(cells: DataFrame, queries: DataFrame, value: Column,
+                depth: Int = 4, width: Int = 512, out: String = "value"): DataFrame = {
+    val q = queries.filter(value.isNotNull)
+      .select(value.cast("string").as(out)).distinct()
+      .select(col(out), posexplode(array((0 until depth).map(j =>
+        cmsCell(col(out), j, width)): _*)).as(Seq("row_j", "cell")))
+      .withColumn("row_j", col("row_j").cast("int"))
+    q.join(broadcast(cells), Seq("row_j", "cell"), "left")
+      .groupBy(col(out))
+      .agg(min(coalesce(col("n"), lit(0L))).as("n_cms"))
+  }
+
+  /** One arrival micro-batch folded into the standing grid under the
+    * generation-landing contract ([[IncrementalAgg.landBatch]]):
+    * replay-idempotent, reset-refusing, two-generation retention.
+    * Because cells are sums, the maintained grid equals the
+    * from-scratch grid of everything ever folded EXACTLY — the
+    * strongest form of the KMV merge guarantee — and a CDC batch
+    * (signed `weight`) maintains it under deletes too, which no other
+    * sketch in this file survives. */
+  def applyCmsBatch(batch: DataFrame, batchId: Long, value: Column,
+                    depth: Int, width: Int, stateRoot: String,
+                    weight: Column = lit(1L)): Unit = {
+    val grid = cmsCells(batch, value, depth, width, weight)
+    IncrementalAgg.landBatch(batch, batchId, stateRoot,
+      empty = grid.limit(0),
+      merge = prior => prior.unionByName(grid)
+        .groupBy(col("row_j"), col("cell")).agg(sum(col("n")).as("n")))
+  }
+
+  /** Continuous Count-Min maintenance from an append stream: per-batch
+    * [[applyCmsBatch]], O(batch + depth·width) per refresh. Read the
+    * standing grid back with [[IncrementalAgg.readState]] and answer
+    * point queries via [[cmsLookup]] without touching the corpus. */
+  def maintainCmsStream(values: DataFrame, valueCol: String, depth: Int, width: Int,
+                        stateRoot: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    values.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: java.lang.Long) =>
+        applyCmsBatch(batch.toDF(), batchId, col(valueCol), depth, width, stateRoot)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Pairwise corpus-overlap estimates from per-group KMV sketches —
     * the sketch-cost screen for the exact
     * [[Dedup.sourceOverlapMatrix]]: that one shuffles every distinct

@@ -348,4 +348,61 @@ object TimeSeries {
       .select(col("conv_id"), col("touch_id"), col("touch_us"), col("k"),
         col("position"), col("credit_e6"))
   }
+
+  /** Exponentially-weighted drift detector over keyed event series —
+    * the online metric-drift monitor (Roberts 1959 EWMA control chart,
+    * finite-horizon form). Each event's value (milli-quantized before
+    * anything else, the house rule) is compared against the
+    * exponentially-weighted mean of its `window` PREDECESSORS with
+    * decay 3/4: weight for the value `age+1` steps back is
+    * 3^age·4^(window−1−age) — the geometric weights (3/4)^age cleared
+    * of fractions by the common denominator 4^(window−1), so numerator
+    * and denominator are EXACT longs and the flag decision is an
+    * integer cross-multiplication no engine can round differently.
+    * Truncating the classic infinite EWMA at `window` terms changes the
+    * weights by < (3/4)^window (< 10% mass at the default 8) and is
+    * what makes the recurrence a stock window expression instead of a
+    * sequential scan: lag(k) columns over ONE key-partitioned sort,
+    * the [[sessionize]] scale shape.
+    *
+    * A row drifts when its value more than doubles or falls below half
+    * of the weighted mean: v·den > 2·num or 2·v·den < num (missing
+    * predecessors just drop out of both sums; rows with NO predecessor
+    * have den = 0 and never flag). Output: key, id, ts, v_milli,
+    * ewma_milli (sign-safe floor of num/den, NULL when den = 0),
+    * drift (0/1).
+    *
+    * Scaladoc note vs reference: the reference's failure monitor
+    * re-reads full history per poll (SURVEY.md §2.9 tallies); the
+    * control-chart form is one pass and maintains under append. */
+  def ewmaDrift(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                value: Column, window: Int = 8): DataFrame = {
+    require(window >= 1 && window <= 16,
+      s"window must be in [1,16] (4^15 weight headroom in a long), got $window")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val v = (value * 1000).cast("long")
+    val terms = (0 until window).map { age =>
+      val wt = (BigInt(3).pow(age) * BigInt(4).pow(window - 1 - age)).toLong
+      (lag(v, age + 1).over(w), wt)
+    }
+    val num = terms.map { case (c, wt) => coalesce(c * lit(wt), lit(0L)) }
+      .reduce(_ + _)
+    val den = terms.map { case (c, wt) => when(c.isNotNull, lit(wt)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    events
+      .withColumn("v_milli", v)
+      .withColumn("__num", num)
+      .withColumn("__den", den)
+      .withColumn("ewma_milli",
+        when(col("__den") > 0L,
+          (col("__num") - pmod(col("__num"), col("__den"))) / col("__den"))
+          .cast("long"))
+      .withColumn("drift",
+        when(col("__den") > 0L &&
+          (col("v_milli") * col("__den") > col("__num") * 2L ||
+           col("v_milli") * col("__den") * 2L < col("__num")), 1)
+          .otherwise(0))
+      .select(col(keyCol), col(idCol), col(tsCol), col("v_milli"),
+        col("ewma_milli"), col("drift"))
+  }
 }

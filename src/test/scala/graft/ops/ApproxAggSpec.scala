@@ -358,6 +358,76 @@ class ApproxAggSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("portable CMS: never undercounts; exact when the grid outsizes the vocabulary") {
+    import spark.implicits._
+    // Zipf-ish multiset over a 40-token vocabulary
+    val toks = (1 to 40).flatMap(i => Seq.fill(820 / i)(s"tok$i")).toDF("tok")
+    val exact = toks.groupBy(col("tok")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def est(width: Int) = {
+      val cells = Sketches.cmsCells(toks, col("tok"), depth = 4, width = width)
+      Sketches.cmsLookup(cells, toks, col("tok"), depth = 4, width = width, out = "tok")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // wide grid (4096 ≫ 40): whp collision-free → estimates ARE the counts
+    assert(est(4096) == exact)
+    // narrow grid (16 < 40): collisions guaranteed, but never an undercount
+    val narrow = est(16)
+    exact.foreach { case (k, c) => assert(narrow(k) >= c, s"undercount for $k") }
+    assert(narrow.exists { case (k, c) => c > exact(k) }, "narrow grid must collide")
+  }
+
+  test("portable CMS cells are partition-independent and absorb signed deletes") {
+    import spark.implicits._
+    val vals = (1L to 500L).map(v => s"v${v % 37}").toDF("tok")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val base = m(Sketches.cmsCells(vals, col("tok"), depth = 4, width = 64))
+    assert(m(Sketches.cmsCells(vals.repartition(17), col("tok"), depth = 4, width = 64)) == base)
+    // a CDC batch re-inserting then deleting the same rows leaves the grid fixed
+    val cdc = vals.withColumn("w", lit(1L))
+      .unionByName(vals.withColumn("w", lit(-1L)))
+    val merged = Sketches.cmsCells(vals, col("tok"), depth = 4, width = 64)
+      .unionByName(Sketches.cmsCells(cdc, col("tok"), depth = 4, width = 64, weight = col("w")))
+      .groupBy(col("row_j"), col("cell")).agg(sum(col("n")).as("n"))
+    assert(m(merged) == base)
+  }
+
+  test("CMS lookup of an absent value reads collision mass only (0 on an empty row)") {
+    import spark.implicits._
+    val vals = Seq("a", "b", "c").toDF("tok")
+    val cells = Sketches.cmsCells(vals, col("tok"), depth = 4, width = 4096)
+    // 3 values in a 4×4096 grid: an unseen probe whp hits ≥1 empty cell → 0
+    val probe = Sketches.cmsLookup(cells, Seq("zzz-unseen").toDF("tok"), col("tok"),
+      depth = 4, width = 4096, out = "tok").collect()
+    assert(probe.length == 1 && probe(0).getLong(1) == 0L)
+  }
+
+  test("streaming CMS maintenance equals the from-scratch grid; replay idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cms-ckpt").toString
+    val src = MemoryStream[Long]
+    val q = Sketches.maintainCmsStream(src.toDF().toDF("v"), "v",
+      depth = 4, width = 64, stateRoot = root, checkpointDir = ckpt)
+    try {
+      val b1 = (1L to 400L).map(_ % 97)
+      val b2 = (300L to 700L).map(_ % 97) // overlapping values: cells must ADD
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val streamed = m(IncrementalAgg.readState(spark, root))
+      val scratch = m(Sketches.cmsCells((b1 ++ b2).toDF("v"), col("v"), depth = 4, width = 64))
+      assert(streamed == scratch)
+      // re-delivered batch id re-merges against the same prior generation
+      Sketches.applyCmsBatch(b2.toDF("v"), 1L, col("v"), 4, 64, root)
+      assert(m(IncrementalAgg.readState(spark, root)) == scratch)
+    } finally q.stop()
+  }
+
   test("KMV overlap matrix is partition-independent") {
     import spark.implicits._
     val hashed = (1L to 2000L).map(v => (s"g${v % 4}", v)).toDF("g", "v")

@@ -37,4 +37,40 @@ class OutliersSpec extends SparkSpecBase {
     assert(out.columns.toSet ==
       Set("id", "grp", "value", "extra", "grp_mean", "grp_sd", "z"))
   }
+
+  test("robustOutliers: hand-traced median, MAD, and 3·MAD fence") {
+    import spark.implicits._
+    // n=11, sorted values 1..10,100: med = 6th = 6;
+    // deviations sorted 0,1,1,2,2,3,3,4,4,5,94 → mad = 6th = 3; fence 9 → only 100
+    val a = (1L to 10L) :+ 100L
+    val df = a.map(("a", _)).toDF("grp", "v")
+    val r = Outliers.robustOutliers(df, Seq("grp"), col("v")).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((11L, 6L, 3L, 1L)))
+  }
+
+  test("robustOutliers: a wild minority cannot drag the fences (50% breakdown)") {
+    import spark.implicits._
+    // four wild points out of twelve barely move med/mad, all four flag;
+    // the z-score screen's mean/sd would be dragged by the same points
+    val df = ((1L to 8L) ++ Seq(1000L, 2000L, 3000L, 4000L)).map(("a", _)).toDF("grp", "v")
+    val r = Outliers.robustOutliers(df, Seq("grp"), col("v")).collect()(0)
+    // n=12: med = 6th = 6; devs sorted 0,1,1,2,2,3,3,4,4,... → mad = 3 → fence 9
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((6L, 3L, 4L)))
+  }
+
+  test("robustOutliers: MAD 0 degenerates to the strict fence; group-local; nulls skipped") {
+    import spark.implicits._
+    val df = (Seq.fill(6)(Option(10L)) ++ Seq(Some(11L), None)).map(("a", _))
+      .toDF("grp", "v")
+      .unionByName(Seq(("b", Option(5L)), ("b", Option(6L))).toDF("grp", "v"))
+    def run(parts: Int) = Outliers.robustOutliers(df.repartition(parts), Seq("grp"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val got = run(1)
+    // a: 7 non-null, med 10, mad 0 → the lone 11 flags; null row excluded
+    assert(got("a") == ((7L, 10L, 0L, 1L)))
+    // b: n=2, med = 1st = 5 (lower median), mad = |6-5| rank1 → 0 → 6 flags
+    assert(got("b") == ((2L, 5L, 0L, 1L)))
+    assert(run(7) == got, "partition-independent")
+  }
 }

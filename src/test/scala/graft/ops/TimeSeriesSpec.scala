@@ -226,4 +226,30 @@ class TimeSeriesSpec extends SparkSpecBase {
     }
     assert(run(16) == got)
   }
+
+  test("ewmaDrift: hand-traced weights, both flag directions, warm-up row") {
+    // window=2 → weights: lag1 gets 3^0·4^1 = 4, lag2 gets 3^1·4^0 = 3
+    val df = Seq(
+      (1L, 1L, "2024-01-01 00:00:01", 8.0),   // no history: den 0, no flag
+      (1L, 2L, "2024-01-01 00:00:02", 8.0),   // ewma = 8000 (one lag)
+      (1L, 3L, "2024-01-01 00:00:03", 20.0),  // ewma 8000, 20000 > 2·8000 → drift
+      (1L, 4L, "2024-01-01 00:00:04", 2.0),   // num 4·20000+3·8000 = 104000, den 7
+                                              // ewma ⌊104000/7⌋ = 14857; 2·2000·7 < 104000 → drift
+      (2L, 5L, "2024-01-01 00:00:01", 5.0),
+      (2L, 6L, "2024-01-01 00:00:02", 9.0)    // 9000·4 = 36000 vs 2·20000: no flag
+    ).toDF("user_id", "event_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    def run(parts: Int) = TimeSeries.ewmaDrift(df.repartition(parts),
+        "user_id", "ts", "event_id", col("value"), window = 2)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]), r.getInt(5)))).toMap
+    val got = run(1)
+    assert(got(1L) == ((8000L, None, 0)))
+    assert(got(2L) == ((8000L, Some(8000L), 0)))
+    assert(got(3L) == ((20000L, Some(8000L), 1)))
+    assert(got(4L) == ((2000L, Some(14857L), 1)))
+    assert(got(5L) == ((5000L, None, 0)))
+    assert(got(6L) == ((9000L, Some(5000L), 0)))
+    assert(run(13) == got, "partition-independent")
+  }
 }
