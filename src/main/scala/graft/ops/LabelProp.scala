@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Synchronous label propagation community detection (Raghavan et al.
@@ -20,9 +19,13 @@ import org.apache.spark.sql.functions._
   * Scale shape, per round: one join edges⋈labels on the neighbor id
   * (labels are |V| rows — AQE broadcasts them when they fit, else a
   * co-partitioned shuffle), one (node, label) hash agg with map-side
-  * combine, one per-node window argmax (partitioned by node — never a
-  * global window). Label lineage cut each round (`materialize`), the
-  * q93 PageRank discipline. */
+  * combine, then the per-node argmax as a SECOND hash agg —
+  * max(struct(n, −label)) encodes "most frequent, tie to smallest
+  * label" in one struct comparison, so no per-round window sort ever
+  * runs (a row_number argmax costs a full sort of the (node, label)
+  * table every round; the struct-max partial-aggregates map-side).
+  * Label lineage cut each round (`materialize`), the q93 PageRank
+  * discipline. */
 object LabelProp {
 
   /** (id, label) after `iterations` synchronous rounds over the
@@ -46,14 +49,16 @@ object LabelProp {
     ShuffleSizing.withEdgeScaledShuffle(edges.sparkSession, edges.count()) {
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
-      val w = Window.partitionBy(col("src")).orderBy(col("n").desc, col("label").asc)
       for (_ <- 1 to iterations) {
         labels = materialize(
           edges.join(labels.withColumnRenamed("id", "__nid"), col("dst") === col("__nid"))
             .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1)
-            .select(col("src").as("id"), col("label")))
+            // argmax by (n desc, label asc) as one struct-max: labels
+            // enter negated so the lexicographic max lands on the
+            // smallest label among the tied-most-frequent
+            .groupBy(col("src"))
+            .agg(max(struct(col("n"), (-col("label")).as("__neg"))).as("__m"))
+            .select(col("src").as("id"), (-col("__m.__neg")).as("label")))
       }
       labels
     }
