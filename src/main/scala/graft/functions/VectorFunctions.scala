@@ -48,14 +48,40 @@ object VectorFunctions {
     else cosine(a, b)
   }
 
+  /** The per-query top-k rank that ends every ANN search, as a
+    * bounded aggregate when the neighbor id is a long ([[TopKAgg]] —
+    * each map partition forwards at most k candidates per query, so
+    * the exchange is |queries|·k·partitions instead of EVERY scored
+    * candidate, and no per-query sort ever runs); the row_number
+    * window otherwise (same (cosine desc, id asc) total order —
+    * TopKSpec pins row-for-row equality of the two paths). Input:
+    * (query_id, neighbor_id, cosine_sim); output adds rank 1..k. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    if (scored.schema("neighbor_id").dataType == LongType) {
+      scored.groupBy(col("query_id"))
+        .agg(TopKAgg.topk(k)(col("cosine_sim"), col("neighbor_id")).as("__tk"))
+        .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__e")))
+        .select(col("query_id"), (col("__p") + 1).cast("int").as("rank"),
+          col("__e._2").as("neighbor_id"), col("__e._1").as("cosine_sim"))
+    } else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+    }
+  }
+
   /** Brute-force exact top-k cosine neighbours of each query vector.
     *
     * Plan shape: broadcast the (small) query set, nested-loop join
     * against the corpus — the corpus side streams through executors
-    * partition-parallel with no shuffle; the only shuffle is the final
-    * per-query top-k (rank window partitioned by query id). This is the
-    * correct baseline at 100 TB: corpus-side scan scales linearly with
-    * executors; k and |queries| bound the shuffle volume.
+    * partition-parallel with no shuffle; the final per-query top-k is
+    * the bounded [[TopKAgg]] aggregate ([[rankTopK]]), so at most k
+    * candidates per query per partition reach the exchange. This is
+    * the correct baseline at 100 TB: corpus-side scan scales linearly
+    * with executors; k and |queries| bound the shuffle volume.
     *
     * Self-matches (same id) are excluded. Deterministic tiebreak on
     * (cosine desc, corpus id asc).
@@ -66,11 +92,7 @@ object VectorFunctions {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine_sim", cosineFor(corpus, vecCol)(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cosine_sim")), k)
   }
 
   /** A driver-side coarse-quantizer model: (centroid_id, vector). */
@@ -248,11 +270,7 @@ object VectorFunctions {
     val scored = taggedCorpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine_sim", cosineNative(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cosine_sim")), k)
   }
 
   /** One calibration rung: nprobe tried → recall@k measured. */
@@ -522,6 +540,10 @@ object VectorFunctions {
       col(vecCol).as("__cv"))
     val scored = c.join(broadcast(q), col("__ql") =!= col("neighbor_label"))
       .withColumn("cosine_sim", cosineFor(corpus, vecCol)(col("__qv"), col("__cv")))
+    // stays on the rank window (not rankTopK's bounded aggregate):
+    // the output carries the neighbor_label payload, which the
+    // (score, id) buffer doesn't hold — recovering it would cost a
+    // second corpus scan, a worse trade than the candidate shuffle
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -96,8 +96,9 @@ object CodegenLint {
     "Percentile" -> "stock percentile is a TypedImperativeAggregate (counts map) by design",
     "PivotFirst" -> ("stock PIVOT rewrite aggregate — ImperativeAggregate by design; " +
       "row width is the pivoted key count, query-bound"),
-    "ScalaAggregator" -> ("typed Dataset Aggregator (KMV/sketch family) — object-buffer " +
-      "aggregate by design; sketch merge state cannot be a codegen'd row buffer"),
+    "ScalaAggregator" -> ("typed Dataset Aggregator (KMV sketch / bounded top-k family) — " +
+      "object-buffer aggregate by design; a sorted bounded buffer cannot be a codegen'd " +
+      "row buffer, and the map-side-combine win is exactly why the Aggregator exists"),
     // INTERSECT ALL / EXCEPT ALL rewrite generator — no codegen upstream
     "ReplicateRows" -> "stock bag-setop ReplicateRows generator is CodegenFallback by design")
 

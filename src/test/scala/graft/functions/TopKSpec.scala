@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def windowTopK(scored: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+  }
+
+  private def aggTopK(scored: org.apache.spark.sql.DataFrame, k: Int) =
+    scored.groupBy(col("query_id"))
+      .agg(TopKAgg.topk(k)(col("cosine_sim"), col("neighbor_id")).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__e")))
+      .select(col("query_id"), (col("__p") + 1).cast("int").as("rank"),
+        col("__e._2").as("neighbor_id"), col("__e._1").as("cosine_sim"))
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("aggregate top-k == window top-k, ties to smallest id, any partitioning") {
+    // deterministic pseudo-random scores with planted exact ties
+    val scored = (1L to 5L).flatMap { q =>
+      (1L to 200L).map { n =>
+        val s = ((q * 7919 + n * 104729) % 97) / 97.0 // many exact ties per query
+        (q, n, s)
+      }
+    }.toDF("query_id", "neighbor_id", "cosine_sim")
+    for (parts <- Seq(1, 13); k <- Seq(1, 10, 250)) {
+      val a = asSet(aggTopK(scored.repartition(parts), k))
+      val w = asSet(windowTopK(scored, k))
+      assert(a == w, s"parts=$parts k=$k")
+    }
+  }
+
+  test("fewer candidates than k: every candidate ranked, in order") {
+    val scored = Seq((1L, 10L, 0.5), (1L, 11L, 0.9)).toDF("query_id", "neighbor_id", "cosine_sim")
+    val got = aggTopK(scored, 5).collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 11L), (2, 10L)))
+  }
+
+  test("-0.0 ties +0.0 (Spark comparison parity) and breaks to the smaller id") {
+    val scored = Seq((1L, 20L, 0.0), (1L, 10L, -0.0), (1L, 30L, -1.0))
+      .toDF("query_id", "neighbor_id", "cosine_sim")
+    assert(asSet(aggTopK(scored, 2)) == asSet(windowTopK(scored, 2)))
+    val first = aggTopK(scored, 2).filter(col("rank") === 1).head()
+    assert(first.getLong(2) == 10L, "zero-tie must break to the smaller id")
+  }
+
+  test("NaN sorts largest (Spark sort parity); null score/id skipped") {
+    val scored = Seq((1L, Some(10L), Some(0.9)), (1L, Some(11L), Some(Double.NaN)),
+      (1L, Some(12L), None), (1L, None, Some(0.95)))
+      .toDF("query_id", "neighbor_id", "cosine_sim")
+    val got = aggTopK(scored, 2).collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 11L), (2, 10L)))
+  }
+
+  test("bruteForceTopK rides the aggregate and matches the window form on real vectors") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = VectorFunctions.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 4)
+    // no rank window in the optimized plan (the aggregate replaced it)
+    assert(!got.queryExecution.optimizedPlan.toString.contains("row_number"),
+      "long-id path must not plan a rank window")
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim", VectorFunctions.cosineNative(col("__qv"), col("__cv")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
+    assert(asSet(got) == asSet(windowTopK(scored, 4)))
+  }
+}
