@@ -2499,6 +2499,28 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Cohen's kappa (1960) between the declared language label and the
+    // q23 marker-word classifier — the label-quality audit: how much
+    // better than chance does the cheap labeler agree with gold?
+    // Diagonal, marginals, and the chance term are exact integers off
+    // ONE bounded contingency aggregate; κ's sign-safe e6 floor means
+    // worse-than-chance shows as a negative value, not a rounding
+    // artifact.
+    "q195_cohen_kappa" -> ((s, dir) => {
+      graft.ops.Stats.cohenKappa(t(s, dir, "documents"),
+        col("lang"), TF.langGuess(col("text")))
+    }),
+
+    // Simpson diversity (1949) of the source mix per language: the
+    // probability two random docs of a language come from different
+    // sources, as an exact rational of counts — the corpus-health
+    // metric entropy would need a transcendental for.
+    "q196_simpson_diversity" -> ((s, dir) => {
+      graft.ops.Stats.simpsonDiversity(t(s, dir, "documents"),
+          Seq("lang"), col("source"))
+        .orderBy(col("lang"))
+    }),
+
     // Quantile-gated quality filter (CCNet-style "drop the worst
     // quartile per language", but threshold-based): per-language p25
     // of the token count from the mergeable histogram sketch, bins
@@ -3364,6 +3386,50 @@ object SparkEntry {
                 CAST(COUNT(*) AS BIGINT) AS n
          FROM v, UNNEST([0, 1, 2, 3]) AS r(j)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // The q23 classifier CASE verbatim as rater B; diagonal, marginals,
+    // chance term, and the sign-safe e6 floors all in HUGEINT.
+    "q195_cohen_kappa" ->
+      """WITH s AS (SELECT lang AS a,
+           len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) AS c_en,
+           len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS c_de,
+           len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS c_fr,
+           len(regexp_extract_all(lower(text), '\b(el|los|que|de|y)\b')) AS c_es
+         FROM documents WHERE lang IS NOT NULL),
+         lab AS (SELECT a,
+           CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                WHEN c_de > 0 AND c_de > c_en AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+                WHEN c_fr > 0 AND c_fr > c_en AND c_fr > c_de AND c_fr >= c_es THEN 'fr'
+                WHEN c_es > 0 AND c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es'
+                ELSE 'und' END AS b
+         FROM s),
+         cells AS (SELECT a, b, CAST(COUNT(*) AS HUGEINT) AS c FROM lab GROUP BY 1, 2),
+         tot AS (SELECT SUM(c) AS n, SUM(CASE WHEN a = b THEN c ELSE 0 END) AS d FROM cells),
+         r AS (SELECT a AS k, SUM(c) AS r FROM cells GROUP BY 1),
+         cm AS (SELECT b AS k, SUM(c) AS s FROM cells GROUP BY 1),
+         e AS (SELECT COALESCE(SUM(r.r * cm.s), 0) AS e FROM r JOIN cm ON r.k = cm.k)
+         SELECT CAST(n AS BIGINT) AS n, CAST(d AS BIGINT) AS n_agree,
+                CAST((1000000 * d) // n AS BIGINT) AS po_e6,
+                CAST((1000000 * e) // (n * n) AS BIGINT) AS pe_e6,
+                CAST(CASE WHEN n * n <> e THEN
+                  (1000000 * (n * d - e)
+                   - (((1000000 * (n * d - e)) % (n * n - e) + (n * n - e)) % (n * n - e)))
+                  // (n * n - e) END AS BIGINT) AS kappa_e6
+         FROM tot, e""",
+
+    // Unbiased Simpson index as a pure rational of counts; n < 2 has
+    // no pair to draw (NULL).
+    "q196_simpson_diversity" ->
+      """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS HUGEINT) AS c
+                    FROM documents WHERE source IS NOT NULL GROUP BY 1, 2),
+         g AS (SELECT lang, SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS n_values,
+                      SUM(c * (c - 1)) AS same
+               FROM c GROUP BY 1)
+         SELECT lang, CAST(n AS BIGINT) AS n, n_values,
+                CAST(CASE WHEN n >= 2 THEN
+                  (1000000 * (n * (n - 1) - same)) // (n * (n - 1)) END AS BIGINT)
+                  AS simpson_e6
+         FROM g ORDER BY lang""",
 
     // Median and MAD as ⌈n/2⌉ rank cuts over the value histogram, the
     // 3·MAD fence summed over the same histogram.

@@ -211,6 +211,81 @@ object Stats {
         when(col("chi2_e6") > lit(chi2Crit05E6(7)), 1).otherwise(0)
           .as("nonconforming_05"))
 
+  /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between
+    * two categorical labelings of the same rows: the label-quality
+    * audit for training data (gold vs classifier, two labeling
+    * functions, annotator pairs). κ = (p_o − p_e)/(1 − p_e) computed
+    * entirely in exact integers: with cell counts c_ab, diagonal
+    * d = Σc_aa, marginals r_a/s_b and chance mass E = Σ_a r_a·s_a,
+    *
+    *   kappa_e6 = ⌊10⁶·(n·d − E) / (n² − E)⌋   (sign-safe — κ < 0 is
+    *   worse-than-chance agreement and must floor toward −∞)
+    *
+    * plus po_e6 = ⌊10⁶·d/n⌋ and pe_e6 = ⌊10⁶·E/n²⌋ for the report.
+    * Both raters constant-and-equal makes p_e = 1 (κ undefined): NULL
+    * kappa, the zero-variance contract of [[linearFit]]. Rows with a
+    * NULL label on either side are excluded (neither agreement nor
+    * disagreement). DECIMAL(38,0) throughout — 10⁶·n·d is exact to
+    * n ≈ 10¹⁵ rows.
+    *
+    * Scale shape: ONE corpus hash aggregate to the (a, b) cell table
+    * (bounded by the label-domain square); diagonal, marginals, and
+    * the chance term all run on that bounded table. Output one row:
+    * (n, n_agree, po_e6, pe_e6, kappa_e6). */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.cast("string").as("__a"), bCol.cast("string").as("__b"))
+      .agg(count(lit(1)).cast(dec).as("__c"))
+    val tot = cells.agg(sum(col("__c")).as("__n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(lit(0L).cast(dec)))
+        .as("__d"))
+    val r = cells.groupBy(col("__a").as("__k")).agg(sum(col("__c")).as("__r"))
+    val s = cells.groupBy(col("__b").as("__k")).agg(sum(col("__c")).as("__s"))
+    val e = r.join(s, "__k")
+      .agg(coalesce(sum(col("__r") * col("__s")), lit(0L).cast(dec)).as("__e"))
+    val e6 = lit(1000000L).cast(dec)
+    tot.crossJoin(e)
+      .select(
+        col("__n").cast("long").as("n"),
+        col("__d").cast("long").as("n_agree"),
+        floorDiv(e6 * col("__d"), col("__n")).as("po_e6"),
+        floorDiv(e6 * col("__e"), col("__n") * col("__n")).as("pe_e6"),
+        when(col("__n") * col("__n") =!= col("__e"),
+          floorDiv(e6 * (col("__n") * col("__d") - col("__e")),
+            col("__n") * col("__n") - col("__e"))).as("kappa_e6"))
+  }
+
+  /** Simpson diversity per group (Simpson 1949, unbiased form): the
+    * probability that two rows drawn WITHOUT replacement carry
+    * different category values —
+    *
+    *   simpson_e6 = ⌊10⁶·(n(n−1) − Σᵢ nᵢ(nᵢ−1)) / (n(n−1))⌋
+    *
+    * 0 = one category owns the group, → 1 = all distinct. The corpus
+    * health metric for source/domain mix per language that Shannon
+    * entropy would force a transcendental for; Simpson is a pure
+    * rational of counts, exact on any engine. Groups with n < 2 have
+    * no pair to draw: NULL index. NULL category values are excluded.
+    *
+    * Scale shape: one hash aggregate to (group, value) counts, one to
+    * the group row — both map-side combined; nothing else touches the
+    * corpus. Output: (group…, n, n_values, simpson_e6). */
+  def simpsonDiversity(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame = {
+    val grp = groupCols.map(col)
+    val e6 = lit(1000000L).cast(dec)
+    df.filter(value.isNotNull)
+      .groupBy(grp :+ value.cast("string").as("__v"): _*)
+      .agg(count(lit(1)).cast(dec).as("__c"))
+      .groupBy(grp: _*)
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("n_values"),
+        sum(col("__c") * (col("__c") - 1)).as("__same"))
+      .select(grp ++ Seq(
+        col("__n").cast("long").as("n"), col("n_values"),
+        when(col("__n") >= 2,
+          floorDiv(e6 * (col("__n") * (col("__n") - 1) - col("__same")),
+            col("__n") * (col("__n") - 1))).as("simpson_e6")): _*)
+  }
+
   /** The full contingency table of two categorical columns with exact
     * per-cell χ² legs: observed count (ZERO cells included — the
     * category grid is the cross of the observed row/column marginals),

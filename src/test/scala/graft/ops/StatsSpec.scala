@@ -258,4 +258,47 @@ class StatsSpec extends SparkSpecBase {
     assert(got("cx") == ((true, true, true)))
     assert(got("cy") == ((false, false, true)))
   }
+
+  test("cohenKappa: hand-traced κ, nulls excluded, partition independence") {
+    import spark.implicits._
+    // cells: (a,a)×4 (b,b)×2 (a,b)×1 (b,a)×1 → n=8 d=6 E=5·5+3·3=34
+    // κ = (8·6−34)/(64−34) = 14/30 → 466666; po = 6/8 → 750000; pe = 34/64 → 531250
+    val rows = Seq.fill(4)(("a", "a")) ++ Seq.fill(2)(("b", "b")) ++
+      Seq(("a", "b"), ("b", "a"), (null, "a"), ("a", null))
+    val df = rows.toDF("ra", "rb")
+    def run(parts: Int) = {
+      val r = Stats.cohenKappa(df.repartition(parts), col("ra"), col("rb")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    assert(run(1) == ((8L, 6L, 750000L, 531250L, 466666L)))
+    assert(run(7) == run(1))
+  }
+
+  test("cohenKappa: perfect disagreement floors to exactly −1; constant raters give null κ") {
+    import spark.implicits._
+    val anti = (Seq.fill(4)(("a", "b")) ++ Seq.fill(4)(("b", "a"))).toDF("ra", "rb")
+    assert(Stats.cohenKappa(anti, col("ra"), col("rb")).head().getLong(4) == -1000000L)
+    val const = Seq.fill(5)(("a", "a")).toDF("ra", "rb")
+    val r = Stats.cohenKappa(const, col("ra"), col("rb")).head()
+    assert(r.getLong(2) == 1000000L && r.isNullAt(4), "p_e = 1 leaves κ undefined")
+  }
+
+  test("simpsonDiversity: hand rational, extremes, n<2 null, nulls excluded") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", Some("x")), ("g1", Some("x")), ("g1", Some("y")),  // (6−2)/6 → 666666
+      ("g2", Some("x")), ("g2", Some("y")), ("g2", Some("z")),  // all distinct → 1000000
+      ("g3", Some("x")), ("g3", Some("x")),                     // monoculture → 0
+      ("g4", Some("x")), ("g4", None)                           // null excluded → n=1 → NULL
+    ).toDF("g", "v")
+    def run(parts: Int) = Stats.simpsonDiversity(df.repartition(parts), Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    val got = run(1)
+    assert(got("g1") == ((3L, 2L, Some(666666L))))
+    assert(got("g2") == ((3L, 3L, Some(1000000L))))
+    assert(got("g3") == ((2L, 1L, Some(0L))))
+    assert(got("g4") == ((1L, 1L, None)))
+    assert(run(5) == got)
+  }
 }
