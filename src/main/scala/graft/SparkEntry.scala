@@ -2521,6 +2521,22 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // CUPED variance-reduced A/B means (Deng et al. WSDM 2013): users
+    // aggregate to units (x = view cents as the pre-metric covariate,
+    // y = purchase cents as the experiment metric, q166's parity arm),
+    // then each arm's adjusted mean clears to ONE sign-safe rational —
+    // pooled θ, no staged rounding, every term HUGEINT-replayable.
+    "q197_cuped_means" -> ((s, dir) => {
+      val units = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view",
+              floor(col("value") * 100).cast("long")).otherwise(0L)).as("x_cents"),
+          sum(when(col("event_type") === "purchase",
+              floor(col("value") * 100).cast("long")).otherwise(0L)).as("y_cents"))
+      graft.ops.HypothesisTests.cupedMeans(units,
+          col("user_id") % 2 === 0, col("x_cents"), col("y_cents"))
+        .orderBy(col("is_treatment"))
+    }),
+
     // Quantile-gated quality filter (CCNet-style "drop the worst
     // quartile per language", but threshold-based): per-language p25
     // of the token count from the mergeable histogram sketch, bins
@@ -3416,6 +3432,35 @@ object SparkEntry {
                    - (((1000000 * (n * d - e)) % (n * n - e) + (n * n - e)) % (n * n - e)))
                   // (n * n - e) END AS BIGINT) AS kappa_e6
          FROM tot, e""",
+
+    // Pooled θ and the one-floor adjusted-mean rational, all HUGEINT;
+    // the sign-safe form everywhere a numerator can be negative.
+    "q197_cuped_means" ->
+      """WITH u AS (SELECT user_id,
+                CAST(SUM(CASE WHEN event_type = 'view'
+                              THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS HUGEINT) AS x,
+                CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS HUGEINT) AS y,
+                (user_id % 2 = 0) AS arm
+              FROM events GROUP BY user_id),
+         p AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                      SUM(x * x) AS sxx, SUM(x * y) AS sxy FROM u),
+         a AS (SELECT arm, CAST(COUNT(*) AS HUGEINT) AS na, SUM(x) AS sxa, SUM(y) AS sya
+               FROM u GROUP BY arm),
+         j AS (SELECT a.*, p.n, p.sx, p.sy,
+                      p.n * p.sxy - p.sx * p.sy AS nn,
+                      p.n * p.sxx - p.sx * p.sx AS d
+               FROM a, p)
+         SELECT arm AS is_treatment, CAST(na AS BIGINT) AS n_units,
+                CAST((1000 * sya - (((1000 * sya) % na + na) % na)) // na AS BIGINT) AS mean_y_e3,
+                CAST(CASE WHEN d <> 0 THEN
+                  (1000000 * nn - (((1000000 * nn) % d + d) % d)) // d END AS BIGINT) AS theta_e6,
+                CAST(CASE WHEN d <> 0 THEN
+                  (1000 * (sya * n * d - nn * (n * sxa - na * sx))
+                   - (((1000 * (sya * n * d - nn * (n * sxa - na * sx))) % (na * n * d)
+                       + (na * n * d)) % (na * n * d)))
+                  // (na * n * d) END AS BIGINT) AS mean_adj_e3
+         FROM j ORDER BY is_treatment""",
 
     // Unbiased Simpson index as a pure rational of counts; n < 2 has
     // no pair to draw (NULL).

@@ -223,4 +223,63 @@ object HypothesisTests {
           lit(1844164L).cast(dec) * b * (col("n1d") + col("n2d")), 1)
         .otherwise(0).as("significant_05"))
   }
+
+  /** CUPED variance-reduced arm means (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013): adjust each unit's experiment metric y by the pooled
+    * linear fit on a pre-experiment covariate x —
+    * y′ = y − θ(x − x̄), θ = Cov(x,y)/Var(x) — so arm means keep their
+    * expectation but shed the variance x explains (the standard
+    * sensitivity lever for online A/B tests; the pooled θ keeps the
+    * adjustment unbiased under randomized assignment).
+    *
+    * Entirely exact integers: with pooled sums over BOTH arms,
+    * N = n·Σxy − Σx·Σy and D = n·Σx² − (Σx)² (θ = N/D), an arm's
+    * adjusted mean clears to the single rational
+    *
+    *   mean_adj_e3 = ⌊10³·(Syₐ·n·D − N·(n·Sxₐ − nₐ·Σx)) / (nₐ·n·D)⌋
+    *
+    * — one sign-safe floor, no staged rounding. A zero-variance
+    * covariate (D = 0) leaves θ and the adjustment NULL (the
+    * [[graft.ops.Stats.linearFit]] contract); raw means still report.
+    * Units with a NULL x or y are excluded. Input is ONE ROW PER UNIT
+    * (caller aggregates raw events to units first — assignment is
+    * per-unit, so the covariate must be too). Output one row per arm:
+    * (is_treatment, n_units, mean_y_e3, theta_e6, mean_adj_e3).
+    *
+    * Envelope (DECIMAL(38,0), same 128-bit ceiling as the oracle's
+    * HUGEINT): the big leg is 10³·Syₐ·n·D ≤ 2·10³·n⁴·X²·Y for |x| ≤ X,
+    * |y| ≤ Y — holds to ~10⁵ units of 10⁴-unit metrics; quantize
+    * coarser or stratify beyond.
+    *
+    * Scale shape: one map-side-combined pooled aggregate + one per-arm
+    * aggregate over the units table, cross-joined through a broadcast
+    * 1-row frame — the corpus is touched by neither. */
+  def cupedMeans(units: DataFrame, isTreatment: Column, x: Column, y: Column): DataFrame = {
+    val base = units.filter(x.isNotNull && y.isNotNull)
+      .select(isTreatment.as("is_treatment"), x.cast(dec).as("__x"), y.cast(dec).as("__y"))
+    val pooled = base.agg(count(lit(1)).cast(dec).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    val arms = base.groupBy(col("is_treatment"))
+      .agg(count(lit(1)).cast(dec).as("__na"),
+        sum(col("__x")).as("__sxa"), sum(col("__y")).as("__sya"))
+    def floorDiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val e3 = lit(1000L).cast(dec)
+    val e6 = lit(1000000L).cast(dec)
+    arms.crossJoin(broadcast(pooled))
+      // NOT "__N"/"__D": the default case-insensitive resolver makes
+      // withColumn("__N", …) REPLACE the pooled count "__n" (a silent
+      // column clobber this function shipped with for one commit)
+      .withColumn("__cn", col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__cd", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .select(col("is_treatment"),
+        col("__na").cast("long").as("n_units"),
+        floorDiv(e3 * col("__sya"), col("__na")).as("mean_y_e3"),
+        when(col("__cd") =!= 0, floorDiv(e6 * col("__cn"), col("__cd"))).as("theta_e6"),
+        when(col("__cd") =!= 0,
+          floorDiv(e3 * (col("__sya") * col("__n") * col("__cd") -
+              col("__cn") * (col("__n") * col("__sxa") - col("__na") * col("__sx"))),
+            col("__na") * col("__n") * col("__cd"))).as("mean_adj_e3"))
+  }
 }

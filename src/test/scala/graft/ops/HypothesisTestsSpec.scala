@@ -256,4 +256,58 @@ class HypothesisTestsSpec extends SparkSpecBase {
     val t = runKw(allTied)
     assert(t.getLong(3) == 0L && t.getInt(4) == 0)
   }
+
+  test("cupedMeans: hand-traced θ and adjusted means; covariate absorbs the arm gap") {
+    import spark.implicits._
+    // units: T(1,2),(2,5)  C(3,7),(4,9) → n=4 sx=10 sy=23 sxx=30 sxy=69
+    // N=46 D=20 θ=2.3; raw means 3.5 vs 8.0 → adjusted 5.8 vs 5.7
+    val units = Seq((true, 1L, 2L), (true, 2L, 5L), (false, 3L, 7L), (false, 4L, 9L))
+      .toDF("arm", "x", "y")
+    def run(parts: Int) = HypothesisTests.cupedMeans(units.repartition(parts),
+        col("arm"), col("x"), col("y"))
+      .collect().map(r => r.getBoolean(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val got = run(1)
+    assert(got(true) == ((2L, 3500L, 2300000L, 5800L)))
+    assert(got(false) == ((2L, 8000L, 2300000L, 5700L)))
+    assert(run(3) == got, "partition-independent")
+  }
+
+  test("cupedMeans: zero-variance covariate leaves θ and adjustment NULL; raw means stay") {
+    import spark.implicits._
+    val units = Seq((true, 5L, 2L), (true, 5L, 6L), (false, 5L, 10L))
+      .toDF("arm", "x", "y")
+    val got = HypothesisTests.cupedMeans(units, col("arm"), col("x"), col("y"))
+      .collect().map(r => r.getBoolean(0) ->
+        ((r.getLong(2), r.isNullAt(3), r.isNullAt(4)))).toMap
+    assert(got(true) == ((4000L, true, true)))
+    assert(got(false) == ((10000L, true, true)))
+  }
+
+  test("cupedMeans: BigInt replica on pseudo-random units, nulls excluded") {
+    import spark.implicits._
+    val rows = (1L to 97L).map { i =>
+      val x = (i * 7919) % 101; val y = 3 * x + (i * 104729) % 13
+      (i % 2 == 0, x, y)
+    }
+    val units = rows.toDF("arm", "x", "y")
+      .unionByName(Seq((true, Option.empty[Long], Option(1L))).toDF("arm", "x", "y"))
+    val got = HypothesisTests.cupedMeans(units, col("arm"), col("x"), col("y"))
+      .collect().map(r => r.getBoolean(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // BigInt reference
+    val n = BigInt(rows.size)
+    val sx = rows.map(r => BigInt(r._2)).sum; val sy = rows.map(r => BigInt(r._3)).sum
+    val sxx = rows.map(r => BigInt(r._2) * r._2).sum
+    val sxy = rows.map(r => BigInt(r._2) * r._3).sum
+    val nn = n * sxy - sx * sy; val d = n * sxx - sx * sx
+    def fd(a: BigInt, b: BigInt) = { val q = a / b; if (a % b != 0 && (a.signum * b.signum) < 0) q - 1 else q }
+    rows.groupBy(_._1).foreach { case (arm, rs) =>
+      val na = BigInt(rs.size); val sxa = rs.map(r => BigInt(r._2)).sum
+      val sya = rs.map(r => BigInt(r._3)).sum
+      val exp = (na.toLong, fd(1000 * sya, na).toLong, fd(1000000 * nn, d).toLong,
+        fd(1000 * (sya * n * d - nn * (n * sxa - na * sx)), na * n * d).toLong)
+      assert(got(arm) == exp, s"arm=$arm")
+    }
+  }
 }
