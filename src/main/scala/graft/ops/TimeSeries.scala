@@ -381,16 +381,23 @@ object TimeSeries {
       s"window must be in [1,16] (4^15 weight headroom in a long), got $window")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
     val v = (value * 1000).cast("long")
-    val terms = (0 until window).map { age =>
-      val wt = (BigInt(3).pow(age) * BigInt(4).pow(window - 1 - age)).toLong
-      (lag(v, age + 1).over(w), wt)
+    // one projection carries ALL the lag expressions so Catalyst plans
+    // a single Window node (deriving num and den directly from lag()
+    // calls makes it split them into two Windows, each re-evaluating
+    // every lag — PlanShapeSpec pins the single-pass shape)
+    val weights = (0 until window).map { age =>
+      (BigInt(3).pow(age) * BigInt(4).pow(window - 1 - age)).toLong
     }
-    val num = terms.map { case (c, wt) => coalesce(c * lit(wt), lit(0L)) }
-      .reduce(_ + _)
-    val den = terms.map { case (c, wt) => when(c.isNotNull, lit(wt)).otherwise(lit(0L)) }
-      .reduce(_ + _)
-    events
-      .withColumn("v_milli", v)
+    val withLags = events.withColumn("v_milli", v)
+      .select(col("*") +: (0 until window).map(age =>
+        lag(col("v_milli"), age + 1).over(w).as(s"__l$age")): _*)
+    val num = weights.zipWithIndex.map { case (wt, age) =>
+      coalesce(col(s"__l$age") * lit(wt), lit(0L))
+    }.reduce(_ + _)
+    val den = weights.zipWithIndex.map { case (wt, age) =>
+      when(col(s"__l$age").isNotNull, lit(wt)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withLags
       .withColumn("__num", num)
       .withColumn("__den", den)
       .withColumn("ewma_milli",

@@ -394,4 +394,37 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
+
+  test("CMS lookups probe the bounded grid by broadcast — never sort-merge-joined") {
+    val p = plan("q191_countmin_tokens")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("EWMA drift is ONE key-partitioned window pass — a single keyed exchange") {
+    val p = plan("q192_ewma_drift")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p.take(3000))
+    assert(p.linesIterator.count(_.contains("Window")) == 1, p.take(3000))
+  }
+
+  test("robust outliers window only the bounded histogram, never corpus rows") {
+    val p = plan("q194_robust_outliers")
+    // every Window sits above a HashAggregate (the histogram), so the
+    // sort state per partition is bins, not events
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
+  test("brute-force ANN top-k has NO rank window — the bounded aggregate replaced it") {
+    val p = plan("q29_knn_bruteforce")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+  }
+
+  test("CUPED touches units through two aggregates and a broadcast 1-row join only") {
+    val p = plan("q197_cuped_means")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p.take(3000))
+  }
 }
