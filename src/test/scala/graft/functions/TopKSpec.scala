@@ -61,6 +61,42 @@ class TopKSpec extends SparkSpecBase {
     assert(got.toSeq == Seq((1, 11L), (2, 10L)))
   }
 
+  test("property: aggregate == plain-Scala sorted reference over random scores/ties/partitionings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default
+    val scoreGen = Gen.frequency(
+      (6, Gen.choose(-100, 100).map(_ / 7.0)), // dense → planted ties
+      (1, Gen.const(0.0)), (1, Gen.const(-0.0)),
+      (1, Gen.const(Double.NaN)), (1, Gen.const(Double.MaxValue)))
+    val caseGen = for {
+      n <- Gen.choose(1, 300)
+      k <- Gen.oneOf(1, 3, 17, 400)
+      parts <- Gen.oneOf(1, 5, 23)
+      scores <- Gen.listOfN(n, scoreGen)
+    } yield (scores, k, parts)
+    val cases = (1 to 15).flatMap(i => caseGen.apply(params, Seed(i.toLong)))
+    assert(cases.size >= 10)
+    cases.foreach { case (scores, k, parts) =>
+      val rows = scores.zipWithIndex.map { case (s, i) => (1L + i % 3, i.toLong, s) }
+      // plain-Scala reference: Spark double order = NaN largest, -0.0 == 0.0;
+      // canon() also maps NaN to a sentinel so set equality can see it
+      def norm(s: Double) = if (s == 0.0) 0.0 else s
+      def canon(s: Double) = if (s.isNaN) Double.MinValue else norm(s)
+      val ref = rows.groupBy(_._1).view.mapValues(_
+        .map { case (_, id, s) => (norm(s), id) }
+        .sortWith((a, b) => {
+          val c = java.lang.Double.compare(a._1, b._1)
+          if (c != 0) c > 0 else a._2 < b._2
+        }).take(k).zipWithIndex
+        .map { case ((s, id), p) => (p + 1, id, canon(s)) }.toSet).toMap
+      val got = aggTopK(rows.toDF("query_id", "neighbor_id", "cosine_sim").repartition(parts), k)
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(r => (r.getInt(1), r.getLong(2), canon(r.getDouble(3)))).toSet).toMap
+      assert(got == ref, s"k=$k parts=$parts n=${scores.size}")
+    }
+  }
+
   test("bruteForceTopK rides the aggregate and matches the window form on real vectors") {
     val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
