@@ -92,22 +92,30 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
+    // Deterministic per-run execution metrics (r14 directive #1): shuffle
+    // ROW counts are a pure function of (plan, data) — run-independent —
+    // so they adjudicate wall-time drift: rows moved → code-shaped;
+    // rows identical → ambient. Recorded per run; committed next to the
+    // seconds in the full record.
+    val mx = graft.bench.QueryMetricsListener.install(spark)
     def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Boolean, Double) = {
+        : (Boolean, Double, graft.bench.QueryMetrics) = {
+      mx.reset()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
+      val m = mx.read(spark)
       reset()
-      (ok, dt)
+      (ok, dt, m)
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // Pass 1: two timed runs per query. Plans are already warm, so
     // run-to-run spread is GC/OS jitter; min over SUCCESSFUL runs is
     // the stable estimate (a failed run's elapsed must never win).
     val firstPass: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                        Vector[(Boolean, Double)])] =
+                        Vector[(Boolean, Double, graft.bench.QueryMetrics)])] =
       ordered.map { case (name, fn) => (name, fn, (1 to 2).map(_ => timedRun(name, fn)).toVector) }
     // Pass 2: the 10 most expensive queries dominate the total AND the
     // round-over-round drift signal, so they get a third run and report
@@ -150,11 +158,19 @@ object Bench {
     val fullRecords = finished.sortBy(_._1).map { case (n, dt, rule, rs, noisy) =>
       // Locale.ROOT: a comma-decimal default locale would render the
       // runs array as unparseable JSON
-      val raw = rs.map { case (ok, t) =>
+      val raw = rs.map { case (ok, t, _) =>
         if (ok) String.format(java.util.Locale.ROOT, "%.4f", Double.box(t))
         else s""""FAIL""""
       }.mkString("[", ",", "]")
-      s"""  "$n": {"sec": $dt, "rule": "$rule", "noisy": $noisy, "runs": $raw}"""
+      // metrics of the last successful run; `shuffle_rows_stable` asserts
+      // the pinned signal (read+write row counts) was identical across
+      // every successful run of this query in THIS bench — the in-run
+      // half of the determinism claim MetricsPinSpec makes across JVMs.
+      val goodRuns = rs.filter(_._1).map(_._3)
+      val metricsJson = goodRuns.lastOption.map(_.json).getOrElse("null")
+      val rowsStable = goodRuns.map(m => (m.shuffleReadRows, m.shuffleWriteRows)).distinct.size <= 1
+      s"""  "$n": {"sec": $dt, "rule": "$rule", "noisy": $noisy, "runs": $raw,
+         |        "shuffle_rows_stable": $rowsStable, "metrics": $metricsJson}""".stripMargin
     }.mkString(",\n")
     val full =
       s"""{

@@ -2537,6 +2537,62 @@ object SparkEntry {
         .orderBy(col("is_treatment"))
     }),
 
+    // Train-once/serve-everywhere round trip under the oracle: the PQ
+    // codebooks AND the coarse centroid table publish as ONE atomic
+    // ModelStore generation, the session-trained objects are discarded,
+    // and the q187 IVFADC search runs entirely off the RELOADED
+    // artifacts — the serve-tier path. PqModel is integer-exact, so the
+    // loaded search must hash-match q187's oracle bit-for-bit; any
+    // round-trip lossiness (a dropped code, a reordered centroid
+    // component) surfaces as a rank flip here, not in production.
+    "q198_modelstore_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft-modelstore-gate").toString
+      graft.ops.ModelStore.publishModels(s, root,
+        pq = Map("pq_codebooks" -> pqModelFor(s, dir)),
+        relations = Map("coarse_centroids" ->
+          VF.centroidsByLabel(emb, "label", "embedding")))
+      // from here on: ONLY the published artifacts (fresh objects read
+      // back through the manifest — the trained ones go out of scope)
+      val servedPq = graft.ops.ModelStore.loadPqModel(s, root, "pq_codebooks")
+      val servedCentroids = graft.ops.ManifestSwap.read(s, root, "coarse_centroids")
+      val queries = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(10)
+      graft.functions.ProductQuantizer.ivfAdcTopK(
+          queries, emb, servedCentroids, servedPq, "vec_id", "embedding",
+          k = 10, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // CMS under CDC deletes, batch-equivalence gated: a signed
+    // insert/delete log (every event inserts its user_id; click events
+    // later retract theirs) arrives as a multi-batch file stream, each
+    // micro-batch folds into the standing grid with its signed weight,
+    // and the final state must equal the from-scratch grid of the
+    // POST-DELETE corpus exactly — cells are sums, so the signed fold
+    // commutes with arrival order (a retraction landing before its
+    // insert still cancels), which is the property no other sketch in
+    // Sketches.scala has and the reason CMS is the CDC-safe choice.
+    "q199_cms_cdc_deletes" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"))
+      val cdc = ev.select(col("user_id"), lit(1L).as("w"))
+        .unionByName(ev.filter(col("event_type") === "click")
+          .select(col("user_id"), lit(-1L).as("w")))
+      val base = java.nio.file.Files.createTempDirectory("graft-cms-cdc-gate").toFile
+      val topic = new java.io.File(base, "topic").toString
+      cdc.repartition(6).write.mode("overwrite").parquet(topic)
+      val src = s.readStream.schema("user_id LONG, w LONG")
+        .option("maxFilesPerTrigger", "2").parquet(topic)
+      val stateRoot = new java.io.File(base, "state").toString
+      val q = graft.ops.Sketches.maintainCmsStream(src, "user_id",
+        depth = 4, width = 256, stateRoot = stateRoot,
+        checkpointDir = new java.io.File(base, "ckpt").toString,
+        weight = col("w"))
+      try q.processAllAvailable() finally q.stop()
+      graft.ops.IncrementalAgg.readState(s, stateRoot)
+        .select(col("row_j"), col("cell"), col("n"))
+        .orderBy(col("row_j"), col("cell"))
+    }),
+
     // Quantile-gated quality filter (CCNet-style "drop the worst
     // quartile per language", but threshold-based): per-language p25
     // of the token count from the mergeable histogram sketch, bins
@@ -3315,6 +3371,12 @@ object SparkEntry {
       adc = true, ivfNprobe = 3),
     "q189_ivf_adc_residual" -> pqOracleSql(m = 4, subDim = 16, k = 8, iters = 2,
       adc = true, ivfNprobe = 3, residual = true),
+    // The publish→load round trip is exact, so the search off the
+    // reloaded artifacts must reproduce q187's oracle VERBATIM — the
+    // oracle never sees the store, which is the point: persistence must
+    // be invisible to results.
+    "q198_modelstore_search" -> pqOracleSql(m = 4, subDim = 16, k = 8, iters = 2,
+      adc = true, ivfNprobe = 3),
 
     // Incremental ≡ from-scratch exactly (KMV union-merge determinism),
     // so the oracle replays the q163-shape scratch sketch over events —
@@ -3396,6 +3458,22 @@ object SparkEntry {
     "q193_cms_stream_maintenance" ->
       """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS s
                     FROM events WHERE user_id IS NOT NULL)
+         SELECT j AS row_j,
+                CAST(('0x' || substr(md5(CAST(j // 2 AS VARCHAR) || ':' || s),
+                      1 + 15 * (j % 2), 15)) AS BIGINT) % 256 AS cell,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM v, UNNEST([0, 1, 2, 3]) AS r(j)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Post-delete corpus from scratch: every insert minus every click
+    // retraction leaves exactly the non-click rows — the maintained
+    // signed grid must land on this row-for-row (zero-sum cells absent
+    // on both sides).
+    "q199_cms_cdc_deletes" ->
+      """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS s
+                    FROM events
+                    WHERE user_id IS NOT NULL
+                      AND (event_type <> 'click' OR event_type IS NULL))
          SELECT j AS row_j,
                 CAST(('0x' || substr(md5(CAST(j // 2 AS VARCHAR) || ':' || s),
                       1 + 15 * (j % 2), 15)) AS BIGINT) % 256 AS cell,

@@ -1,0 +1,98 @@
+package graft.bench
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.graftbridge.ListenerDrain
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic per-query execution metrics (r14 verdict directive #1).
+  *
+  * Wall-clock on this box has a documented ±40–70% run-context band on the
+  * big-shuffle families (q78, q26/q113, q164) — three rounds of bench deltas
+  * there could not be adjudicated from seconds alone. Shuffle ROW counts,
+  * by contrast, are a pure function of (plan, data): identical on every run
+  * of an unchanged query, moved only by a code or plan change. Recording
+  * them next to the seconds turns "is this +70% drift or a regression?"
+  * into a table lookup: rows moved → code-shaped; rows identical → ambient.
+  *
+  * Byte counts (shuffle read/write, spill) are *nearly* deterministic —
+  * compression ratios vary slightly with partition packing — so they are
+  * recorded as corroboration, while row counts are the pinned signal.
+  * `peakTaskMemBytes` (max over tasks of Spark's per-task execution-memory
+  * peak) is scheduling-dependent but bounds "would this fit an executor".
+  */
+final case class QueryMetrics(
+    shuffleReadRows: Long,
+    shuffleReadBytes: Long,
+    shuffleWriteRows: Long,
+    shuffleWriteBytes: Long,
+    spillMemBytes: Long,
+    spillDiskBytes: Long,
+    peakTaskMemBytes: Long,
+    tasks: Long,
+    drained: Boolean) {
+
+  /** The run-independent signal: total rows crossing a shuffle boundary. */
+  def shuffleRows: Long = shuffleReadRows + shuffleWriteRows
+
+  def json: String =
+    s"""{"shuffle_read_rows": $shuffleReadRows, "shuffle_read_bytes": $shuffleReadBytes, """ +
+      s""""shuffle_write_rows": $shuffleWriteRows, "shuffle_write_bytes": $shuffleWriteBytes, """ +
+      s""""spill_mem_bytes": $spillMemBytes, "spill_disk_bytes": $spillDiskBytes, """ +
+      s""""peak_task_mem_bytes": $peakTaskMemBytes, "tasks": $tasks, "drained": $drained}"""
+}
+
+/** Accumulating task-end listener. Usage (strictly sequential — one query
+  * at a time, as Bench/Drill run them):
+  *
+  *   val mx = QueryMetricsListener.install(spark)
+  *   mx.reset(); runQuery(); val m = mx.read(spark)
+  *
+  * `read` first drains the listener bus (via [[ListenerDrain]]) so the
+  * final task-end events of the just-finished job are counted; on the
+  * rare bus timeout the snapshot is flagged `drained: false` rather than
+  * silently short.
+  */
+final class QueryMetricsListener extends SparkListener {
+  private val srRows, srBytes, swRows, swBytes = new AtomicLong(0)
+  private val spillMem, spillDisk, nTasks = new AtomicLong(0)
+  private val peakMem = new AtomicLong(0)
+
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      srRows.addAndGet(m.shuffleReadMetrics.recordsRead)
+      srBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      swRows.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      swBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      spillMem.addAndGet(m.memoryBytesSpilled)
+      spillDisk.addAndGet(m.diskBytesSpilled)
+      peakMem.accumulateAndGet(m.peakExecutionMemory, (a: Long, b: Long) => math.max(a, b))
+      nTasks.incrementAndGet()
+    }
+  }
+
+  def reset(): Unit = {
+    Seq(srRows, srBytes, swRows, swBytes, spillMem, spillDisk, nTasks, peakMem)
+      .foreach(_.set(0))
+  }
+
+  /** Drain the bus, then snapshot. `drainTimeoutMs` default is generous:
+    * the bus clears in milliseconds when healthy, and a stuck bus should
+    * surface as a flag, not a hang. */
+  def read(spark: SparkSession, drainTimeoutMs: Long = 10000L): QueryMetrics = {
+    val ok = ListenerDrain.waitUntilEmpty(spark.sparkContext, drainTimeoutMs)
+    QueryMetrics(
+      srRows.get, srBytes.get, swRows.get, swBytes.get,
+      spillMem.get, spillDisk.get, peakMem.get, nTasks.get, drained = ok)
+  }
+}
+
+object QueryMetricsListener {
+  def install(spark: SparkSession): QueryMetricsListener = {
+    val l = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(l)
+    l
+  }
+}

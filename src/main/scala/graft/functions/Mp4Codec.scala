@@ -49,12 +49,22 @@ object Mp4Codec {
   private def fourcc(b: Array[Byte], o: Int): String =
     new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-  /** One parsed track, accumulated during the walk. */
+  /** One parsed track, accumulated during the walk. Sample-table
+    * fields (r15): enough of stbl to address samples as byte ranges —
+    * stsz (sizes), stco/co64 (chunk offsets), stsc (samples per
+    * chunk) — which is all MJPEG frame extraction needs, because each
+    * MJPEG sample IS one complete JPEG. */
   private final class Track {
     var handler: String = null
     var width: Int = 0
     var height: Int = 0
     var codec: String = null
+    var sizes: Array[Int] = null      // per-sample sizes (stsz table form)
+    var fixedSize: Int = 0            // uniform sample size (stsz short form)
+    var sampleCount: Int = 0
+    var chunkOffsets: Array[Long] = null // stco/co64, absolute file offsets
+    var stscFirst: Array[Int] = null  // parallel stsc runs: first_chunk (1-based)
+    var stscPer: Array[Int] = null    //                     samples_per_chunk
   }
 
   private final class State {
@@ -134,6 +144,63 @@ object Mp4Codec {
               track.codec = fourcc(b, body + 12)
             }
           }
+        case "stsz" =>
+          if (track != null) {
+            // ver/flags, sample_size, sample_count[, size per sample]
+            if (body + 12 > end) { st.bad = true; return }
+            val fixed = be32(b, body + 4)
+            val n = be32(b, body + 8)
+            if (n < 0 || n > Int.MaxValue) { st.bad = true; return }
+            track.sampleCount = n.toInt
+            if (fixed != 0L) {
+              if (fixed > Int.MaxValue) { st.bad = true; return }
+              track.fixedSize = fixed.toInt
+            } else {
+              // the table must physically fit inside the box — this
+              // bound also caps the allocation on hostile counts
+              if (body + 12 + 4L * n > end) { st.bad = true; return }
+              val t = new Array[Int](n.toInt)
+              var i = 0
+              while (i < t.length) {
+                val v = be32(b, body + 12 + 4 * i)
+                if (v > Int.MaxValue) { st.bad = true; return }
+                t(i) = v.toInt; i += 1
+              }
+              track.sizes = t
+            }
+          }
+        case "stco" | "co64" =>
+          if (track != null) {
+            if (body + 8 > end) { st.bad = true; return }
+            val n = be32(b, body + 4)
+            val w = if (typ == "co64") 8 else 4
+            if (n < 0 || body + 8 + w.toLong * n > end) { st.bad = true; return }
+            val t = new Array[Long](n.toInt)
+            var i = 0
+            while (i < t.length) {
+              t(i) = if (w == 8) be64(b, body + 8 + 8 * i) else be32(b, body + 8 + 4 * i)
+              i += 1
+            }
+            track.chunkOffsets = t
+          }
+        case "stsc" =>
+          if (track != null) {
+            if (body + 8 > end) { st.bad = true; return }
+            val n = be32(b, body + 4)
+            if (n < 0 || body + 8 + 12L * n > end) { st.bad = true; return }
+            val first = new Array[Int](n.toInt)
+            val per = new Array[Int](n.toInt)
+            var i = 0
+            while (i < first.length) {
+              val f = be32(b, body + 8 + 12 * i)
+              val p = be32(b, body + 12 + 12 * i)
+              if (f < 1 || f > Int.MaxValue || p < 0 || p > Int.MaxValue) {
+                st.bad = true; return
+              }
+              first(i) = f.toInt; per(i) = p.toInt; i += 1
+            }
+            track.stscFirst = first; track.stscPer = per
+          }
         case "trak" =>
           val t = new Track
           st.tracks = st.tracks :+ t
@@ -163,5 +230,58 @@ object Mp4Codec {
       video.map(_.height).getOrElse(0),
       video.flatMap(t => Option(t.codec)).orNull,
       video.flatMap(t => Option(t.handler)).orNull)
+  }
+
+  /** Sample-entry fourccs whose samples are complete JPEGs: `jpeg`
+    * (QuickTime Motion-JPEG), `mjpa`/`mjpb` (Motion-JPEG A/B — A is
+    * SOI-led standard JPEG with extra APP markers; B is not SOI-led
+    * and the JPEG filter below drops it, by design). */
+  private val MjpegEntries = Set("jpeg", "mjpa", "mjpb", "MJPG")
+
+  /** The MJPEG frames of a BMFF payload (each a complete JPEG, bytes
+    * exactly as stored, decode order), or null when the payload is not
+    * BMFF, has no MJPEG video track, or its sample tables don't
+    * resolve to in-bounds JPEG samples — null routes the caller to the
+    * stub branch, the [[AviCodec.mjpegFrames]] contract.
+    *
+    * Sample addressing per ISO/IEC 14496-12 §8.7: chunk i's byte
+    * offset from stco/co64, its sample count from the stsc run whose
+    * `first_chunk` is the largest ≤ i, consecutive samples packed
+    * back-to-back with stsz sizes. All integer work, every slice
+    * bounds-checked against the payload. */
+  def mjpegFrames(payload: Array[Byte]): Array[Array[Byte]] = {
+    if (payload == null || payload.length < 16) return null
+    if (fourcc(payload, 4) != "ftyp") return null
+    val st = new State
+    walk(payload, 0, payload.length, st, null)
+    if (st.bad) return null
+    val t = st.tracks.find(t => t.handler == "vide" && t.codec != null &&
+      MjpegEntries.contains(t.codec)).orNull
+    if (t == null || t.chunkOffsets == null || t.stscFirst == null ||
+        t.stscFirst.isEmpty || (t.sizes == null && t.fixedSize <= 0)) return null
+    val nSamples = if (t.sizes != null) t.sizes.length else t.sampleCount
+    if (nSamples <= 0) return null
+    val out = new scala.collection.mutable.ArrayBuffer[Array[Byte]](nSamples)
+    var sample = 0
+    var ci = 0 // 0-based chunk index
+    var run = 0 // current stsc run
+    while (ci < t.chunkOffsets.length && sample < nSamples) {
+      // advance to the run owning chunk ci+1 (runs are ascending)
+      while (run + 1 < t.stscFirst.length && t.stscFirst(run + 1) <= ci + 1) run += 1
+      val inChunk = if (t.stscFirst(run) <= ci + 1) t.stscPer(run) else 0
+      var off = t.chunkOffsets(ci)
+      var k = 0
+      while (k < inChunk && sample < nSamples) {
+        val sz = if (t.sizes != null) t.sizes(sample) else t.fixedSize
+        if (sz <= 0 || off < 0 || off + sz > payload.length) return null
+        out += java.util.Arrays.copyOfRange(payload, off.toInt, (off + sz).toInt)
+        off += sz; sample += 1; k += 1
+      }
+      ci += 1
+    }
+    // SOI-led samples only — same filter as the AVI path
+    val jpegs = out.filter(f =>
+      f.length >= 2 && (f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8)
+    if (jpegs.isEmpty) null else jpegs.toArray
   }
 }

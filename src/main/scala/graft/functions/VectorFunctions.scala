@@ -520,8 +520,10 @@ object VectorFunctions {
     *
     * Plan shape is [[bruteForceTopK]]'s: the (small) query set
     * broadcasts, the corpus streams through executors partition-parallel
-    * with no shuffle, and only the per-query top-k window shuffles (k ×
-    * |queries| rows). The label inequality is applied AT THE JOIN — a
+    * with no shuffle, and the per-query top-k is the bounded
+    * [[TopKPayloadAgg]] aggregate (≤ k rows/query/partition through the
+    * exchange, label riding the payload slot — no rank window, no
+    * per-query sort). The label inequality is applied AT THE JOIN — a
     * same-label (positive) row never reaches scoring. Rows with a NULL
     * label on either side are excluded (an unlabeled row is neither a
     * positive nor a safe negative). Deterministic tiebreak on
@@ -540,16 +542,34 @@ object VectorFunctions {
       col(vecCol).as("__cv"))
     val scored = c.join(broadcast(q), col("__ql") =!= col("neighbor_label"))
       .withColumn("cosine_sim", cosineFor(corpus, vecCol)(col("__qv"), col("__cv")))
-    // stays on the rank window (not rankTopK's bounded aggregate):
-    // the output carries the neighbor_label payload, which the
-    // (score, id) buffer doesn't hold — recovering it would cost a
-    // second corpus scan, a worse trade than the candidate shuffle
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("neighbor_label"), col("cosine_sim"))
+    // bounded aggregate when the (id, label) pair fits the primitive
+    // three-array buffer ([[TopKPayloadAgg]] — the payload slot carries
+    // neighbor_label, so the exchange is ≤ k rows/query/partition
+    // instead of every scored candidate); rank window otherwise, same
+    // (cosine desc, id asc) total order both ways (TopKSpec-pinned)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val labelDt = corpus.schema(labelCol).dataType
+    val integralLabel = labelDt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (corpus.schema(idCol).dataType == LongType && integralLabel) {
+      scored.groupBy(col("query_id"))
+        .agg(TopKAgg.topkWithPayload(k)(col("cosine_sim"), col("neighbor_id"),
+          col("neighbor_label").cast("long")).as("__tk"))
+        .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__e")))
+        .select(col("query_id"), (col("__p") + 1).cast("int").as("rank"),
+          col("__e._2").as("neighbor_id"),
+          col("__e._3").cast(labelDt).as("neighbor_label"),
+          col("__e._1").as("cosine_sim"))
+    } else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("neighbor_label"), col("cosine_sim"))
+    }
   }
 
   /** Centroid-based (simplified) silhouette audit of a clustering /

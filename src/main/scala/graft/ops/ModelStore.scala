@@ -49,6 +49,11 @@ object ModelStore {
     require(shapes.length == 1, s"mixed model shapes: ${shapes.mkString(",")}")
     val (m, subDim) = shapes.head
     val bySub = rows.groupBy(_.getInt(2))
+    // every declared subspace must actually have entries — without this
+    // a missing subspace would silently become an empty codebook and
+    // the structurally-broken model would only fail at encode time
+    require(bySub.keySet == (0 until m).toSet,
+      s"model relation covers subspaces ${bySub.keySet.toSeq.sorted.mkString(",")}, expected 0..${m - 1}")
     val codebooks = IndexedSeq.tabulate(m) { s =>
       val entries = bySub.getOrElse(s, Array.empty).map { r =>
         (r.getInt(3), r.getSeq[Long](4).toIndexedSeq)

@@ -161,11 +161,15 @@ object Multimodal {
     if (payload == null || payload.isEmpty) return out
     var grid = graft.functions.ImageCodec.lumaGrid(payload, targetH, targetW)
     if (grid == null) {
-      // real VIDEO branch (r14): an AVI carrying MJPEG frames decodes
-      // its FIRST frame through the stock-JDK JPEG path — same
-      // histogram envelope as a still image. The stub below now covers
-      // only non-MJPEG video codecs and compressed audio.
-      val frames = graft.functions.AviCodec.mjpegFrames(payload)
+      // real VIDEO branch (r14, widened r15): an AVI or MP4 carrying
+      // MJPEG frames decodes its FIRST frame through the stock-JDK
+      // JPEG path — same histogram envelope as a still image. The stub
+      // below now covers only non-MJPEG video codecs and compressed
+      // audio.
+      val frames = {
+        val avi = graft.functions.AviCodec.mjpegFrames(payload)
+        if (avi != null) avi else graft.functions.Mp4Codec.mjpegFrames(payload)
+      }
       if (frames != null)
         grid = graft.functions.ImageCodec.lumaGrid(frames(0), targetH, targetW)
     }
@@ -220,9 +224,12 @@ object Multimodal {
     }
   }
 
-  /** REAL video frame extraction (r14): AVI/MJPEG payloads explode to
-    * one row per frame, each frame a complete JPEG exactly as stored
-    * ([[graft.functions.AviCodec.mjpegFrames]]); non-AVI payloads
+  /** REAL video frame extraction (r14, widened r15 to MJPEG-in-MP4):
+    * AVI and BMFF payloads carrying MJPEG explode to one row per
+    * frame, each frame a complete JPEG exactly as stored
+    * ([[graft.functions.AviCodec.mjpegFrames]] /
+    * [[graft.functions.Mp4Codec.mjpegFrames]] — the latter resolves
+    * frames through the stsz/stsc/stco sample tables); other payloads
     * yield no rows (they stay on [[sampleFrames]]' pseudo-frame stub).
     * A generator over the partition iterator — payload bytes never
     * shuffle; at 100 TB this is a scan-stage flatMap like the
@@ -231,7 +238,8 @@ object Multimodal {
   def videoFrames(spark: SparkSession, assets: DataFrame): Dataset[Frame] = {
     import spark.implicits._
     assets.as[Asset].flatMap { a =>
-      val frames = graft.functions.AviCodec.mjpegFrames(a.payload)
+      val avi = graft.functions.AviCodec.mjpegFrames(a.payload)
+      val frames = if (avi != null) avi else graft.functions.Mp4Codec.mjpegFrames(a.payload)
       if (frames == null) Iterator.empty
       else frames.iterator.zipWithIndex.map { case (f, i) => Frame(a.asset_id, i, f) }
     }

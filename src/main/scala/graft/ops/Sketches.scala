@@ -438,20 +438,31 @@ object Sketches {
     IncrementalAgg.landBatch(batch, batchId, stateRoot,
       empty = grid.limit(0),
       merge = prior => prior.unionByName(grid)
-        .groupBy(col("row_j"), col("cell")).agg(sum(col("n")).as("n")))
+        .groupBy(col("row_j"), col("cell")).agg(sum(col("n")).as("n"))
+        // canonical form: a cell whose contributions cancel to zero IS
+        // an absent cell (the from-scratch grid never emits it) — drop
+        // so maintained ≡ scratch stays a row-for-row identity under
+        // signed CDC weights, and state shrinks when churn cancels
+        .filter(col("n") =!= 0L))
   }
 
   /** Continuous Count-Min maintenance from an append stream: per-batch
     * [[applyCmsBatch]], O(batch + depth·width) per refresh. Read the
     * standing grid back with [[IncrementalAgg.readState]] and answer
-    * point queries via [[cmsLookup]] without touching the corpus. */
+    * point queries via [[cmsLookup]] without touching the corpus.
+    * `weight` defaults to +1 (append stream); a CDC stream passes its
+    * signed op column (+1 insert / −1 delete) and the standing grid
+    * tracks the post-delete corpus exactly — cells are sums, so the
+    * signed fold commutes with arrival order across micro-batches. */
   def maintainCmsStream(values: DataFrame, valueCol: String, depth: Int, width: Int,
-                        stateRoot: String, checkpointDir: String)
+                        stateRoot: String, checkpointDir: String,
+                        weight: Column = lit(1L))
       : org.apache.spark.sql.streaming.StreamingQuery =
     values.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: java.lang.Long) =>
-        applyCmsBatch(batch.toDF(), batchId, col(valueCol), depth, width, stateRoot)
+        applyCmsBatch(batch.toDF(), batchId, col(valueCol), depth, width, stateRoot,
+          weight = weight)
       }
       .option("checkpointLocation", checkpointDir)
       .start()

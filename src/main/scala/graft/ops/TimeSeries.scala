@@ -380,7 +380,11 @@ object TimeSeries {
     require(window >= 1 && window <= 16,
       s"window must be in [1,16] (4^15 weight headroom in a long), got $window")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
-    val v = (value * 1000).cast("long")
+    // floor, not cast-truncation: cast rounds toward zero, so negative
+    // values would quantize one milli high vs the house FLOOR rule (and
+    // the q192 oracle's FLOOR) — the fixture is all-positive, so only
+    // floor keeps the latent negative-value path aligned
+    val v = floor(value * 1000).cast("long")
     // one projection carries ALL the lag expressions so Catalyst plans
     // a single Window node (deriving num and den directly from lag()
     // calls makes it split them into two Windows, each re-evaluating
@@ -397,17 +401,25 @@ object TimeSeries {
     val den = weights.zipWithIndex.map { case (wt, age) =>
       when(col(s"__l$age").isNotNull, lit(wt)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // all floor/compare arithmetic in DecimalType(38,0): long/long
+    // division promotes to double (exact only below 2^53 — window=16
+    // weights reach 4^15, putting __num past that for plausible
+    // v_milli), and the drift cross-multiplications can overflow a
+    // long in the same regime. Decimal is the Stats.floorDiv pattern.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dnum = col("__num").cast(dec)
+    val dden = col("__den").cast(dec)
+    val dv = col("v_milli").cast(dec)
     withLags
       .withColumn("__num", num)
       .withColumn("__den", den)
       .withColumn("ewma_milli",
         when(col("__den") > 0L,
-          (col("__num") - pmod(col("__num"), col("__den"))) / col("__den"))
+          (dnum - pmod(dnum, dden)) / dden)
           .cast("long"))
       .withColumn("drift",
         when(col("__den") > 0L &&
-          (col("v_milli") * col("__den") > col("__num") * 2L ||
-           col("v_milli") * col("__den") * 2L < col("__num")), 1)
+          (dv * dden > dnum * 2 || dv * dden * 2 < dnum), 1)
           .otherwise(0))
       .select(col(keyCol), col(idCol), col(tsCol), col("v_milli"),
         col("ewma_milli"), col("drift"))

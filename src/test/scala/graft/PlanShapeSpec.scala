@@ -421,6 +421,12 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("ObjectHashAggregate"), p.take(3000))
   }
 
+  test("hard-negative mining has NO rank window — the payload aggregate carries the label") {
+    val p = plan("q151_hard_negatives")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+  }
+
   test("CUPED touches units through two aggregates and a broadcast 1-row join only") {
     val p = plan("q197_cuped_means")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -97,6 +97,75 @@ class TopKSpec extends SparkSpecBase {
     }
   }
 
+  // ---- payload variant (TopKPayloadAgg): ranking identical, payload along ----
+
+  private def aggTopKP(scored: org.apache.spark.sql.DataFrame, k: Int) =
+    scored.groupBy(col("query_id"))
+      .agg(TopKAgg.topkWithPayload(k)(col("cosine_sim"), col("neighbor_id"),
+        col("payload")).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__e")))
+      .select(col("query_id"), (col("__p") + 1).cast("int").as("rank"),
+        col("__e._2").as("neighbor_id"), col("__e._3").as("payload"),
+        col("__e._1").as("cosine_sim"))
+
+  test("payload aggregate == window top-k on (score, id) AND carries the right payload") {
+    val scored = (1L to 4L).flatMap { q =>
+      (1L to 150L).map { n =>
+        val s = ((q * 7919 + n * 104729) % 53) / 53.0 // planted exact ties
+        (q, n, n * 31 + 7, s) // payload is a pure function of the id
+      }
+    }.toDF("query_id", "neighbor_id", "payload", "cosine_sim")
+    for (parts <- Seq(1, 13); k <- Seq(1, 10, 200)) {
+      val got = aggTopKP(scored.repartition(parts), k).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      val want = windowTopK(scored.select(col("query_id"), col("neighbor_id"), col("cosine_sim")), k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(2) * 31 + 7,
+          r.getDouble(3))).toSet
+      assert(got == want, s"parts=$parts k=$k")
+    }
+  }
+
+  test("payload variant: NaN largest, -0.0 ties +0.0 to smaller id, null payload skipped") {
+    val scored = Seq(
+      (1L, Some(20L), Some(100L), Some(0.0)),
+      (1L, Some(10L), Some(200L), Some(-0.0)),
+      (1L, Some(11L), Some(300L), Some(Double.NaN)),
+      (1L, Some(12L), None, Some(0.99)), // null payload: contributes nothing
+      (1L, Some(13L), Some(400L), None), // null score: contributes nothing
+      (1L, None, Some(500L), Some(0.98))) // null id: contributes nothing
+      .toDF("query_id", "neighbor_id", "payload", "cosine_sim")
+    val got = aggTopKP(scored, 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, 11L, 300L), (2, 10L, 200L), (3, 20L, 100L)))
+  }
+
+  test("hardNegatives rides the payload aggregate and matches its window form") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = VectorFunctions.hardNegatives(queries, emb, "vec_id", "embedding", "label", k = 4)
+    assert(!got.queryExecution.optimizedPlan.toString.contains("row_number"),
+      "integral-label path must not plan a rank window")
+    // reference: the window form over the same label-inequality join
+    val q = queries.select(col("vec_id").as("query_id"), col("label").as("__ql"),
+      col("embedding").as("__qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+      col("embedding").as("__cv"))
+    val scored = c.join(broadcast(q), col("__ql") =!= col("neighbor_label"))
+      .withColumn("cosine_sim", VectorFunctions.cosineNative(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    val want = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("neighbor_label"),
+        col("cosine_sim"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4))).toSet
+    assert(rows(got) == rows(want))
+    // a hard negative is by construction never the query's own label
+    val labels = queries.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.collect().foreach(r => assert(labels(r.getLong(0)) != r.getInt(3)))
+  }
+
   test("bruteForceTopK rides the aggregate and matches the window form on real vectors") {
     val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
