@@ -2593,6 +2593,24 @@ object SparkEntry {
         .orderBy(col("row_j"), col("cell"))
     }),
 
+    // The IVF index as an ON-DISK layout: corpus written partitionBy
+    // its coarse bucket, search reads ONLY the probed bucket
+    // directories (PartitionFilters prune files before any IO — the
+    // production form ivfTopK's scaladoc promises, where ~nprobe/C
+    // holds at the file level). Must reproduce q30's oracle exactly:
+    // the layout, like ModelStore's persistence, is invisible to
+    // results.
+    "q200_ivf_index_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = VF.centroidsByLabel(emb, "label", "embedding")
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-index-gate").toString
+      VF.writeIvfIndex(emb, "vec_id", "embedding", centroids, idx)
+      VF.ivfIndexTopK(s, idx, emb.filter(col("vec_id") < 10), centroids,
+          "vec_id", "embedding", k = 5, nprobe = 3)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Quantile-gated quality filter (CCNet-style "drop the worst
     // quartile per language", but threshold-based): per-language p25
     // of the token count from the mergeable histogram sketch, bins
@@ -3363,6 +3381,44 @@ object SparkEntry {
          FROM topk ORDER BY query_id, rank"""
     }
   }
+
+  /** q30 and q200 share ONE oracle: the IVF search semantics are
+    * identical — q200 only changes WHERE the corpus lives (the
+    * bucket-partitioned index layout), which must be invisible to
+    * results. */
+  private val ivfAnnOracleSql: String =
+    """WITH cent AS (
+           SELECT label AS centroid_id, list(m ORDER BY pos) AS cv
+           FROM (SELECT label, i AS pos,
+                        CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824) AS DECIMAL(38,0))) AS DOUBLE) AS m
+                 FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS r(i)
+                 GROUP BY label, i) GROUP BY label),
+         cn AS (SELECT centroid_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nrm FROM cent),
+         scored_cent AS (
+           SELECT e.vec_id, e.embedding, c.centroid_id,
+                  list_sum(list_transform(list_zip(e.embedding, c.cv),
+                    x -> CAST(x[1] AS DOUBLE) * x[2])) / c.nrm AS s
+           FROM embeddings e, cn c),
+         bucketed AS (
+           SELECT vec_id, embedding, centroid_id AS bucket FROM scored_cent
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) = 1),
+         probes AS (
+           SELECT vec_id AS query_id, embedding AS qv, centroid_id AS bucket FROM scored_cent
+           WHERE vec_id < 10
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) <= 3),
+         pairs AS (
+           SELECT p.query_id, b.vec_id AS neighbor_id,
+                  list_sum(list_transform(list_zip(p.qv, b.embedding),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(p.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+           FROM probes p JOIN bucketed b USING (bucket)
+           WHERE b.vec_id <> p.query_id),
+         ranked AS (SELECT query_id, neighbor_id, sim,
+                           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+                    FROM pairs)
+         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(sim, 6) AS cosine_sim
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
   def oracleSql: Map[String, String] = Map(
     "q169_pq_codes" -> pqOracleSql(m = 4, subDim = 16, k = 8, iters = 2, adc = false),
@@ -4167,39 +4223,8 @@ object SparkEntry {
          SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS hamming
          FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3 ORDER BY id_a, id_b""",
 
-    "q30_ivf_ann" ->
-      """WITH cent AS (
-           SELECT label AS centroid_id, list(m ORDER BY pos) AS cv
-           FROM (SELECT label, i AS pos,
-                        CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824) AS DECIMAL(38,0))) AS DOUBLE) AS m
-                 FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS r(i)
-                 GROUP BY label, i) GROUP BY label),
-         cn AS (SELECT centroid_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nrm FROM cent),
-         scored_cent AS (
-           SELECT e.vec_id, e.embedding, c.centroid_id,
-                  list_sum(list_transform(list_zip(e.embedding, c.cv),
-                    x -> CAST(x[1] AS DOUBLE) * x[2])) / c.nrm AS s
-           FROM embeddings e, cn c),
-         bucketed AS (
-           SELECT vec_id, embedding, centroid_id AS bucket FROM scored_cent
-           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) = 1),
-         probes AS (
-           SELECT vec_id AS query_id, embedding AS qv, centroid_id AS bucket FROM scored_cent
-           WHERE vec_id < 10
-           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) <= 3),
-         pairs AS (
-           SELECT p.query_id, b.vec_id AS neighbor_id,
-                  list_sum(list_transform(list_zip(p.qv, b.embedding),
-                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-                  / (sqrt(list_sum(list_transform(p.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-           FROM probes p JOIN bucketed b USING (bucket)
-           WHERE b.vec_id <> p.query_id),
-         ranked AS (SELECT query_id, neighbor_id, sim,
-                           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-                    FROM pairs)
-         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(sim, 6) AS cosine_sim
-         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q30_ivf_ann" -> ivfAnnOracleSql,
+    "q200_ivf_index_search" -> ivfAnnOracleSql,
 
     "q38_cosine_neardups" ->
       """WITH dims AS (SELECT DISTINCT i - 1 AS d

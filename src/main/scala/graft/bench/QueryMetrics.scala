@@ -3,7 +3,7 @@ package graft.bench
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.graftbridge.ListenerDrain
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Deterministic per-query execution metrics (r14 verdict directive #1).
@@ -53,15 +53,32 @@ final case class QueryMetrics(
   * final task-end events of the just-finished job are counted; on the
   * rare bus timeout the snapshot is flagged `drained: false` rather than
   * silently short.
-  */
-final class QueryMetricsListener extends SparkListener {
+  *
+  * `jobGroup`: None counts every task in the session — right for Bench,
+  * a dedicated sequential process where everything between reset() and
+  * read() IS the query (including any foreachBatch jobs a stream gate
+  * runs on background threads, which carry their own group id). Some(g)
+  * counts only stages of jobs tagged `sc.setJobGroup(g, …)` — required
+  * in a SHARED session (the test JVM), where an earlier suite's stray
+  * background work would otherwise pollute the figures. */
+final class QueryMetricsListener(jobGroup: Option[String] = None) extends SparkListener {
   private val srRows, srBytes, swRows, swBytes = new AtomicLong(0)
   private val spillMem, spillDisk, nTasks = new AtomicLong(0)
   private val peakMem = new AtomicLong(0)
+  private val tracked = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  override def onJobStart(e: SparkListenerJobStart): Unit =
+    if (jobGroup.isDefined && e.properties != null &&
+        jobGroup.contains(e.properties.getProperty("spark.jobGroup.id")))
+      e.stageIds.foreach(id => tracked.add(id))
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
     val m = e.taskMetrics
-    if (m != null) {
+    // successful attempts only: a failed or speculation-killed task's
+    // partial shuffle counters are run-context (what the determinism
+    // signal must exclude), not plan work
+    if (m != null && e.taskInfo != null && e.taskInfo.successful &&
+        (jobGroup.isEmpty || tracked.contains(e.stageId))) {
       srRows.addAndGet(m.shuffleReadMetrics.recordsRead)
       srBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
       swRows.addAndGet(m.shuffleWriteMetrics.recordsWritten)
@@ -76,6 +93,7 @@ final class QueryMetricsListener extends SparkListener {
   def reset(): Unit = {
     Seq(srRows, srBytes, swRows, swBytes, spillMem, spillDisk, nTasks, peakMem)
       .foreach(_.set(0))
+    tracked.clear()
   }
 
   /** Drain the bus, then snapshot. `drainTimeoutMs` default is generous:
@@ -90,8 +108,8 @@ final class QueryMetricsListener extends SparkListener {
 }
 
 object QueryMetricsListener {
-  def install(spark: SparkSession): QueryMetricsListener = {
-    val l = new QueryMetricsListener
+  def install(spark: SparkSession, jobGroup: Option[String] = None): QueryMetricsListener = {
+    val l = new QueryMetricsListener(jobGroup)
     spark.sparkContext.addSparkListener(l)
     l
   }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -268,6 +268,52 @@ object VectorFunctions {
     val probes = queriesIn.withColumn("bucket", explode(probesFor(q, col("__qv"), nprobe)))
 
     val scored = taggedCorpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim", cosineNative(col("__qv"), col("__cv")))
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cosine_sim")), k)
+  }
+
+  /** Materialize the IVF index AS A TABLE LAYOUT: corpus rows tagged
+    * with their coarse bucket and written `partitionBy(bucket)`, so
+    * each bucket is a partition DIRECTORY. This is the production form
+    * [[ivfTopK]]'s scaladoc promises — at 100 TB the win over in-memory
+    * tagging is that probes prune FILES, not rows: a search's ~nprobe/C
+    * cost holds at the IO layer before a single byte is read, and the
+    * index is shared by every search job thereafter (pair it with
+    * [[graft.ops.ModelStore]] so the centroids that defined the layout
+    * publish atomically beside it — a search must probe with the SAME
+    * quantizer that bucketed the corpus, or pruning silently loses
+    * recall). One corpus scan, no shuffle: the bucket tag is a per-row
+    * map and the partitioned write hash-splits locally. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, path: String): Unit = {
+    VecExpressions.register(corpus.sparkSession)
+    assignBuckets(corpus.select(col(idCol), col(vecCol)), col(vecCol), centroids, "bucket")
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+  }
+
+  /** Search a [[writeIvfIndex]] layout. The query set's probed buckets
+    * collect to a literal IN-list (queries are broadcast-small by the
+    * [[ivfTopK]] contract, so this is a bounded model-sized collect),
+    * which Catalyst folds into the scan's PartitionFilters — only the
+    * probed bucket directories are listed and read. From there the
+    * plan is [[ivfTopK]]'s tail: broadcast probe join, codegen'd
+    * cosine, bounded [[TopKAgg]] rank. Row-for-row equal to running
+    * [[ivfTopK]] against the same corpus and centroids (gate-pinned:
+    * the layout must be invisible to results, like ModelStore). */
+  def ivfIndexTopK(spark: SparkSession, path: String, queries: DataFrame,
+                   centroids: DataFrame, idCol: String, vecCol: String,
+                   k: Int, nprobe: Int): DataFrame = {
+    VecExpressions.register(spark)
+    val q = quantizer(centroids)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("bucket", explode(probesFor(q, col("__qv"), nprobe)))
+    val probedBuckets = probes.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpus = spark.read.parquet(path)
+      .filter(col("bucket").isin(probedBuckets.map(b => b: Any): _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("bucket"))
+    val scored = corpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine_sim", cosineNative(col("__qv"), col("__cv")))
     rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cosine_sim")), k)

@@ -16,7 +16,10 @@ import graft.bench.QueryMetricsListener
   * q137 (label propagation), q26/q164 (document shingle/overlap). */
 class MetricsPinSpec extends SparkSpecBase {
 
-  private lazy val mx = QueryMetricsListener.install(spark)
+  // the test session is SHARED across suites, so the listener counts
+  // only jobs tagged with this spec's job group — an earlier suite's
+  // stray background work must not pollute a determinism pin
+  private lazy val mx = QueryMetricsListener.install(spark, Some("metrics-pin"))
 
   private def shuffleRowsOf(name: String): (Long, Long) = {
     // same reset discipline as Bench.reset(): iterative operators leave
@@ -25,7 +28,9 @@ class MetricsPinSpec extends SparkSpecBase {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.catalog.clearCache()
     mx.reset()
-    SparkEntry.queries(name)(spark, sf0001).count()
+    spark.sparkContext.setJobGroup("metrics-pin", name, interruptOnCancel = false)
+    try SparkEntry.queries(name)(spark, sf0001).count()
+    finally spark.sparkContext.clearJobGroup()
     val m = mx.read(spark)
     assert(m.drained, s"$name: listener bus did not drain — metrics unreliable")
     (m.shuffleReadRows, m.shuffleWriteRows)
@@ -34,10 +39,21 @@ class MetricsPinSpec extends SparkSpecBase {
   for (q <- Seq("q78_big_qty_orders", "q93_copurchase_pagerank",
                 "q137_label_propagation", "q26_jaccard_pairs", "q164_kmv_source_overlap")) {
     test(s"$q: shuffle-row figures are run-independent (the pinned bench signal)") {
+      // one discarded warm run first: AQE stage reuse across a plan's
+      // IDENTICAL subtrees (q26 builds the shingle pipeline three
+      // times) hinges on canonicalized-plan equality, and the very
+      // first execution after certain session histories can land on a
+      // different reuse outcome than every run after it (root-caused
+      // r15: lambda-variable id allocation shifts subtree canonical
+      // forms; tools/ReuseCheck is the standing probe for this class).
+      // Bench measures warm runs only — its committed metrics are the
+      // steady state this pin asserts, and its own warm pass runs in a
+      // fixed sequence, so bench-to-bench figures stay reproducible.
+      shuffleRowsOf(q)
       val first = shuffleRowsOf(q)
       val second = shuffleRowsOf(q)
       assert(first == second,
-        s"$q shuffle rows moved between identical runs: $first vs $second")
+        s"$q shuffle rows moved between identical warm runs: $first vs $second")
       assert(first._1 > 0 || first._2 > 0,
         s"$q shuffled zero rows at sf0.001 — pin has no signal")
     }

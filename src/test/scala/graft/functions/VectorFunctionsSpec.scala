@@ -266,4 +266,29 @@ class VectorFunctionsSpec extends SparkSpecBase {
     val mean = errs.sum / errs.size
     assert(mean <= 0.15, s"mean cosine distortion $mean over ${errs.size} pairs")
   }
+
+  test("ivfIndexTopK == ivfTopK and the scan prunes to the probed bucket partitions") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-index-spec").toString
+    VectorFunctions.writeIvfIndex(emb, "vec_id", "embedding", centroids, idx)
+    val queries = emb.filter(col("vec_id") < 5)
+    val viaIndex = VectorFunctions.ivfIndexTopK(spark, idx, queries, centroids,
+      "vec_id", "embedding", k = 4, nprobe = 2)
+    val inMemory = VectorFunctions.ivfTopK(queries, emb, centroids,
+      "vec_id", "embedding", k = 4, nprobe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(viaIndex) == rows(inMemory), "layout must be invisible to results")
+    // the probed-bucket IN-list must reach the scan as a PARTITION
+    // filter — pruning happens at directory listing, before any IO
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      plan.take(3000))
+    // and the layout really is one directory per bucket
+    val dirs = new java.io.File(idx).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("bucket=")).toSet
+    val nBuckets = centroids.select(col("centroid_id")).distinct().count()
+    assert(dirs.nonEmpty && dirs.size <= nBuckets)
+  }
 }

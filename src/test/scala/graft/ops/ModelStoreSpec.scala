@@ -64,5 +64,10 @@ class ModelStoreSpec extends SparkSpecBase {
     assertThrows[IllegalArgumentException](ModelStore.pqFromDf(dup))
     assertThrows[IllegalArgumentException](
       ModelStore.pqFromDf(mixed.limit(0)))
+    // a declared subspace with NO rows must refuse, not become an
+    // empty codebook that only fails at encode time (r14 advice)
+    val gap = Seq((2, 16, 0, 0, Seq(1L)), (2, 16, 0, 1, Seq(2L)))
+      .toDF("m", "sub_dim", "s", "code", "cv") // m=2 but only s=0 present
+    assertThrows[IllegalArgumentException](ModelStore.pqFromDf(gap))
   }
 }

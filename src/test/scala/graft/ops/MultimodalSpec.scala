@@ -380,6 +380,102 @@ class MultimodalSpec extends SparkSpecBase {
     cc("RIFF") ++ le32(body.length) ++ body
   }
 
+  /** Hand-built MJPEG-in-MP4: ftyp + moov { mvhd, trak { tkhd,
+    * mdia { hdlr(vide), minf { stbl { stsd('jpeg'), stsz(table),
+    * stsc, stco } } } } } + mdat with the JPEG samples back-to-back.
+    * Chunking is deliberately non-trivial — first chunk holds two
+    * samples, second holds the rest — so the stsc run mapping and the
+    * within-chunk size walk are both exercised. stco offsets are
+    * ABSOLUTE file offsets, computed by assembling the moov first with
+    * zeroed offsets (same byte length) and patching. */
+  private def buildMjpegMp4(frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty)
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ cc(typ) ++ body
+    def assemble(chunkOffs: Seq[Long]): Array[Byte] = {
+      val ftyp = box("ftyp", cc("isom") ++ be32(512) ++ cc("iso2"))
+      val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(1000) ++ be32(2000) ++ new Array[Byte](80))
+      val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++
+        be32(1) ++ be32(0) ++ be32(2000) ++ new Array[Byte](8 + 8 + 36) ++
+        be32(24L << 16) ++ be32(16L << 16))
+      val hdlr = box("hdlr", new Array[Byte](8) ++ cc("vide") ++ new Array[Byte](13))
+      val stsd = box("stsd", new Array[Byte](4) ++ be32(1) ++
+        (be32(16) ++ cc("jpeg") ++ new Array[Byte](8)))
+      val stsz = box("stsz", new Array[Byte](4) ++ be32(0) ++
+        be32(frames.length) ++ frames.flatMap(f => be32(f.length)).toArray)
+      // chunk 1 carries two samples, chunk 2 the remainder (or one
+      // chunk when there's a single frame)
+      val twoChunks = frames.length > 2
+      val stsc =
+        if (twoChunks)
+          box("stsc", new Array[Byte](4) ++ be32(2) ++
+            (be32(1) ++ be32(2) ++ be32(1)) ++ (be32(2) ++ be32(frames.length - 2L) ++ be32(1)))
+        else
+          box("stsc", new Array[Byte](4) ++ be32(1) ++
+            (be32(1) ++ be32(frames.length) ++ be32(1)))
+      val stco = box("stco", new Array[Byte](4) ++ be32(chunkOffs.length) ++
+        chunkOffs.flatMap(be32).toArray)
+      val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
+      val moov = box("moov",
+        mvhd ++ box("trak", tkhd ++ box("mdia", hdlr ++ box("minf", stbl))))
+      val mdat = box("mdat", frames.reduce(_ ++ _))
+      ftyp ++ moov ++ mdat
+    }
+    val nChunks = if (frames.length > 2) 2 else 1
+    val probe = assemble(Seq.fill(nChunks)(0L))
+    val mdatBody = probe.length - frames.map(_.length).sum // first sample's offset
+    val offs =
+      if (nChunks == 2) Seq(mdatBody.toLong, mdatBody.toLong + frames(0).length + frames(1).length)
+      else Seq(mdatBody.toLong)
+    assemble(offs)
+  }
+
+  test("Mp4Codec extracts MJPEG-in-MP4 frames byte-exactly through the sample tables") {
+    import graft.functions.Mp4Codec
+    val fs = Seq(jpegBytes(24, 16, 11), jpegBytes(24, 16, 12), jpegBytes(24, 16, 13))
+    val mp4 = buildMjpegMp4(fs)
+    // metadata path still sees a video track with the jpeg sample entry
+    val meta = Mp4Codec.parseMeta(mp4)
+    assert(meta != null && meta.codec == "jpeg" && meta.handler == "vide")
+    assert(meta.width == 24 && meta.height == 16)
+    val got = Mp4Codec.mjpegFrames(mp4)
+    assert(got != null && got.length == 3)
+    got.zip(fs).foreach { case (g, f) => assert(java.util.Arrays.equals(g, f)) }
+    // frames really decode through the stock JPEG path
+    assert(graft.functions.ImageCodec.lumaGrid(got(0), 8, 8) != null)
+    // single-frame single-chunk layout too
+    val one = Mp4Codec.mjpegFrames(buildMjpegMp4(Seq(jpegBytes(8, 8, 3))))
+    assert(one != null && one.length == 1)
+    // a non-MJPEG sample entry (avc1) yields null — stays on the stub
+    assert(Mp4Codec.mjpegFrames(buildMp4()) == null)
+    // truncations never throw (hostile-bytes discipline)
+    (1 until mp4.length by 7).foreach { cut =>
+      Mp4Codec.mjpegFrames(java.util.Arrays.copyOf(mp4, cut))
+    }
+    // out-of-bounds chunk offset (points past EOF) rejects, not throws
+    val torn = mp4.clone()
+    val stcoAt = torn.toSeq.indexOfSlice("stco".getBytes.toSeq)
+    torn(stcoAt + 12) = 0x7f // first offset's high byte -> far past EOF
+    assert(Mp4Codec.mjpegFrames(torn) == null)
+  }
+
+  test("videoFrames explodes MJPEG-in-MP4 like AVI (one row per frame)") {
+    import spark.implicits._
+    val mp4 = buildMjpegMp4(Seq(jpegBytes(24, 16, 21), jpegBytes(24, 16, 22),
+      jpegBytes(24, 16, 23)))
+    val assets = Multimodal.assetsFromBinary(
+      Seq((5L, mp4)).toDF("doc_id", "payload"),
+      "doc_id", "payload", "video", "mp4")
+    val frames = Multimodal.videoFrames(spark, assets)
+      .collect().map(f => (f.asset_id, f.frame_idx)).toSet
+    assert(frames == Set((5L, 0), (5L, 1), (5L, 2)))
+  }
+
   test("AviCodec extracts MJPEG frames byte-exactly and parses avih meta") {
     import graft.functions.AviCodec
     val fs = Seq(jpegBytes(24, 16, 1), jpegBytes(24, 16, 2), jpegBytes(24, 16, 3))
