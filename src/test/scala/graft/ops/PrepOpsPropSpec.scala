@@ -27,11 +27,8 @@ class PrepOpsPropSpec extends SparkSpecBase {
     } yield vs
     samples(caseGen, 12).foreach { vs =>
       val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
-      // constant partition key: silences WindowExec's no-partition
-      // warning in the reference computation (single-group either way)
       val expected = rows.withColumn("rk",
-          row_number().over(
-            Window.partitionBy(lit(0)).orderBy(col("v").asc, col("id").desc)).cast("long"))
+          row_number().over(Window.orderBy(col("v").asc, col("id").desc)).cast("long"))
         .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
       val got = Sampling.globalRank(rows.repartition(5),
           Seq(col("v").asc, col("id").desc), out = "rk")

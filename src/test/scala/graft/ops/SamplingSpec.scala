@@ -309,11 +309,7 @@ class SamplingSpec extends SparkSpecBase {
     import org.apache.spark.sql.expressions.Window
     val rows = (1L to 2000L).map(i => (i, (i * 7919) % 97)).toDF("id", "v")
     val expected = rows
-      // constant partition key: same single-group semantics as a global
-      // window, without WindowExec's no-partition warning polluting the
-      // test log (r14 directive #8 — the noise could mask a real one)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("v").desc, col("id"))).cast("long"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("v").desc, col("id"))).cast("long"))
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     val got = Sampling.globalRank(rows.repartition(17),
         Seq(col("v").desc, col("id").asc), out = "rk")

@@ -61,9 +61,7 @@ class GenSfSpec extends SparkSpecBase {
     val inversions = e.select(col("event_id"),
         unix_micros(col("ts").cast("timestamp")).as("us"))
       .withColumn("prev", lag("us", 1).over(
-        // constant partition key: single group anyway; keeps the test
-        // log free of WindowExec no-partition warnings
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(0)).orderBy("event_id")))
+        org.apache.spark.sql.expressions.Window.orderBy("event_id")))
       .filter(col("prev").isNotNull && col("us") < col("prev")).count()
     assert(inversions == 0L)
     val span = e.agg(unix_micros(min("ts").cast("timestamp")),
@@ -85,7 +83,7 @@ class GenSfSpec extends SparkSpecBase {
     val dups = docs.groupBy("text").count().filter(col("count") > 1).count()
     assert(dups >= 4 && dups <= 16, s"expected ~8 dup groups at 5000 docs, got $dups")
     // and the clone really is the PREVIOUS row's text
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0)).orderBy("doc_id")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
     val cloned = docs.withColumn("prev", lag("text", 1).over(w))
       .filter(col("text") === col("prev")).count()
     assert(cloned >= 4, s"clones must be prev-row copies, got $cloned")
