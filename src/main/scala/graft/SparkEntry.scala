@@ -2611,6 +2611,28 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Index MAINTENANCE under arrival: the standing IVF layout takes a
+    // new corpus batch by appending bucket-tagged files (same published
+    // quantizer, nothing rewritten — O(batch), the incrementalNew
+    // discipline applied to the search index), and a search afterwards
+    // must be indistinguishable from one over a from-scratch index of
+    // the union: bucket membership is a pure per-row function of the
+    // quantizer, so arrival order cannot leak into results. Same oracle
+    // as q30/q200.
+    "q201_ivf_index_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = VF.centroidsByLabel(emb, "label", "embedding")
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-append-gate").toString
+      VF.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+        centroids, idx)
+      VF.appendIvfIndex(emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+        centroids, idx)
+      VF.ivfIndexTopK(s, idx, emb.filter(col("vec_id") < 10), centroids,
+          "vec_id", "embedding", k = 5, nprobe = 3)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Quantile-gated quality filter (CCNet-style "drop the worst
     // quartile per language", but threshold-based): per-language p25
     // of the token count from the mergeable histogram sketch, bins
@@ -4225,6 +4247,7 @@ object SparkEntry {
 
     "q30_ivf_ann" -> ivfAnnOracleSql,
     "q200_ivf_index_search" -> ivfAnnOracleSql,
+    "q201_ivf_index_append" -> ivfAnnOracleSql,
 
     "q38_cosine_neardups" ->
       """WITH dims AS (SELECT DISTINCT i - 1 AS d

@@ -292,6 +292,29 @@ object VectorFunctions {
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
   }
 
+  /** Fold a NEW corpus batch into an existing [[writeIvfIndex]] layout —
+    * the arrival path of a maintained index: tag the batch with the SAME
+    * quantizer that bucketed the standing corpus (pass the published
+    * centroids — [[graft.ops.ModelStore]] is the contract for "same"),
+    * append its files into the per-bucket directories. Nothing already
+    * written is touched or rewritten: the append costs O(batch) exactly
+    * like [[graft.ops.Dedup.incrementalNew]]'s index-stationary dedup,
+    * and a search through the layout afterwards is indistinguishable
+    * from one over a from-scratch index of the union (gate-pinned) —
+    * because bucket membership is a pure per-row function of the
+    * quantizer, not of arrival order.
+    *
+    * Re-training the quantizer (new centroids) is the one operation
+    * that CANNOT ride this path — bucket boundaries move, so that is a
+    * rebuild + [[graft.ops.ManifestSwap]] generation flip, never an
+    * in-place mutation. */
+  def appendIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, path: String): Unit = {
+    VecExpressions.register(batch.sparkSession)
+    assignBuckets(batch.select(col(idCol), col(vecCol)), col(vecCol), centroids, "bucket")
+      .write.partitionBy("bucket").mode("append").parquet(path)
+  }
+
   /** Search a [[writeIvfIndex]] layout. The query set's probed buckets
     * collect to a literal IN-list (queries are broadcast-small by the
     * [[ivfTopK]] contract, so this is a bounded model-sized collect),

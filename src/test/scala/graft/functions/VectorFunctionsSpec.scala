@@ -291,4 +291,34 @@ class VectorFunctionsSpec extends SparkSpecBase {
     val nBuckets = centroids.select(col("centroid_id")).distinct().count()
     assert(dirs.nonEmpty && dirs.size <= nBuckets)
   }
+
+  test("appendIvfIndex: build-then-append == build-once; old files untouched") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
+    val once = java.nio.file.Files.createTempDirectory("graft-ivf-once").toString
+    val grown = java.nio.file.Files.createTempDirectory("graft-ivf-grown").toString
+    VectorFunctions.writeIvfIndex(emb, "vec_id", "embedding", centroids, once)
+    VectorFunctions.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", centroids, grown)
+    def files(root: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = files(grown)
+    VectorFunctions.appendIvfIndex(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", centroids, grown)
+    // append is file-additive: every pre-existing file survives unmodified
+    val after = files(grown)
+    before.foreach { case (p, ts) =>
+      assert(after.contains(p) && after(p) == ts, s"append rewrote $p") }
+    assert(after.size > before.size, "append must add files")
+    // and a search cannot tell the grown index from the build-once one
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(path: String) = VectorFunctions.ivfIndexTopK(spark, path, queries,
+      centroids, "vec_id", "embedding", k = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(grown) == rows(once))
+  }
 }
