@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   * session setting. On a real cluster, executor count and AQE absorb
   * this axis — in local mode the conf IS the knob, which is why the
   * operators own it rather than documenting a tuning footnote. */
-private[ops] object ShuffleSizing {
+private[graft] object ShuffleSizing {
 
   /** ~1.5M edge-sized rows per shuffle partition ≈ 200 MB through the
     * per-round join+agg — inside the measured no-spill envelope. */

@@ -83,11 +83,28 @@ object CurationChain {
       quality.join(keep, Seq("doc_id"), "left_semi")
     }
 
-    // 3. fuzzy dedup: shingle-Jaccard pairs → components → canonical
-    val fuzzy = stage("fuzzy_dedup") {
-      val pairs = Dedup.jaccardPairs(exact, "doc_id", "text",
-        n = 3, thresholdNum = 6, thresholdDen = 10, maxDf = 1000)
-      Dedup.dedupCorpus(exact, "doc_id", pairs)
+    // 3. fuzzy dedup: shingle-Jaccard pairs → components → canonical.
+    //    The candidate-pair exchange is the chain's ONLY super-linear
+    //    shuffle (bounded by Σ min(df,cap)²/2 — the DedupDrill
+    //    invariant), and at sf10 it put ~26M rows on each of 32
+    //    partitions (1.3 GB spill, 1.0 GB peak task). A chained
+    //    pipeline can afford the invariant pass (one shingle scan,
+    //    small next to the pair stage itself) and size the stage's
+    //    shuffle from it — the ShuffleSizing floor-only rule the graph
+    //    family already runs on.
+    val fuzzy = {
+      val inv = graft.ops.Dedup.shingleIndex(exact, "doc_id", "text", 3, maxDf = 0)
+        .groupBy(col("shingle")).agg(least(count(lit(1)), lit(1000L)).as("df"))
+        .agg(coalesce(sum(col("df") * col("df")), lit(0L)).as("s"))
+        .head().getLong(0)
+      println(s"[chain] fuzzy invariant sum_min_df_cap_sq=$inv")
+      graft.ops.ShuffleSizing.withEdgeScaledShuffle(spark, inv / 2) {
+        stage("fuzzy_dedup") {
+          val pairs = Dedup.jaccardPairs(exact, "doc_id", "text",
+            n = 3, thresholdNum = 6, thresholdDen = 10, maxDf = 1000)
+          Dedup.dedupCorpus(exact, "doc_id", pairs)
+        }
+      }
     }
 
     // 4. decontaminate: drop survivors fuzzily matching the held-out
