@@ -2633,6 +2633,32 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Streaming index maintenance, batch-equivalence gated (the q188/
+    // q193 house standard applied to the search index): the corpus
+    // arrives as a multi-batch file stream, each micro-batch lands
+    // into the standing IVF layout replay-idempotently (per-batch
+    // overwrite under batch=<id>/bucket=*), and a search through the
+    // maintained index must be indistinguishable from one over an
+    // index built from everything that ever arrived — same oracle as
+    // q30/q200/q201.
+    "q202_ivf_index_stream" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = VF.centroidsByLabel(emb, "label", "embedding")
+      val base = java.nio.file.Files.createTempDirectory("graft-ivf-stream-gate").toFile
+      val topic = new java.io.File(base, "topic").toString
+      emb.repartition(6).write.mode("overwrite").parquet(topic)
+      val src = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "2").parquet(topic)
+      val idx = new java.io.File(base, "index").toString
+      val q = VF.maintainIvfIndexStream(src, "vec_id", "embedding", centroids, idx,
+        checkpointDir = new java.io.File(base, "ckpt").toString)
+      try q.processAllAvailable() finally q.stop()
+      VF.ivfIndexTopK(s, idx, emb.filter(col("vec_id") < 10), centroids,
+          "vec_id", "embedding", k = 5, nprobe = 3)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Quantile-gated quality filter (CCNet-style "drop the worst
     // quartile per language", but threshold-based): per-language p25
     // of the token count from the mergeable histogram sketch, bins
@@ -4248,6 +4274,7 @@ object SparkEntry {
     "q30_ivf_ann" -> ivfAnnOracleSql,
     "q200_ivf_index_search" -> ivfAnnOracleSql,
     "q201_ivf_index_append" -> ivfAnnOracleSql,
+    "q202_ivf_index_stream" -> ivfAnnOracleSql,
 
     "q38_cosine_neardups" ->
       """WITH dims AS (SELECT DISTINCT i - 1 AS d

@@ -315,6 +315,40 @@ object VectorFunctions {
       .write.partitionBy("bucket").mode("append").parquet(path)
   }
 
+  /** One arrival micro-batch landed into a maintained index layout,
+    * REPLAY-IDEMPOTENTLY: the batch writes `$path/batch=<id>/bucket=*`
+    * with per-batch overwrite, so a redelivered batch (stream restart
+    * between sink write and checkpoint commit) replaces its own files
+    * instead of appending duplicates — the landBatch discipline
+    * applied to the index. The extra `batch` partition level changes
+    * nothing for the reader: [[ivfIndexTopK]]'s bucket filter prunes
+    * directories at any depth, and the column is simply not selected. */
+  def appendIvfIndexBatch(batch: DataFrame, batchId: Long, idCol: String,
+                          vecCol: String, centroids: DataFrame, path: String): Unit = {
+    VecExpressions.register(batch.sparkSession)
+    assignBuckets(batch.select(col(idCol), col(vecCol)), col(vecCol), centroids, "bucket")
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/batch=$batchId")
+  }
+
+  /** Continuous index maintenance from an arrival stream: per-batch
+    * [[appendIvfIndexBatch]] under the published quantizer — O(batch)
+    * per refresh, the standing layout is never rewritten, and a search
+    * through it afterwards must be indistinguishable from an index
+    * built from everything that ever arrived (gate-pinned, the
+    * maintainCmsStream ≡-from-scratch standard). */
+  def maintainIvfIndexStream(batches: DataFrame, idCol: String, vecCol: String,
+                             centroids: DataFrame, path: String,
+                             checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: java.lang.Long) =>
+        appendIvfIndexBatch(b.toDF(), batchId, idCol, vecCol, centroids, path)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Search a [[writeIvfIndex]] layout. The query set's probed buckets
     * collect to a literal IN-list (queries are broadcast-small by the
     * [[ivfTopK]] contract, so this is a bounded model-sized collect),

@@ -321,4 +321,28 @@ class VectorFunctionsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(rows(grown) == rows(once))
   }
+
+  test("appendIvfIndexBatch is replay-idempotent; batched layout searches like build-once") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
+    val once = java.nio.file.Files.createTempDirectory("graft-ivf-once2").toString
+    val streamed = java.nio.file.Files.createTempDirectory("graft-ivf-batched").toString
+    VectorFunctions.writeIvfIndex(emb, "vec_id", "embedding", centroids, once)
+    VectorFunctions.appendIvfIndexBatch(emb.filter(col("vec_id") % 2 === 0), 0L,
+      "vec_id", "embedding", centroids, streamed)
+    VectorFunctions.appendIvfIndexBatch(emb.filter(col("vec_id") % 2 =!= 0), 1L,
+      "vec_id", "embedding", centroids, streamed)
+    // a redelivered batch REPLACES its own files — row count unchanged
+    val n1 = spark.read.parquet(streamed).count()
+    VectorFunctions.appendIvfIndexBatch(emb.filter(col("vec_id") % 2 === 0), 0L,
+      "vec_id", "embedding", centroids, streamed)
+    assert(spark.read.parquet(streamed).count() == n1, "replay must not duplicate rows")
+    assert(n1 == emb.count())
+    // the batch= level is invisible to search
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(path: String) = VectorFunctions.ivfIndexTopK(spark, path, queries,
+      centroids, "vec_id", "embedding", k = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(streamed) == rows(once))
+  }
 }
