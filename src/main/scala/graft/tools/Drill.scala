@@ -28,14 +28,12 @@ object Drill {
     spark.sparkContext.setLogLevel("WARN")
 
     val stages = new AtomicLong(0)
-    val shuffleWrite = new AtomicLong(0)
     // per-stage dissection (GRAFT_DRILL_STAGES=1): where did the wall go
     val slow = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val dissect = sys.env.get("GRAFT_DRILL_STAGES").contains("1")
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
-        shuffleWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
         if (dissect) {
           val si = sc.stageInfo
           val secs = (for {
@@ -49,6 +47,10 @@ object Drill {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // full deterministic metrics (r14 directive #1): the same shuffle
+    // rows/bytes + spill + peak-task figures the benches commit, so a
+    // drill row is directly comparable to a BENCH record
+    val mx = graft.bench.QueryMetricsListener.install(spark)
 
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
@@ -56,12 +58,15 @@ object Drill {
       fn(spark, dir).count()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
-      stages.set(0); shuffleWrite.set(0); slow.clear()
+      stages.set(0); slow.clear(); mx.reset()
       val t0 = System.nanoTime()
       val rows = fn(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let the listener bus drain the final stage events
-      println(f"[drill] $name%-28s ${dt}%8.2f s  rows=$rows%-9d stages=${stages.get}%-4d shuffleMB=${shuffleWrite.get / 1e6}%.0f")
+      val m = mx.read(spark)
+      println(f"[drill] $name%-28s ${dt}%8.2f s  rows=$rows%-9d stages=${stages.get}%-4d " +
+        f"shufRows=${m.shuffleRows}%-12d shuffleMB=${(m.shuffleReadBytes + m.shuffleWriteBytes) / 1e6}%.0f " +
+        f"spillMB=${(m.spillMemBytes + m.spillDiskBytes) / 1e6}%.0f peakTaskMB=${m.peakTaskMemBytes / 1e6}%.0f" +
+        (if (m.drained) "" else " UNDRAINED"))
       if (dissect) { slow.forEach(println(_)); slow.clear() }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
