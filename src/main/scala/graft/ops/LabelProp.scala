@@ -47,11 +47,25 @@ object LabelProp {
     // edges are materialized, so the count is a free scan — per-round
     // shuffles scale with the graph ([[ShuffleSizing]])
     ShuffleSizing.withEdgeScaledShuffle(edges.sparkSession, edges.count()) {
-      var labels = edges.select(col("src").as("id")).distinct()
+      // r15: the per-round (src, label) count and the per-node argmax
+      // both key on src, so a SRC-partitioned edge checkpoint makes
+      // every round's aggregates partition-local — PROVIDED the label
+      // map rides the join as an explicit broadcast: the loop's
+      // relations are stats-free checkpoints, so without the hint the
+      // static plan re-exchanges the edges on the JOIN key (dst) and
+      // the layout never reaches the aggregate. |V| is counted once;
+      // beyond the broadcast bound the op falls back to exactly the
+      // pre-r15 shuffling plan.
+      val parted = ShuffleSizing.partitionedMaterialize(edges, col("src"), materialize)
+      var labels = parted.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
+      val smallV = labels.count() <= ShuffleSizing.BroadcastNodeLimit
+      def labelSide(df: DataFrame): DataFrame =
+        if (smallV) broadcast(df) else df
       for (_ <- 1 to iterations) {
         labels = materialize(
-          edges.join(labels.withColumnRenamed("id", "__nid"), col("dst") === col("__nid"))
+          parted.join(labelSide(labels.withColumnRenamed("id", "__nid")),
+              col("dst") === col("__nid"))
             .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
             // argmax by (n desc, label asc) as one struct-max: labels
             // enter negated so the lexicographic max lands on the

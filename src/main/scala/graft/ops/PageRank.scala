@@ -72,12 +72,25 @@ object PageRank {
         edges.groupBy(col("__src")).agg(count(lit(1)).as("__deg")))
       val nodes = materialize(edges.select(col("__src").as("id"))
         .union(edges.select(col("__dst"))).distinct())
+      // r15: every round's contribution sum keys on __dst, so a
+      // DST-partitioned edge checkpoint makes that |E|-row aggregate
+      // partition-local — PROVIDED the |V|-row (src, contribution)
+      // side rides the join as an explicit broadcast (the loop's
+      // relations are stats-free checkpoints; without the hint the
+      // static plan re-exchanges the edges on __src and the layout
+      // never reaches the aggregate). |V| is counted once off the
+      // materialized node set; beyond the broadcast bound the op
+      // falls back to exactly the pre-r15 shuffling plan.
+      val parted = ShuffleSizing.partitionedMaterialize(edges, col("__dst"), materialize)
+      val smallV = nodes.count() <= ShuffleSizing.BroadcastNodeLimit
+      def contribSide(df: DataFrame): DataFrame =
+        if (smallV) broadcast(df) else df
       var ranks = nodes.withColumn("__r", scale)
       for (_ <- 1 to iterations) {
         val perSrc = ranks.join(degrees, ranks("id") === degrees("__src"))
           .select(col("__src"),
             expr("CAST((__r * CAST(85 AS DECIMAL(38,0))) DIV (CAST(100 AS DECIMAL(38,0)) * __deg) AS DECIMAL(38,0))").as("__c"))
-        val contribs = edges.join(perSrc, Seq("__src"))
+        val contribs = parted.join(contribSide(perSrc), Seq("__src"))
           .groupBy(col("__dst").as("id")).agg(sum(col("__c")).as("__in"))
         ranks = materialize(nodes.join(contribs, Seq("id"), "left")
           .select(col("id"), (base + coalesce(col("__in"), lit(0).cast(dec))).as("__r")))

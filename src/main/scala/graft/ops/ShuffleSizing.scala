@@ -32,6 +32,50 @@ private[graft] object ShuffleSizing {
     math.min(MaxPartitions.toLong,
       math.max(1L, (edgeRows + RowsPerPartition - 1) / RowsPerPartition)).toInt
 
+  /** Materialize `df` hash-partitioned on `key` so that DOWNSTREAM
+    * plans see the partitioning and skip their exchanges — the
+    * iterative graph family's per-round aggregate keys on one column
+    * of the static edge relation, so a pre-partitioned checkpoint
+    * turns every round's |E|-row partial-aggregate exchange into a
+    * partition-local aggregate (zero exchange when the small side of
+    * the round's join broadcasts; never worse when it doesn't, the
+    * round then re-shuffles exactly as before).
+    *
+    * AQE must be OFF while the checkpoint is captured (restored
+    * after): under AQE the checkpoint's LogicalRDD records the
+    * NOT-YET-FINAL adaptive plan's partitioning — Unknown — and the
+    * benefit silently vanishes (probed r15, tools/PartProbe: 2
+    * exchanges captured under AQE vs 0 captured with it off; AQE-ON
+    * consumers honor the preserved partitioning either way). Call
+    * INSIDE [[withEdgeScaledShuffle]] so the partition count is the
+    * edge-scaled one. */
+  def partitionedMaterialize(df: org.apache.spark.sql.DataFrame,
+                             key: org.apache.spark.sql.Column,
+                             materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val k = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    try materialize(df.repartition(key))
+    finally spark.conf.set(k, prev)
+  }
+
+  /** Max |V| for which the graph loops force-broadcast their per-round
+    * node-sized relation (labels / per-source contributions): 4M rows
+    * ≈ 130 MB hashed — comfortably inside executor memory and far
+    * under Spark's 512M-row broadcast cap, while big enough that any
+    * graph needing the fallback is one whose |E| dwarfs the per-round
+    * |V| shuffle the fallback costs. Without the explicit hint the
+    * optimizer plans the join BEFORE the node count is knowable from
+    * stats (the loop's relations are checkpoints with no size
+    * estimate): the static SMJ re-exchanges the edge side on the JOIN
+    * key and the [[partitionedMaterialize]] layout never reaches the
+    * aggregate (observed r15, tools/RoundPlanProbe — AQE even picked
+    * the EDGE side to broadcast at small scale, which still strands
+    * the aggregate's partitioning). */
+  val BroadcastNodeLimit = 4000000L
+
   /** Run `body` with `spark.sql.shuffle.partitions` raised to the
     * edge-scaled target (restored after); a no-op when the session
     * value already covers it. `body` must EXECUTE its jobs inside the
