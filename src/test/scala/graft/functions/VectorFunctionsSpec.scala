@@ -322,6 +322,17 @@ class VectorFunctionsSpec extends SparkSpecBase {
     assert(rows(grown) == rows(once))
   }
 
+  test("ivfIndexTopK with an empty query set returns an empty, well-typed result") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-empty").toString
+    VectorFunctions.writeIvfIndex(emb, "vec_id", "embedding", centroids, idx)
+    val out = VectorFunctions.ivfIndexTopK(spark, idx, emb.filter(col("vec_id") < 0),
+      centroids, "vec_id", "embedding", k = 3, nprobe = 2)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "cosine_sim"))
+  }
+
   test("appendIvfIndexBatch is replay-idempotent; batched layout searches like build-once") {
     val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
     val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
