@@ -49,13 +49,32 @@ object Bfs {
                   edgesDistinct: Boolean = false): DataFrame = {
     val undRaw = edges.select(col(src).as("u"), col(dst).as("v"))
       .union(edges.select(col(dst).as("u"), col(src).as("v")))
-    val und = (if (edgesDistinct) undRaw else undRaw.distinct()).cache()
+    val undPlain = (if (edgesDistinct) undRaw else undRaw.distinct()).cache()
     // per-hop shuffles scale with the cached edge relation
     // ([[ShuffleSizing]] — count forces the cache it needs anyway)
-    ShuffleSizing.withEdgeScaledShuffle(edges.sparkSession, und.count()) {
+    ShuffleSizing.withEdgeScaledShuffle(edges.sparkSession, undPlain.count()) {
+    // r15, the exchange-free graph-round recipe applied to BFS: the
+    // superstep's distinct keys on v, so a V-partitioned edge
+    // checkpoint (AQE-off capture — a CACHED repartition does NOT
+    // surface its partitioning, probed) plus an explicitly-broadcast
+    // frontier (its size is the `reached` count the loop already
+    // computes) make the frontier expansion exchange-free: edges never
+    // re-shuffle per hop, the neighbor distinct is partition-local,
+    // and only the |frontier|-sized anti-join side moves. Beyond the
+    // broadcast bound a hop falls back to the prior shuffling join.
+    // the checkpoint's backing blocks are released on exit (the cache-
+    // hygiene contract: only the returned frame stays persisted) — a
+    // checkpointed Dataset exposes no unpersist, so the new RDD is
+    // found by diffing the persistent-RDD registry around the capture
+    val sc = edges.sparkSession.sparkContext
+    val beforeIds = sc.getPersistentRDDs.keySet
+    val und = ShuffleSizing.partitionedMaterialize(undPlain, col("v"), _.localCheckpoint())
+    val undRddIds = sc.getPersistentRDDs.keySet -- beforeIds
+    undPlain.unpersist()
     var visited = sources.select(col(sources.columns.head).as("id"))
       .distinct().withColumn("hops", lit(0)).cache()
     var frontier = visited.select(col("id"))
+    var frontierRows = visited.count()
     // the cached `next` frame backing the current frontier, if any —
     // unpersisted as soon as the following superstep has materialised
     var frontierCache: Option[DataFrame] = None
@@ -63,7 +82,10 @@ object Bfs {
     var exhausted = false
     while (hop < maxHops && !exhausted) {
       hop += 1
-      val next = frontier.join(und, frontier("id") === und("u"))
+      val fSide =
+        if (frontierRows <= ShuffleSizing.BroadcastNodeLimit) broadcast(frontier)
+        else frontier
+      val next = und.join(fSide, fSide("id") === und("u"))
         .select(col("v").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
         .withColumn("hops", lit(hop)).cache()
@@ -80,10 +102,11 @@ object Bfs {
         visited.unpersist(); visited = nv
         frontierCache = Some(next)
         frontier = next.select(col("id"))
+        frontierRows = reached
       }
     }
     frontierCache.foreach(_.unpersist())
-    und.unpersist()
+    undRddIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     visited // cached — caller-owned, see scaladoc
     } // withEdgeScaledShuffle
   }
