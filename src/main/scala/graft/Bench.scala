@@ -189,7 +189,19 @@ object Bench {
       System.err.println(s"[bench] full per-query record -> $outPath")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","ambient_load_start":$ambientStart,"quiesce_wait_sec":$quiesceWait,"ambient_noisy":$ambientNoisy,"noisy_queries":$noisyJson}""")
+    // stop FIRST, print the timings line LAST: the driver parses the
+    // tail of the captured output, and r15's shutdown-phase
+    // BlockManager WARNs (printed during/after stop) pushed the JSON
+    // line out of that tail (BENCH_r15.json parsed:null). Teardown
+    // loggers are quieted as well so a slow async shutdown can't
+    // interleave.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.storage", org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.util.ShutdownHookManager",
+      org.apache.logging.log4j.Level.ERROR)
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","ambient_load_start":$ambientStart,"quiesce_wait_sec":$quiesceWait,"ambient_noisy":$ambientNoisy,"noisy_queries":$noisyJson}""")
+    Console.out.flush()
   }
 }

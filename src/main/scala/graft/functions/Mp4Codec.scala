@@ -154,6 +154,12 @@ object Mp4Codec {
             track.sampleCount = n.toInt
             if (fixed != 0L) {
               if (fixed > Int.MaxValue) { st.bad = true; return }
+              // the samples live inside this payload, so n fixed-size
+              // samples must physically fit in it — same bound as the
+              // table form's 4·n-fits-the-box, and it caps hostile
+              // counts (a ~200-byte file claiming sample_count=2^31-1
+              // would otherwise drive a ~17 GB frame-list allocation)
+              if (fixed * n > b.length) { st.bad = true; return }
               track.fixedSize = fixed.toInt
             } else {
               // the table must physically fit inside the box — this
@@ -261,7 +267,11 @@ object Mp4Codec {
         t.stscFirst.isEmpty || (t.sizes == null && t.fixedSize <= 0)) return null
     val nSamples = if (t.sizes != null) t.sizes.length else t.sampleCount
     if (nSamples <= 0) return null
-    val out = new scala.collection.mutable.ArrayBuffer[Array[Byte]](nSamples)
+    // no size hint: ArrayBuffer(n) eagerly allocates the backing
+    // array, and nSamples is attacker-influenced (bounded above by the
+    // stsz fit checks, but defense-in-depth costs only amortized
+    // appends — the hostile-bytes path must never OOM)
+    val out = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     var sample = 0
     var ci = 0 // 0-based chunk index
     var run = 0 // current stsc run

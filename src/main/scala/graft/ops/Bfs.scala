@@ -21,10 +21,13 @@ import org.apache.spark.sql.functions._
   * traversals on real clusters, checkpoint every ~10 hops to cut
   * lineage (documented, not needed at maxHops ≤ 5).
   *
-  * The RETURNED `visited` frame is left cached on purpose — callers
-  * invariably iterate it more than once (join + stats) and dropping the
-  * cache here would recompute the whole traversal. The caller owns it:
-  * `result.unpersist()` when done.
+  * The RETURNED frame is left persisted on purpose — callers
+  * invariably iterate it more than once (join + stats) and dropping it
+  * here would recompute the whole traversal. It is checkpoint-backed
+  * and SELF-CONTAINED (its lineage is cut before the internal edge
+  * checkpoint is released, so block loss never chases freed blocks);
+  * a checkpointed frame ignores `Dataset.unpersist`, so the caller
+  * disposes it with `CacheHygiene.release(result)` when done.
   *
   * Determinism: pure integer set algebra — hop numbers are the
   * superstep index; min-hop per node is implied by first discovery.
@@ -106,8 +109,15 @@ object Bfs {
       }
     }
     frontierCache.foreach(_.unpersist())
+    // self-contained result BEFORE the edge checkpoint is released:
+    // the cached `visited`'s lineage ran through the checkpointed edge
+    // relation, so a lost partition would have chased freed blocks
+    // instead of recomputing (r15 advice) — the final cut makes the
+    // returned frame independent of everything released below
+    val out = visited.localCheckpoint()
+    visited.unpersist()
     undRddIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-    visited // cached — caller-owned, see scaladoc
+    out // checkpoint-backed — caller-owned, see scaladoc
     } // withEdgeScaledShuffle
   }
 }

@@ -38,6 +38,11 @@ object LabelProp {
                        iterations: Int, assumeSymmetric: Boolean = false,
                        materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // every intermediate (edge materializations, per-round label
+    // checkpoints) is released on exit; only the returned frame stays
+    // persisted, self-contained behind one final cut (r15 advice —
+    // the partitioned edge checkpoint used to leak per call)
+    CacheHygiene.scoped(edges0.sparkSession) {
     val dir = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val edges = materialize(
       if (assumeSymmetric) dir
@@ -76,5 +81,6 @@ object LabelProp {
       }
       labels
     }
+    }(materialize)
   }
 }

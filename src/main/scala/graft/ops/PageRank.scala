@@ -49,6 +49,11 @@ object PageRank {
                iterations: Int,
                materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // every intermediate (edges, degrees, nodes, the dst-partitioned
+    // edge checkpoint, per-iteration rank checkpoints) is released on
+    // exit; only the returned frame stays persisted, self-contained
+    // behind one final cut (r15 advice — `parted` used to leak)
+    CacheHygiene.scoped(edges0.sparkSession) {
     val dec = DecimalType(38, 0)
     val scale = lit(1000000000000L).cast(dec)
     val base = lit(150000000000L).cast(dec)
@@ -97,5 +102,6 @@ object PageRank {
       }
       ranks.select(col("id"), col("__r").cast("long").as("pr"))
     }
+    }(materialize)
   }
 }

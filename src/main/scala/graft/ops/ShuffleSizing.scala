@@ -48,7 +48,15 @@ private[graft] object ShuffleSizing {
     * exchanges captured under AQE vs 0 captured with it off; AQE-ON
     * consumers honor the preserved partitioning either way). Call
     * INSIDE [[withEdgeScaledShuffle]] so the partition count is the
-    * edge-scaled one. */
+    * edge-scaled one.
+    *
+    * SEQUENTIAL-ONLY: the AQE flip is session-global, so any query
+    * planned concurrently on the same SparkSession during the capture
+    * window would silently lose AQE (r15 advice). Safe under the
+    * strictly-sequential harnesses (Verify/Bench/tests); a concurrent
+    * caller must serialize graph-operator invocations or give them
+    * their own session (`spark.newSession()` shares the cache but
+    * isolates the conf). */
   def partitionedMaterialize(df: org.apache.spark.sql.DataFrame,
                              key: org.apache.spark.sql.Column,
                              materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)

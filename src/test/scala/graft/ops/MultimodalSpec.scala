@@ -464,6 +464,43 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Mp4Codec.mjpegFrames(torn) == null)
   }
 
+  test("Mp4Codec fixed-size stsz: valid payloads walk, hostile sample_count rejects (no OOM)") {
+    import graft.functions.Mp4Codec
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ cc(typ) ++ body
+    // fixed-form stsz (sample_size != 0, no per-sample table): the
+    // short form real muxers emit for constant-size samples
+    def build(fixedSize: Long, count: Long, samples: Array[Byte],
+              chunkOff: Long): Array[Byte] = {
+      val ftyp = box("ftyp", cc("isom") ++ be32(512) ++ cc("iso2"))
+      val hdlr = box("hdlr", new Array[Byte](8) ++ cc("vide") ++ new Array[Byte](13))
+      val stsd = box("stsd", new Array[Byte](4) ++ be32(1) ++
+        (be32(16) ++ cc("jpeg") ++ new Array[Byte](8)))
+      val stsz = box("stsz", new Array[Byte](4) ++ be32(fixedSize) ++ be32(count))
+      val stsc = box("stsc", new Array[Byte](4) ++ be32(1) ++
+        (be32(1) ++ be32(count) ++ be32(1)))
+      val stco = box("stco", new Array[Byte](4) ++ be32(1) ++ be32(chunkOff))
+      val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
+      val moov = box("moov", box("trak", box("mdia", hdlr ++ box("minf", stbl))))
+      ftyp ++ moov ++ box("mdat", samples)
+    }
+    // positive path: two 2-byte pseudo-JPEG samples (SOI marker only)
+    val soi = Array(0xff.toByte, 0xd8.toByte)
+    val probe = build(2, 2, soi ++ soi, 0)
+    val mdatBody = probe.length - 4L
+    val ok = Mp4Codec.mjpegFrames(build(2, 2, soi ++ soi, mdatBody))
+    assert(ok != null && ok.length == 2 && ok.forall(_.sameElements(soi)))
+    // hostile: sample_count = 2^31-1 with fixed size 4 in a ~300-byte
+    // payload — must reject in the parser (fixed·n can't fit), never
+    // reach the frame walk, never preallocate (r15 advice: this OOM'd)
+    assert(Mp4Codec.mjpegFrames(build(4, 0x7fffffffL, soi ++ soi, mdatBody)) == null)
+    assert(Mp4Codec.parseMeta(build(4, 0x7fffffffL, soi ++ soi, mdatBody)) == null)
+  }
+
   test("videoFrames explodes MJPEG-in-MP4 like AVI (one row per frame)") {
     import spark.implicits._
     val mp4 = buildMjpegMp4(Seq(jpegBytes(24, 16, 21), jpegBytes(24, 16, 22),
