@@ -2659,6 +2659,35 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Index COMPACTION (the r15 maintained-index seam closed): the
+    // stream lands ≥3 micro-batches as batch=<id>/bucket=* file sets,
+    // compaction folds every closed batch's buckets into one new
+    // generation (the newest batch stays — it is the one a restarting
+    // stream may redeliver), and a search through the compacted layout
+    // must be indistinguishable from one over the uncompacted index —
+    // same oracle as q30/q200–q202. The gate REQUIRES the compaction
+    // to have actually fired (buckets > 0, fewer files after).
+    "q203_ivf_index_compact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = VF.centroidsByLabel(emb, "label", "embedding")
+      val base = java.nio.file.Files.createTempDirectory("graft-ivf-compact-gate").toFile
+      val topic = new java.io.File(base, "topic").toString
+      emb.repartition(6).write.mode("overwrite").parquet(topic)
+      val src = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "2").parquet(topic)
+      val idx = new java.io.File(base, "index").toString
+      val q = VF.maintainIvfIndexStream(src, "vec_id", "embedding", centroids, idx,
+        checkpointDir = new java.io.File(base, "ckpt").toString)
+      try q.processAllAvailable() finally q.stop()
+      val rpt = VF.compactIvfIndex(s, idx, maxFilesPerBucket = 1)
+      require(rpt.bucketsCompacted > 0 && rpt.filesAfter < rpt.filesBefore,
+        s"compaction gate must exercise a real rewrite, got $rpt")
+      VF.ivfIndexTopK(s, idx, emb.filter(col("vec_id") < 10), centroids,
+          "vec_id", "embedding", k = 5, nprobe = 3)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Quantile-gated quality filter (CCNet-style "drop the worst
     // quartile per language", but threshold-based): per-language p25
     // of the token count from the mergeable histogram sketch, bins
@@ -4275,6 +4304,7 @@ object SparkEntry {
     "q200_ivf_index_search" -> ivfAnnOracleSql,
     "q201_ivf_index_append" -> ivfAnnOracleSql,
     "q202_ivf_index_stream" -> ivfAnnOracleSql,
+    "q203_ivf_index_compact" -> ivfAnnOracleSql,
 
     "q38_cosine_neardups" ->
       """WITH dims AS (SELECT DISTINCT i - 1 AS d

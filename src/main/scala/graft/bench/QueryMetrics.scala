@@ -29,6 +29,8 @@ final case class QueryMetrics(
     shuffleWriteBytes: Long,
     spillMemBytes: Long,
     spillDiskBytes: Long,
+    inputBytesRead: Long,
+    inputRecordsRead: Long,
     peakTaskMemBytes: Long,
     tasks: Long,
     drained: Boolean) {
@@ -40,6 +42,7 @@ final case class QueryMetrics(
     s"""{"shuffle_read_rows": $shuffleReadRows, "shuffle_read_bytes": $shuffleReadBytes, """ +
       s""""shuffle_write_rows": $shuffleWriteRows, "shuffle_write_bytes": $shuffleWriteBytes, """ +
       s""""spill_mem_bytes": $spillMemBytes, "spill_disk_bytes": $spillDiskBytes, """ +
+      s""""input_bytes_read": $inputBytesRead, "input_records_read": $inputRecordsRead, """ +
       s""""peak_task_mem_bytes": $peakTaskMemBytes, "tasks": $tasks, "drained": $drained}"""
 }
 
@@ -63,7 +66,7 @@ final case class QueryMetrics(
   * background work would otherwise pollute the figures. */
 final class QueryMetricsListener(jobGroup: Option[String] = None) extends SparkListener {
   private val srRows, srBytes, swRows, swBytes = new AtomicLong(0)
-  private val spillMem, spillDisk, nTasks = new AtomicLong(0)
+  private val spillMem, spillDisk, inBytes, inRows, nTasks = new AtomicLong(0)
   private val peakMem = new AtomicLong(0)
   private val tracked = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
@@ -85,14 +88,19 @@ final class QueryMetricsListener(jobGroup: Option[String] = None) extends SparkL
       swBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       spillMem.addAndGet(m.memoryBytesSpilled)
       spillDisk.addAndGet(m.diskBytesSpilled)
+      // source-scan volume (r15 directive #3): bytes/records the scan
+      // actually read — the signal that pins file-level pruning claims
+      // (probed-bucket reads must scale with buckets, not corpus)
+      inBytes.addAndGet(m.inputMetrics.bytesRead)
+      inRows.addAndGet(m.inputMetrics.recordsRead)
       peakMem.accumulateAndGet(m.peakExecutionMemory, (a: Long, b: Long) => math.max(a, b))
       nTasks.incrementAndGet()
     }
   }
 
   def reset(): Unit = {
-    Seq(srRows, srBytes, swRows, swBytes, spillMem, spillDisk, nTasks, peakMem)
-      .foreach(_.set(0))
+    Seq(srRows, srBytes, swRows, swBytes, spillMem, spillDisk, inBytes, inRows,
+      nTasks, peakMem).foreach(_.set(0))
     tracked.clear()
   }
 
@@ -103,7 +111,8 @@ final class QueryMetricsListener(jobGroup: Option[String] = None) extends SparkL
     val ok = ListenerDrain.waitUntilEmpty(spark.sparkContext, drainTimeoutMs)
     QueryMetrics(
       srRows.get, srBytes.get, swRows.get, swBytes.get,
-      spillMem.get, spillDisk.get, peakMem.get, nTasks.get, drained = ok)
+      spillMem.get, spillDisk.get, inBytes.get, inRows.get,
+      peakMem.get, nTasks.get, drained = ok)
   }
 }
 

@@ -47,6 +47,19 @@ object Tables {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty[String])
     spark.conf.set("spark.sql.optimizer.excludedRules",
       (existing.filterNot(_ == inferRule) :+ inferRule).mkString(","))
+    // The iterative graph operators release their intermediate
+    // localCheckpoint blocks deliberately (CacheHygiene, r15 advice —
+    // only the returned frame stays persisted). Spark logs one WARN
+    // per released checkpoint RDD ("lineage has been truncated and
+    // cannot be recomputed after unpersisting") — the exact intent, so
+    // the category is quieted here the way the audited WindowExec
+    // warning is in the test session. Local checkpoints of Datasets
+    // always surface as MapPartitionsRDD, so the category is narrow;
+    // storage-pressure warnings live under MemoryStore/BlockManager
+    // and stay visible.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -349,6 +349,127 @@ object VectorFunctions {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** What one [[compactIvfIndex]] pass did — the numbers a maintenance
+    * job logs and a spec asserts on. `filesBefore`/`filesAfter` count
+    * data files of the COMPACTED buckets only (untouched buckets don't
+    * enter the delta); `batchesFolded` is empty for a flat layout. */
+  final case class IvfCompaction(layout: String, bucketsCompacted: Int,
+                                 filesBefore: Long, filesAfter: Long,
+                                 batchesFolded: Seq[Long])
+
+  /** Compact a maintained IVF index layout: any bucket whose
+    * accumulated data files exceed `maxFilesPerBucket` is rewritten as
+    * ~one file, search-identical before and after (rows are moved, not
+    * deduplicated or re-bucketed — bucket membership never changes, so
+    * [[ivfIndexTopK]] through the compacted layout is row-for-row the
+    * pre-compaction search; gate-pinned like q200–q202). This closes
+    * the r15 seam: [[appendIvfIndexBatch]] is O(batch) per arrival
+    * precisely BECAUSE it never rewrites the standing layout, so a
+    * long-lived index accumulates one file set per micro-batch and
+    * search-side file listing grows with batch count, not corpus size.
+    * Compaction is the amortizer: run it past a file-count threshold
+    * and listing cost returns to O(buckets).
+    *
+    * Both layouts are handled:
+    *  - `batch=<id>/bucket=*` ([[maintainIvfIndexStream]]): the folded
+    *    rows land as ONE new generation dir `batch=<negative id>`
+    *    (ids descend −1, −2, … — a replayed stream batch id is never
+    *    negative, so generations can't collide), staged under a
+    *    dot-prefixed temp dir and moved in with one rename before the
+    *    folded per-bucket dirs are deleted. The HIGHEST live batch id
+    *    is never folded: it is the one batch a restarting stream may
+    *    legally redeliver (crash between sink write and checkpoint
+    *    commit), and replay-idempotence requires its `batch=<id>` dir
+    *    to still be there to overwrite — fold it and a redelivery
+    *    would duplicate rows the compaction already moved.
+    *  - flat `bucket=*` ([[writeIvfIndex]] + [[appendIvfIndex]]): the
+    *    rewritten files move into the existing bucket dirs and the old
+    *    files are then deleted.
+    *
+    * Concurrency boundary (same class as any in-place parquet
+    * compaction without a manifest): new files land before old files
+    * are removed, so a reader listing the tree mid-compaction can
+    * transiently double-count the moved rows. Searches serialized
+    * against compaction see exact results; a shared live index wants
+    * the [[graft.ops.ManifestSwap]] generation discipline layered on
+    * top, where readers resolve a manifest instead of listing. */
+  def compactIvfIndex(spark: SparkSession, path: String,
+                      maxFilesPerBucket: Int = 8): IvfCompaction = {
+    import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: HPath): Seq[FileStatus] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.filter(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    def subDirs(dir: HPath, prefix: String): Seq[HPath] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+        .map(_.getPath).filter(_.getName.startsWith(prefix))
+    // a previous failed pass may have left a stage dir; it was never
+    // renamed in, so nothing references it — clear and reuse
+    val stage = new HPath(root, ".compact-stage")
+    fs.delete(stage, true)
+    def rewrite(src: org.apache.spark.sql.DataFrame, nBuckets: Int): Unit =
+      src.repartition(math.max(1, nBuckets), col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(stage.toString)
+
+    val batchDirs = subDirs(root, "batch=")
+    if (batchDirs.nonEmpty) {
+      val ids = batchDirs.map(_.getName.stripPrefix("batch=").toLong).sorted
+      // never fold the newest batch — see scaladoc (replay window)
+      val folded = ids.init
+      val perBucket = scala.collection.mutable.Map.empty[String, Long]
+      folded.foreach { id =>
+        subDirs(new HPath(root, s"batch=$id"), "bucket=").foreach { b =>
+          perBucket(b.getName) = perBucket.getOrElse(b.getName, 0L) + dataFiles(b).size
+        }
+      }
+      val selected = perBucket.filter(_._2 > maxFilesPerBucket).keys.toSeq.sorted
+      if (selected.isEmpty)
+        return IvfCompaction("batched", 0, 0, 0, Seq.empty)
+      val filesBefore = selected.map(perBucket(_)).sum
+      val bucketVals = selected.map(_.stripPrefix("bucket=").toInt)
+      val srcDirs = folded.map(id => s"$path/batch=$id")
+      val rows = spark.read.option("basePath", path).parquet(srcDirs: _*)
+        .filter(col("bucket").isin(bucketVals.map(b => b: Any): _*))
+        .drop("batch")
+      rewrite(rows, selected.size)
+      val newId = math.min(0L, ids.min) - 1
+      require(fs.rename(stage, new HPath(root, s"batch=$newId")),
+        s"compaction rename failed: $stage -> batch=$newId")
+      folded.foreach { id =>
+        val bdir = new HPath(root, s"batch=$id")
+        selected.foreach(b => fs.delete(new HPath(bdir, b), true))
+        if (subDirs(bdir, "bucket=").isEmpty) fs.delete(bdir, true)
+      }
+      val filesAfter = selected.map(b =>
+        dataFiles(new HPath(root, s"batch=$newId/$b")).size.toLong).sum
+      IvfCompaction("batched", selected.size, filesBefore, filesAfter, folded)
+    } else {
+      val bucketDirs = subDirs(root, "bucket=")
+      val selected = bucketDirs.filter(dataFiles(_).size > maxFilesPerBucket)
+        .sortBy(_.getName)
+      if (selected.isEmpty)
+        return IvfCompaction("flat", 0, 0, 0, Seq.empty)
+      val filesBefore = selected.map(dataFiles(_).size.toLong).sum
+      val rows = spark.read.option("basePath", path)
+        .parquet(selected.map(_.toString): _*)
+      rewrite(rows, selected.size)
+      selected.foreach { b =>
+        val old = dataFiles(b) // snapshot BEFORE the new files move in
+        dataFiles(new HPath(stage, b.getName)).foreach { f =>
+          require(fs.rename(f.getPath, new HPath(b, f.getPath.getName)),
+            s"compaction rename failed: ${f.getPath} -> $b")
+        }
+        old.foreach(f => fs.delete(f.getPath, false))
+      }
+      fs.delete(stage, true)
+      val filesAfter = selected.map(dataFiles(_).size.toLong).sum
+      IvfCompaction("flat", selected.size, filesBefore, filesAfter, Seq.empty)
+    }
+  }
+
   /** Search a [[writeIvfIndex]] layout. The query set's probed buckets
     * collect to a literal IN-list (queries are broadcast-small by the
     * [[ivfTopK]] contract, so this is a bounded model-sized collect),

@@ -806,9 +806,22 @@ object Dedup {
     * (comp(v) := comp(comp(v))), which doubles the propagation distance
     * per round — convergence in O(log diameter) rounds instead of
     * O(diameter), so even a path-shaped component of length 2^40 settles
-    * within the iteration cap. Rounds are plain shuffles (join + groupBy
-    * min); each round's lineage cut replaces the previous one so
-    * storage stays O(|V|), not O(|V| * rounds).
+    * within the iteration cap. Each round's lineage cut replaces the
+    * previous one so storage stays O(|V|), not O(|V| * rounds).
+    *
+    * Exchange-free rounds (r16, the LabelProp/PageRank recipe): the
+    * neighbor-min aggregate keys on `s`, so on the localCheckpoint
+    * path the edge relation is captured hash-partitioned on `s`
+    * ([[ShuffleSizing.partitionedMaterialize]]) and the |V|-row label
+    * table rides the round's join as an explicit broadcast (bounded by
+    * [[ShuffleSizing.BroadcastNodeLimit]], counted once off r0) — the
+    * per-round |E|-row join + aggregate then plans NO exchange at all;
+    * only the |V|-sized stepped/jumped label joins move. At a real
+    * cluster this is per-round |V| broadcast traffic instead of
+    * per-round |E| shuffle traffic. The reliable (parquet-cut) mode
+    * keeps the prior shuffling plan — parquet scratch files cannot
+    * carry a partitioning — and past the broadcast bound each round
+    * falls back to exactly the prior plan as well.
     *
     * Lineage cuts: with a directory available, each round is written to
     * and re-read from parquet at a deterministic path in that (HDFS/
@@ -875,6 +888,16 @@ object Dedup {
     }
     var edges: DataFrame = null
     var labels: DataFrame = null
+    // cache-hygiene ledger (the r15 LabelProp/PageRank discipline):
+    // every local-checkpoint block this call registers is released
+    // before return — per-round as soon as the next round lands, the
+    // rest behind a final self-contained cut of the result
+    val sc = spark.sparkContext
+    val persistedBefore = sc.getPersistentRDDs.keySet.toSet
+    def releaseIds(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    def newPersisted(since: Set[Int]): Set[Int] =
+      sc.getPersistentRDDs.keySet.toSet -- since
     try {
       // materialize the edge list once — every propagation round joins
       // against it, and without the cut each round would re-run the
@@ -892,16 +915,35 @@ object Dedup {
           edgeCount <= driverMaxEdges) {
         val out = driverComponents(edges)
         drop("edges")
-        edges.unpersist(false)
+        releaseIds(newPersisted(persistedBefore)) // the edge checkpoint blocks
         return out
       }
       // distributed rounds: shuffle partitions scale with the edge
       // relation ([[ShuffleSizing]] — the count above is a free scan
       // on the materialized cut)
       ShuffleSizing.withEdgeScaledShuffle(spark, edgeCount) {
-      labels = cut(edges.groupBy(col("s").as("v"))
+      // r16: the exchange-free graph-round recipe (LabelProp/PageRank,
+      // r15) applied to CC. Every round's neighbor-min aggregate keys
+      // on s, so an S-partitioned edge checkpoint plus an explicitly
+      // broadcast label side makes the |E|-row aggregate partition-
+      // local: edges never re-shuffle per round, and only |V|-sized
+      // relations (the stepped/jumped label joins) move. Only on the
+      // localCheckpoint path — a parquet cut cannot carry partitioning
+      // (no bucketing on scratch files); the reliable-checkpoint mode
+      // keeps the prior shuffling plan. Beyond the broadcast bound the
+      // round falls back to exactly the prior plan too.
+      val parted =
+        if (ckptBase.isEmpty)
+          ShuffleSizing.partitionedMaterialize(edges, col("s"), _.localCheckpoint())
+        else edges
+      val preR0 = sc.getPersistentRDDs.keySet.toSet
+      labels = cut(parted.groupBy(col("s").as("v"))
         .agg(least(min(col("s")), min(col("t"))).as("comp")), // min(s)=s per group
         "r0", lazyLocal = false)
+      val smallV = labels.count() <= ShuffleSizing.BroadcastNodeLimit
+      def labelSide(df: DataFrame): DataFrame =
+        if (smallV) org.apache.spark.sql.functions.broadcast(df) else df
+      var labelsIds = newPersisted(preR0) // this round's blocks (local path)
       var iter = 0
       var converged = false
       // convergence detector: per-vertex labels are monotonically
@@ -909,8 +951,10 @@ object Dedup {
       // no join) is strictly decreasing until the fixpoint
       var prevSum: java.math.BigDecimal = null
       while (!converged && iter < maxIter) {
-        val viaNeighbors = edges
-          .join(labels.withColumnRenamed("v", "t").withColumnRenamed("comp", "ncomp"), Seq("t"))
+        val preRound = sc.getPersistentRDDs.keySet.toSet
+        val viaNeighbors = parted
+          .join(labelSide(
+            labels.withColumnRenamed("v", "t").withColumnRenamed("comp", "ncomp")), Seq("t"))
           .groupBy(col("s").as("v")).agg(min(col("ncomp")).as("mincomp"))
         val stepped = labels.join(viaNeighbors, Seq("v"), "left")
           .select(col("v"), least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
@@ -927,8 +971,9 @@ object Dedup {
           .getOrElse(java.math.BigDecimal.ZERO)
         converged = prevSum != null && s.compareTo(prevSum) == 0
         prevSum = s
-        labels.unpersist(false) // previous round's local blocks are dead now
+        releaseIds(labelsIds)   // previous round's local blocks are dead now
         drop(s"r$iter")         // ... and so are its checkpoint files
+        labelsIds = newPersisted(preRound)
         labels = jumped
         iter += 1
       }
@@ -936,7 +981,15 @@ object Dedup {
       if (!converged)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds")
-      labels.select(col("v").as("doc_id"), col("comp").as("component_id"))
+      val out0 = labels.select(col("v").as("doc_id"), col("comp").as("component_id"))
+      // self-contained result BEFORE the intermediates are released
+      // (the Bfs lineage rule): on the local path the final cut owns
+      // its own blocks; on the parquet path the final round's files
+      // back the result already (caller-owned directory)
+      val preFinal = sc.getPersistentRDDs.keySet.toSet
+      val out = if (ckptBase.isEmpty) out0.localCheckpoint() else out0
+      releaseIds(preFinal -- persistedBefore) // edges, parted, last round
+      out
       } // withEdgeScaledShuffle
     } catch {
       // on failure nothing of the run is consumable — free the local
@@ -947,6 +1000,7 @@ object Dedup {
       // Fatal errors propagate untouched.
       case scala.util.control.NonFatal(e) =>
         Seq(edges, labels).filter(_ != null).foreach(df => df.unpersist(false))
+        releaseIds(newPersisted(persistedBefore)) // checkpoint blocks too
         ckptBase.foreach { base =>
           val victims =
             if (baseOwned) Seq(new org.apache.hadoop.fs.Path(base))

@@ -191,7 +191,12 @@ object Stats {
     val e6 = lit(1000000L).cast(dec)
     val e9 = lit(1000000000L).cast(dec)
     val diff = col("__o") * e9 - col("__n") * col("__p_e9").cast(dec)
-    broadcast(digits).join(obs, Seq("digit"), "left")
+    // broadcast the OBSERVED side: a left-outer join can only build
+    // (broadcast) its non-preserved right side — hinting the 9-row
+    // digit table instead is silently unsupported (HintErrorLogger
+    // WARN) and fell back to a shuffle join. `obs` is ≤ 9 rows per
+    // category set, as broadcast-safe as the digit table.
+    digits.join(broadcast(obs), Seq("digit"), "left")
       .withColumn("__o", coalesce(col("__o"), lit(0L).cast(dec)))
       .crossJoin(broadcast(tot))
       .select(col("digit"),

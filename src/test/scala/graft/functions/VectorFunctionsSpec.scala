@@ -356,4 +356,85 @@ class VectorFunctionsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(rows(streamed) == rows(once))
   }
+
+  private def searchRows(path: String, centroids: org.apache.spark.sql.DataFrame) = {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    VectorFunctions.ivfIndexTopK(spark, path, emb.filter(col("vec_id") < 5),
+      centroids, "vec_id", "embedding", k = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+  }
+
+  test("compactIvfIndex (batched): folds closed batches, protects the newest, search-identical") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
+    val once = java.nio.file.Files.createTempDirectory("graft-ivf-c-once").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-c-batched").toString
+    VectorFunctions.writeIvfIndex(emb, "vec_id", "embedding", centroids, once)
+    // repartition(2): each batch lands ~2 files per bucket, so the fold
+    // provably shrinks the file count
+    (0 to 2).foreach(i => VectorFunctions.appendIvfIndexBatch(
+      emb.filter(col("vec_id") % 3 === i).repartition(2), i.toLong,
+      "vec_id", "embedding", centroids, idx))
+    val expected = searchRows(once, centroids)
+    assert(searchRows(idx, centroids) == expected) // pre-compaction sanity
+    def dirNames = new java.io.File(idx).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    val rpt = VectorFunctions.compactIvfIndex(spark, idx, maxFilesPerBucket = 0)
+    assert(rpt.layout == "batched" && rpt.bucketsCompacted > 0)
+    assert(rpt.filesAfter < rpt.filesBefore, rpt.toString)
+    assert(rpt.batchesFolded == Seq(0L, 1L)) // newest (2) protected
+    // folded generations gone, one negative generation landed, the
+    // protected batch untouched
+    assert(dirNames.contains("batch=-1") && dirNames.contains("batch=2"))
+    assert(!dirNames.contains("batch=0") && !dirNames.contains("batch=1"))
+    // rows moved, not deduplicated or dropped
+    assert(spark.read.parquet(idx).count() == emb.count())
+    assert(searchRows(idx, centroids) == expected, "compaction must be invisible to search")
+    // the protected batch is still replay-overwritable: a redelivery of
+    // the newest batch after compaction must not duplicate rows
+    VectorFunctions.appendIvfIndexBatch(emb.filter(col("vec_id") % 3 === 2), 2L,
+      "vec_id", "embedding", centroids, idx)
+    assert(spark.read.parquet(idx).count() == emb.count())
+    assert(searchRows(idx, centroids) == expected)
+    // re-compaction: an empty newest batch protects nothing of value,
+    // the previous generation (-1) and batch 2 fold into -2 —
+    // generation ids keep descending, search still identical
+    VectorFunctions.appendIvfIndexBatch(emb.filter(col("vec_id") < 0), 3L,
+      "vec_id", "embedding", centroids, idx)
+    val rpt2 = VectorFunctions.compactIvfIndex(spark, idx, maxFilesPerBucket = 0)
+    assert(rpt2.batchesFolded.toSet == Set(-1L, 2L) && dirNames.contains("batch=-2"))
+    assert(spark.read.parquet(idx).count() == emb.count())
+    assert(searchRows(idx, centroids) == expected)
+  }
+
+  test("compactIvfIndex (flat): rewrites fat buckets in place, search-identical, no-op below threshold") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
+    val once = java.nio.file.Files.createTempDirectory("graft-ivf-f-once").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-f-flat").toString
+    VectorFunctions.writeIvfIndex(emb, "vec_id", "embedding", centroids, once)
+    VectorFunctions.writeIvfIndex(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", centroids, idx)
+    (1 to 2).foreach(i => VectorFunctions.appendIvfIndex(
+      emb.filter(col("vec_id") % 3 === i), "vec_id", "embedding", centroids, idx))
+    val expected = searchRows(once, centroids)
+    def bucketFiles: Map[String, Int] = new java.io.File(idx).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .map(d => d.getName -> d.listFiles().count(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))).toMap
+    // below-threshold: untouched (same file set, bucketsCompacted == 0)
+    val before = bucketFiles
+    val noop = VectorFunctions.compactIvfIndex(spark, idx,
+      maxFilesPerBucket = before.values.max)
+    assert(noop.bucketsCompacted == 0 && bucketFiles == before)
+    val rpt = VectorFunctions.compactIvfIndex(spark, idx, maxFilesPerBucket = 1)
+    assert(rpt.layout == "flat" && rpt.bucketsCompacted > 0 && rpt.batchesFolded.isEmpty)
+    assert(rpt.filesAfter < rpt.filesBefore, rpt.toString)
+    // every compacted bucket is down to one file; no stage dir remains
+    val after = bucketFiles
+    before.filter(_._2 > 1).keys.foreach(b => assert(after(b) == 1, s"$b: ${after(b)}"))
+    assert(!new java.io.File(idx).listFiles().exists(_.getName == ".compact-stage"))
+    assert(spark.read.parquet(idx).count() == emb.count())
+    assert(searchRows(idx, centroids) == expected, "compaction must be invisible to search")
+  }
 }

@@ -272,6 +272,21 @@ class DedupSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents (distributed, local path) leaves only the returned frame persisted") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // long chain + star: multiple pointer-jump rounds, every
+    // intermediate (edge checkpoint, s-partitioned capture, per-round
+    // cuts) must be released; the returned frame is checkpoint-backed
+    // and disposed through CacheHygiene.release (r15/r16 hygiene rule)
+    val pairs = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, driverMaxEdges = 0)
+    assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      (1L to 10L).map(_ -> 1L).toMap)
+    CacheHygiene.release(out)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"connectedComponents leaked cached RDDs: $leaked")
+  }
+
   test("dedupCorpus keeps exactly one canonical doc per near-dup cluster") {
     // docs 1,2,4 form a near-dup cluster (1 canonical); 3 is unrelated
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",

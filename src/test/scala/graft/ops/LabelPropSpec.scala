@@ -34,6 +34,15 @@ class LabelPropSpec extends SparkSpecBase {
     assert(fast == slow)
   }
 
+  test("labelPropagation leaves only the returned frame persisted (r15 advice)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = LabelProp.labelPropagation(bridged, "src", "dst", iterations = 3)
+    assert(out.count() == 6)
+    CacheHygiene.release(out)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"labelPropagation leaked cached RDDs: $leaked")
+  }
+
   test("a clique keeps one community containing the smallest id") {
     val clique = (for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j))
       .toDF("src", "dst")

@@ -49,4 +49,14 @@ class PageRankSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("pageRank leaves only the returned frame persisted (r15 advice)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = PageRank.pageRank(edges, "src", "dst", iterations = 2)
+    assert(out.count() == 3)
+    CacheHygiene.release(out)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"pageRank leaked cached RDDs: $leaked")
+  }
 }
