@@ -851,7 +851,8 @@ object Dedup {
     * pairs). Results are identical on either path. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
                           checkpointDir: Option[String] = None,
-                          driverMaxEdges: Long = 1000000L): DataFrame = {
+                          driverMaxEdges: Long = 1000000L,
+                          assumeSymmetric: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
     // baseOwned: we invented the graft-cc-* subdir, so on failure the
     // whole base is ours to remove; an explicit caller dir might sit
@@ -902,9 +903,20 @@ object Dedup {
       // materialize the edge list once — every propagation round joins
       // against it, and without the cut each round would re-run the
       // whole upstream pair-generation pipeline
-      edges = cut(pairs.select(col("id_a").as("s"), col("id_b").as("t"))
-        .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
-        .distinct(), "edges", lazyLocal = false)
+      // assumeSymmetric (the LabelProp contract, r16): near-dup PAIR
+      // lists carry each edge once and need the symmetrize+distinct,
+      // but graph-shaped callers (e.g. BasketEdges output) already
+      // hold both directions distinct — for them the union+distinct is
+      // a pure |E|-row shuffle of redundant work, the largest one-time
+      // stage of the sf1 basket drill. Duplicate edges would not
+      // change results either way (min-aggregation is idempotent);
+      // the flag is a plan choice, not a correctness trap.
+      edges = cut(
+        if (assumeSymmetric)
+          pairs.select(col("id_a").as("s"), col("id_b").as("t"))
+        else pairs.select(col("id_a").as("s"), col("id_b").as("t"))
+          .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
+          .distinct(), "edges", lazyLocal = false)
       // initial labels fuse round 1: starting from identity, the first
       // round's neighbor-min over identity labels IS min(v, min
       // neighbor) — computable directly as one aggregate over the edge
@@ -933,9 +945,16 @@ object Dedup {
       // keeps the prior shuffling plan. Beyond the broadcast bound the
       // round falls back to exactly the prior plan too.
       val parted =
-        if (ckptBase.isEmpty)
-          ShuffleSizing.partitionedMaterialize(edges, col("s"), _.localCheckpoint())
-        else edges
+        if (ckptBase.isEmpty) {
+          val edgeIds = newPersisted(persistedBefore)
+          val p = ShuffleSizing.partitionedMaterialize(edges, col("s"), _.localCheckpoint())
+          // the unpartitioned first cut is dead once the capture is
+          // materialized — releasing it halves the standing edge
+          // footprint for the whole round loop (sf10 drill: two
+          // 240M-row block sets otherwise live simultaneously)
+          releaseIds(edgeIds)
+          p
+        } else edges
       val preR0 = sc.getPersistentRDDs.keySet.toSet
       labels = cut(parted.groupBy(col("s").as("v"))
         .agg(least(min(col("s")), min(col("t"))).as("comp")), // min(s)=s per group

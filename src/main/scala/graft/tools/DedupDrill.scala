@@ -31,10 +31,26 @@ object DedupDrill {
     spark.sparkContext.setLogLevel("WARN")
     val stages = new AtomicLong(0)
     val shuffleWrite = new AtomicLong(0)
+    // GRAFT_DDRILL_STAGES=1: per-stage dissection (the Drill flag) —
+    // where a leg's wall goes, stage by stage
+    val dissect = sys.env.get("GRAFT_DDRILL_STAGES").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         shuffleWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        if (dissect) {
+          val si = sc.stageInfo
+          val secs = (for { s <- si.submissionTime; c <- si.completionTime }
+            yield (c - s) / 1e3).getOrElse(0.0)
+          if (secs >= 2.0) {
+            val tm = si.taskMetrics
+            println(f"[stage] id=${si.stageId}%-5d ${secs}%7.1fs tasks=${si.numTasks}%-4d " +
+              f"swRows=${tm.shuffleWriteMetrics.recordsWritten}%-11d " +
+              f"srRows=${tm.shuffleReadMetrics.recordsRead}%-11d " +
+              f"spillMB=${tm.diskBytesSpilled / 1e6}%6.0f " +
+              si.name.takeWhile(_ != '\n').take(70))
+          }
+        }
       }
     })
     val docs = graft.core.Tables.table(spark, dir, "documents")
@@ -54,20 +70,30 @@ object DedupDrill {
     println(s"[ddrill] invariant n=$n shingles=${inv.getLong(0)} " +
       s"max_capped_df=${inv.getLong(1)} sum_min_df_cap_sq=${inv.getLong(2)}")
 
+    // shuffle ROWS via the bench listener (r16): rows are the
+    // run-independent signal the adjudication discipline pins; the
+    // stage count/bytes above stay for continuity with the r12 tables
+    val mx = graft.bench.QueryMetricsListener.install(spark)
     def run(label: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
       f.count() // warm
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
-      stages.set(0); shuffleWrite.set(0)
+      stages.set(0); shuffleWrite.set(0); mx.reset()
       val t0 = System.nanoTime()
       val rows = f.count()
       val dt = (System.nanoTime() - t0) / 1e9
+      val m = mx.read(spark)
       Thread.sleep(300)
-      println(f"[ddrill] $label%-24s n=$n ${dt}%8.2f s  rows=$rows%-9d stages=${stages.get}%-4d shuffleMB=${shuffleWrite.get / 1e6}%.0f")
+      println(f"[ddrill] $label%-28s n=$n ${dt}%8.2f s  rows=$rows%-9d stages=${stages.get}%-4d " +
+        f"shuffleMB=${shuffleWrite.get / 1e6}%.0f shuffle_rows=${m.shuffleRows}%-12d spillMB=${m.spillDiskBytes / 1e6}%.0f")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
     }
 
+    // GRAFT_DDRILL_ONLY=basket: skip straight to the basket CC legs
+    // (re-dissecting them must not pay the 15-minute chain re-run)
+    val basketOnly = sys.env.get("GRAFT_DDRILL_ONLY").contains("basket")
+    if (!basketOnly) {
     run("jaccard_pairs (q26)")(pairs())
     run("dup_components (q44)")(Dedup.connectedComponents(pairs()))
     run("dedup_corpus (q58)")(
@@ -81,6 +107,51 @@ object DedupDrill {
       Dedup.incrementalComponents(standing,
         p.filter(col("id_a") % 10 >= 8 || col("id_b") % 10 >= 8))
     }
+
+    // CC in ISOLATION, A/B on the r16 exchange-free recipe: the pair
+    // list is pre-materialized (its generation cost is the q26 leg,
+    // not CC's), distributed rounds forced. Leg A is the default
+    // localCheckpoint path — S-partitioned edge capture + broadcast
+    // label side, the exchange-free rounds. Leg B is the reliable
+    // parquet-cut path, which structurally keeps the PRIOR shuffling
+    // per-round plan (scratch parquet can't carry partitioning) — the
+    // same round exchanges the pre-r16 code planned, so its
+    // shuffle_rows line is the before-number for the recipe's delta.
+    // parquet, not localCheckpoint: run()'s between-run cleanup
+    // unpersists every registered RDD, which would strand a checkpoint
+    val ccDir = java.nio.file.Files.createTempDirectory("ddrill-ccpairs").toString
+    pairs().select(col("id_a"), col("id_b")).write.mode("overwrite").parquet(ccDir)
+    val ccPairs = spark.read.parquet(ccDir)
+    println(s"[ddrill] cc pairs=${ccPairs.count()}")
+    run("cc_rounds exchange-free")(
+      Dedup.connectedComponents(ccPairs, driverMaxEdges = 0))
+    run("cc_rounds parquet-cut (prior plan)")(
+      Dedup.connectedComponents(ccPairs, driverMaxEdges = 0,
+        checkpointDir = Some(java.nio.file.Files
+          .createTempDirectory("ddrill-cc").toString + "/run")))
+    } // !basketOnly
+
+    // CC at GRAPH scale: the fixture's planted near-dup pair lists are
+    // tiny (88 at sf1 / 838 at sf10 — driver union-find territory), so
+    // the distributed rounds the r16 recipe rewrites need a genuinely
+    // large edge relation. The co-purchase basket graph (q137's input,
+    // millions of edges at sf1) is the stand-in for "dedup clusters at
+    // 100 TB": same round shape, |E| >> |V|. Edge generation is
+    // materialized to parquet first (its cost is the basket self-join,
+    // not CC's) — the legs measure the rounds alone.
+    val bDir = java.nio.file.Files.createTempDirectory("ddrill-basket").toString
+    graft.ops.BasketEdges.edges(
+        graft.core.Tables.table(spark, dir, "lineitem"), "l_orderkey", "l_partkey")
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
+      .write.mode("overwrite").parquet(bDir)
+    val basket = spark.read.parquet(bDir)
+    println(s"[ddrill] basket edges=${basket.count()}")
+    run("cc_basket exchange-free")(
+      Dedup.connectedComponents(basket, assumeSymmetric = true))
+    run("cc_basket parquet-cut (prior plan)")(
+      Dedup.connectedComponents(basket, assumeSymmetric = true,
+        checkpointDir = Some(java.nio.file.Files
+          .createTempDirectory("ddrill-ccb").toString + "/run")))
     spark.stop()
   }
 }

@@ -272,6 +272,20 @@ class DedupSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents assumeSymmetric on pre-symmetrized edges equals the default path") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val sym = pairs.unionByName(
+      pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+    for (driverMax <- Seq(0L, 1000000L)) { // distributed AND union-find paths
+      val fast = Dedup.connectedComponents(sym, driverMaxEdges = driverMax,
+        assumeSymmetric = true).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val slow = Dedup.connectedComponents(pairs, driverMaxEdges = driverMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == slow, s"driverMaxEdges=$driverMax")
+    }
+  }
+
   test("connectedComponents (distributed, local path) leaves only the returned frame persisted") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     // long chain + star: multiple pointer-jump rounds, every
