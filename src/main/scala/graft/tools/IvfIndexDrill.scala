@@ -56,8 +56,12 @@ object IvfIndexDrill {
       if (f.isDirectory) f.listFiles().map(du).sum else f.length()
     val idxBytes = du(root)
     println(s"[ivfdrill] index: $idxBytes bytes, $nBuckets buckets, corpus rows=${emb.count()}")
-    // fixed query set, pinned so every rung searches identical queries
-    val queries = emb.filter(col("vec_id") < 32)
+    // fixed SMALL query set, pinned so every rung searches identical
+    // queries — small on purpose: probed buckets = UNION over queries,
+    // so a large query set covers every bucket even at nprobe=1 and
+    // the pruning signal vanishes (first drill attempt: 32 queries ×
+    // 10 buckets read the full corpus at every rung)
+    val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id"), col("embedding")).localCheckpoint()
     val mx = graft.bench.QueryMetricsListener.install(spark)
     println(f"[ivfdrill] ${"nprobe"}%-7s ${"wall_med3"}%-10s ${"in_MB"}%-9s " +
@@ -68,11 +72,16 @@ object IvfIndexDrill {
         val t0 = System.nanoTime()
         val df: DataFrame = VectorFunctions.ivfIndexTopK(spark, idx, queries,
           centroids, "vec_id", "embedding", k, np)
-        val n = df.count()
+        // collect, not count: count() plans a SEPARATE query execution,
+        // leaving this df's scan metrics (numFiles/filesSize) unfilled;
+        // the result is top-k-bounded, so the collect is model-sized
+        val n = df.collect().length.toLong
         val dt = (System.nanoTime() - t0) / 1e9
         val m = mx.read(spark)
         val sc = scans(df.queryExecution.executedPlan)
           .filter(_.metrics.contains("numFiles"))
+        if (sys.env.get("GRAFT_IVFDRILL_PLAN").contains("1"))
+          System.err.println(df.queryExecution.executedPlan.toString.take(4000))
         val nf = sc.map(_.metrics("numFiles").value).sum
         val fb = sc.map(s => s.metrics.get("filesSize").map(_.value).getOrElse(0L)).sum
         (dt, m.inputBytesRead, m.inputRecordsRead, nf, fb, n)
