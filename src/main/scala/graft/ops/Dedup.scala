@@ -1206,15 +1206,43 @@ object Dedup {
                         nprobe: Int = 2): DataFrame = {
     import graft.functions.{VecExpressions, VectorFunctions}
     VecExpressions.register(vectors.sparkSession)
+    val spark = vectors.sparkSession
     val v = ensureParallelism(vectors).select(col(idCol).as("id"), col(vecCol).as("v"))
+    // Sub-block the within-bucket self-join (r16, the q50 dissection):
+    // joining on `bucket` alone bounds the PARALLELISM of the O(Σ n_c²)
+    // verification — the dominant term — by the centroid count (sf1:
+    // one 12.4 s stage on 7 tasks of a 32-core box). Each row gets a
+    // deterministic sub-block in [0, S); the left side owns key pairs
+    // (blk, j >= blk), the right side (i <= blk, blk), so every
+    // unordered candidate pair materializes at exactly one
+    // (bucket, i, j) key — same candidates, same cosines, ~S×
+    // replication of the probed rows through the exchange, parallelism
+    // C·S(S+1)/2 instead of C. Pairs from equal-block keys arrive in
+    // both orders; least/greatest normalization + the existing distinct
+    // collapse them (multi-probe duplicates already needed that).
+    val cores = spark.sparkContext.defaultParallelism
+    val c = math.max(1L, centroids.count()) // model-sized
+    val s = Seq.range(1, 17).find(s => c * s * (s + 1) / 2 >= 3L * cores).getOrElse(16)
     val probed = VectorFunctions.assignProbes(v, col("v"), centroids, "bucket", nprobe)
-      .repartition(col("bucket"))
-    val l = probed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = probed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("__blk", pmod(xxhash64(col("id")), lit(s)).cast("int"))
+    val l = probed
+      .withColumn("__bj", explode(expr(s"sequence(__blk, ${s - 1})")))
+      .select(col("bucket"), col("__blk").as("__bi"), col("__bj"),
+        col("id").as("id_a"), col("v").as("v_a"))
+    val r = probed
+      .withColumn("__bi", explode(expr("sequence(0, __blk)")))
+      .select(col("bucket"), col("__bi"), col("__blk").as("__bj"),
+        col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket", "__bi", "__bj"))
+      // equal-block keys see both orderings of a pair — keep one BEFORE
+      // the cosine so no candidate is verified twice; cross-block keys
+      // carry a single (arbitrary) ordering, normalized below
+      .filter(col("__bi") =!= col("__bj") || col("id_a") < col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
       // same shape as cosineNearDups: verify + threshold before the
       // dedup exchange, so the distinct never carries embedding payloads
-      .select(col("id_a"), col("id_b"),
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
         VectorFunctions.cosineNative(col("v_a"), col("v_b")).as("cosine_sim"))
       .filter(col("cosine_sim") >= minCosine)
       .distinct()

@@ -39,7 +39,11 @@ object NgramLm {
     * adjacency never needs a join; `bg` is the two tokens joined by a
     * single space (tokens cannot contain whitespace). */
   def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), col(textCol).as("text"))
+    // single-file corpora plan the tokenize+explode — this operator's
+    // dominant map — as ONE task (r16 dissection: a 6 s 2-task stage
+    // under q124/q149 on a 32-core box); spread first, no-op on real
+    // multi-split sources (the Dedup.ensureParallelism rule)
+    Dedup.ensureParallelism(docs.select(col(idCol), col(textCol).as("text")))
       .withColumn("toks", tokens)
       .select(col(idCol), explode(expr(
         """CASE WHEN size(toks) >= 2
