@@ -186,7 +186,9 @@ object SparkEntry {
 
     // P2 — EAV/JSON key extraction (woo-sync/main.py:608-641).
     "q14_eav_extract" -> ((s, dir) => {
-      t(s, dir, "events")
+      // spread the props column before the JSON parse — the events
+      // fixture's 4 row groups cap the scan at 4 tasks (r16 rule)
+      graft.ops.Dedup.ensureParallelism(t(s, dir, "events").select(col("props")))
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
@@ -792,7 +794,9 @@ object SparkEntry {
     // (filters before dedup, sampling after canonicalization, packing
     // over the surviving set), not just each in isolation.
     "q69_curate_corpus" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // spread BELOW the quality filter so the regex gate itself
+      // parallelizes (r16 rule — it ran as a 3 s 2-task stage)
+      val docs = graft.ops.Dedup.ensureParallelism(t(s, dir, "documents"))
       val quality = docs.filter(TF.isQuality(col("text")))
       val canonical = Dedup.exactGroups(quality, "doc_id", "text")
         .select(col("canonical_id").as("doc_id"))
@@ -2058,8 +2062,11 @@ object SparkEntry {
     // read off the union sketch — each source reduced to k longs before
     // any pair math, so the matrix costs one corpus scan at any scale.
     "q164_kmv_source_overlap" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
-        .filter(col("source").isNotNull)
+      // spread before the tokenize/shingle/md5 map (the r16
+      // ensureParallelism rule — 8.4 of this gate's 9.3 s ran on 2
+      // tasks from the single-file fixture)
+      val sh = graft.ops.Dedup.ensureParallelism(
+          t(s, dir, "documents").filter(col("source").isNotNull))
         .select(col("source").as("src"), TF.tokens(col("text")).as("__toks"))
         .select(col("src"),
           explode(array_distinct(TF.shinglesFromTokens(col("__toks"), 4))).as("sh"))

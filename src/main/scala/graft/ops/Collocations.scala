@@ -35,7 +35,11 @@ object Collocations {
     * joins (cuts the join input by ~10× on natural text). */
   def pmiBigrams(docs: DataFrame, idCol: String, textCol: String,
                  minCount: Long = 5L): DataFrame = {
-    val toks = docs.select(
+    // spread before the tokenize map (the r16 ensureParallelism rule —
+    // single-file corpora otherwise plan it as 1-2 tasks; no-op on
+    // multi-split sources). toks feeds both the unigram and bigram
+    // explodes, so the one exchange parallelizes both.
+    val toks = Dedup.ensureParallelism(docs.select(col(textCol))).select(
       filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("ts"))
     val uni = toks.select(explode(col("ts")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))

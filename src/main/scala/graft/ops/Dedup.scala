@@ -28,7 +28,7 @@ object Dedup {
     * plan conversion — a PLAN-TIME driver cost only (no job runs), paid
     * once per operator call, not per row; acceptable at query
     * granularity. */
-  private[ops] def ensureParallelism(df: DataFrame): DataFrame = {
+  private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -36,7 +36,12 @@ object Dsir {
     * Same `\s+`+lower tokenization as the rest of the text family. */
   def docBuckets(docs: DataFrame, idCol: String, textCol: String,
                  buckets: Int): DataFrame =
-    docs.select(col(idCol),
+    // spread before the tokenize+explode — the dominant map — else a
+    // single-file corpus runs it on 1–2 tasks (r16 dissection: two
+    // such stages carried 17 of q126's 10.6 s; the ensureParallelism
+    // rule, no-op on multi-split sources)
+    Dedup.ensureParallelism(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
         explode(expr(s"filter(split(lower(${textCol}), '\\\\s+'), t -> length(t) > 0)"))
           .as("tok"))
       .select(col(idCol), featureBucket(col("tok"), buckets).as("bucket"))

@@ -177,8 +177,11 @@ object TextProfile {
   def ngramDiversity(docs: DataFrame, groupCol: String, textCol: String,
                      n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
-    val grams = docs
-      .select(col(groupCol).as("grp"), col(textCol).as("text"))
+    // spread before the tokenize+shingle explode (the r16
+    // ensureParallelism rule — single-file corpora plan this map as
+    // 1-2 tasks; no-op on multi-split sources)
+    val grams = Dedup.ensureParallelism(
+        docs.select(col(groupCol).as("grp"), col(textCol).as("text")))
       .withColumn("toks",
         expr("filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)"))
       .select(col("grp"), explode(expr(
@@ -207,7 +210,8 @@ object TextProfile {
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
                      d: Int): DataFrame = {
     require(d >= 2, s"need d >= 2 dimensions, got $d")
-    docs
+    // spread before the tokenize+hash explode (the r16 rule, as above)
+    Dedup.ensureParallelism(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("__t"))
       .select(col("id"),
         pmod(TextFunctions.md5Long(col("__t")), lit(d.toLong)).cast("int").as("dim"),

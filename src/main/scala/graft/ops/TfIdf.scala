@@ -26,7 +26,9 @@ object TfIdf {
   /** Per-(doc, term) statistics: tf, df, n_docs, and the classic
     * tf·ln(n/df) score. Terms are `\s+`-split, empties dropped. */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val terms = docs
+    // spread before the tokenize explode — the dominant map (the r16
+    // ensureParallelism rule; no-op on multi-split sources)
+    val terms = Dedup.ensureParallelism(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(split(col(textCol), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
