@@ -17,6 +17,13 @@ run / fork := true
 // (BENCH_r01 "parsed": null). StdoutOutput passes the child's
 // stdout/stderr through untouched.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// …and sbt's own "[success] Total time: N s" banner prints AFTER the
+// forked program exits, which pushed the Bench JSON line off the tail
+// the driver parses (BENCH_r15/r16 "parsed": null despite the r15
+// stop-then-print fix). Suppress it so the program's final stdout line
+// stays the last line of the sbt invocation.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

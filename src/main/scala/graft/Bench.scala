@@ -78,7 +78,9 @@ object Bench {
     }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => }
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      graft.ops.CacheHygiene.quietRelease {
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
     }
     System.gc()
     // Reset session state between timed runs (outside the timers) so
@@ -88,8 +90,10 @@ object Bench {
     // acts on GC), and let the JIT queue drain — without this, heap
     // pressure from prior plans inflates later heavy queries 2-3x.
     def reset(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      spark.catalog.clearCache()
+      graft.ops.CacheHygiene.quietRelease {
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.catalog.clearCache()
+      }
       System.gc()
     }
     // Deterministic per-run execution metrics (r14 directive #1): shuffle
@@ -200,8 +204,14 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.util.ShutdownHookManager",
       org.apache.logging.log4j.Level.ERROR)
-    spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","ambient_load_start":$ambientStart,"quiesce_wait_sec":$quiesceWait,"ambient_noisy":$ambientNoisy,"noisy_queries":$noisyJson}""")
-    Console.out.flush()
+    // The timings are final before stop(); a stop()-time throw must not
+    // cost the measurement, so the JSON print is the finally.
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop() failed (timings unaffected): ${e.getMessage}") }
+    finally {
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","ambient_load_start":$ambientStart,"quiesce_wait_sec":$quiesceWait,"ambient_noisy":$ambientNoisy,"noisy_queries":$noisyJson}""")
+      Console.out.flush()
+    }
   }
 }
