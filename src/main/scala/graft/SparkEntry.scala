@@ -22,6 +22,24 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = Tables.table(s, dir, name)
 
+  /** Temp tree for a self-contained gate (stream topic, index layout,
+    * checkpoint). The returned DataFrames stay lazy over these files
+    * until the driver materializes them, so the tree can't be deleted
+    * inline — instead a JVM shutdown hook removes it, which bounds the
+    * footprint of repeated Verify/Bench iterations (each is its own
+    * JVM via run_local.sh) at exactly one run's worth. */
+  private def gateTempDir(prefix: String): java.io.File = {
+    val base = java.nio.file.Files.createTempDirectory(prefix).toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(base)
+    }))
+    base
+  }
+
   /** One PQ fit per fixture dir — training is a pure deterministic
     * function of the corpus (ProductQuantizerSpec pins bit-parity), so
     * q169/q170 share it the way a deployed index shares one trained
@@ -33,6 +51,17 @@ object SparkEntry {
       graft.functions.ProductQuantizer.train(
         t(s, dir, "embeddings"), "vec_id", "embedding",
         m = 4, subDim = 16, k = 8, iters = 2))
+
+  /** All parquet scans of an executed plan (through AQE wrappers) —
+    * gate-side instrumentation for routing claims (q204). */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => fileScans(q.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(fileScans)
+  }
 
   /** Integer cents -> exact "d.dd" money string — fixture values built
     * this way parse bit-identically in Spark decimal and DuckDB, with no
@@ -2372,7 +2401,7 @@ object SparkEntry {
     // deterministic, so incremental ≡ scratch EXACTLY, not approximately.
     "q188_kmv_stream_maintenance" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
-      val base = java.nio.file.Files.createTempDirectory("graft-kmv-gate").toFile
+      val base = gateTempDir("graft-kmv-gate")
       val topic = new java.io.File(base, "topic").toString
       ev.repartition(6).write.mode("overwrite").parquet(topic)
       val src = s.readStream.schema("event_type STRING, user_id LONG")
@@ -2403,7 +2432,7 @@ object SparkEntry {
     // separately by EventStreamSpec.
     "q190_stream_interval_join" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
-      val base = java.nio.file.Files.createTempDirectory("graft-sij-gate").toFile
+      val base = gateTempDir("graft-sij-gate")
       val topic = new java.io.File(base, "topic").toString
       ev.repartition(6).write.mode("overwrite").parquet(topic)
       def src() = s.readStream.schema("user_id LONG, event_type STRING, ts TIMESTAMP")
@@ -2481,7 +2510,7 @@ object SparkEntry {
     // the full corpus in one pass.
     "q193_cms_stream_maintenance" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("user_id"))
-      val base = java.nio.file.Files.createTempDirectory("graft-cms-gate").toFile
+      val base = gateTempDir("graft-cms-gate")
       val topic = new java.io.File(base, "topic").toString
       ev.repartition(6).write.mode("overwrite").parquet(topic)
       val src = s.readStream.schema("user_id LONG")
@@ -2554,7 +2583,7 @@ object SparkEntry {
     // component) surfaces as a rank flip here, not in production.
     "q198_modelstore_search" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val root = java.nio.file.Files.createTempDirectory("graft-modelstore-gate").toString
+      val root = gateTempDir("graft-modelstore-gate").toString
       graft.ops.ModelStore.publishModels(s, root,
         pq = Map("pq_codebooks" -> pqModelFor(s, dir)),
         relations = Map("coarse_centroids" ->
@@ -2584,7 +2613,7 @@ object SparkEntry {
       val cdc = ev.select(col("user_id"), lit(1L).as("w"))
         .unionByName(ev.filter(col("event_type") === "click")
           .select(col("user_id"), lit(-1L).as("w")))
-      val base = java.nio.file.Files.createTempDirectory("graft-cms-cdc-gate").toFile
+      val base = gateTempDir("graft-cms-cdc-gate")
       val topic = new java.io.File(base, "topic").toString
       cdc.repartition(6).write.mode("overwrite").parquet(topic)
       val src = s.readStream.schema("user_id LONG, w LONG")
@@ -2610,7 +2639,7 @@ object SparkEntry {
     "q200_ivf_index_search" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val centroids = VF.centroidsByLabel(emb, "label", "embedding")
-      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-index-gate").toString
+      val idx = gateTempDir("graft-ivf-index-gate").toString
       VF.writeIvfIndex(emb, "vec_id", "embedding", centroids, idx)
       VF.ivfIndexTopK(s, idx, emb.filter(col("vec_id") < 10), centroids,
           "vec_id", "embedding", k = 5, nprobe = 3)
@@ -2629,7 +2658,7 @@ object SparkEntry {
     "q201_ivf_index_append" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val centroids = VF.centroidsByLabel(emb, "label", "embedding")
-      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-append-gate").toString
+      val idx = gateTempDir("graft-ivf-append-gate").toString
       VF.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
         centroids, idx)
       VF.appendIvfIndex(emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
@@ -2651,7 +2680,7 @@ object SparkEntry {
     "q202_ivf_index_stream" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val centroids = VF.centroidsByLabel(emb, "label", "embedding")
-      val base = java.nio.file.Files.createTempDirectory("graft-ivf-stream-gate").toFile
+      val base = gateTempDir("graft-ivf-stream-gate")
       val topic = new java.io.File(base, "topic").toString
       emb.repartition(6).write.mode("overwrite").parquet(topic)
       val src = s.readStream.schema(emb.schema)
@@ -2677,7 +2706,7 @@ object SparkEntry {
     "q203_ivf_index_compact" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val centroids = VF.centroidsByLabel(emb, "label", "embedding")
-      val base = java.nio.file.Files.createTempDirectory("graft-ivf-compact-gate").toFile
+      val base = gateTempDir("graft-ivf-compact-gate")
       val topic = new java.io.File(base, "topic").toString
       emb.repartition(6).write.mode("overwrite").parquet(topic)
       val src = s.readStream.schema(emb.schema)
@@ -2692,6 +2721,40 @@ object SparkEntry {
       VF.ivfIndexTopK(s, idx, emb.filter(col("vec_id") < 10), centroids,
           "vec_id", "embedding", k = 5, nprobe = 3)
         .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // BATCH search routed by probe set — the r16 drill's own finding
+    // closed: a wide query batch probes the UNION of its queries'
+    // buckets, so the monolithic ivfIndexTopK scan reads ~every index
+    // file even at nprobe=1 and per-query file pruning evaporates
+    // exactly in the production shape. ivfIndexTopKGrouped plans the
+    // batch driver-side, groups queries by probe set, and gives each
+    // group its own scan over just its buckets' files. The gate pins
+    // BOTH halves: results hash-match the ungrouped oracle (routing
+    // must be invisible), and every group's executed scan is REQUIRED
+    // to have read a strict non-empty subset of the index's live files.
+    "q204_ivf_grouped_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = VF.centroidsByLabel(emb, "label", "embedding")
+      val idx = gateTempDir("graft-ivf-grouped-gate").toString
+      VF.writeIvfIndex(emb, "vec_id", "embedding", centroids, idx)
+      val grouped = VF.ivfIndexTopKGrouped(s, idx, emb.filter(col("vec_id") < 32),
+        centroids, "vec_id", "embedding", k = 5, nprobe = 1)
+      grouped.collect(): Unit // fill this plan instance's scan metrics
+      val (fs, root) = {
+        val r = new org.apache.hadoop.fs.Path(idx)
+        (r.getFileSystem(s.sparkContext.hadoopConfiguration), r)
+      }
+      val totalFiles = graft.functions.IvfManifest.latest(fs, root)
+        .map(_.files.size).getOrElse(0)
+      val perGroup = fileScans(grouped.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains(idx)))
+        .map(_.metrics("numFiles").value)
+      require(perGroup.nonEmpty && perGroup.forall(n => n > 0 && n < totalFiles),
+        s"grouped search must route scans to per-group file subsets: " +
+          s"per-group files=$perGroup of $totalFiles live index files")
+      grouped.withColumn("cosine_sim", round(col("cosine_sim"), 6))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3469,9 +3532,12 @@ object SparkEntry {
   /** q30 and q200 share ONE oracle: the IVF search semantics are
     * identical — q200 only changes WHERE the corpus lives (the
     * bucket-partitioned index layout), which must be invisible to
-    * results. */
-  private val ivfAnnOracleSql: String =
-    """WITH cent AS (
+    * results. q204 reuses it at its own operating point (32 queries,
+    * nprobe 1): grouped routing must also be invisible to results. */
+  private val ivfAnnOracleSql: String = ivfAnnOracleSqlAt(10, 3, 5)
+
+  private def ivfAnnOracleSqlAt(queryIdBelow: Int, nprobe: Int, k: Int): String =
+    s"""WITH cent AS (
            SELECT label AS centroid_id, list(m ORDER BY pos) AS cv
            FROM (SELECT label, i AS pos,
                         CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824) AS DECIMAL(38,0))) AS DOUBLE) AS m
@@ -3488,8 +3554,8 @@ object SparkEntry {
            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) = 1),
          probes AS (
            SELECT vec_id AS query_id, embedding AS qv, centroid_id AS bucket FROM scored_cent
-           WHERE vec_id < 10
-           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) <= 3),
+           WHERE vec_id < $queryIdBelow
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) <= $nprobe),
          pairs AS (
            SELECT p.query_id, b.vec_id AS neighbor_id,
                   list_sum(list_transform(list_zip(p.qv, b.embedding),
@@ -3502,7 +3568,7 @@ object SparkEntry {
                            row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
                     FROM pairs)
          SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(sim, 6) AS cosine_sim
-         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+         FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
 
   def oracleSql: Map[String, String] = Map(
     "q169_pq_codes" -> pqOracleSql(m = 4, subDim = 16, k = 8, iters = 2, adc = false),
@@ -4312,6 +4378,7 @@ object SparkEntry {
     "q201_ivf_index_append" -> ivfAnnOracleSql,
     "q202_ivf_index_stream" -> ivfAnnOracleSql,
     "q203_ivf_index_compact" -> ivfAnnOracleSql,
+    "q204_ivf_grouped_search" -> ivfAnnOracleSqlAt(32, 1, 5),
 
     "q38_cosine_neardups" ->
       """WITH dims AS (SELECT DISTINCT i - 1 AS d

@@ -290,6 +290,23 @@ object VectorFunctions {
     VecExpressions.register(corpus.sparkSession)
     assignBuckets(corpus.select(col(idCol), col(vecCol)), col(vecCol), centroids, "bucket")
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    // a rebuild is a fresh generation line: the overwrite cleared any
+    // prior manifests with the tree, so this is always seq 0
+    val (fs, root) = fsRoot(corpus.sparkSession, path)
+    IvfManifest.commit(fs, root, IvfManifest.treeDataFiles(fs, root), ManifestRetain)
+  }
+
+  /** Pinned-reader window for the index-file manifests: how many
+    * committed generations stay resolvable (and their files live)
+    * behind the head — the [[graft.ops.ManifestSwap]] `retainManifests`
+    * contract applied to index files. Size it to the longest search a
+    * concurrent consumer can run across maintenance passes. */
+  private val ManifestRetain = 2
+
+  private def fsRoot(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
   }
 
   /** Fold a NEW corpus batch into an existing [[writeIvfIndex]] layout —
@@ -311,8 +328,14 @@ object VectorFunctions {
   def appendIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame, path: String): Unit = {
     VecExpressions.register(batch.sparkSession)
+    val (fs, root) = fsRoot(batch.sparkSession, path)
+    IvfManifest.runIntent(fs, root, ManifestRetain) // crashed pass lands first
+    val before = IvfManifest.treeDataFiles(fs, root).toSet
     assignBuckets(batch.select(col(idCol), col(vecCol)), col(vecCol), centroids, "bucket")
       .write.partitionBy("bucket").mode("append").parquet(path)
+    val added = IvfManifest.treeDataFiles(fs, root).filterNot(before)
+    val base = IvfManifest.latest(fs, root).map(_.files).getOrElse(before.toSeq)
+    IvfManifest.commit(fs, root, base ++ added, ManifestRetain)
   }
 
   /** One arrival micro-batch landed into a maintained index layout,
@@ -326,9 +349,22 @@ object VectorFunctions {
   def appendIvfIndexBatch(batch: DataFrame, batchId: Long, idCol: String,
                           vecCol: String, centroids: DataFrame, path: String): Unit = {
     VecExpressions.register(batch.sparkSession)
+    val (fs, root) = fsRoot(batch.sparkSession, path)
+    IvfManifest.runIntent(fs, root, ManifestRetain) // crashed pass lands first
     assignBuckets(batch.select(col(idCol), col(vecCol)), col(vecCol), centroids, "bucket")
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/batch=$batchId")
+    // manifest flip mirrors the replay-idempotent write: this batch's
+    // previous files (if any — a redelivery) leave the live set, the
+    // rewritten ones enter. NOTE a redelivery physically replaces the
+    // batch dir, so it voids pinned snapshots of that one batch — the
+    // crash-recovery path trades that corner for exact-once contents.
+    val pfx = s"batch=$batchId/"
+    val added = IvfManifest.treeDataFiles(fs, root).filter(_.startsWith(pfx))
+    val base = IvfManifest.latest(fs, root).map(_.files).getOrElse(
+      IvfManifest.treeDataFiles(fs, root).filterNot(_.startsWith(pfx)))
+    IvfManifest.commit(fs, root, base.filterNot(_.startsWith(pfx)) ++ added,
+      ManifestRetain)
   }
 
   /** Continuous index maintenance from an arrival stream: per-batch
@@ -336,15 +372,28 @@ object VectorFunctions {
     * per refresh, the standing layout is never rewritten, and a search
     * through it afterwards must be indistinguishable from an index
     * built from everything that ever arrived (gate-pinned, the
-    * maintainCmsStream ≡-from-scratch standard). */
+    * maintainCmsStream ≡-from-scratch standard).
+    *
+    * `compactEvery` > 0 wires the amortizer in ([[compactIvfIndex]]
+    * after every N landed batches, same `maxFilesPerBucket` policy):
+    * a long-lived maintained index is then self-compacting — live
+    * files per bucket stay bounded by the policy instead of growing
+    * one file set per micro-batch, and the manifest flip keeps every
+    * concurrent search exact (spec-pinned). The maintainer is the
+    * index's single writer, so running compaction inside foreachBatch
+    * is the one place it serializes with arrivals for free. */
   def maintainIvfIndexStream(batches: DataFrame, idCol: String, vecCol: String,
                              centroids: DataFrame, path: String,
-                             checkpointDir: String)
+                             checkpointDir: String,
+                             compactEvery: Int = 0,
+                             maxFilesPerBucket: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     batches.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: java.lang.Long) =>
         appendIvfIndexBatch(b.toDF(), batchId, idCol, vecCol, centroids, path)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactIvfIndex(b.sparkSession, path, maxFilesPerBucket): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .start()
@@ -376,7 +425,7 @@ object VectorFunctions {
     *    (ids descend −1, −2, … — a replayed stream batch id is never
     *    negative, so generations can't collide), staged under a
     *    dot-prefixed temp dir and moved in with one rename before the
-    *    folded per-bucket dirs are deleted. The HIGHEST live batch id
+    *    folded files leave the live set. The HIGHEST live batch id
     *    is never folded: it is the one batch a restarting stream may
     *    legally redeliver (crash between sink write and checkpoint
     *    commit), and replay-idempotence requires its `batch=<id>` dir
@@ -384,101 +433,155 @@ object VectorFunctions {
     *    would duplicate rows the compaction already moved.
     *  - flat `bucket=*` ([[writeIvfIndex]] + [[appendIvfIndex]]): the
     *    rewritten files move into the existing bucket dirs and the old
-    *    files are then deleted.
+    *    files leave the live set (gc-deferred, see below).
     *
-    * Concurrency boundary (same class as any in-place parquet
-    * compaction without a manifest): new files land before old files
-    * are removed, so a reader listing the tree mid-compaction can
-    * transiently double-count the moved rows. Searches serialized
-    * against compaction see exact results; a shared live index wants
-    * the [[graft.ops.ManifestSwap]] generation discipline layered on
-    * top, where readers resolve a manifest instead of listing. */
+    * Exactness under live readers and crashes — the [[IvfManifest]]
+    * protocol:
+    *  1. ENTRY replays any pending intent log (a crashed pass lands
+    *     or no-ops before new work), bootstraps a manifest for a
+    *     pre-manifest tree, and GC-sweeps files whose manifest
+    *     retention window has expired.
+    *  2. The full plan — renames, the next manifest's exact file
+    *     list, the deferred-delete list — is written to ONE intent
+    *     log before any of it executes; every step is idempotent, so
+    *     a crash at any point re-runs to the same end state. No
+    *     crash can duplicate rows: until the manifest commits,
+    *     readers resolve the old file list; after it, the new one.
+    *  3. Folded files are NOT deleted inline (a pinned reader may
+    *     still hold them) — they enter a `gc-<seq>` ledger and are
+    *     physically removed once `retainManifests` newer manifests
+    *     exist (step 1 of a later pass). Only when compacting a tree
+    *     that never had a manifest (no pinned reader can exist) are
+    *     the folds deleted in the same pass, preserving the old
+    *     lister-clean behavior for foreign trees.
+    *
+    * `filesBefore`/`filesAfter` count LIVE files (the manifest view —
+    * what a search must list/read); physically the folded files
+    * linger one retention cycle as gc-ledgered tombstones. */
   def compactIvfIndex(spark: SparkSession, path: String,
-                      maxFilesPerBucket: Int = 8): IvfCompaction = {
-    import org.apache.hadoop.fs.{FileStatus, Path => HPath}
-    val root = new HPath(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(dir: HPath): Seq[FileStatus] =
-      if (!fs.exists(dir)) Seq.empty
-      else fs.listStatus(dir).toSeq.filter(f => f.isFile &&
-        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-    def subDirs(dir: HPath, prefix: String): Seq[HPath] =
-      if (!fs.exists(dir)) Seq.empty
-      else fs.listStatus(dir).toSeq.filter(_.isDirectory)
-        .map(_.getPath).filter(_.getName.startsWith(prefix))
-    // a previous failed pass may have left a stage dir; it was never
-    // renamed in, so nothing references it — clear and reuse
+                      maxFilesPerBucket: Int = 8,
+                      retainManifests: Int = ManifestRetain): IvfCompaction = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val (fs, root) = fsRoot(spark, path)
+    IvfManifest.runIntent(fs, root, retainManifests)
+    val hadManifest = IvfManifest.latest(fs, root).nonEmpty
+    val live = IvfManifest.ensure(fs, root, retainManifests)
+    IvfManifest.gcSweep(fs, root, retainManifests)
+    // a stale stage dir was never referenced by anything — clear it
     val stage = new HPath(root, ".compact-stage")
     fs.delete(stage, true)
-    def rewrite(src: org.apache.spark.sql.DataFrame, nBuckets: Int): Unit =
+    def rewrite(src: org.apache.spark.sql.DataFrame, nBuckets: Int): Seq[String] = {
       src.repartition(math.max(1, nBuckets), col("bucket"))
         .write.partitionBy("bucket").mode("overwrite").parquet(stage.toString)
+      IvfManifest.treeDataFiles(fs, stage)
+    }
+    def bucketOrdered(files: Seq[String]): Map[Int, Seq[String]] =
+      files.groupBy(f => IvfManifest.bucketOf(f).getOrElse(
+        throw new IllegalStateException(s"unbucketed index file: $f")))
 
-    val batchDirs = subDirs(root, "batch=")
-    if (batchDirs.nonEmpty) {
-      val ids = batchDirs.map(_.getName.stripPrefix("batch=").toLong).sorted
+    if (live.files.exists(_.startsWith("batch="))) {
+      val byBatch = live.files.filter(_.startsWith("batch="))
+        .groupBy(_.split('/')(0).stripPrefix("batch=").toLong)
+      // the id universe includes EMPTY batch dirs (an empty newest
+      // batch still marks the stream's checkpoint frontier — its
+      // presence is what makes folding the previous batch safe) but
+      // ignores gc-tombstoned generations, which have no live files
+      val dirIds = fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      val ids = (byBatch.keySet ++ dirIds).toSeq.sorted
       // never fold the newest batch — see scaladoc (replay window)
-      val folded = ids.init
-      val perBucket = scala.collection.mutable.Map.empty[String, Long]
-      folded.foreach { id =>
-        subDirs(new HPath(root, s"batch=$id"), "bucket=").foreach { b =>
-          perBucket(b.getName) = perBucket.getOrElse(b.getName, 0L) + dataFiles(b).size
-        }
-      }
-      val selected = perBucket.filter(_._2 > maxFilesPerBucket).keys.toSeq.sorted
+      val folded = ids.init.filter(byBatch.contains)
+      val foldedFiles = folded.flatMap(byBatch)
+      val perBucket = bucketOrdered(foldedFiles)
+      val selected = perBucket.filter(_._2.size > maxFilesPerBucket).keys.toSeq.sorted
       if (selected.isEmpty)
         return IvfCompaction("batched", 0, 0, 0, Seq.empty)
-      val filesBefore = selected.map(perBucket(_)).sum
-      val bucketVals = selected.map(_.stripPrefix("bucket=").toInt)
-      val srcDirs = folded.map(id => s"$path/batch=$id")
-      val rows = spark.read.option("basePath", path).parquet(srcDirs: _*)
-        .filter(col("bucket").isin(bucketVals.map(b => b: Any): _*))
-        .drop("batch")
-      rewrite(rows, selected.size)
+      val selSet = selected.toSet
+      val srcFiles = foldedFiles.filter(f => IvfManifest.bucketOf(f).exists(selSet)).sorted
+      val rows = spark.read.option("basePath", path)
+        .parquet(srcFiles.map(f => s"$path/$f"): _*).drop("batch")
+      val staged = rewrite(rows, selected.size)
       val newId = math.min(0L, ids.min) - 1
-      require(fs.rename(stage, new HPath(root, s"batch=$newId")),
-        s"compaction rename failed: $stage -> batch=$newId")
-      folded.foreach { id =>
-        val bdir = new HPath(root, s"batch=$id")
-        selected.foreach(b => fs.delete(new HPath(bdir, b), true))
-        if (subDirs(bdir, "bucket=").isEmpty) fs.delete(bdir, true)
-      }
-      val filesAfter = selected.map(b =>
-        dataFiles(new HPath(root, s"batch=$newId/$b")).size.toLong).sum
-      IvfCompaction("batched", selected.size, filesBefore, filesAfter, folded)
+      val newRel = staged.map(f => s"batch=$newId/$f")
+      val srcSet = srcFiles.toSet
+      // legacy (never-manifested) trees get inline deletes at bucket-dir
+      // granularity — the adopted manifest proves those dirs hold only
+      // folded files — plus fully-emptied batch dirs
+      val legacyRms =
+        if (hadManifest) Seq.empty
+        else srcFiles.map(f => f.take(f.lastIndexOf('/'))).distinct.map(IvfManifest.Rm(_)) ++
+          folded.filter(id => byBatch(id).forall(srcSet))
+            .map(id => IvfManifest.Rm(s"batch=$id"))
+      IvfManifest.writeIntent(fs, root, live.seq + 1,
+        IvfManifest.Mv(".compact-stage", s"batch=$newId") +: legacyRms,
+        (live.files.filterNot(srcSet) ++ newRel).sorted,
+        if (hadManifest) srcFiles else Seq.empty)
+      IvfManifest.runIntent(fs, root, retainManifests)
+      IvfCompaction("batched", selected.size, srcFiles.size.toLong,
+        newRel.size.toLong, folded)
     } else {
-      val bucketDirs = subDirs(root, "bucket=")
-      val selected = bucketDirs.filter(dataFiles(_).size > maxFilesPerBucket)
-        .sortBy(_.getName)
+      val perBucket = bucketOrdered(live.files)
+      val selected = perBucket.filter(_._2.size > maxFilesPerBucket).keys.toSeq.sorted
       if (selected.isEmpty)
         return IvfCompaction("flat", 0, 0, 0, Seq.empty)
-      val filesBefore = selected.map(dataFiles(_).size.toLong).sum
+      val srcFiles = selected.flatMap(perBucket).sorted
       val rows = spark.read.option("basePath", path)
-        .parquet(selected.map(_.toString): _*)
-      rewrite(rows, selected.size)
-      selected.foreach { b =>
-        val old = dataFiles(b) // snapshot BEFORE the new files move in
-        dataFiles(new HPath(stage, b.getName)).foreach { f =>
-          require(fs.rename(f.getPath, new HPath(b, f.getPath.getName)),
-            s"compaction rename failed: ${f.getPath} -> $b")
-        }
-        old.foreach(f => fs.delete(f.getPath, false))
-      }
-      fs.delete(stage, true)
-      val filesAfter = selected.map(dataFiles(_).size.toLong).sum
-      IvfCompaction("flat", selected.size, filesBefore, filesAfter, Seq.empty)
+        .parquet(srcFiles.map(f => s"$path/$f"): _*)
+      val staged = rewrite(rows, selected.size)
+      val srcSet = srcFiles.toSet
+      // per-file moves into the live bucket dirs (part names are
+      // job-unique); per-file legacy deletes — the dirs keep unselected
+      // and newly moved files
+      val ops = staged.map(f => IvfManifest.Mv(s".compact-stage/$f", f)) ++
+        (if (hadManifest) Seq.empty else srcFiles.map(IvfManifest.Rm(_)))
+      IvfManifest.writeIntent(fs, root, live.seq + 1, ops,
+        (live.files.filterNot(srcSet) ++ staged).sorted,
+        if (hadManifest) srcFiles else Seq.empty)
+      IvfManifest.runIntent(fs, root, retainManifests)
+      fs.delete(stage, true) // emptied skeleton
+      IvfCompaction("flat", selected.size, srcFiles.size.toLong,
+        staged.size.toLong, Seq.empty)
     }
+  }
+
+  /** The index's live rows for `buckets`, resolved through the LATEST
+    * committed [[IvfManifest]] when one exists: the manifest's file
+    * list is pruned to the probed buckets driver-side (the partition
+    * value is in the path) and the scan is built over exactly those
+    * files — a snapshot read, exact under a concurrent
+    * [[compactIvfIndex]] because the files a manifest references stay
+    * live for `retainManifests` generations. Resolving at PLAN time is
+    * the pinning: the returned frame keeps reading its snapshot no
+    * matter what commits afterwards. Pre-manifest trees fall back to
+    * directory listing + Catalyst partition pruning (the r16 path). */
+  private def readIndexBuckets(spark: SparkSession, path: String,
+                               buckets: Seq[Int]): DataFrame = {
+    val (fs, root) = fsRoot(spark, path)
+    val base = IvfManifest.latest(fs, root) match {
+      case Some(st) if st.files.nonEmpty =>
+        val want = buckets.toSet
+        val sel0 = st.files.filter(f => IvfManifest.bucketOf(f).exists(want))
+        // empty probe set still needs the schema: anchor on one live
+        // file; the bucket filter below yields zero rows from it
+        val sel = if (sel0.nonEmpty) sel0 else st.files.take(1)
+        spark.read.option("basePath", path).parquet(sel.map(f => s"$path/$f"): _*)
+      case _ => spark.read.parquet(path)
+    }
+    base.filter(col("bucket").isin(buckets.map(b => b: Any): _*))
   }
 
   /** Search a [[writeIvfIndex]] layout. The query set's probed buckets
     * collect to a literal IN-list (queries are broadcast-small by the
-    * [[ivfTopK]] contract, so this is a bounded model-sized collect),
-    * which Catalyst folds into the scan's PartitionFilters — only the
-    * probed bucket directories are listed and read. From there the
-    * plan is [[ivfTopK]]'s tail: broadcast probe join, codegen'd
-    * cosine, bounded [[TopKAgg]] rank. Row-for-row equal to running
-    * [[ivfTopK]] against the same corpus and centroids (gate-pinned:
-    * the layout must be invisible to results, like ModelStore). */
+    * [[ivfTopK]] contract, so this is a bounded model-sized collect)
+    * that prunes the scan to the probed buckets' FILES — via the
+    * manifest snapshot when the index is manifest-managed (exact under
+    * concurrent compaction), via partition-filter listing otherwise.
+    * From there the plan is [[ivfTopK]]'s tail: broadcast probe join,
+    * codegen'd cosine, bounded [[TopKAgg]] rank. Row-for-row equal to
+    * running [[ivfTopK]] against the same corpus and centroids
+    * (gate-pinned: the layout must be invisible to results, like
+    * ModelStore). */
   def ivfIndexTopK(spark: SparkSession, path: String, queries: DataFrame,
                    centroids: DataFrame, idCol: String, vecCol: String,
                    k: Int, nprobe: Int): DataFrame = {
@@ -488,13 +591,58 @@ object VectorFunctions {
       .withColumn("bucket", explode(probesFor(q, col("__qv"), nprobe)))
     val probedBuckets = probes.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val corpus = spark.read.parquet(path)
-      .filter(col("bucket").isin(probedBuckets.map(b => b: Any): _*))
+    val corpus = readIndexBuckets(spark, path, probedBuckets.toSeq)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("bucket"))
     val scored = corpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine_sim", cosineNative(col("__qv"), col("__cv")))
     rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cosine_sim")), k)
+  }
+
+  /** BATCH search, routed by probe set — the production shape the
+    * sf10 drill exposed as the gap in [[ivfIndexTopK]]: a wide query
+    * batch probes the UNION of its queries' buckets, so one monolithic
+    * scan reads ~every file even at nprobe=1 (32 queries × C buckets
+    * cover C with high probability) and per-query pruning evaporates.
+    * Here the query set is planned driver-side (queries are
+    * broadcast-small by contract): queries are grouped by their exact
+    * probe set, and each group gets its OWN scan over just its
+    * buckets' files — bytes read per group scale with that group's
+    * buckets, every scan is a strict subset of the index, and at
+    * 1000-executor scale each group is an independently schedulable,
+    * cacheable unit instead of one all-bucket scan. At nprobe=1 the
+    * groups partition the probed buckets exactly, so total bytes also
+    * never exceed the union read.
+    *
+    * Row-for-row equal to [[ivfIndexTopK]] on the same arguments
+    * (gate-pinned): the groups partition the query set, a query's
+    * candidates all live in its own probe buckets, and the per-group
+    * [[rankTopK]] is the same deterministic bounded aggregate. */
+  def ivfIndexTopKGrouped(spark: SparkSession, path: String, queries: DataFrame,
+                          centroids: DataFrame, idCol: String, vecCol: String,
+                          k: Int, nprobe: Int): DataFrame = {
+    VecExpressions.register(spark)
+    val q = quantizer(centroids)
+    val queriesIn = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    // driver-side probe plan: (query id, probe set), model-sized
+    val plan = queriesIn
+      .select(col("query_id"), probesFor(q, col("__qv"), nprobe).as("__p"))
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Int](1).sorted))
+    if (plan.isEmpty) // empty-input edge: same well-typed empty frame
+      return ivfIndexTopK(spark, path, queries, centroids, idCol, vecCol, k, nprobe)
+    val groups = plan.groupBy(_._2).toSeq.sortBy(_._1.mkString(","))
+    groups.map { case (buckets, members) =>
+      val ids = members.map(_._1).toSeq
+      val probes = queriesIn.filter(col("query_id").isInCollection(ids))
+        .withColumn("bucket", explode(probesFor(q, col("__qv"), nprobe)))
+      val corpus = readIndexBuckets(spark, path, buckets)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("bucket"))
+      val scored = corpus.join(broadcast(probes), Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine_sim", cosineNative(col("__qv"), col("__cv")))
+      rankTopK(scored.select(col("query_id"), col("neighbor_id"), col("cosine_sim")), k)
+    }.reduce(_.unionAll(_))
   }
 
   /** One calibration rung: nprobe tried → recall@k measured. */

@@ -91,6 +91,51 @@ object IvfIndexDrill {
       println(f"[ivfdrill] $np%-7d $med%-10.2f ${r._2 / 1e6}%-9.1f ${r._3}%-10d " +
         f"${r._4}%-6d ${r._5 / 1e6}%-9.1f ${idxBytes / 1e6}%-8.1f ${r._6}")
     }
+
+    // ---- the BATCH leg (r16 verdict directive #1): a wide query set
+    // probes the union of buckets, so the monolithic search reads ~all
+    // files at every rung — the production shape where per-query
+    // pruning vanished in the first drill. Grouped routing
+    // (ivfIndexTopKGrouped) gives each probe-set group its own scan;
+    // recorded per rung: ungrouped files/bytes vs the grouped plan's
+    // per-scan maximum and total, plus walls and the equality check.
+    val batch = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val totalFiles = {
+      val root2 = new org.apache.hadoop.fs.Path(idx)
+      val fs = root2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.functions.IvfManifest.latest(fs, root2).map(_.files.size.toLong)
+        .getOrElse(-1L)
+    }
+    println(s"[ivfdrill] batch leg: 32 queries, $totalFiles live index files")
+    println(f"[ivfdrill] ${"nprobe"}%-7s ${"mono_s"}%-8s ${"mono_files"}%-11s " +
+      f"${"mono_MB"}%-9s ${"grp_s"}%-8s ${"grp_scans"}%-10s ${"grp_maxf"}%-9s " +
+      f"${"grp_sumf"}%-9s ${"grp_MB"}%-8s equal")
+    nprobes.foreach { np =>
+      def measure(df: DataFrame): (Double, Long, Long, Seq[Long]) = {
+        mx.reset()
+        val t0 = System.nanoTime()
+        df.collect(): Unit
+        val dt = (System.nanoTime() - t0) / 1e9
+        val m = mx.read(spark)
+        val perScan = scans(df.queryExecution.executedPlan)
+          .filter(_.relation.location.rootPaths.exists(_.toString.contains(idx)))
+          .map(_.metrics("numFiles").value)
+        (dt, m.inputBytesRead, perScan.sum, perScan)
+      }
+      def rowsOf(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val mono = VectorFunctions.ivfIndexTopK(spark, idx, batch,
+        centroids, "vec_id", "embedding", k, np)
+      val grp = VectorFunctions.ivfIndexTopKGrouped(spark, idx, batch,
+        centroids, "vec_id", "embedding", k, np)
+      val (mt, mb, mf, _) = measure(mono)
+      val (gt, gb, _, gscans) = measure(grp)
+      val equal = rowsOf(mono) == rowsOf(grp)
+      println(f"[ivfdrill] $np%-7d $mt%-8.2f $mf%-11d ${mb / 1e6}%-9.1f " +
+        f"$gt%-8.2f ${gscans.size}%-10d ${if (gscans.isEmpty) 0L else gscans.max}%-9d " +
+        f"${gscans.sum}%-9d ${gb / 1e6}%-8.1f $equal")
+    }
     spark.stop()
   }
 }

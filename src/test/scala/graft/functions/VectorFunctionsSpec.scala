@@ -364,6 +364,22 @@ class VectorFunctionsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
   }
 
+  private def liveFiles(idx: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IvfManifest.latest(fs, root).map(_.files).getOrElse(Seq.empty)
+  }
+
+  private def liveRead(idx: String): org.apache.spark.sql.DataFrame =
+    spark.read.option("basePath", idx)
+      .parquet(liveFiles(idx).map(f => s"$idx/$f"): _*)
+
+  private def physicalFiles(idx: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IvfManifest.treeDataFiles(fs, root)
+  }
+
   test("compactIvfIndex (batched): folds closed batches, protects the newest, search-identical") {
     val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
     val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
@@ -377,37 +393,47 @@ class VectorFunctionsSpec extends SparkSpecBase {
       "vec_id", "embedding", centroids, idx))
     val expected = searchRows(once, centroids)
     assert(searchRows(idx, centroids) == expected) // pre-compaction sanity
-    def dirNames = new java.io.File(idx).listFiles().filter(_.isDirectory)
-      .map(_.getName).toSet
     val rpt = VectorFunctions.compactIvfIndex(spark, idx, maxFilesPerBucket = 0)
     assert(rpt.layout == "batched" && rpt.bucketsCompacted > 0)
     assert(rpt.filesAfter < rpt.filesBefore, rpt.toString)
     assert(rpt.batchesFolded == Seq(0L, 1L)) // newest (2) protected
-    // folded generations gone, one negative generation landed, the
-    // protected batch untouched
-    assert(dirNames.contains("batch=-1") && dirNames.contains("batch=2"))
-    assert(!dirNames.contains("batch=0") && !dirNames.contains("batch=1"))
-    // rows moved, not deduplicated or dropped
-    assert(spark.read.parquet(idx).count() == emb.count())
+    // LIVE view (what a search lists): folded generations replaced by
+    // one negative generation, the protected batch carried
+    val live1 = liveFiles(idx)
+    assert(live1.exists(_.startsWith("batch=-1/")) && live1.exists(_.startsWith("batch=2/")))
+    assert(!live1.exists(_.startsWith("batch=0/")) && !live1.exists(_.startsWith("batch=1/")))
+    // physical view: the folded files are gc-ledgered tombstones, NOT
+    // deleted inline — a reader pinned to the previous manifest stays
+    // exact (the deferred-delete contract)
+    assert(physicalFiles(idx).exists(_.startsWith("batch=0/")),
+      "folded files must defer physical deletion one retention cycle")
+    // rows moved, not deduplicated or dropped (live view)
+    assert(liveRead(idx).count() == emb.count())
     assert(searchRows(idx, centroids) == expected, "compaction must be invisible to search")
     // the protected batch is still replay-overwritable: a redelivery of
     // the newest batch after compaction must not duplicate rows
     VectorFunctions.appendIvfIndexBatch(emb.filter(col("vec_id") % 3 === 2), 2L,
       "vec_id", "embedding", centroids, idx)
-    assert(spark.read.parquet(idx).count() == emb.count())
+    assert(liveRead(idx).count() == emb.count())
     assert(searchRows(idx, centroids) == expected)
     // re-compaction: an empty newest batch protects nothing of value,
     // the previous generation (-1) and batch 2 fold into -2 —
-    // generation ids keep descending, search still identical
+    // generation ids keep descending, search still identical; the
+    // manifest head has moved past retention, so the entry sweep now
+    // physically removes the FIRST compaction's tombstones
     VectorFunctions.appendIvfIndexBatch(emb.filter(col("vec_id") < 0), 3L,
       "vec_id", "embedding", centroids, idx)
     val rpt2 = VectorFunctions.compactIvfIndex(spark, idx, maxFilesPerBucket = 0)
-    assert(rpt2.batchesFolded.toSet == Set(-1L, 2L) && dirNames.contains("batch=-2"))
-    assert(spark.read.parquet(idx).count() == emb.count())
+    assert(rpt2.batchesFolded.toSet == Set(-1L, 2L))
+    assert(liveFiles(idx).exists(_.startsWith("batch=-2/")))
+    assert(!physicalFiles(idx).exists(f =>
+        f.startsWith("batch=0/") || f.startsWith("batch=1/")),
+      "expired tombstones must be swept at the next pass")
+    assert(liveRead(idx).count() == emb.count())
     assert(searchRows(idx, centroids) == expected)
   }
 
-  test("compactIvfIndex (flat): rewrites fat buckets in place, search-identical, no-op below threshold") {
+  test("compactIvfIndex (flat): live view shrinks to ~one file per fat bucket, search-identical, no-op below threshold") {
     val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
     val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
     val once = java.nio.file.Files.createTempDirectory("graft-ivf-f-once").toString
@@ -418,23 +444,186 @@ class VectorFunctionsSpec extends SparkSpecBase {
     (1 to 2).foreach(i => VectorFunctions.appendIvfIndex(
       emb.filter(col("vec_id") % 3 === i), "vec_id", "embedding", centroids, idx))
     val expected = searchRows(once, centroids)
-    def bucketFiles: Map[String, Int] = new java.io.File(idx).listFiles()
-      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
-      .map(d => d.getName -> d.listFiles().count(f =>
-        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))).toMap
-    // below-threshold: untouched (same file set, bucketsCompacted == 0)
-    val before = bucketFiles
+    def liveBucketFiles: Map[String, Int] = liveFiles(idx)
+      .groupBy(_.split('/')(0)).view.mapValues(_.size).toMap
+    // below-threshold: untouched (same live set, bucketsCompacted == 0)
+    val before = liveBucketFiles
     val noop = VectorFunctions.compactIvfIndex(spark, idx,
       maxFilesPerBucket = before.values.max)
-    assert(noop.bucketsCompacted == 0 && bucketFiles == before)
+    assert(noop.bucketsCompacted == 0 && liveBucketFiles == before)
     val rpt = VectorFunctions.compactIvfIndex(spark, idx, maxFilesPerBucket = 1)
     assert(rpt.layout == "flat" && rpt.bucketsCompacted > 0 && rpt.batchesFolded.isEmpty)
     assert(rpt.filesAfter < rpt.filesBefore, rpt.toString)
-    // every compacted bucket is down to one file; no stage dir remains
-    val after = bucketFiles
+    // every compacted bucket is down to one LIVE file; no stage dir remains
+    val after = liveBucketFiles
     before.filter(_._2 > 1).keys.foreach(b => assert(after(b) == 1, s"$b: ${after(b)}"))
     assert(!new java.io.File(idx).listFiles().exists(_.getName == ".compact-stage"))
-    assert(spark.read.parquet(idx).count() == emb.count())
+    assert(liveRead(idx).count() == emb.count())
     assert(searchRows(idx, centroids) == expected, "compaction must be invisible to search")
+    // the folds are tombstones until the retention window passes; one
+    // manifest bump + one pass later they are physically gone and the
+    // tree again equals the live view
+    assert(physicalFiles(idx).size > liveFiles(idx).size)
+    VectorFunctions.appendIvfIndex(emb.filter(col("vec_id") < 0), // empty: seq bump only
+      "vec_id", "embedding", centroids, idx)
+    VectorFunctions.compactIvfIndex(spark, idx, maxFilesPerBucket = 1000)
+    assert(physicalFiles(idx).toSet == liveFiles(idx).toSet,
+      "expired flat tombstones must be swept")
+    assert(searchRows(idx, centroids) == expected)
+  }
+
+  test("a search planned against a manifest snapshot stays exact while a compaction rewrites underneath") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-snap").toString
+    (0 to 2).foreach(i => VectorFunctions.appendIvfIndexBatch(
+      emb.filter(col("vec_id") % 3 === i).repartition(2), i.toLong,
+      "vec_id", "embedding", centroids, idx))
+    // plan the search NOW: resolving the manifest at plan time pins the
+    // file snapshot inside the DataFrame
+    val pinned = VectorFunctions.ivfIndexTopK(spark, idx,
+      emb.filter(col("vec_id") < 5), centroids, "vec_id", "embedding",
+      k = 4, nprobe = 2)
+    val expected = searchRows(idx, centroids)
+    val rpt = VectorFunctions.compactIvfIndex(spark, idx, maxFilesPerBucket = 0)
+    assert(rpt.bucketsCompacted > 0) // the rewrite really happened
+    // the pinned plan executes AFTER the rewrite and must be exact:
+    // its files are gc-deferred, never deleted under it, and the new
+    // generation is invisible to it (no double count)
+    val got = pinned.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected, "snapshot read must be exact under concurrent compaction")
+    // and a search planned after the flip sees the compacted live set
+    assert(searchRows(idx, centroids) == expected)
+  }
+
+  test("a crashed compaction replays its intent log at the next writer entry (no duplication, no loss)") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-crash").toString
+    (0 to 1).foreach(i => VectorFunctions.appendIvfIndexBatch(
+      emb.filter(col("vec_id") % 2 === i).repartition(2), i.toLong,
+      "vec_id", "embedding", centroids, idx))
+    val expected = searchRows(idx, centroids)
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: stage the fold and land the intent
+    // log, then "die" before executing any of it (the worst case: the
+    // full plan is durable but nothing has run)
+    val live = IvfManifest.latest(fs, root).get
+    val folded = live.files.filter(_.startsWith("batch=0/"))
+    val stage = new org.apache.hadoop.fs.Path(root, ".compact-stage")
+    spark.read.option("basePath", idx).parquet(folded.map(f => s"$idx/$f"): _*)
+      .drop("batch").repartition(1, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(stage.toString)
+    val staged = IvfManifest.treeDataFiles(fs, stage).map(f => s"batch=-1/$f")
+    IvfManifest.writeIntent(fs, root, live.seq + 1,
+      Seq(IvfManifest.Mv(".compact-stage", "batch=-1")),
+      (live.files.filterNot(folded.toSet) ++ staged).sorted, folded)
+    // a reader between crash and recovery resolves the OLD manifest —
+    // still exact
+    assert(searchRows(idx, centroids) == expected)
+    // the next writer entry (an arriving batch) replays the log first
+    VectorFunctions.appendIvfIndexBatch(emb.filter(col("vec_id") < 0), 2L,
+      "vec_id", "embedding", centroids, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_ivf_manifests/pending-intent")))
+    val nowLive = liveFiles(idx)
+    assert(nowLive.exists(_.startsWith("batch=-1/")) &&
+      !nowLive.exists(_.startsWith("batch=0/")),
+      s"replayed fold must be live: $nowLive")
+    assert(liveRead(idx).count() == emb.count(), "no duplication, no loss")
+    assert(searchRows(idx, centroids) == expected)
+    // replaying the SAME intent again is a no-op (idempotence)
+    assert(!IvfManifest.runIntent(fs, root, 2))
+    assert(liveRead(idx).count() == emb.count())
+  }
+
+  test("ivfIndexTopKGrouped == ivfIndexTopK; every group scans a strict file subset") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-grouped").toString
+    VectorFunctions.writeIvfIndex(emb.repartition(3), "vec_id", "embedding", centroids, idx)
+    val queries = emb.filter(col("vec_id") < 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    for (np <- Seq(1, 2)) {
+      val grouped = VectorFunctions.ivfIndexTopKGrouped(spark, idx, queries,
+        centroids, "vec_id", "embedding", k = 4, nprobe = np)
+      val mono = VectorFunctions.ivfIndexTopK(spark, idx, queries,
+        centroids, "vec_id", "embedding", k = 4, nprobe = np)
+      assert(rows(grouped) == rows(mono), s"routing must be invisible at nprobe=$np")
+      // routing claim: each group's scan reads only its buckets' files
+      val total = liveFiles(idx).size
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      val perGroup = scans(grouped.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains(idx)))
+        .map(_.metrics("numFiles").value)
+      assert(perGroup.nonEmpty && perGroup.forall(n => n > 0 && n < total),
+        s"per-group files $perGroup of $total")
+    }
+    // empty query set: same well-typed empty frame as the monolithic path
+    val empty = VectorFunctions.ivfIndexTopKGrouped(spark, idx,
+      emb.filter(col("vec_id") < 0), centroids, "vec_id", "embedding", k = 3, nprobe = 2)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "cosine_sim"))
+  }
+
+  test("legacy pre-manifest tree: search falls back to listing; compaction adopts it and deletes folds inline") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-legacy").toString
+    // a foreign tree: bucket-partitioned parquet written WITHOUT the
+    // library (no manifest anywhere)
+    VectorFunctions.assignBuckets(emb.select(col("vec_id"), col("embedding")),
+        col("embedding"), centroids, "bucket")
+      .repartition(3).write.partitionBy("bucket").mode("overwrite").parquet(idx)
+    assert(liveFiles(idx).isEmpty, "no manifest on a foreign tree")
+    val expected = searchRows(idx, centroids) // listing fallback
+    val physBefore = physicalFiles(idx).size
+    val rpt = VectorFunctions.compactIvfIndex(spark, idx, maxFilesPerBucket = 1)
+    assert(rpt.bucketsCompacted > 0 && rpt.filesAfter < rpt.filesBefore)
+    // adoption: manifest committed; no pinned reader could exist, so
+    // the folds were deleted inline and the tree IS the live view
+    assert(liveFiles(idx).nonEmpty)
+    assert(physicalFiles(idx).toSet == liveFiles(idx).toSet)
+    assert(physicalFiles(idx).size < physBefore)
+    assert(spark.read.parquet(idx).count() == emb.count())
+    assert(searchRows(idx, centroids) == expected)
+  }
+
+  test("maintainIvfIndexStream with compactEvery: long-lived index stays bounded, search-identical") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-policy").toFile
+    val topic = new java.io.File(base, "topic").toString
+    emb.repartition(12).write.mode("overwrite").parquet(topic)
+    val src = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(topic)
+    val idx = new java.io.File(base, "index").toString
+    val q = VectorFunctions.maintainIvfIndexStream(src, "vec_id", "embedding",
+      centroids, idx, checkpointDir = new java.io.File(base, "ckpt").toString,
+      compactEvery = 4, maxFilesPerBucket = 2)
+    try q.processAllAvailable() finally q.stop()
+    // ~12 micro-batches landed; the every-4 policy must keep the LIVE
+    // file count per bucket bounded near the policy, not ~one file set
+    // per batch (the un-amortized growth mode)
+    val perBucket = liveFiles(idx).groupBy(f =>
+      f.split('/').find(_.startsWith("bucket=")).get).view.mapValues(_.size)
+    assert(perBucket.nonEmpty)
+    // bound: policy files from closed batches + up to compactEvery-1
+    // uncompacted batches + the protected newest batch
+    val bound = 2 + 4 + 1
+    assert(perBucket.values.max <= bound,
+      s"live files/bucket ${perBucket.toMap} exceed policy bound $bound")
+    // and the maintained+compacted index searches exactly like scratch
+    val once = new java.io.File(base, "once").toString
+    VectorFunctions.writeIvfIndex(emb, "vec_id", "embedding", centroids, once)
+    assert(searchRows(idx, centroids) == searchRows(once, centroids))
   }
 }
