@@ -47,19 +47,13 @@ object Tables {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty[String])
     spark.conf.set("spark.sql.optimizer.excludedRules",
       (existing.filterNot(_ == inferRule) :+ inferRule).mkString(","))
-    // The iterative graph operators release their intermediate
-    // localCheckpoint blocks deliberately (CacheHygiene, r15 advice —
-    // only the returned frame stays persisted). Spark logs one WARN
-    // per released checkpoint RDD ("lineage has been truncated and
-    // cannot be recomputed after unpersisting") — the exact intent, so
-    // the category is quieted here the way the audited WindowExec
-    // warning is in the test session. Local checkpoints of Datasets
-    // always surface as MapPartitionsRDD, so the category is narrow;
-    // storage-pressure warnings live under MemoryStore/BlockManager
-    // and stay visible.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // The "lineage has been truncated" WARN of deliberate checkpoint
+    // releases is quieted AT the release call sites
+    // (CacheHygiene.quietRelease, set/restore-scoped) rather than
+    // session-globally here: a permanent ERROR level on
+    // MapPartitionsRDD would also hide the same warning where it is a
+    // genuine signal — an unpersist of a block something still needs
+    // (the r15 Bfs lineage bug class). r16 advice.
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -74,6 +74,28 @@ object Bfs {
     val und = ShuffleSizing.partitionedMaterialize(undPlain, col("v"), _.localCheckpoint())
     val undRddIds = sc.getPersistentRDDs.keySet -- beforeIds
     undPlain.unpersist()
+    supersteps(und, sources, maxHops, releaseEdges = () => CacheHygiene.quietRelease {
+      undRddIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    })
+    } // withEdgeScaledShuffle
+  }
+
+  /** [[hopDistance]] over a SHARED [[GraphCapture]] — the capture's
+    * v(=s)-partitioned layout drives the same exchange-free supersteps
+    * (the neighbor distinct keys on v; symmetry makes the (v, u)
+    * relabeling of the capture the identical undirected edge set), and
+    * the capture blocks stay caller-owned: this call releases only its
+    * own per-hop state. Bit-identical to the direct form (spec-pinned). */
+  def hopDistance(g: GraphCapture, sources: DataFrame, maxHops: Int): DataFrame =
+    ShuffleSizing.withEdgeScaledShuffle(g.spark, g.edgeCount) {
+      supersteps(g.keyed("v", "u"), sources, maxHops, releaseEdges = () => ())
+    }
+
+  /** The frontier-expansion supersteps over a v-partitioned undirected
+    * edge relation; `releaseEdges` runs after the result is cut
+    * self-contained (a no-op for shared captures). */
+  private def supersteps(und: DataFrame, sources: DataFrame, maxHops: Int,
+                         releaseEdges: () => Unit): DataFrame = {
     var visited = sources.select(col(sources.columns.head).as("id"))
       .distinct().withColumn("hops", lit(0)).cache()
     var frontier = visited.select(col("id"))
@@ -116,8 +138,7 @@ object Bfs {
     // returned frame independent of everything released below
     val out = visited.localCheckpoint()
     visited.unpersist()
-    undRddIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    releaseEdges()
     out // checkpoint-backed — caller-owned, see scaladoc
-    } // withEdgeScaledShuffle
   }
 }

@@ -24,6 +24,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pass an identity/parquet `materialize` instead. */
 private[graft] object CacheHygiene {
 
+  /** Run a DELIBERATE checkpoint-release block with the known
+    * "lineage has been truncated" WARN quieted (every unpersist of a
+    * localCheckpoint RDD logs it — here it is the exact intent),
+    * restoring the previous level after. Scoping the quieting to the
+    * release call sites (instead of the old session-global silence in
+    * Tables.tune, r16 advice) keeps the same warning VISIBLE anywhere
+    * else — where it genuinely signals lineage truncation on a block
+    * something still needed. */
+  def quietRelease[T](body: => T): T = {
+    val logger = "org.apache.spark.rdd.MapPartitionsRDD"
+    val prev = org.apache.logging.log4j.LogManager.getLogger(logger).getLevel
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      logger, org.apache.logging.log4j.Level.ERROR)
+    try body
+    finally org.apache.logging.log4j.core.config.Configurator.setLevel(logger, prev)
+  }
+
   /** Run `body`, cut the returned frame's lineage with `finalCut`
     * (must be EAGER when it persists — the default localCheckpoint
     * is), then release every persistent RDD `body` registered. With a
@@ -36,8 +53,10 @@ private[graft] object CacheHygiene {
     val out0 = body
     val mid = sc.getPersistentRDDs.keySet.toSet
     val out = finalCut(out0)
-    (mid -- before).foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    quietRelease {
+      (mid -- before).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    }
     out
   }
 
@@ -46,7 +65,7 @@ private[graft] object CacheHygiene {
     * checkpoint RDD at any LogicalRDD leaf (`Dataset.unpersist` is a
     * silent no-op on a checkpointed frame). Safe on any frame —
     * non-persisted leaves are untouched. */
-  def release(df: DataFrame): Unit = {
+  def release(df: DataFrame): Unit = quietRelease {
     df.unpersist(blocking = true)
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>

@@ -895,8 +895,9 @@ object Dedup {
     // rest behind a final self-contained cut of the result
     val sc = spark.sparkContext
     val persistedBefore = sc.getPersistentRDDs.keySet.toSet
-    def releaseIds(ids: Set[Int]): Unit =
+    def releaseIds(ids: Set[Int]): Unit = CacheHygiene.quietRelease {
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
     def newPersisted(since: Set[Int]): Set[Int] =
       sc.getPersistentRDDs.keySet.toSet -- since
     try {
@@ -908,9 +909,14 @@ object Dedup {
       // but graph-shaped callers (e.g. BasketEdges output) already
       // hold both directions distinct — for them the union+distinct is
       // a pure |E|-row shuffle of redundant work, the largest one-time
-      // stage of the sf1 basket drill. Duplicate edges would not
-      // change results either way (min-aggregation is idempotent);
-      // the flag is a plan choice, not a correctness trap.
+      // stage of the sf1 basket drill. Duplicate edges cannot change
+      // results (min-aggregation is idempotent), so for contract-
+      // honoring input the flag is purely a plan choice. VIOLATED
+      // symmetry narrows the vertex set: labels initialize from the
+      // s column only, so a vertex appearing solely in t is dropped —
+      // both paths below honor that same s-only contract (the driver
+      // fast path filters to s-seen vertices), keeping the output
+      // identical across driverMaxEdges.
       edges = cut(
         if (assumeSymmetric)
           pairs.select(col("id_a").as("s"), col("id_b").as("t"))
@@ -925,7 +931,7 @@ object Dedup {
       val edgeCount = edges.count()
       if (edges.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType) &&
           edgeCount <= driverMaxEdges) {
-        val out = driverComponents(edges)
+        val out = driverComponents(edges, sOnlyVertices = assumeSymmetric)
         drop("edges")
         releaseIds(newPersisted(persistedBefore)) // the edge checkpoint blocks
         return out
@@ -955,51 +961,8 @@ object Dedup {
           releaseIds(edgeIds)
           p
         } else edges
-      val preR0 = sc.getPersistentRDDs.keySet.toSet
-      labels = cut(parted.groupBy(col("s").as("v"))
-        .agg(least(min(col("s")), min(col("t"))).as("comp")), // min(s)=s per group
-        "r0", lazyLocal = false)
-      val smallV = labels.count() <= ShuffleSizing.BroadcastNodeLimit
-      def labelSide(df: DataFrame): DataFrame =
-        if (smallV) org.apache.spark.sql.functions.broadcast(df) else df
-      var labelsIds = newPersisted(preR0) // this round's blocks (local path)
-      var iter = 0
-      var converged = false
-      // convergence detector: per-vertex labels are monotonically
-      // non-increasing, so the label sum (exact decimal — no overflow,
-      // no join) is strictly decreasing until the fixpoint
-      var prevSum: java.math.BigDecimal = null
-      while (!converged && iter < maxIter) {
-        val preRound = sc.getPersistentRDDs.keySet.toSet
-        val viaNeighbors = parted
-          .join(labelSide(
-            labels.withColumnRenamed("v", "t").withColumnRenamed("comp", "ncomp")), Seq("t"))
-          .groupBy(col("s").as("v")).agg(min(col("ncomp")).as("mincomp"))
-        val stepped = labels.join(viaNeighbors, Seq("v"), "left")
-          .select(col("v"), least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
-        // pointer jump: follow the freshly-stepped label one more hop
-        // (comp(comp(v))) — the label table acts as its own shortcut
-        // graph. Both sides of the self-join share the identical subplan,
-        // so the stepped shuffle runs once (ReusedExchange), and only the
-        // jumped result is cut — one materialisation per round.
-        val jumped = cut(stepped.join(
-            stepped.select(col("v").as("comp"), col("comp").as("jcomp")), Seq("comp"), "left")
-          .select(col("v"), least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp")),
-          s"r${iter + 1}", lazyLocal = true)
-        val s = Option(jumped.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0))
-          .getOrElse(java.math.BigDecimal.ZERO)
-        converged = prevSum != null && s.compareTo(prevSum) == 0
-        prevSum = s
-        releaseIds(labelsIds)   // previous round's local blocks are dead now
-        drop(s"r$iter")         // ... and so are its checkpoint files
-        labelsIds = newPersisted(preRound)
-        labels = jumped
-        iter += 1
-      }
+      labels = ccRounds(parted, maxIter, cut, drop)
       drop("edges")
-      if (!converged)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxIter rounds")
       val out0 = labels.select(col("v").as("doc_id"), col("comp").as("component_id"))
       // self-contained result BEFORE the intermediates are released
       // (the Bfs lineage rule): on the local path the final cut owns
@@ -1032,12 +995,121 @@ object Dedup {
     }
   }
 
+  /** [[connectedComponents]] over a SHARED [[GraphCapture]] — the
+    * capture (symmetrize + materialize + s-partition) is paid once by
+    * the caller and reused across the graph family; this call is
+    * rounds-only (localCheckpoint mode; a parquet-checkpoint run wants
+    * the direct form, whose scratch-dir contract the shared capture
+    * cannot honor). The capture satisfies the symmetric contract by
+    * construction, so the driver fast path uses the same s-only vertex
+    * set as the rounds. Bit-identical to the direct form on the same
+    * graph (spec-pinned). */
+  def connectedComponents(g: GraphCapture, maxIter: Int,
+                          driverMaxEdges: Long): DataFrame = {
+    val spark = g.spark
+    val sc = spark.sparkContext
+    if (g.longIds && g.edgeCount <= driverMaxEdges)
+      return driverComponents(g.keyed("s", "t"), sOnlyVertices = true)
+    val persistedBefore = sc.getPersistentRDDs.keySet.toSet
+    ShuffleSizing.withEdgeScaledShuffle(spark, g.edgeCount) {
+      val labels = ccRounds(g.keyed("s", "t"), maxIter,
+        cut = (df, _, lazyLocal) => df.localCheckpoint(!lazyLocal),
+        drop = _ => ())
+      val out0 = labels.select(col("v").as("doc_id"), col("comp").as("component_id"))
+      // self-contained result BEFORE the round intermediates are
+      // released; the capture blocks predate persistedBefore and stay
+      // caller-owned
+      val preFinal = sc.getPersistentRDDs.keySet.toSet
+      val out = out0.localCheckpoint()
+      CacheHygiene.quietRelease {
+        (preFinal -- persistedBefore).foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      }
+      out
+    }
+  }
+
+  def connectedComponents(g: GraphCapture): DataFrame =
+    connectedComponents(g, maxIter = 50, driverMaxEdges = 1000000L)
+
+  /** The neighbor-min + pointer-jump rounds over an s-partitioned
+    * symmetric edge relation: returns the converged (v, comp) labels
+    * (throws past `maxIter`). `cut`/`drop` are the caller's
+    * lineage-cut and checkpoint-file-disposal hooks — parquet or
+    * localCheckpoint in [[connectedComponents]]'s direct form, pure
+    * localCheckpoint with a no-op drop for shared captures. Per-round
+    * intermediate blocks are released inside as soon as the next
+    * round lands. */
+  private def ccRounds(parted: DataFrame, maxIter: Int,
+                       cut: (DataFrame, String, Boolean) => DataFrame,
+                       drop: String => Unit): DataFrame = {
+    val sc = parted.sparkSession.sparkContext
+    def newPersisted(since: Set[Int]): Set[Int] =
+      sc.getPersistentRDDs.keySet.toSet -- since
+    def releaseIds(ids: Set[Int]): Unit = CacheHygiene.quietRelease {
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
+    val preR0 = sc.getPersistentRDDs.keySet.toSet
+    var labels = cut(parted.groupBy(col("s").as("v"))
+      .agg(least(min(col("s")), min(col("t"))).as("comp")), // min(s)=s per group
+      "r0", false)
+    val smallV = labels.count() <= ShuffleSizing.BroadcastNodeLimit
+    def labelSide(df: DataFrame): DataFrame =
+      if (smallV) org.apache.spark.sql.functions.broadcast(df) else df
+    var labelsIds = newPersisted(preR0) // this round's blocks (local path)
+    var iter = 0
+    var converged = false
+    // convergence detector: per-vertex labels are monotonically
+    // non-increasing, so the label sum (exact decimal — no overflow,
+    // no join) is strictly decreasing until the fixpoint
+    var prevSum: java.math.BigDecimal = null
+    while (!converged && iter < maxIter) {
+      val preRound = sc.getPersistentRDDs.keySet.toSet
+      val viaNeighbors = parted
+        .join(labelSide(
+          labels.withColumnRenamed("v", "t").withColumnRenamed("comp", "ncomp")), Seq("t"))
+        .groupBy(col("s").as("v")).agg(min(col("ncomp")).as("mincomp"))
+      val stepped = labels.join(viaNeighbors, Seq("v"), "left")
+        .select(col("v"), least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
+      // pointer jump: follow the freshly-stepped label one more hop
+      // (comp(comp(v))) — the label table acts as its own shortcut
+      // graph. Both sides of the self-join share the identical subplan,
+      // so the stepped shuffle runs once (ReusedExchange), and only the
+      // jumped result is cut — one materialisation per round.
+      val jumped = cut(stepped.join(
+          stepped.select(col("v").as("comp"), col("comp").as("jcomp")), Seq("comp"), "left")
+        .select(col("v"), least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp")),
+        s"r${iter + 1}", true)
+      val s = Option(jumped.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      releaseIds(labelsIds)   // previous round's local blocks are dead now
+      drop(s"r$iter")         // ... and so are its checkpoint files
+      labelsIds = newPersisted(preRound)
+      labels = jumped
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Exact union-find (path compression, union-by-min so the root IS
     * the component's min id) over a collected edge list — the
     * small-graph path of [[connectedComponents]]. */
-  private def driverComponents(edges: DataFrame): DataFrame = {
+  /** Driver union-find fast path. `sOnlyVertices` mirrors the
+    * distributed rounds' vertex contract under `assumeSymmetric`:
+    * labels initialize from the s column, so a vertex appearing only
+    * in t is not emitted — on contract-honoring (symmetric) input the
+    * filter is a no-op, and on violated input both paths return the
+    * same (s-only) vertex set instead of silently diverging at the
+    * driverMaxEdges boundary. */
+  private def driverComponents(edges: DataFrame, sOnlyVertices: Boolean): DataFrame = {
     val spark = edges.sparkSession
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val sSeen = scala.collection.mutable.HashSet.empty[Long]
     def find(x: Long): Long = {
       var r = x
       while (parent(r) != r) r = parent(r)
@@ -1048,11 +1120,13 @@ object Dedup {
     edges.select(col("s"), col("t")).collect().foreach { row =>
       val a = row.getLong(0); val b = row.getLong(1)
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      if (sOnlyVertices) sSeen += a
       val ra = find(a); val rb = find(b)
       if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
     }
     import spark.implicits._
-    parent.keys.toSeq.sorted.map(v => (v, find(v)))
+    parent.keys.toSeq.filter(v => !sOnlyVertices || sSeen(v)).sorted
+      .map(v => (v, find(v)))
       .toDF("doc_id", "component_id")
   }
 

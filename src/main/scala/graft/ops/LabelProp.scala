@@ -62,25 +62,48 @@ object LabelProp {
       // beyond the broadcast bound the op falls back to exactly the
       // pre-r15 shuffling plan.
       val parted = ShuffleSizing.partitionedMaterialize(edges, col("src"), materialize)
-      var labels = parted.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-      val smallV = labels.count() <= ShuffleSizing.BroadcastNodeLimit
-      def labelSide(df: DataFrame): DataFrame =
-        if (smallV) broadcast(df) else df
-      for (_ <- 1 to iterations) {
-        labels = materialize(
-          parted.join(labelSide(labels.withColumnRenamed("id", "__nid")),
-              col("dst") === col("__nid"))
-            .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
-            // argmax by (n desc, label asc) as one struct-max: labels
-            // enter negated so the lexicographic max lands on the
-            // smallest label among the tied-most-frequent
-            .groupBy(col("src"))
-            .agg(max(struct(col("n"), (-col("label")).as("__neg"))).as("__m"))
-            .select(col("src").as("id"), (-col("__m.__neg")).as("label")))
-      }
-      labels
+      rounds(parted, iterations, materialize)
     }
     }(materialize)
+  }
+
+  /** [[labelPropagation]] over a SHARED [[GraphCapture]] — the capture
+    * (symmetrize + materialize + partition) is paid once by the caller
+    * and reused across the graph family; this call is rounds-only.
+    * Bit-identical to the direct form on the same graph (spec-pinned). */
+  def labelPropagation(g: GraphCapture, iterations: Int,
+                       materialize: DataFrame => DataFrame): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    CacheHygiene.scoped(g.spark) {
+      ShuffleSizing.withEdgeScaledShuffle(g.spark, g.edgeCount) {
+        rounds(g.keyed("src", "dst"), iterations, materialize)
+      }
+    }(materialize)
+  }
+
+  def labelPropagation(g: GraphCapture, iterations: Int): DataFrame =
+    labelPropagation(g, iterations, _.localCheckpoint())
+
+  /** The synchronous rounds over a src-partitioned edge relation. */
+  private def rounds(parted: DataFrame, iterations: Int,
+                     materialize: DataFrame => DataFrame): DataFrame = {
+    var labels = parted.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    val smallV = labels.count() <= ShuffleSizing.BroadcastNodeLimit
+    def labelSide(df: DataFrame): DataFrame =
+      if (smallV) broadcast(df) else df
+    for (_ <- 1 to iterations) {
+      labels = materialize(
+        parted.join(labelSide(labels.withColumnRenamed("id", "__nid")),
+            col("dst") === col("__nid"))
+          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
+          // argmax by (n desc, label asc) as one struct-max: labels
+          // enter negated so the lexicographic max lands on the
+          // smallest label among the tied-most-frequent
+          .groupBy(col("src"))
+          .agg(max(struct(col("n"), (-col("label")).as("__neg"))).as("__m"))
+          .select(col("src").as("id"), (-col("__m.__neg")).as("label")))
+    }
+    labels
   }
 }

@@ -54,9 +54,6 @@ object PageRank {
     // exit; only the returned frame stays persisted, self-contained
     // behind one final cut (r15 advice — `parted` used to leak)
     CacheHygiene.scoped(edges0.sparkSession) {
-    val dec = DecimalType(38, 0)
-    val scale = lit(1000000000000L).cast(dec)
-    val base = lit(150000000000L).cast(dec)
     val edges = materialize(
       edges0.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
     // edges are materialized, so this count is a free scan — shuffle
@@ -87,21 +84,60 @@ object PageRank {
       // materialized node set; beyond the broadcast bound the op
       // falls back to exactly the pre-r15 shuffling plan.
       val parted = ShuffleSizing.partitionedMaterialize(edges, col("__dst"), materialize)
-      val smallV = nodes.count() <= ShuffleSizing.BroadcastNodeLimit
-      def contribSide(df: DataFrame): DataFrame =
-        if (smallV) broadcast(df) else df
-      var ranks = nodes.withColumn("__r", scale)
-      for (_ <- 1 to iterations) {
-        val perSrc = ranks.join(degrees, ranks("id") === degrees("__src"))
-          .select(col("__src"),
-            expr("CAST((__r * CAST(85 AS DECIMAL(38,0))) DIV (CAST(100 AS DECIMAL(38,0)) * __deg) AS DECIMAL(38,0))").as("__c"))
-        val contribs = parted.join(contribSide(perSrc), Seq("__src"))
-          .groupBy(col("__dst").as("id")).agg(sum(col("__c")).as("__in"))
-        ranks = materialize(nodes.join(contribs, Seq("id"), "left")
-          .select(col("id"), (base + coalesce(col("__in"), lit(0).cast(dec))).as("__r")))
-      }
-      ranks.select(col("id"), col("__r").cast("long").as("pr"))
+      rounds(parted, degrees, nodes, iterations, materialize)
     }
     }(materialize)
+  }
+
+  /** [[pageRank]] over a SHARED [[GraphCapture]] (an UNDIRECTED rank:
+    * the capture's symmetry contract means every edge exists both
+    * ways, which is also what makes one s-partitioned capture usable
+    * here). The capture is paid once by the caller; this call derives
+    * degrees and the node set PARTITION-LOCALLY from the capture
+    * (degree(v) = |s-group v|, nodes = distinct s — both complete and
+    * exact by symmetry) and runs rounds-only. Bit-identical to the
+    * direct form on the same symmetric edge list (spec-pinned). */
+  def pageRank(g: GraphCapture, iterations: Int,
+               materialize: DataFrame => DataFrame): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    CacheHygiene.scoped(g.spark) {
+      ShuffleSizing.withEdgeScaledShuffle(g.spark, g.edgeCount) {
+        // the round aggregate keys on __dst — land the partition
+        // column there (symmetry makes the rename a relabeling of the
+        // same edge set, so values are unchanged)
+        val parted = g.keyed("__dst", "__src")
+        val degrees = materialize(parted
+          .groupBy(col("__dst").as("__src")).agg(count(lit(1)).as("__deg")))
+        val nodes = materialize(parted.select(col("__dst").as("id")).distinct())
+        rounds(parted, degrees, nodes, iterations, materialize)
+      }
+    }(materialize)
+  }
+
+  def pageRank(g: GraphCapture, iterations: Int): DataFrame =
+    pageRank(g, iterations, _.localCheckpoint())
+
+  /** The damped-rank rounds over a __dst-partitioned edge relation
+    * with pre-materialized degrees (keyed __src) and node set. */
+  private def rounds(parted: DataFrame, degrees: DataFrame, nodes: DataFrame,
+                     iterations: Int,
+                     materialize: DataFrame => DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val scale = lit(1000000000000L).cast(dec)
+    val base = lit(150000000000L).cast(dec)
+    val smallV = nodes.count() <= ShuffleSizing.BroadcastNodeLimit
+    def contribSide(df: DataFrame): DataFrame =
+      if (smallV) broadcast(df) else df
+    var ranks = nodes.withColumn("__r", scale)
+    for (_ <- 1 to iterations) {
+      val perSrc = ranks.join(degrees, ranks("id") === degrees("__src"))
+        .select(col("__src"),
+          expr("CAST((__r * CAST(85 AS DECIMAL(38,0))) DIV (CAST(100 AS DECIMAL(38,0)) * __deg) AS DECIMAL(38,0))").as("__c"))
+      val contribs = parted.join(contribSide(perSrc), Seq("__src"))
+        .groupBy(col("__dst").as("id")).agg(sum(col("__c")).as("__in"))
+      ranks = materialize(nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"), (base + coalesce(col("__in"), lit(0).cast(dec))).as("__r")))
+    }
+    ranks.select(col("id"), col("__r").cast("long").as("pr"))
   }
 }

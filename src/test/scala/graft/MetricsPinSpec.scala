@@ -53,8 +53,16 @@ class MetricsPinSpec extends SparkSpecBase {
     (m.shuffleReadRows, m.shuffleWriteRows)
   }
 
+  // q132 joined the set in r17 (judge directive #5): the one heavy
+  // rows-unstable query in the r16 sf1 bench outside the documented
+  // AQE-flip list. Same class as q26: profile() plans the SAME orders
+  // scan subtree under both the wide metadata aggregate and the exact-
+  // NDV Expand aggregate, so whether AQE's stage reuse unifies the two
+  // scans hinges on canonicalized-plan equality — flippable between
+  // invocations of unchanged code. Pinned with reuse off like the rest.
   for (q <- Seq("q78_big_qty_orders", "q93_copurchase_pagerank",
-                "q137_label_propagation", "q26_jaccard_pairs", "q164_kmv_source_overlap")) {
+                "q137_label_propagation", "q26_jaccard_pairs", "q164_kmv_source_overlap",
+                "q132_table_profile")) {
     test(s"$q: shuffle-row figures are run-independent (the pinned bench signal)") {
       // one discarded warm run (cheap at sf0.001) keeps any first-run
       // lazy initialization out of the pinned figures

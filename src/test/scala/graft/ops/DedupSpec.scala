@@ -286,6 +286,20 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("connectedComponents assumeSymmetric on VIOLATED symmetry: both paths agree on the s-only vertex set") {
+    // contract-violating input: one direction only — vertices 2 and 22
+    // never appear in s. The documented semantics drop t-only vertices;
+    // what must NOT happen is the answer changing with driverMaxEdges.
+    val asym = Seq((1L, 2L), (21L, 22L)).toDF("id_a", "id_b")
+    val results = Seq(0L, 1000000L).map { driverMax =>
+      Dedup.connectedComponents(asym, driverMaxEdges = driverMax,
+        assumeSymmetric = true).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(results(0) == results(1),
+      s"driver and distributed paths diverged: ${results(0)} vs ${results(1)}")
+    assert(results(0).keySet == Set(1L, 21L), s"s-only contract: ${results(0)}")
+  }
+
   test("connectedComponents (distributed, local path) leaves only the returned frame persisted") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     // long chain + star: multiple pointer-jump rounds, every
