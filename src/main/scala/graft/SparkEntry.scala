@@ -2758,6 +2758,36 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The graph family on ONE shared capture (GraphCapture, the r16
+    // directive-#2 operator): label propagation, PageRank, and BFS hop
+    // distance over the same co-purchase graph pay a single
+    // materialize+partition capture instead of three, and the
+    // composite must be indistinguishable from the standalone gates'
+    // math — the oracle recomputes all three ops from the raw tables
+    // in one statement over one shared pairs CTE. (Connected
+    // components runs on the same capture path — q44/q162 gate it; its
+    // all-pairs-reachability oracle is infeasible in DuckDB on the
+    // co-purchase GIANT component, so the composite pins the three
+    // bounded-round ops. GraphFamilyDrill pins all FOUR bit-identical
+    // to their direct forms at sf1 edge volume.)
+    "q205_graph_family_shared" -> ((s, dir) => {
+      val edges = graft.ops.BasketEdges.edges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      val g = graft.ops.GraphCapture.capture(edges, "src", "dst",
+        symmetrize = false) // BasketEdges contract: both directions, distinct
+      val lp = graft.ops.LabelProp.labelPropagation(g, iterations = 3)
+      val pr = graft.ops.PageRank.pageRank(g, iterations = 2)
+      val sources = t(s, dir, "part").filter(col("p_partkey") % 50 === 0)
+        .select(col("p_partkey"))
+      val bf = graft.ops.Bfs.hopDistance(g, sources, maxHops = 3)
+      g.release() // every result above is already self-contained
+      lp.withColumnRenamed("id", "part")
+        .join(pr.withColumnRenamed("id", "part"), "part")
+        .join(bf.withColumnRenamed("id", "part")
+          .withColumn("hops", col("hops").cast("long")), Seq("part"), "left")
+        .orderBy(col("part"))
+    }),
+
     // Quantile-gated quality filter (CCNet-style "drop the worst
     // quartile per language", but threshold-based): per-language p25
     // of the token count from the mergeable histogram sketch, bins
@@ -4379,6 +4409,52 @@ object SparkEntry {
     "q202_ivf_index_stream" -> ivfAnnOracleSql,
     "q203_ivf_index_compact" -> ivfAnnOracleSql,
     "q204_ivf_grouped_search" -> ivfAnnOracleSqlAt(32, 1, 5),
+
+    "q205_graph_family_shared" ->
+      """WITH RECURSIVE pairs AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         nodes AS (SELECT DISTINCT src AS id FROM pairs),
+         l0 AS (SELECT id, id AS label FROM nodes),
+         c1 AS (SELECT e.src, l.label, COUNT(*) AS n
+                FROM pairs e JOIN l0 l ON e.dst = l.id GROUP BY 1, 2),
+         l1 AS (SELECT src AS id, label FROM c1
+                QUALIFY row_number() OVER (PARTITION BY src ORDER BY n DESC, label) = 1),
+         c2 AS (SELECT e.src, l.label, COUNT(*) AS n
+                FROM pairs e JOIN l1 l ON e.dst = l.id GROUP BY 1, 2),
+         l2 AS (SELECT src AS id, label FROM c2
+                QUALIFY row_number() OVER (PARTITION BY src ORDER BY n DESC, label) = 1),
+         c3 AS (SELECT e.src, l.label, COUNT(*) AS n
+                FROM pairs e JOIN l2 l ON e.dst = l.id GROUP BY 1, 2),
+         l3 AS (SELECT src AS id, label FROM c3
+                QUALIFY row_number() OVER (PARTITION BY src ORDER BY n DESC, label) = 1),
+         deg AS (SELECT src, COUNT(*)::HUGEINT AS d FROM pairs GROUP BY 1),
+         r1 AS (SELECT n.id,
+                       150000000000::HUGEINT + COALESCE(SUM((1000000000000::HUGEINT * 85) // (100 * d.d)), 0) AS r
+                FROM nodes n
+                LEFT JOIN pairs e ON e.dst = n.id
+                LEFT JOIN deg d ON d.src = e.src
+                GROUP BY n.id),
+         r2 AS (SELECT n.id,
+                       150000000000::HUGEINT + COALESCE(SUM((r.r * 85) // (100 * d.d)), 0) AS r
+                FROM nodes n
+                LEFT JOIN pairs e ON e.dst = n.id
+                LEFT JOIN deg d ON d.src = e.src
+                LEFT JOIN r1 r ON r.id = e.src
+                GROUP BY n.id),
+         srcs AS (SELECT DISTINCT p_partkey AS id FROM part WHERE p_partkey % 50 = 0),
+         bfs(id, hops) AS (
+           SELECT id, 0 FROM srcs
+           UNION
+           SELECT p.dst, bfs.hops + 1 FROM bfs JOIN pairs p ON p.src = bfs.id
+           WHERE bfs.hops < 3),
+         mh AS (SELECT id, MIN(hops) AS hops FROM bfs GROUP BY id)
+         SELECT n.id AS part, CAST(l3.label AS BIGINT) AS label,
+                CAST(r2.r AS BIGINT) AS pr, CAST(mh.hops AS BIGINT) AS hops
+         FROM nodes n JOIN l3 ON l3.id = n.id JOIN r2 ON r2.id = n.id
+         LEFT JOIN mh ON mh.id = n.id
+         ORDER BY part""",
 
     "q38_cosine_neardups" ->
       """WITH dims AS (SELECT DISTINCT i - 1 AS d
