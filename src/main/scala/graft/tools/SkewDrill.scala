@@ -96,6 +96,10 @@ object SkewDrill {
     val corpus = docs.select(col("doc_id"),
       mkText(col("cluster"), col("member"), col("doc_id")).as("text"))
       .localCheckpoint()
+    // ids of the blocks BACKING the corpus (corpus.rdd.id is a fresh
+    // deserialized RDD, not the registered checkpoint RDD — filtering
+    // on it released the corpus blocks and killed every later stage)
+    val corpusIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     println(s"[skew] corpus: ${corpus.count()} docs, mega-cluster=$mega, " +
       s"zipf-tail=$zipfBudget, boilerplate=~${nDocs * 3 / 10}")
 
@@ -143,8 +147,9 @@ object SkewDrill {
     val mx = graft.bench.QueryMetricsListener.install(spark)
     def run(label: String)(f: => org.apache.spark.sql.DataFrame): Long = {
       graft.ops.CacheHygiene.quietRelease {
-        spark.sparkContext.getPersistentRDDs.values
-          .filterNot(_.id == corpus.rdd.id).foreach(_.unpersist(false))
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => corpusIds.contains(id) }
+          .values.foreach(_.unpersist(false))
       }
       System.gc()
       mx.reset()
