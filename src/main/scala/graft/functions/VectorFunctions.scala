@@ -614,13 +614,36 @@ object VectorFunctions {
     * groups partition the probed buckets exactly, so total bytes also
     * never exceed the union read.
     *
+    * MERGE POLICY (r17, motivated by the sf10 batch drill): exact
+    * grouping issued up to 31 scans for 32 queries at nprobe ≥ 2 —
+    * per-scan overhead dominated a small index. Two result-identical
+    * merges fix that, both by the same argument that makes grouping
+    * safe in the first place (the per-query bucket join already
+    * restricts every query's candidates to its OWN probe buckets, so
+    * scanning a SUPERSET of a query's buckets adds no candidates):
+    *
+    *  - subset-merge (always on): a group whose bucket set is
+    *    contained in another group's rides that group's scan —
+    *    strictly fewer scans AND strictly fewer total bytes. With a
+    *    uniform nprobe all probe sets are the same size, so this only
+    *    fires on the nprobe ≥ C cap edge; it exists for mixed shapes.
+    *  - `maxScans` > 0: greedy agglomerative merge of the two groups
+    *    with the largest bucket overlap (tie: smallest merged size,
+    *    then bucket order) until at most `maxScans` groups remain —
+    *    the production knob. Bounded scans amortize per-scan planning
+    *    overhead at the cost of boundedly more bytes per scan; at
+    *    maxScans = 1 it degenerates to exactly the monolithic
+    *    all-probed-buckets scan of [[ivfIndexTopK]]. Driver-side set
+    *    algebra on ≤ |queries| probe sets (broadcast-small contract).
+    *
     * Row-for-row equal to [[ivfIndexTopK]] on the same arguments
     * (gate-pinned): the groups partition the query set, a query's
     * candidates all live in its own probe buckets, and the per-group
     * [[rankTopK]] is the same deterministic bounded aggregate. */
   def ivfIndexTopKGrouped(spark: SparkSession, path: String, queries: DataFrame,
                           centroids: DataFrame, idCol: String, vecCol: String,
-                          k: Int, nprobe: Int): DataFrame = {
+                          k: Int, nprobe: Int, maxScans: Int = 0): DataFrame = {
+    require(maxScans >= 0, s"maxScans must be >= 0 (0 = uncapped), got $maxScans")
     VecExpressions.register(spark)
     val q = quantizer(centroids)
     val queriesIn = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
@@ -631,10 +654,44 @@ object VectorFunctions {
       .map(r => (r.get(0), r.getSeq[Int](1).sorted))
     if (plan.isEmpty) // empty-input edge: same well-typed empty frame
       return ivfIndexTopK(spark, path, queries, centroids, idCol, vecCol, k, nprobe)
-    val groups = plan.groupBy(_._2).toSeq.sortBy(_._1.mkString(","))
-    groups.map { case (buckets, members) =>
-      val ids = members.map(_._1).toSeq
-      val probes = queriesIn.filter(col("query_id").isInCollection(ids))
+    // exact-probe-set groups, then subset-merge (first-fit, larger first)
+    val bySize = plan.groupBy(_._2).toSeq
+      .sortBy { case (b, _) => (-b.size, b.mkString(",")) }
+    val merged = scala.collection.mutable.ArrayBuffer
+      .empty[(Set[Int], scala.collection.mutable.ArrayBuffer[Any])]
+    bySize.foreach { case (buckets, members) =>
+      merged.find(g => buckets.forall(g._1)) match {
+        case Some(g) => g._2 ++= members.map(_._1)
+        case None =>
+          merged += ((buckets.toSet,
+            scala.collection.mutable.ArrayBuffer[Any](members.map(_._1): _*)))
+      }
+    }
+    // optional scan-count cap: repeatedly fuse the most-overlapping pair
+    if (maxScans > 0) while (merged.size > maxScans) {
+      var best = (-1, -1); var bestKey = (Int.MinValue, Int.MaxValue, "")
+      var i = 0
+      while (i < merged.size) {
+        var j = i + 1
+        while (j < merged.size) {
+          val (a, b) = (merged(i)._1, merged(j)._1)
+          val inter = (a & b).size
+          val key = (inter, -(a | b).size, (a | b).toSeq.sorted.mkString(","))
+          if (key._1 > bestKey._1 ||
+              (key._1 == bestKey._1 && (key._2 > bestKey._2 ||
+               (key._2 == bestKey._2 && key._3 < bestKey._3))))
+            { bestKey = key; best = (i, j) }
+          j += 1
+        }
+        i += 1
+      }
+      val (bi, bj) = best
+      merged(bi) = ((merged(bi)._1 | merged(bj)._1, merged(bi)._2 ++= merged(bj)._2))
+      merged.remove(bj)
+    }
+    merged.map { case (bs, ids) => (bs.toSeq.sorted, ids) }
+      .sortBy(_._1.mkString(",")).map { case (buckets, ids) =>
+      val probes = queriesIn.filter(col("query_id").isInCollection(ids.toSeq))
         .withColumn("bucket", explode(probesFor(q, col("__qv"), nprobe)))
       val corpus = readIndexBuckets(spark, path, buckets)
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("bucket"))

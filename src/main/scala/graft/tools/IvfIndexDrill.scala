@@ -110,7 +110,8 @@ object IvfIndexDrill {
     println(s"[ivfdrill] batch leg: 32 queries, $totalFiles live index files")
     println(f"[ivfdrill] ${"nprobe"}%-7s ${"mono_s"}%-8s ${"mono_files"}%-11s " +
       f"${"mono_MB"}%-9s ${"grp_s"}%-8s ${"grp_scans"}%-10s ${"grp_maxf"}%-9s " +
-      f"${"grp_sumf"}%-9s ${"grp_MB"}%-8s equal")
+      f"${"grp_sumf"}%-9s ${"grp_MB"}%-8s ${"cap8_s"}%-8s ${"cap8_scans"}%-10s " +
+      f"${"cap8_sumf"}%-9s equal")
     nprobes.foreach { np =>
       def measure(df: DataFrame): (Double, Long, Long, Seq[Long]) = {
         mx.reset()
@@ -129,12 +130,16 @@ object IvfIndexDrill {
         centroids, "vec_id", "embedding", k, np)
       val grp = VectorFunctions.ivfIndexTopKGrouped(spark, idx, batch,
         centroids, "vec_id", "embedding", k, np)
+      val cap8 = VectorFunctions.ivfIndexTopKGrouped(spark, idx, batch,
+        centroids, "vec_id", "embedding", k, np, maxScans = 8)
       val (mt, mb, mf, _) = measure(mono)
       val (gt, gb, _, gscans) = measure(grp)
-      val equal = rowsOf(mono) == rowsOf(grp)
+      val (ct, _, _, cscans) = measure(cap8)
+      val equal = rowsOf(mono) == rowsOf(grp) && rowsOf(mono) == rowsOf(cap8)
       println(f"[ivfdrill] $np%-7d $mt%-8.2f $mf%-11d ${mb / 1e6}%-9.1f " +
         f"$gt%-8.2f ${gscans.size}%-10d ${if (gscans.isEmpty) 0L else gscans.max}%-9d " +
-        f"${gscans.sum}%-9d ${gb / 1e6}%-8.1f $equal")
+        f"${gscans.sum}%-9d ${gb / 1e6}%-8.1f " +
+        f"$ct%-8.2f ${cscans.size}%-10d ${cscans.sum}%-9d $equal")
     }
     spark.stop()
   }

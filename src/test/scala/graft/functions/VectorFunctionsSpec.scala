@@ -574,6 +574,41 @@ class VectorFunctionsSpec extends SparkSpecBase {
     assert(empty.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "cosine_sim"))
   }
 
+  test("ivfIndexTopKGrouped maxScans caps the scan count; results stay identical") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-maxscans").toString
+    VectorFunctions.writeIvfIndex(emb.repartition(3), "vec_id", "embedding", centroids, idx)
+    val queries = emb.filter(col("vec_id") < 24)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    def idxScans(df: org.apache.spark.sql.DataFrame): Int =
+      scans(df.queryExecution.executedPlan)
+        .count(_.relation.location.rootPaths.exists(_.toString.contains(idx)))
+    val mono = rows(VectorFunctions.ivfIndexTopK(spark, idx, queries,
+      centroids, "vec_id", "embedding", k = 4, nprobe = 2))
+    val uncapped = VectorFunctions.ivfIndexTopKGrouped(spark, idx, queries,
+      centroids, "vec_id", "embedding", k = 4, nprobe = 2)
+    assert(rows(uncapped) == mono)
+    val freeScans = idxScans(uncapped)
+    assert(freeScans > 1, s"fixture must produce multiple probe-set groups, got $freeScans")
+    for (cap <- Seq(1, 2, freeScans + 5)) {
+      val capped = VectorFunctions.ivfIndexTopKGrouped(spark, idx, queries,
+        centroids, "vec_id", "embedding", k = 4, nprobe = 2, maxScans = cap)
+      assert(rows(capped) == mono, s"merge policy must be invisible at maxScans=$cap")
+      val n = idxScans(capped)
+      assert(n <= math.min(cap, freeScans) && n >= 1,
+        s"maxScans=$cap must bound the scan count, got $n (uncapped $freeScans)")
+    }
+  }
+
   test("legacy pre-manifest tree: search falls back to listing; compaction adopts it and deletes folds inline") {
     val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
     val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
