@@ -142,9 +142,16 @@ private[graft] object IvfManifest {
       case seg if seg.startsWith("bucket=") => seg.stripPrefix("bucket=").toInt
     }
 
-  /** Record files dropped by manifest `seq` for deferred deletion. */
+  /** Record files dropped by manifest `seq` for deferred deletion.
+    * Idempotent like [[commitAt]] — an intent-log replay whose first
+    * attempt crashed AFTER the gc ledger landed must SKIP the write,
+    * not re-attempt the tmp-rename onto the existing `gc-<seq>`:
+    * HDFS-semantics filesystems (the deployment target) fail a rename
+    * onto an existing destination, which would wedge recovery at the
+    * require (local POSIX rename happens to overwrite, which is why
+    * only a cluster would have seen it). */
   def gcRecord(fs: FileSystem, root: Path, seq: Long, files: Seq[String]): Unit =
-    if (files.nonEmpty)
+    if (files.nonEmpty && !fs.exists(new Path(controlDir(root), "gc-%019d".format(seq))))
       commitFile(fs, root, "gc-%019d".format(seq), files.sorted.mkString("\n"))
 
   /** Physically delete files whose manifest window has expired: gc-<s>

@@ -538,6 +538,59 @@ class VectorFunctionsSpec extends SparkSpecBase {
     assert(liveRead(idx).count() == emb.count())
   }
 
+  test("crash at EVERY intent-log step boundary replays to the same exact index") {
+    // The scaladoc claim is "a crash at ANY point replays to
+    // completion" — so pin every prefix, not just the worst case: the
+    // first attempt dies after (1) the rename, (2) rename + manifest
+    // commit, (3) rename + manifest + gc ledger (everything but the
+    // intent removal). Case (3) is the one the unguarded gcRecord
+    // would have wedged on under HDFS rename semantics (rename onto an
+    // existing gc-<seq> fails there; local POSIX happens to overwrite,
+    // so this spec pins exactness while the guard carries the cluster
+    // argument in its scaladoc).
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
+    for (crashAfter <- 1 to 3) {
+      val idx = java.nio.file.Files.createTempDirectory(s"graft-ivf-crash$crashAfter").toString
+      (0 to 1).foreach(i => VectorFunctions.appendIvfIndexBatch(
+        emb.filter(col("vec_id") % 2 === i).repartition(2), i.toLong,
+        "vec_id", "embedding", centroids, idx))
+      val expected = searchRows(idx, centroids)
+      val root = new org.apache.hadoop.fs.Path(idx)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val live = IvfManifest.latest(fs, root).get
+      val folded = live.files.filter(_.startsWith("batch=0/"))
+      val stage = new org.apache.hadoop.fs.Path(root, ".compact-stage")
+      spark.read.option("basePath", idx).parquet(folded.map(f => s"$idx/$f"): _*)
+        .drop("batch").repartition(1, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(stage.toString)
+      val staged = IvfManifest.treeDataFiles(fs, stage).map(f => s"batch=-1/$f")
+      val manifest = (live.files.filterNot(folded.toSet) ++ staged).sorted
+      IvfManifest.writeIntent(fs, root, live.seq + 1,
+        Seq(IvfManifest.Mv(".compact-stage", "batch=-1")), manifest, folded)
+      // first attempt executes `crashAfter` steps, then dies
+      if (crashAfter >= 1)
+        assert(fs.rename(stage, new org.apache.hadoop.fs.Path(root, "batch=-1")))
+      if (crashAfter >= 2)
+        IvfManifest.commitAt(fs, root, live.seq + 1, manifest)
+      if (crashAfter >= 3)
+        IvfManifest.gcRecord(fs, root, live.seq + 1, folded)
+      // recovery: the next writer entry replays the log
+      VectorFunctions.appendIvfIndexBatch(emb.filter(col("vec_id") < 0), 2L,
+        "vec_id", "embedding", centroids, idx)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_ivf_manifests/pending-intent")),
+        s"crashAfter=$crashAfter: intent must be consumed")
+      val nowLive = liveFiles(idx)
+      assert(nowLive.exists(_.startsWith("batch=-1/")) &&
+        !nowLive.exists(_.startsWith("batch=0/")),
+        s"crashAfter=$crashAfter: replayed fold must be live: $nowLive")
+      assert(liveRead(idx).count() == emb.count(),
+        s"crashAfter=$crashAfter: no duplication, no loss")
+      assert(searchRows(idx, centroids) == expected,
+        s"crashAfter=$crashAfter: search must be exact after recovery")
+    }
+  }
+
   test("ivfIndexTopKGrouped == ivfIndexTopK; every group scans a strict file subset") {
     val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
     val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
