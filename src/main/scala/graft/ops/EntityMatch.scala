@@ -49,6 +49,25 @@ object EntityMatch {
         .filter(col("__bn") <= maxBlockRows).select(col("__k")),
       "__k")
 
+  /** Verify-before-shuffle (r17, the q144 dissection): candidates are
+    * scored and threshold-filtered MAP-SIDE, before the dedup exchange,
+    * instead of after a full-candidate distinct. The old shape shipped
+    * every candidate pair WITH ITS STRING PAYLOAD through the distinct
+    * exchange (4.2M wide rows at sf0.1 — 5+ s of the 6.6 s wall in the
+    * partial-aggregate stage, which also inherited the master scan's
+    * 2-task file-layout parallelism), then scored the survivors. Since
+    * the score is a pure per-row function and the accept filter
+    * commutes with distinct, scoring first and filtering early means
+    * only ACCEPTED matches ever reach an exchange — the §2.3 "shuffle
+    * keys, not payloads" rule. The trade: duplicate candidates from
+    * overlapping blocking passes are scored more than once (bounded by
+    * the pass count, measured ~6% at sf0.1) in exchange for never
+    * shuffling the rejected bulk — at 100 TB the rejected bulk is the
+    * whole quadratic candidate volume, the dominant term by orders of
+    * magnitude. */
+  private def ensureParallelism(df: DataFrame): DataFrame =
+    Dedup.ensureParallelism(df)
+
   /** Best master match per feed record within `maxDist` edits:
     * (feedId, masterId, dist). Feed records with no candidate within
     * the threshold are absent (callers left-join if they need the
@@ -103,12 +122,23 @@ object EntityMatch {
       .union(blocked(substring(_, -blockChars, blockChars), onlyShort = false))
       .union(blocked(substring(_, 1, 1), onlyShort = true))
       .union(blocked(substring(_, -1, 1), onlyShort = true))
-      .distinct()
     val w = Window.partitionBy(col("__fname"))
       .orderBy(col("dist").asc, col("__mid").asc)
+    // verify-before-shuffle (see [[linkRecordsMulti]]'s note): the edit
+    // distance is scored map-side and the threshold filter runs BEFORE
+    // the candidate dedup, so only within-threshold pairs ever cross an
+    // exchange; overlapping-pass duplicates are scored at most once per
+    // pass, never shuffled with their payload. dist is a pure function
+    // of the dedup keys, so dropDuplicates keeps a value-identical row.
+    // bounded levenshtein (r17): the threshold form runs the banded
+    // O(maxDist·n) DP with a length-difference early exit instead of
+    // the full O(n·m) grid, returning −1 past the bound — and the TRUE
+    // distance for every within-bound pair, so kept rows are
+    // value-identical to the unbounded form.
     val winners = cands
-      .withColumn("dist", levenshtein(col("__fname"), col("__mname")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("__fname"), col("__mname"), maxDist))
+      .filter(col("dist") =!= -1)
+      .dropDuplicates("__fname", "__mid", "__mname")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("__fname"), col("__mid"), col("dist"))
@@ -155,9 +185,15 @@ object EntityMatch {
     val f = feed.select(col(feedId).as("__fid") +:
         fi.map { case (fl, i) => col(fl.feedCol).as(s"__f$i") }: _*)
       .filter(col("__fid").isNotNull)
-    val m = master.select(col(masterId).as("__mid") +:
-        fi.map { case (fl, i) => col(fl.masterCol).as(s"__m$i") }: _*)
-      .filter(col("__mid").isNotNull)
+    // the master side is the probe side of every blocking pass, so the
+    // candidate generation AND the map-side verify below inherit its
+    // scan parallelism — which on a single-file master is 1-2 tasks (a
+    // file-layout accident, the r16 ensureParallelism class). Spread it
+    // once; all passes share the subtree. No-op on multi-split sources.
+    val m = ensureParallelism(
+      master.select(col(masterId).as("__mid") +:
+          fi.map { case (fl, i) => col(fl.masterCol).as(s"__m$i") }: _*)
+        .filter(col("__mid").isNotNull))
     def pass(i: Int, key: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
              onlyShort: Boolean, blockChars: Int) = {
       val short = (c: org.apache.spark.sql.Column) => length(c) < 2 * blockChars
@@ -181,17 +217,30 @@ object EntityMatch {
           onlyShort = false, fl.blockChars),
         pass(i, substring(_, 1, 1), onlyShort = true, fl.blockChars),
         pass(i, c => substring(c, -1, 1), onlyShort = true, fl.blockChars))
-    }.reduce(_ unionByName _).distinct()
+    }.reduce(_ unionByName _)
+    // agreement via the BOUNDED levenshtein (r17): `lev(f, m, k) ≠ −1`
+    // ⟺ `lev(f, m) ≤ k`, but the threshold form is a banded
+    // O(maxDist·n) DP with a length-difference early exit — the verify
+    // is the pipeline's dominant CPU, and k is 0-2 while names are
+    // 20-50 chars, so the band is 10-20× less work per pair.
     val score = fi.map { case (fl, i) =>
       when(col(s"__f$i").isNull || col(s"__m$i").isNull, 0L)
-        .when(levenshtein(col(s"__f$i"), col(s"__m$i")) <= fl.maxDist, fl.agreeMilli)
+        .when(levenshtein(col(s"__f$i"), col(s"__m$i"), fl.maxDist) =!= -1, fl.agreeMilli)
         .otherwise(fl.disagreeMilli)
     }.reduce(_ + _)
     val w = Window.partitionBy(col("__fid"))
       .orderBy(col("score_milli").desc, col("__mid").asc)
+    // score map-side, filter early, dedup ONLY the accepted survivors
+    // (see the verify-before-shuffle note above). dropDuplicates keys
+    // on the candidate identity columns; the score rides along — every
+    // duplicate carries the identical score (a pure function of those
+    // columns), so which survivor wins is value-indistinguishable.
+    val candCols = ("__fid" +: fi.map { case (_, i) => s"__f$i" }) ++
+      ("__mid" +: fi.map { case (_, i) => s"__m$i" })
     cands
       .withColumn("score_milli", score)
       .filter(col("score_milli") >= minScoreMilli)
+      .dropDuplicates(candCols)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("__fid").as(feedId), col("__mid").as(masterId), col("score_milli"))

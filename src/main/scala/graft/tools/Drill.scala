@@ -31,6 +31,10 @@ object Drill {
     // per-stage dissection (GRAFT_DRILL_STAGES=1): where did the wall go
     val slow = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val dissect = sys.env.get("GRAFT_DRILL_STAGES").contains("1")
+    // stage-print threshold in seconds (default 3.0 — the sf10 drill
+    // band); sub-second stages dominate sf0.1 walls, so dissection at
+    // bench SF wants ~0.1
+    val minStageSec = sys.env.get("GRAFT_DRILL_MIN_STAGE_SEC").map(_.toDouble).getOrElse(3.0)
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
@@ -40,7 +44,7 @@ object Drill {
             s <- si.submissionTime; c <- si.completionTime
           } yield (c - s) / 1e3).getOrElse(0.0)
           val spill = si.taskMetrics.diskBytesSpilled / 1e6
-          if (secs >= 3.0)
+          if (secs >= minStageSec)
             slow.add(f"[stage] id=${si.stageId}%-4d ${secs}%7.1fs tasks=${si.numTasks}%-4d " +
               f"spillMB=$spill%8.0f  ${si.name.takeWhile(_ != '\n').take(90)}")
         }
