@@ -46,7 +46,17 @@ object BasketEdges {
           .filter(col("__rn") <= maxBasketSize)
           .drop("__rn")
       }
-    side.join(side.withColumnRenamed("__i", "__j"), "__b")
+    // co-partition by basket BEFORE the self-join (r17): at bench SFs
+    // the planner broadcast one full side of the self-join (it fits),
+    // which serializes the build through the driver and leaves the
+    // probe at the scan's file-layout parallelism — A/B'd 4.4 s vs
+    // 1.5 s at sf0.1 (tools/EdgeProf, variants A/D). At 100 TB the
+    // broadcast can't fire and a shuffle on __b happens anyway, so the
+    // explicit repartition IS the scale plan, stated once: both join
+    // sides share the one exchange (same subtree), pairs generate
+    // partition-local, and only the (src, dst) distinct shuffles after.
+    val byB = side.repartition(col("__b"))
+    byB.join(byB.withColumnRenamed("__i", "__j"), "__b")
       .filter(col("__i") =!= col("__j"))
       .select(col("__i").as("src"), col("__j").as("dst"))
       .distinct()

@@ -52,10 +52,7 @@ object Bfs {
                   edgesDistinct: Boolean = false): DataFrame = {
     val undRaw = edges.select(col(src).as("u"), col(dst).as("v"))
       .union(edges.select(col(dst).as("u"), col(src).as("v")))
-    val undPlain = (if (edgesDistinct) undRaw else undRaw.distinct()).cache()
-    // per-hop shuffles scale with the cached edge relation
-    // ([[ShuffleSizing]] — count forces the cache it needs anyway)
-    ShuffleSizing.withEdgeScaledShuffle(edges.sparkSession, undPlain.count()) {
+    val undPlain = if (edgesDistinct) undRaw else undRaw.distinct()
     // r15, the exchange-free graph-round recipe applied to BFS: the
     // superstep's distinct keys on v, so a V-partitioned edge
     // checkpoint (AQE-off capture — a CACHED repartition does NOT
@@ -65,18 +62,25 @@ object Bfs {
     // re-shuffle per hop, the neighbor distinct is partition-local,
     // and only the |frontier|-sized anti-join side moves. Beyond the
     // broadcast bound a hop falls back to the prior shuffling join.
-    // the checkpoint's backing blocks are released on exit (the cache-
+    // r17: captured in ONE materialization (partition-first-and-count,
+    // [[ShuffleSizing.partitionedMaterializeCounted]]) — the old
+    // cache()d flat cut existed only to feed the count. The
+    // checkpoint's backing blocks are released on exit (the cache-
     // hygiene contract: only the returned frame stays persisted) — a
-    // checkpointed Dataset exposes no unpersist, so the new RDD is
+    // checkpointed Dataset exposes no unpersist, so the new RDDs are
     // found by diffing the persistent-RDD registry around the capture
     val sc = edges.sparkSession.sparkContext
     val beforeIds = sc.getPersistentRDDs.keySet
-    val und = ShuffleSizing.partitionedMaterialize(undPlain, col("v"), _.localCheckpoint())
-    val undRddIds = sc.getPersistentRDDs.keySet -- beforeIds
-    undPlain.unpersist()
-    supersteps(und, sources, maxHops, releaseEdges = () => CacheHygiene.quietRelease {
-      undRddIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-    })
+    val (und, n, staleIds) = ShuffleSizing.partitionedMaterializeCounted(
+      undPlain, col("v"), _.localCheckpoint())
+    val undRddIds = sc.getPersistentRDDs.keySet -- beforeIds -- staleIds
+    CacheHygiene.quietRelease {
+      staleIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
+    ShuffleSizing.withEdgeScaledShuffle(edges.sparkSession, n) {
+      supersteps(und, sources, maxHops, releaseEdges = () => CacheHygiene.quietRelease {
+        undRddIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      })
     } // withEdgeScaledShuffle
   }
 
@@ -96,13 +100,46 @@ object Bfs {
     * self-contained (a no-op for shared captures). */
   private def supersteps(und: DataFrame, sources: DataFrame, maxHops: Int,
                          releaseEdges: () => Unit): DataFrame = {
-    var visited = sources.select(col(sources.columns.head).as("id"))
-      .distinct().withColumn("hops", lit(0)).cache()
+    // per-superstep wall breakdown on stderr (scale-drill aid)
+    val debug = sys.env.get("GRAFT_BFS_DEBUG").contains("1")
+    var tMark = System.nanoTime()
+    def mark(label: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      System.err.println(f"[bfs] $label%-24s ${(now - tMark) / 1e9}%6.2f s")
+      tMark = now
+    }
+    val sc = und.sparkSession.sparkContext
+    // per-hop LINEAGE CUT (r17): the old supersteps cache()d each
+    // hop's `next` and the growing `visited` union — so every hop's
+    // action re-analyzed, re-optimized and AQE-replanned the WHOLE
+    // accumulated tree (cache substitution happens at physical
+    // planning, after the full logical pass), and the per-hop wall
+    // GREW 0.3 → 1.2 → 2.1 s at sf0.1 while an isolated identical hop
+    // stayed at 0.3 s. LabelProp/PageRank rounds stay flat because
+    // they localCheckpoint each round; BFS now does the same: ONE
+    // eager checkpoint per hop materializes union(visited, next), the
+    // frontier is a filter over that shallow LogicalRDD, and the hop
+    // count is a cheap scan of the checkpoint blocks. Checkpointed
+    // frames ignore unpersist, so each hop's blocks are tracked by
+    // registry diff and the previous hop's are released once replaced.
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def releaseIds(ids: Set[Int]): Unit = CacheHygiene.quietRelease {
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
+    val (visited0, visited0Ids) = checkpointTracked(
+      sources.select(col(sources.columns.head).as("id"))
+        .distinct().withColumn("hops", lit(0)))
+    var visited = visited0
+    var visitedIds = visited0Ids
     var frontier = visited.select(col("id"))
     var frontierRows = visited.count()
-    // the cached `next` frame backing the current frontier, if any —
-    // unpersisted as soon as the following superstep has materialised
-    var frontierCache: Option[DataFrame] = None
+    // running |visited| — the per-hop count delta needs it
+    var frontierTotal = frontierRows
+    mark("init sources")
     var hop = 0
     var exhausted = false
     while (hop < maxHops && !exhausted) {
@@ -113,32 +150,33 @@ object Bfs {
       val next = und.join(fSide, fSide("id") === und("u"))
         .select(col("v").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
-        .withColumn("hops", lit(hop)).cache()
-      val reached = next.count() // materialise before dropping parents
-      frontierCache.foreach(_.unpersist())
-      frontierCache = None
+        .withColumn("hops", lit(hop))
+      // ONE action per hop: the eager checkpoint materializes the
+      // union (computing `next` exactly once on the way); the frontier
+      // size is the count DELTA over the materialized blocks — the
+      // anti-join guarantees next ∩ visited = ∅ and next is distinct,
+      // so |nv| − |visited| IS next.count().
+      val (nv, nvIds) = checkpointTracked(visited.union(next))
+      val nvCount = nv.count()
+      mark(s"hop $hop count")
+      val reached = nvCount - frontierTotal
       if (reached == 0) {
         // reachable set exhausted — remaining hops would be no-ops
-        next.unpersist()
+        releaseIds(nvIds)
         exhausted = true
       } else {
-        val nv = visited.union(next).cache()
-        nv.count() // materialise before dropping the parents from cache
-        visited.unpersist(); visited = nv
-        frontierCache = Some(next)
-        frontier = next.select(col("id"))
+        releaseIds(visitedIds)
+        visited = nv; visitedIds = nvIds
+        frontierTotal = nvCount
+        frontier = nv.filter(col("hops") === hop).select(col("id"))
         frontierRows = reached
       }
     }
-    frontierCache.foreach(_.unpersist())
-    // self-contained result BEFORE the edge checkpoint is released:
-    // the cached `visited`'s lineage ran through the checkpointed edge
-    // relation, so a lost partition would have chased freed blocks
-    // instead of recomputing (r15 advice) — the final cut makes the
-    // returned frame independent of everything released below
-    val out = visited.localCheckpoint()
-    visited.unpersist()
+    mark("loop done")
+    // `visited` is already a self-contained checkpoint (its lineage
+    // was cut before the edge relation below is released), so it IS
+    // the result — no extra final cut needed.
     releaseEdges()
-    out // checkpoint-backed — caller-owned, see scaladoc
+    visited // checkpoint-backed — caller-owned, see scaladoc
   }
 }

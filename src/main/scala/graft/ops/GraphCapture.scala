@@ -90,17 +90,16 @@ object GraphCapture {
         dir.unionByName(dir.select(col("t").as("s"), col("s").as("t")))
           .filter(col("s") =!= col("t")).distinct()
       else dir
+    // ONE materialization (r17): partition-first-and-count instead of
+    // the old flat-cut-then-repartition two-pass — see
+    // [[ShuffleSizing.partitionedMaterializeCounted]].
     val before = sc.getPersistentRDDs.keySet.toSet
-    val flat = materialize(sym)
-    val n = flat.count()
-    val flatIds = sc.getPersistentRDDs.keySet.toSet -- before
-    val parted = ShuffleSizing.withEdgeScaledShuffle(spark, n) {
-      ShuffleSizing.partitionedMaterialize(flat, col("s"), materialize)
-    }
-    val partedIds = sc.getPersistentRDDs.keySet.toSet -- before -- flatIds
-    // the unpartitioned first cut is dead once the capture lands
+    val (parted, n, staleIds) =
+      ShuffleSizing.partitionedMaterializeCounted(sym, col("s"), materialize)
+    val partedIds = sc.getPersistentRDDs.keySet.toSet -- before -- staleIds
+    // the narrow first cut is dead if the widen branch re-materialized
     CacheHygiene.quietRelease {
-      flatIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      staleIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     }
     new GraphCapture(parted, n, partedIds)
   }

@@ -44,24 +44,25 @@ object LabelProp {
     // the partitioned edge checkpoint used to leak per call)
     CacheHygiene.scoped(edges0.sparkSession) {
     val dir = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val edges = materialize(
+    val sym =
       if (assumeSymmetric) dir
       else dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst"))
-        .distinct())
-    // edges are materialized, so the count is a free scan — per-round
-    // shuffles scale with the graph ([[ShuffleSizing]])
-    ShuffleSizing.withEdgeScaledShuffle(edges.sparkSession, edges.count()) {
-      // r15: the per-round (src, label) count and the per-node argmax
-      // both key on src, so a SRC-partitioned edge checkpoint makes
-      // every round's aggregates partition-local — PROVIDED the label
-      // map rides the join as an explicit broadcast: the loop's
-      // relations are stats-free checkpoints, so without the hint the
-      // static plan re-exchanges the edges on the JOIN key (dst) and
-      // the layout never reaches the aggregate. |V| is counted once;
-      // beyond the broadcast bound the op falls back to exactly the
-      // pre-r15 shuffling plan.
-      val parted = ShuffleSizing.partitionedMaterialize(edges, col("src"), materialize)
+        .distinct()
+    // r15: the per-round (src, label) count and the per-node argmax
+    // both key on src, so a SRC-partitioned edge checkpoint makes
+    // every round's aggregates partition-local — PROVIDED the label
+    // map rides the join as an explicit broadcast: the loop's
+    // relations are stats-free checkpoints, so without the hint the
+    // static plan re-exchanges the edges on the JOIN key (dst) and
+    // the layout never reaches the aggregate. r17: captured in ONE
+    // materialization (partition-first-and-count,
+    // [[ShuffleSizing.partitionedMaterializeCounted]]) — the old flat
+    // cut existed only to feed the count. Beyond the broadcast bound
+    // the op falls back to exactly the pre-r15 shuffling plan.
+    val (parted, n, _) =
+      ShuffleSizing.partitionedMaterializeCounted(sym, col("src"), materialize)
+    ShuffleSizing.withEdgeScaledShuffle(edges0.sparkSession, n) {
       rounds(parted, iterations, materialize)
     }
     }(materialize)

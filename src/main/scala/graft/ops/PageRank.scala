@@ -54,12 +54,23 @@ object PageRank {
     // exit; only the returned frame stays persisted, self-contained
     // behind one final cut (r15 advice — `parted` used to leak)
     CacheHygiene.scoped(edges0.sparkSession) {
-    val edges = materialize(
-      edges0.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
-    // edges are materialized, so this count is a free scan — shuffle
-    // partitions then scale with the graph ([[ShuffleSizing]]; the r13
-    // sf10 drill's manual 32 → 64 fix, now a rule)
-    ShuffleSizing.withEdgeScaledShuffle(edges.sparkSession, edges.count()) {
+    // r15: every round's contribution sum keys on __dst, so a
+    // DST-partitioned edge checkpoint makes that |E|-row aggregate
+    // partition-local — PROVIDED the |V|-row (src, contribution)
+    // side rides the join as an explicit broadcast (the loop's
+    // relations are stats-free checkpoints; without the hint the
+    // static plan re-exchanges the edges on __src and the layout
+    // never reaches the aggregate). r17: the edge relation is captured
+    // in ONE materialization (partition-first-and-count,
+    // [[ShuffleSizing.partitionedMaterializeCounted]]) — the old flat
+    // cut existed to feed the count and the degree/node builds, which
+    // now read the partitioned capture (same multiset, identical
+    // aggregates). Beyond the broadcast bound the op falls back to
+    // exactly the pre-r15 shuffling plan.
+    val (parted, n, _) = ShuffleSizing.partitionedMaterializeCounted(
+      edges0.select(col(srcCol).as("__src"), col(dstCol).as("__dst")),
+      col("__dst"), materialize)
+    ShuffleSizing.withEdgeScaledShuffle(edges0.sparkSession, n) {
       // |V|-sized relations only beyond the edge list itself: the r14
       // sf10 dissection found the old edges⋈degrees MATERIALIZATION
       // (an |E|-row copy carrying the degree) was the single biggest
@@ -71,19 +82,9 @@ object PageRank {
       // floor division, evaluated once instead of per edge), half the
       // big-join width, no |E|-row materialization at all.
       val degrees = materialize(
-        edges.groupBy(col("__src")).agg(count(lit(1)).as("__deg")))
-      val nodes = materialize(edges.select(col("__src").as("id"))
-        .union(edges.select(col("__dst"))).distinct())
-      // r15: every round's contribution sum keys on __dst, so a
-      // DST-partitioned edge checkpoint makes that |E|-row aggregate
-      // partition-local — PROVIDED the |V|-row (src, contribution)
-      // side rides the join as an explicit broadcast (the loop's
-      // relations are stats-free checkpoints; without the hint the
-      // static plan re-exchanges the edges on __src and the layout
-      // never reaches the aggregate). |V| is counted once off the
-      // materialized node set; beyond the broadcast bound the op
-      // falls back to exactly the pre-r15 shuffling plan.
-      val parted = ShuffleSizing.partitionedMaterialize(edges, col("__dst"), materialize)
+        parted.groupBy(col("__src")).agg(count(lit(1)).as("__deg")))
+      val nodes = materialize(parted.select(col("__src").as("id"))
+        .union(parted.select(col("__dst"))).distinct())
       rounds(parted, degrees, nodes, iterations, materialize)
     }
     }(materialize)

@@ -69,6 +69,43 @@ private[graft] object ShuffleSizing {
     finally spark.conf.set(k, prev)
   }
 
+  /** [[partitionedMaterialize]] + the edge count in ONE materialization
+    * (r17): the graph family used to materialize its edge relation
+    * TWICE — a flat cut (to count, so [[withEdgeScaledShuffle]] could
+    * size the partitioning) and then the partitioned re-cut. But the
+    * count is only needed to decide whether the session width is WIDE
+    * ENOUGH, so: materialize partitioned at the session width, count
+    * the result (a free scan), and re-materialize wider ONLY when the
+    * edge-scaled target exceeds the session value — at bench SFs (and
+    * on any properly-sized cluster session) that branch never fires
+    * and the whole capture is one pass. Returns (parted, edgeRows,
+    * staleIds) — staleIds are the narrow first cut's checkpoint RDDs
+    * when the widen branch fired (the caller releases them; empty
+    * otherwise). The AQE-off window of [[partitionedMaterialize]] now
+    * covers the upstream edge-build plan too (it used to run under the
+    * flat cut with AQE on) — a static-width distinct/join at capture
+    * time, the documented price of a recorded partitioning. */
+  def partitionedMaterializeCounted(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column,
+      materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Long, Set[Int]) = {
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val first = partitionedMaterialize(df, key, materialize)
+    val firstIds = (sc.getPersistentRDDs.keySet -- before).toSet
+    val n = first.count()
+    val target = targetPartitions(n)
+    val current = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    if (target <= current) (first, n, Set.empty)
+    else {
+      val wide = withEdgeScaledShuffle(spark, n) {
+        partitionedMaterialize(first, key, materialize)
+      }
+      (wide, n, firstIds)
+    }
+  }
+
   /** Max |V| for which the graph loops force-broadcast their per-round
     * node-sized relation (labels / per-source contributions): 4M rows
     * ≈ 130 MB hashed — comfortably inside executor memory and far

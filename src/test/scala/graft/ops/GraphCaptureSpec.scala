@@ -30,24 +30,33 @@ class GraphCaptureSpec extends SparkSpecBase {
     // symmetrize happened: 13 undirected edges -> 26 directed rows
     assert(g.edgeCount == 26L)
 
+    // every operator's RESULT is a caller-owned persisted checkpoint
+    // ("only the returned frame stays persisted") — this spec drops
+    // them after comparing, so it must release them like any caller;
+    // leaving that to the ContextCleaner made the leak assert below
+    // GC-timing-flaky (r17: it fired after the ops got faster)
+    def mr(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val out = m(df); CacheHygiene.release(df); out
+    }
+
     // CC — force the distributed path on both sides (driverMaxEdges=0)
     // AND check the driver path separately
-    val ccDirect = m(Dedup.connectedComponents(pairs.select(col("a").as("id_a"), col("b").as("id_b")),
+    val ccDirect = mr(Dedup.connectedComponents(pairs.select(col("a").as("id_a"), col("b").as("id_b")),
       driverMaxEdges = 0))
-    assert(m(Dedup.connectedComponents(g, maxIter = 50, driverMaxEdges = 0)) == ccDirect)
-    assert(m(Dedup.connectedComponents(g)) == ccDirect) // driver fast path
+    assert(mr(Dedup.connectedComponents(g, maxIter = 50, driverMaxEdges = 0)) == ccDirect)
+    assert(mr(Dedup.connectedComponents(g)) == ccDirect) // driver fast path
 
     // LabelProp
-    val lpDirect = m(LabelProp.labelPropagation(pairs, "a", "b", iterations = 3))
-    assert(m(LabelProp.labelPropagation(g, iterations = 3)) == lpDirect)
+    val lpDirect = mr(LabelProp.labelPropagation(pairs, "a", "b", iterations = 3))
+    assert(mr(LabelProp.labelPropagation(g, iterations = 3)) == lpDirect)
 
     // PageRank — the direct form on the explicitly symmetrized list
     // (the capture IS that list; PageRank itself never symmetrizes)
     val sym = pairs.select(col("a").as("s"), col("b").as("t"))
       .unionByName(pairs.select(col("b").as("s"), col("a").as("t")))
       .filter(col("s") =!= col("t")).distinct()
-    val prDirect = m(PageRank.pageRank(sym, "s", "t", iterations = 2))
-    assert(m(PageRank.pageRank(g, iterations = 2)) == prDirect)
+    val prDirect = mr(PageRank.pageRank(sym, "s", "t", iterations = 2))
+    assert(mr(PageRank.pageRank(g, iterations = 2)) == prDirect)
 
     // BFS from two sources
     val sources = Seq(1L, 20L).toDF("id")
