@@ -84,7 +84,9 @@ object GraphCapture {
               materialize: DataFrame => DataFrame = _.localCheckpoint()): GraphCapture = {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
-    val dir = pairs.select(col(aCol).as("s"), col(bCol).as("t"))
+    // guarded rename: a redundant self-alias here would erase the
+    // capture's recorded partitioning ([[ShuffleSizing.renameForCapture]])
+    val dir = ShuffleSizing.renameForCapture(pairs, aCol, "s", bCol, "t")
     val sym =
       if (symmetrize)
         dir.unionByName(dir.select(col("t").as("s"), col("s").as("t")))

@@ -43,7 +43,9 @@ object LabelProp {
     // persisted, self-contained behind one final cut (r15 advice —
     // the partitioned edge checkpoint used to leak per call)
     CacheHygiene.scoped(edges0.sparkSession) {
-    val dir = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // guarded rename: a redundant self-alias here would erase the
+    // capture's recorded partitioning ([[ShuffleSizing.renameForCapture]])
+    val dir = ShuffleSizing.renameForCapture(edges0, srcCol, "src", dstCol, "dst")
     val sym =
       if (assumeSymmetric) dir
       else dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))

@@ -68,7 +68,7 @@ object PageRank {
     // aggregates). Beyond the broadcast bound the op falls back to
     // exactly the pre-r15 shuffling plan.
     val (parted, n, _) = ShuffleSizing.partitionedMaterializeCounted(
-      edges0.select(col(srcCol).as("__src"), col(dstCol).as("__dst")),
+      ShuffleSizing.renameForCapture(edges0, srcCol, "__src", dstCol, "__dst"),
       col("__dst"), materialize)
     ShuffleSizing.withEdgeScaledShuffle(edges0.sparkSession, n) {
       // |V|-sized relations only beyond the edge list itself: the r14

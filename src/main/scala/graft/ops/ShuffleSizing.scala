@@ -32,6 +32,29 @@ private[graft] object ShuffleSizing {
     math.min(MaxPartitions.toLong,
       math.max(1L, (edgeRows + RowsPerPartition - 1) / RowsPerPartition)).toInt
 
+  /** Rename two columns for a capture WITHOUT a redundant self-alias.
+    *
+    * A no-op rename (`col("src").as("src")`) above the captured plan
+    * ERASES the recorded partitioning: the optimizer strips the
+    * redundant alias (RemoveRedundantAliases), so the executed plan's
+    * output attributes no longer match the Dataset's logical output,
+    * and `LogicalRDD.fromDataset` fails to rewrite the exchange's
+    * HashPartitioning onto the checkpoint — the capture lands with
+    * UnknownPartitioning and every downstream round re-exchanges.
+    * Found in the r17 opt round: q137's sf1 shuffle rows went
+    * 54M → 141M (3 rounds × |E| re-exchanged) because LabelProp's
+    * `select(col("src").as("src"), ...)` rode inside the one-pass
+    * capture; probed in tools/LpaBisect (E0 exchange-free vs E1
+    * re-exchanging, only the self-rename differing). Renames to a
+    * DIFFERENT name keep real aliases in the plan and survive the
+    * rewrite (PageRank's __src/__dst never regressed). */
+  def renameForCapture(df: org.apache.spark.sql.DataFrame,
+                       a: String, aNew: String,
+                       b: String, bNew: String): org.apache.spark.sql.DataFrame =
+    if (a == aNew && b == bNew) df
+    else df.select(org.apache.spark.sql.functions.col(a).as(aNew),
+      org.apache.spark.sql.functions.col(b).as(bNew))
+
   /** Materialize `df` hash-partitioned on `key` so that DOWNSTREAM
     * plans see the partitioning and skip their exchanges — the
     * iterative graph family's per-round aggregate keys on one column
