@@ -1337,8 +1337,17 @@ object SparkEntry {
     // distinct-keyed so duplicate lines can't inflate support.
     "q96_frequent_pairs" -> ((s, dir) => {
       // pre-distinct + count support build (the q102/q108 A/B'd rewrite)
+      // + co-partition by order BEFORE the self-join (r17, the
+      // BasketEdges EdgeProf A/D finding): without it the planner
+      // broadcasts one full pair side (driver-serialized build) and
+      // RECOMPUTES the distinct under the BroadcastExchange, with the
+      // probe at AQE-coalesced 3-5 task parallelism; with it both join
+      // sides share ONE exchange and pairs generate partition-local —
+      // at 100 TB the broadcast can't fire and a shuffle on the basket
+      // key happens anyway, so the explicit form IS the scale plan.
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .repartition(col("l_orderkey"))
       val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
       a.join(b, "l_orderkey").filter(col("p1") < col("p2"))
@@ -1433,6 +1442,8 @@ object SparkEntry {
       // warm at sf0.1, identical 3573 edges; PLANS.md r8).
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+        // co-partition by order before the self-join (r17, see q96)
+        .repartition(col("l_orderkey"))
       val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
       val edges = a.join(b, "l_orderkey").filter(col("p1") < col("p2"))
@@ -1536,6 +1547,8 @@ object SparkEntry {
       // same pre-distinct + count support build as q102 (A/B'd 1.6x win)
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+        // co-partition by order before the self-join (r17, see q96)
+        .repartition(col("l_orderkey"))
       val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
       val edges = a.join(b, "l_orderkey").filter(col("p1") < col("p2"))

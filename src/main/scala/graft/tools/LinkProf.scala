@@ -100,6 +100,19 @@ object LinkProf {
       noop(graft.ops.EntityMatch.linkRecordsMulti(feed, "feed_id", master, "p_partkey",
         fields, minScoreMilli = 1000L, maxBlockRows = 3000))
     }
+    // r17 opt round: dissect the empty-candidate overhead seen at sf1
+    // (gensf1 produces 0 candidates; the full call still cost ~3.4 s)
+    locally {
+      val t0 = System.nanoTime()
+      val np = m.rdd.getNumPartitions
+      println(f"[linkprof] ensureParallelism rdd probe    ${(System.nanoTime() - t0) / 1e9}%7.2f s (np=$np)")
+    }
+    val masterSpread = master.repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    time("full linkRecordsMulti (pre-spread master)") {
+      noop(graft.ops.EntityMatch.linkRecordsMulti(feed, "feed_id", masterSpread, "p_partkey",
+        fields, minScoreMilli = 1000L, maxBlockRows = 3000))
+    }
     spark.stop()
   }
 }
