@@ -51,6 +51,63 @@ case class HllRegisterExpr(child: Expression, m: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The engine-portable 60-bit md5-window hash
+  * ([[TextFunctions.md5Long]] contract) computed straight from the md5
+  * DIGEST BYTES — bit-identical to the Column-chain derivation
+  * `conv(substring(md5(c), startDigit, 15), 16, 10).cast("long")` (a
+  * 15-hex-digit window is 15 nibbles of the 16-byte digest, and `conv`
+  * base-16 accumulation is exactly the nibble fold below) but without
+  * materializing the 32-char hex string, the substring copy, or
+  * `conv`'s per-row string parse. Found in the r17 opt round: the q171
+  * KMV pass spent ~3.7 of its ~5.7 s sf1 wall inside the hex chain
+  * (tools/KmvProf) — and the same chain fronts every shingle/sampling/
+  * sketch hash in the engine. Same Expression-tier preference and
+  * ThreadLocal-digest reuse as [[HllRegisterExpr]]; value equivalence
+  * is spec-pinned across the full input domain (Md5WindowSpec). */
+case class Md5WindowLongExpr(child: Expression, startDigit: Int)
+    extends UnaryExpression {
+  require(startDigit >= 1 && startDigit + 14 <= 32,
+    s"startDigit must keep the 15-digit window inside the 32 md5 hex digits, got $startDigit")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_window_long"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"md5_window_long needs a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    Md5WindowLongExpr.window(input.asInstanceOf[UTF8String], startDigit)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5WindowLongExpr.window($c, $startDigit)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5WindowLongExpr {
+  /** Static kernel shared by eval and generated code: the 60-bit value
+    * of md5-hex digits [startDigit, startDigit+14] (1-based). Hex digit
+    * i (0-based nibble index) is the high nibble of digest byte i/2
+    * when i is even, the low nibble when odd. */
+  def window(s: UTF8String, startDigit: Int): Long = {
+    val d = HllRegisterExpr.digest(s)
+    var v = 0L
+    var i = startDigit - 1
+    val end = i + 15
+    while (i < end) {
+      val b = d(i >> 1)
+      val nib = if ((i & 1) == 0) (b >> 4) & 0xf else b & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+}
+
 object HllRegisterExpr {
   private[functions] def litInt(e: Expression, name: String): Int =
     WinnowMins.litInt(e, name)
@@ -58,6 +115,11 @@ object HllRegisterExpr {
   // MessageDigest is stateful; one per thread, digest() resets it.
   private val md5: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** One md5 digest of the string's UTF-8 bytes (shared with
+    * [[Md5WindowLongExpr]]). */
+  private[functions] def digest(s: UTF8String): Array[Byte] =
+    md5.get().digest(s.getBytes)
 
   /** Static kernel shared by eval and generated code. */
   def reg(s: UTF8String, m: Int): InternalRow = {

@@ -23,6 +23,14 @@ object TextFunctions {
     * `startDigit` (1-based) selects the window, giving independent
     * hashes from one md5 evaluation. */
   def md5Long(c: Column, startDigit: Int = 1): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Md5WindowLongExpr(org.apache.spark.sql.GraftColumnBridge.expression(c), startDigit))
+
+  /** The original Column-chain derivation of [[md5Long]] — kept as the
+    * independent reference implementation the equivalence spec pins the
+    * [[Md5WindowLongExpr]] kernel against (and the exact form every
+    * oracle reproduces in SQL). */
+  private[graft] def md5LongChain(c: Column, startDigit: Int = 1): Column =
     conv(substring(md5(c), startDigit, 15), 16, 10).cast("long")
 
   /** Token count; counting-only plans never materialise the array. */
