@@ -52,17 +52,6 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         m = 4, subDim = 16, k = 8, iters = 2))
 
-  /** All parquet scans of an executed plan (through AQE wrappers) —
-    * gate-side instrumentation for routing claims (q204). */
-  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      fileScans(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => fileScans(q.plan)
-    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-    case other => other.children.flatMap(fileScans)
-  }
-
   /** Integer cents -> exact "d.dd" money string — fixture values built
     * this way parse bit-identically in Spark decimal and DuckDB, with no
     * double->string round trip. */
@@ -2744,30 +2733,21 @@ object SparkEntry {
     // exactly in the production shape. ivfIndexTopKGrouped plans the
     // batch driver-side, groups queries by probe set, and gives each
     // group its own scan over just its buckets' files. The gate pins
-    // BOTH halves: results hash-match the ungrouped oracle (routing
-    // must be invisible), and every group's executed scan is REQUIRED
-    // to have read a strict non-empty subset of the index's live files.
+    // result equality (results hash-match the ungrouped oracle —
+    // routing must be invisible); the strict-subset file-routing claim
+    // is spec territory and lives in VectorFunctionsSpec ("every group
+    // scans a strict file subset", including this gate's exact
+    // operating point) — r17 verdict: the in-query collect() that fed
+    // a scan-metrics require here executed the search TWICE per
+    // invocation and was the only driver-side action in any query path.
     "q204_ivf_grouped_search" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val centroids = VF.centroidsByLabel(emb, "label", "embedding")
       val idx = gateTempDir("graft-ivf-grouped-gate").toString
       VF.writeIvfIndex(emb, "vec_id", "embedding", centroids, idx)
-      val grouped = VF.ivfIndexTopKGrouped(s, idx, emb.filter(col("vec_id") < 32),
-        centroids, "vec_id", "embedding", k = 5, nprobe = 1)
-      grouped.collect(): Unit // fill this plan instance's scan metrics
-      val (fs, root) = {
-        val r = new org.apache.hadoop.fs.Path(idx)
-        (r.getFileSystem(s.sparkContext.hadoopConfiguration), r)
-      }
-      val totalFiles = graft.functions.IvfManifest.latest(fs, root)
-        .map(_.files.size).getOrElse(0)
-      val perGroup = fileScans(grouped.queryExecution.executedPlan)
-        .filter(_.relation.location.rootPaths.exists(_.toString.contains(idx)))
-        .map(_.metrics("numFiles").value)
-      require(perGroup.nonEmpty && perGroup.forall(n => n > 0 && n < totalFiles),
-        s"grouped search must route scans to per-group file subsets: " +
-          s"per-group files=$perGroup of $totalFiles live index files")
-      grouped.withColumn("cosine_sim", round(col("cosine_sim"), 6))
+      VF.ivfIndexTopKGrouped(s, idx, emb.filter(col("vec_id") < 32),
+          centroids, "vec_id", "embedding", k = 5, nprobe = 1)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
         .orderBy(col("query_id"), col("rank"))
     }),
 

@@ -65,18 +65,19 @@ case class HllRegisterExpr(child: Expression, m: Int) extends UnaryExpression {
   * ThreadLocal-digest reuse as [[HllRegisterExpr]]; value equivalence
   * is spec-pinned across the full input domain (Md5WindowSpec). */
 case class Md5WindowLongExpr(child: Expression, startDigit: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.GraftStringInputCast {
   require(startDigit >= 1 && startDigit + 14 <= 32,
     s"startDigit must keep the 15-digit window inside the 32 md5 hex digits, got $startDigit")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_window_long"
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"md5_window_long needs a string input, got ${child.dataType}")
+  // GraftStringInputCast = ImplicitCastInputTypes over one StringType
+  // argument (r17 advice): the replaced conv(substring(md5(c), ...))
+  // chain accepted implicitly-castable inputs; declaring the expected
+  // input type lets the analyzer insert the cast instead of failing
+  // analysis on non-string columns.
 
   override def nullSafeEval(input: Any): Any =
     Md5WindowLongExpr.window(input.asInstanceOf[UTF8String], startDigit)

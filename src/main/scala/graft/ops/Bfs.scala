@@ -77,11 +77,11 @@ object Bfs {
     CacheHygiene.quietRelease {
       staleIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     }
-    ShuffleSizing.withEdgeScaledShuffle(edges.sparkSession, n) {
+    ShuffleSizing.withEdgeBoundedShuffle(edges.sparkSession, n) {
       supersteps(und, sources, maxHops, releaseEdges = () => CacheHygiene.quietRelease {
         undRddIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       })
-    } // withEdgeScaledShuffle
+    } // withEdgeBoundedShuffle
   }
 
   /** [[hopDistance]] over a SHARED [[GraphCapture]] — the capture's
@@ -91,7 +91,7 @@ object Bfs {
     * the capture blocks stay caller-owned: this call releases only its
     * own per-hop state. Bit-identical to the direct form (spec-pinned). */
   def hopDistance(g: GraphCapture, sources: DataFrame, maxHops: Int): DataFrame =
-    ShuffleSizing.withEdgeScaledShuffle(g.spark, g.edgeCount) {
+    ShuffleSizing.withEdgeBoundedShuffle(g.spark, g.edgeCount) {
       supersteps(g.keyed("v", "u"), sources, maxHops, releaseEdges = () => ())
     }
 

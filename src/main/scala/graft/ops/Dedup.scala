@@ -744,7 +744,16 @@ object Dedup {
 
   /** Shared first half of the duplicate-window family: (id, start, wh)
     * for every window whose hash occurs ≥ minCount times corpus-wide.
-    * `start` is the 1-based token index of the window head. */
+    * `start` is the 1-based token index of the window head.
+    *
+    * `wh` is the portable 60-bit md5 window ([[TextFunctions.md5Long]],
+    * the r17 digest-bytes kernel) rather than the full 32-char md5 hex
+    * string (r18): the hash is purely INTERNAL — it only decides window
+    * equality and never reaches the output — so the same
+    * collision-odds argument as [[shingleIndex]]'s xxhash64 applies
+    * (~|windows|²/2⁶⁰, immaterial), while every window row shuffles,
+    * groups and joins on one long instead of a 32-char string and the
+    * kernel skips the hex materialization entirely. */
   private def duplicateWindowHits(docs: DataFrame, idCol: String, textCol: String,
                                   w: Int, minCount: Int): DataFrame = {
     val wins = ensureParallelism(docs)
@@ -753,7 +762,7 @@ object Dedup {
       .filter(size(col("__ts")) >= w)
       .select(col("id"),
         posexplode(transform(sequence(lit(1), size(col("__ts")) - w + 1),
-          i => md5(concat_ws(" ", slice(col("__ts"), i, lit(w)))))).as(Seq("__p0", "wh")))
+          i => TextFunctions.md5Long(concat_ws(" ", slice(col("__ts"), i, lit(w)))))).as(Seq("__p0", "wh")))
       .select(col("id"), (col("__p0") + 1).cast("long").as("start"), col("wh"))
     val dup = wins.groupBy(col("wh")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
@@ -939,7 +948,7 @@ object Dedup {
       // distributed rounds: shuffle partitions scale with the edge
       // relation ([[ShuffleSizing]] — the count above is a free scan
       // on the materialized cut)
-      ShuffleSizing.withEdgeScaledShuffle(spark, edgeCount) {
+      ShuffleSizing.withEdgeBoundedShuffle(spark, edgeCount) {
       // r16: the exchange-free graph-round recipe (LabelProp/PageRank,
       // r15) applied to CC. Every round's neighbor-min aggregate keys
       // on s, so an S-partitioned edge checkpoint plus an explicitly
@@ -972,7 +981,7 @@ object Dedup {
       val out = if (ckptBase.isEmpty) out0.localCheckpoint() else out0
       releaseIds(preFinal -- persistedBefore) // edges, parted, last round
       out
-      } // withEdgeScaledShuffle
+      } // withEdgeBoundedShuffle
     } catch {
       // on failure nothing of the run is consumable — free the local
       // blocks and remove exactly what this run wrote: every round file
@@ -1011,7 +1020,7 @@ object Dedup {
     if (g.longIds && g.edgeCount <= driverMaxEdges)
       return driverComponents(g.keyed("s", "t"), sOnlyVertices = true)
     val persistedBefore = sc.getPersistentRDDs.keySet.toSet
-    ShuffleSizing.withEdgeScaledShuffle(spark, g.edgeCount) {
+    ShuffleSizing.withEdgeBoundedShuffle(spark, g.edgeCount) {
       val labels = ccRounds(g.keyed("s", "t"), maxIter,
         cut = (df, _, lazyLocal) => df.localCheckpoint(!lazyLocal),
         drop = _ => ())

@@ -64,7 +64,7 @@ object LabelProp {
     // the op falls back to exactly the pre-r15 shuffling plan.
     val (parted, n, _) =
       ShuffleSizing.partitionedMaterializeCounted(sym, col("src"), materialize)
-    ShuffleSizing.withEdgeScaledShuffle(edges0.sparkSession, n) {
+    ShuffleSizing.withEdgeBoundedShuffle(edges0.sparkSession, n) {
       rounds(parted, iterations, materialize)
     }
     }(materialize)
@@ -78,7 +78,7 @@ object LabelProp {
                        materialize: DataFrame => DataFrame): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     CacheHygiene.scoped(g.spark) {
-      ShuffleSizing.withEdgeScaledShuffle(g.spark, g.edgeCount) {
+      ShuffleSizing.withEdgeBoundedShuffle(g.spark, g.edgeCount) {
         rounds(g.keyed("src", "dst"), iterations, materialize)
       }
     }(materialize)

@@ -70,7 +70,7 @@ object PageRank {
     val (parted, n, _) = ShuffleSizing.partitionedMaterializeCounted(
       ShuffleSizing.renameForCapture(edges0, srcCol, "__src", dstCol, "__dst"),
       col("__dst"), materialize)
-    ShuffleSizing.withEdgeScaledShuffle(edges0.sparkSession, n) {
+    ShuffleSizing.withEdgeBoundedShuffle(edges0.sparkSession, n) {
       // |V|-sized relations only beyond the edge list itself: the r14
       // sf10 dissection found the old edges⋈degrees MATERIALIZATION
       // (an |E|-row copy carrying the degree) was the single biggest
@@ -102,7 +102,7 @@ object PageRank {
                materialize: DataFrame => DataFrame): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     CacheHygiene.scoped(g.spark) {
-      ShuffleSizing.withEdgeScaledShuffle(g.spark, g.edgeCount) {
+      ShuffleSizing.withEdgeBoundedShuffle(g.spark, g.edgeCount) {
         // the round aggregate keys on __dst — land the partition
         // column there (symmetry makes the rename a relabeling of the
         // same edge set, so values are unchanged)

@@ -32,6 +32,49 @@ private[graft] object ShuffleSizing {
     math.min(MaxPartitions.toLong,
       math.max(1L, (edgeRows + RowsPerPartition - 1) / RowsPerPartition)).toInt
 
+  /** Cap-side rows-per-partition (r18, the VERDICT #3 cap mirror):
+    * below ~this many edge rows, an extra partition only multiplies
+    * per-stage fixed cost (task launch, tiny-block shuffle writes,
+    * per-round scheduling) without buying compute parallelism — the
+    * per-task round work at this size is already an order of magnitude
+    * over the fixed cost. Deliberately far under [[RowsPerPartition]]:
+    * the floor protects the no-spill envelope (partitions must not be
+    * TOO BIG), this cap protects fixed-cost amortization (partitions
+    * must not be TOO SMALL); between the two bounds the session width
+    * is honored. Value confirmed by tools/GraphWidthDrill (width sweep
+    * at fixed data/cores; see plans/r18). */
+  val CapRowsPerPartition = 400000L
+
+  /** Hysteresis for the narrow direction of [[boundedWidth]]: the cap
+    * only narrows the width when the session over-fans the graph by at
+    * least this factor — a mild mismatch isn't worth the extra |E|-row
+    * re-cut exchange, and near break-even the fixed-cost savings are
+    * noise. (The widen direction has no hysteresis: it exists to stay
+    * inside the no-spill envelope.) */
+  val NarrowFactor = 2L
+
+  /** The width the capture and its round loop should run at, given the
+    * measured edge count and the session setting (r18, the VERDICT #3
+    * cap mirror): the edge-scaled floor applies always — fewer than
+    * ceil(E / RowsPerPartition) partitions risks spill — and the cap
+    * engages when the session over-fans the graph past the hysteresis:
+    * a 1–2M-edge graph re-cut 32 wide pays every round's per-task
+    * fixed cost 32× for partitions of ~50k rows, the exact
+    * inverse-scaling signature of the r17 driver bench (q93/q137/q205
+    * slower on 32 cores than 8 at sf0.1). Both directions are derived
+    * from the measured edge count — never from the local core count —
+    * so the same rule serves local[32] on a toy graph and a 1000-core
+    * session on a 6B-edge one (drill table: tools/GraphWidthDrill). */
+  def boundedWidth(edgeRows: Long, session: Int): Int = {
+    val floor = targetPartitions(edgeRows)
+    if (floor > session) floor
+    else {
+      val cap = math.min(MaxPartitions.toLong,
+        math.max(1L, (edgeRows + CapRowsPerPartition - 1) / CapRowsPerPartition))
+      if (cap * NarrowFactor <= session) cap.toInt else session
+    }
+  }
+
   /** Rename two columns for a capture WITHOUT a redundant self-alias.
     *
     * A no-op rename (`col("src").as("src")`) above the captured plan
@@ -47,13 +90,25 @@ private[graft] object ShuffleSizing {
     * capture; probed in tools/LpaBisect (E0 exchange-free vs E1
     * re-exchanging, only the self-rename differing). Renames to a
     * DIFFERENT name keep real aliases in the plan and survive the
-    * rewrite (PageRank's __src/__dst never regressed). */
+    * rewrite (PageRank's __src/__dst never regressed).
+    *
+    * ALWAYS a two-column projection (r17 advice): aliasing only the
+    * columns whose name changes keeps the narrowing contract — a wider
+    * input can't leak extra columns into the capture — without ever
+    * emitting the redundant self-alias, including the one-sided case
+    * (a == aNew XOR b == bNew), where the old form re-introduced
+    * exactly the self-alias this helper exists to avoid. A bare
+    * attribute Project is not an Alias, so RemoveRedundantAliases
+    * leaves it alone and the executed plan's output attributes keep
+    * matching the Dataset's logical output. */
   def renameForCapture(df: org.apache.spark.sql.DataFrame,
                        a: String, aNew: String,
-                       b: String, bNew: String): org.apache.spark.sql.DataFrame =
-    if (a == aNew && b == bNew) df
-    else df.select(org.apache.spark.sql.functions.col(a).as(aNew),
-      org.apache.spark.sql.functions.col(b).as(bNew))
+                       b: String, bNew: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(
+      if (a == aNew) col(a) else col(a).as(aNew),
+      if (b == bNew) col(b) else col(b).as(bNew))
+  }
 
   /** Materialize `df` hash-partitioned on `key` so that DOWNSTREAM
     * plans see the partitioning and skip their exchanges — the
@@ -118,14 +173,19 @@ private[graft] object ShuffleSizing {
     val first = partitionedMaterialize(df, key, materialize)
     val firstIds = (sc.getPersistentRDDs.keySet -- before).toSet
     val n = first.count()
-    val target = targetPartitions(n)
     val current = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    if (target <= current) (first, n, Set.empty)
+    val width = boundedWidth(n, current)
+    // r18: the re-cut now fires in BOTH directions — wider when the
+    // session width risks spill (the r17 behavior), NARROWER when the
+    // session over-fans a small graph (the cap mirror; the re-cut is
+    // an |E|-row exchange of a by-construction-small relation, paid
+    // once, against per-round fixed costs paid every iteration).
+    if (width == current) (first, n, Set.empty)
     else {
-      val wide = withEdgeScaledShuffle(spark, n) {
+      val recut = withShufflePartitions(spark, width) {
         partitionedMaterialize(first, key, materialize)
       }
-      (wide, n, firstIds)
+      (recut, n, firstIds)
     }
   }
 
@@ -160,6 +220,36 @@ private[graft] object ShuffleSizing {
         s"$key $current -> $target (restored after)")
       spark.conf.set(key, target.toString)
       try body finally spark.conf.set(key, current.toString)
+    }
+  }
+
+  /** [[withEdgeScaledShuffle]] with the cap mirror (r18): run `body`
+    * at [[boundedWidth]] — raised for big graphs exactly as before,
+    * LOWERED when the session over-fans a small one, so the round
+    * loops' fallback shuffles and per-round materializations track the
+    * capture's data-derived width instead of a session constant. */
+  def withEdgeBoundedShuffle[T](spark: SparkSession, edgeRows: Long)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val current = spark.conf.get(key).toInt
+    val width = boundedWidth(edgeRows, current)
+    if (width == current) body
+    else {
+      System.err.println(s"[shuffle-sizing] $edgeRows edge rows -> " +
+        s"$key $current -> $width (restored after)")
+      spark.conf.set(key, width.toString)
+      try body finally spark.conf.set(key, current.toString)
+    }
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n` in
+    * either direction (restored after, throw-safe). */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val current = spark.conf.get(key)
+    if (current.toInt == n) body
+    else {
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, current)
     }
   }
 }

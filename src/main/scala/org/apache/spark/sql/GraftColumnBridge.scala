@@ -16,3 +16,14 @@ object GraftColumnBridge {
     classic.SparkSession.active.expression(c)
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 }
+
+/** Mix-in for graft expressions that take ONE string argument and want
+  * the analyzer to insert implicit casts (the tolerance of the
+  * Column-chain forms they replaced, r17 advice): `AbstractDataType`
+  * is `private[sql]` in Spark 4, so the `inputTypes` override must
+  * live in this package — the graft expression just mixes this in. */
+trait GraftStringInputCast
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+}

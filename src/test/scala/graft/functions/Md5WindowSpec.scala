@@ -48,6 +48,18 @@ class Md5WindowSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("non-string input implicit-casts like the old chain (r17 advice)") {
+    // the conv(substring(md5(c))) chain accepted implicitly-castable
+    // inputs; ImplicitCastInputTypes keeps that tolerance — a bare
+    // long column analyzes and hashes as its string form
+    val df = spark.range(0, 500)
+    val bad = df.select(
+      TextFunctions.md5Long(col("id")).as("k"),
+      TextFunctions.md5LongChain(col("id").cast("string")).as("c"))
+      .filter(col("k") =!= col("c")).count()
+    assert(bad === 0L)
+  }
+
   test("window stays in 60-bit unsigned range") {
     val mx = spark.range(0, 5000).select(col("id").cast("string").as("s"))
       .select(TextFunctions.md5Long(col("s")).as("k"))

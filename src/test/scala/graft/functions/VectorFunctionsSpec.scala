@@ -627,6 +627,44 @@ class VectorFunctionsSpec extends SparkSpecBase {
     assert(empty.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "cosine_sim"))
   }
 
+  test("q204 gate operating point: strict-subset routing vs the manifest's live files") {
+    // The r17 q204 gate carried this assertion in the QUERY PATH (an
+    // in-query collect() + scan-metrics require — the search ran twice
+    // per invocation); r18 moved it here, at the gate's exact shape:
+    // unrepartitioned index write, queries vec_id < 32, k = 5, nprobe = 1,
+    // totalFiles from the manifest (not a directory listing).
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-gatepoint").toString
+    VectorFunctions.writeIvfIndex(emb, "vec_id", "embedding", centroids, idx)
+    val grouped = VectorFunctions.ivfIndexTopKGrouped(spark, idx,
+      emb.filter(col("vec_id") < 32), centroids, "vec_id", "embedding", k = 5, nprobe = 1)
+    grouped.collect(): Unit // fill this plan instance's scan metrics
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalFiles = graft.functions.IvfManifest.latest(fs, root)
+      .map(_.files.size).getOrElse(0)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val perGroup = scans(grouped.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(idx)))
+      .map(_.metrics("numFiles").value)
+    assert(perGroup.nonEmpty && perGroup.forall(n => n > 0 && n < totalFiles),
+      s"grouped search must route scans to per-group file subsets: " +
+        s"per-group files=$perGroup of $totalFiles live index files")
+    // and routing stays invisible at this operating point
+    val mono = VectorFunctions.ivfIndexTopK(spark, idx, emb.filter(col("vec_id") < 32),
+      centroids, "vec_id", "embedding", k = 5, nprobe = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(grouped) == rows(mono))
+  }
+
   test("ivfIndexTopKGrouped maxScans caps the scan count; results stay identical") {
     val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
     val centroids = VectorFunctions.centroidsByLabel(emb, "label", "embedding")
