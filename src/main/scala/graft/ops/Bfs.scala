@@ -50,8 +50,19 @@ object Bfs {
   def hopDistance(edges: DataFrame, sources: DataFrame, src: String,
                   dst: String, maxHops: Int,
                   edgesDistinct: Boolean = false): DataFrame = {
-    val undRaw = edges.select(col(src).as("u"), col(dst).as("v"))
-      .union(edges.select(col(dst).as("u"), col(src).as("v")))
+    // r18: flat-cut the DIRECTED list once before the undirected union —
+    // the union's two branches otherwise re-execute the caller's edge
+    // plan twice (exchange reuse shares the shuffle WRITE, but both
+    // branches re-read it and re-run every post-shuffle stage: q108's
+    // sf1 shuffle read rows ran 42.0M against 24.0M written, the
+    // +12M being the pair-support aggregate executed a second time).
+    // The cut is |E|-sized and its blocks are released with the
+    // capture's stale ids as soon as the partitioned relation exists.
+    val sc0 = edges.sparkSession.sparkContext
+    val beforeFlat = sc0.getPersistentRDDs.keySet
+    val dirE = edges.select(col(src).as("u"), col(dst).as("v")).localCheckpoint()
+    val flatIds = (sc0.getPersistentRDDs.keySet -- beforeFlat).toSet
+    val undRaw = dirE.union(dirE.select(col("v").as("u"), col("u").as("v")))
     val undPlain = if (edgesDistinct) undRaw else undRaw.distinct()
     // r15, the exchange-free graph-round recipe applied to BFS: the
     // superstep's distinct keys on v, so a V-partitioned edge
@@ -73,9 +84,10 @@ object Bfs {
     val beforeIds = sc.getPersistentRDDs.keySet
     val (und, n, staleIds) = ShuffleSizing.partitionedMaterializeCounted(
       undPlain, col("v"), _.localCheckpoint())
-    val undRddIds = sc.getPersistentRDDs.keySet -- beforeIds -- staleIds
+    val undRddIds = sc.getPersistentRDDs.keySet -- beforeIds -- staleIds -- flatIds
     CacheHygiene.quietRelease {
-      staleIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      (staleIds ++ flatIds).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     }
     ShuffleSizing.withEdgeBoundedShuffle(edges.sparkSession, n) {
       supersteps(und, sources, maxHops, releaseEdges = () => CacheHygiene.quietRelease {

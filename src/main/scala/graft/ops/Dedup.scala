@@ -926,12 +926,25 @@ object Dedup {
       // both paths below honor that same s-only contract (the driver
       // fast path filters to s-seen vertices), keeping the output
       // identical across driverMaxEdges.
+      // r18: flat-cut the PAIR list once before the symmetrize union —
+      // the union's two branches otherwise re-execute the whole
+      // upstream pair-generation plan twice (exchange reuse shares the
+      // shuffle write, but both branches re-read it and re-run every
+      // post-shuffle stage: q44's sf1 shuffle read rows ran 75.1M
+      // against q26's 46.2M for the same 38.2M written — the +29M is
+      // the pair-count aggregate executed a second time). The cut is
+      // |pairs|-sized (tiny next to the candidate shuffle) and its
+      // blocks/file are dropped with the edge cut's.
       edges = cut(
         if (assumeSymmetric)
           pairs.select(col("id_a").as("s"), col("id_b").as("t"))
-        else pairs.select(col("id_a").as("s"), col("id_b").as("t"))
-          .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
-          .distinct(), "edges", lazyLocal = false)
+        else {
+          val p0 = cut(pairs.select(col("id_a").as("s"), col("id_b").as("t")),
+            "pairs0", lazyLocal = false)
+          p0.unionByName(p0.select(col("t").as("s"), col("s").as("t")))
+            .distinct()
+        }, "edges", lazyLocal = false)
+      drop("pairs0")
       // initial labels fuse round 1: starting from identity, the first
       // round's neighbor-min over identity labels IS min(v, min
       // neighbor) — computable directly as one aggregate over the edge

@@ -87,11 +87,18 @@ object GraphCapture {
     // guarded rename: a redundant self-alias here would erase the
     // capture's recorded partitioning ([[ShuffleSizing.renameForCapture]])
     val dir = ShuffleSizing.renameForCapture(pairs, aCol, "s", bCol, "t")
+    // r18: flat-cut before the symmetrize union — its two branches
+    // otherwise re-execute the caller's pair plan twice (the CC/BFS
+    // double-read finding); the cut's blocks are released with the
+    // capture's stale ids below
+    val beforeSym = sc.getPersistentRDDs.keySet
     val sym =
-      if (symmetrize)
-        dir.unionByName(dir.select(col("t").as("s"), col("s").as("t")))
+      if (symmetrize) {
+        val d0 = materialize(dir)
+        d0.unionByName(d0.select(col("t").as("s"), col("s").as("t")))
           .filter(col("s") =!= col("t")).distinct()
-      else dir
+      } else dir
+    val symFlatIds = (sc.getPersistentRDDs.keySet -- beforeSym).toSet
     // ONE materialization (r17): partition-first-and-count instead of
     // the old flat-cut-then-repartition two-pass — see
     // [[ShuffleSizing.partitionedMaterializeCounted]].
@@ -99,9 +106,11 @@ object GraphCapture {
     val (parted, n, staleIds) =
       ShuffleSizing.partitionedMaterializeCounted(sym, col("s"), materialize)
     val partedIds = sc.getPersistentRDDs.keySet.toSet -- before -- staleIds
-    // the narrow first cut is dead if the widen branch re-materialized
+    // the narrow first cut is dead if the re-cut branch re-materialized,
+    // and the symmetrize flat cut is dead once the capture exists
     CacheHygiene.quietRelease {
-      staleIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      (staleIds ++ symFlatIds).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     }
     new GraphCapture(parted, n, partedIds)
   }

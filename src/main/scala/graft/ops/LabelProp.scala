@@ -46,11 +46,17 @@ object LabelProp {
     // guarded rename: a redundant self-alias here would erase the
     // capture's recorded partitioning ([[ShuffleSizing.renameForCapture]])
     val dir = ShuffleSizing.renameForCapture(edges0, srcCol, "src", dstCol, "dst")
+    // r18: flat-cut before the symmetrize union — its two branches
+    // otherwise re-execute the caller's edge plan twice (the CC/BFS
+    // double-read finding; blocks released by the hygiene scope)
     val sym =
       if (assumeSymmetric) dir
-      else dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
+      else {
+        val d0 = materialize(dir)
+        d0.union(d0.select(col("dst").as("src"), col("src").as("dst")))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+      }
     // r15: the per-round (src, label) count and the per-node argmax
     // both key on src, so a SRC-partitioned edge checkpoint makes
     // every round's aggregates partition-local — PROVIDED the label
